@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.{HtmlSink, JsonSink}
+import graft.sources.{CsvSource, PrnSource}
+
+/** CLI entry: `<inputType> <outputType> [-d <delimiter>]`, stdin →
+  * stdout, mirroring the reference's surface
+  * (`/root/reference/src/index.ts:105-148`): case-insensitive
+  * whitelist validation with the same error strings, latin1 stdin
+  * decoding, progress lines on stderr only (stdout stays pure data so
+  * the cross-format `diff` acceptance check holds), exit 1 on any
+  * failure, and a DEBUG-gated stderr logger.
+  *
+  * Spark sources are path-based, so stdin is spooled to a temp file
+  * (transcoded latin1 → UTF-8, see SURVEY.md §7.4 R1) before the
+  * job runs.
+  */
+object Cli {
+
+  private val AllowedInputs = Seq("csv", "prn")
+  private val AllowedOutputs = Seq("json", "html")
+
+  private lazy val isDebug = sys.env.get("DEBUG").exists(v => v != "false" && v != "0" && v.nonEmpty)
+  private def debugLog(msg: => String): Unit = if (isDebug) System.err.println(s"DEBUG: $msg")
+
+  def validateInputType(v: String): String = {
+    val lower = v.toLowerCase
+    if (AllowedInputs.contains(lower)) lower
+    else throw new IllegalArgumentException(s"Input type must be one of: ${AllowedInputs.mkString(", ")}.")
+  }
+
+  def validateOutputType(v: String): String = {
+    val lower = v.toLowerCase
+    if (AllowedOutputs.contains(lower)) lower
+    else throw new IllegalArgumentException(s"Output type must be one of: ${AllowedOutputs.mkString(", ")}.")
+  }
+
+  final case class Args(inputType: String, outputType: String, csvDelimiter: Option[String])
+
+  /** Parses `<inputType> <outputType> [-d|--csv-delimiter <char>]`. */
+  def parseArgs(argv: Seq[String]): Args = {
+    var positional = Vector.empty[String]
+    var delimiter: Option[String] = None
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "-d" | "--csv-delimiter" =>
+          if (i + 1 >= argv.length)
+            throw new IllegalArgumentException("option '-d, --csv-delimiter <char>' argument missing")
+          delimiter = Some(argv(i + 1)); i += 2
+        case flag if flag.startsWith("-") && flag.length > 1 =>
+          throw new IllegalArgumentException(s"unknown option '$flag'")
+        case p => positional :+= p; i += 1
+      }
+    }
+    if (positional.length != 2)
+      throw new IllegalArgumentException(
+        "expected exactly two arguments: <inputType> <outputType>")
+    Args(validateInputType(positional(0)), validateOutputType(positional(1)), delimiter)
+  }
+
+  /** The data plane: scan → normalize (executors) → render (driver). */
+  def convert(spark: SparkSession, args: Args, inputPath: String, inputIsUtf8: Boolean): String = {
+    val encoding = if (inputIsUtf8) "UTF-8" else "ISO-8859-1"
+    val df: DataFrame = args.inputType match {
+      case "csv" => CsvSource.read(spark, inputPath, args.csvDelimiter.getOrElse(","), encoding)
+      case "prn" => PrnSource.read(spark, inputPath, encoding)
+    }
+    args.outputType match {
+      case "json" => JsonSink.render(df)
+      case "html" => HtmlSink.render(df)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args =
+      try parseArgs(argv.toIndexedSeq)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}")
+          sys.exit(1)
+      }
+
+    debugLog(s"Parsed args: $args")
+    // Spool stdin (latin1 bytes, like the reference's
+    // setEncoding('latin1')) to a UTF-8 temp file for the path-based
+    // Spark sources.
+    val raw = System.in.readAllBytes()
+    val text = new String(raw, StandardCharsets.ISO_8859_1)
+    val tmp = Files.createTempFile("graft_stdin_", ".txt")
+    tmp.toFile.deleteOnExit()
+    Files.write(tmp, text.getBytes(StandardCharsets.UTF_8))
+    debugLog(s"Spooled ${raw.length} bytes of stdin to $tmp")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try {
+      System.err.println(s"Processing ${args.inputType} to ${args.outputType}...")
+      val out = convert(spark, args, tmp.toString, inputIsUtf8 = true)
+      // Write raw UTF-8 bytes: PrintStream would transcode through the
+      // platform console charset (ASCII in a bare container locale)
+      // and mangle non-ASCII — output must be valid UTF-8 regardless
+      // of locale (reference README.md:31-33).
+      System.out.write(out.getBytes(StandardCharsets.UTF_8))
+      System.out.flush()
+      System.err.println("Processing complete.")
+    } catch {
+      case e: Throwable =>
+        System.err.println("\nAn error occurred during processing:")
+        System.err.println(userMessage(args.inputType, e))
+        if (isDebug) e.printStackTrace()
+        spark.stop()
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+
+  /** Mirrors the reference's error channel (`csvParser.ts:55-57`):
+    * parse failures surface as `CSV parsing error: <cause>`. Spark
+    * wraps the malformed-record cause in FAILED_READ_FILE layers, so
+    * walk the cause chain for the parse-level message. */
+  private def userMessage(inputType: String, e: Throwable): String = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val msg = e.getMessage
+    if (msg != null && msg.startsWith("CSV parsing error")) msg
+    else chain.reverse.find { c =>
+      val m = c.getMessage
+      m != null && (m.contains("MALFORMED_CSV_RECORD") || m.contains("MALFORMED_RECORD_IN_PARSING"))
+    } match {
+      case Some(cause) if inputType == "csv" => s"CSV parsing error: ${cause.getMessage}"
+      case _ => msg
+    }
+  }
+}

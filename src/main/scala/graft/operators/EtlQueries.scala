@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Normalize
+
+/** The reference's normalization operators (SURVEY.md §2.2 F1–F5)
+  * exposed as an oracle-checkable query: deterministic dirty inputs
+  * are synthesized from the customer table and pushed through the
+  * same `Normalize` expressions the ETL sources use, with the DuckDB
+  * oracle re-implementing each rule in SQL. Exercises postcode,
+  * phone, credit-limit (incl. comma decimals and unparsable →
+  * "0.00"), birthday (all three formats + passthrough), and trim.
+  */
+object EtlQueries {
+
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val ck = col("c_custkey")
+    val raw = c.select(
+      ck,
+      concat(lit("  "), lower(col("c_mktsegment")), lit(" "), (ck % 100).cast("string"), lit(" ")).as("pc_raw"),
+      when(ck % 2 === 0, concat(lit("+31 6 "), ck.cast("string"), lit("-"), col("c_nationkey").cast("string")))
+        .otherwise(concat(lit("0"), ck.cast("string"), lit(" "), col("c_nationkey").cast("string"))).as("ph_raw"),
+      when(ck % 10 === 0, lit("NOTANUMBER"))
+        .otherwise(concat((ck % 1000).cast("string"), lit(","), (ck % 100).cast("string"))).as("money_raw"),
+      when(ck % 10 === 0, lit("someday maybe"))
+        .when(ck % 3 === 0, concat((ck % 28 + 1).cast("string"), lit("/"), (ck % 12 + 1).cast("string"), lit("/19"), (ck % 20 + 80).cast("string")))
+        .when(ck % 3 === 1, concat(lit("19"), (ck % 20 + 80).cast("string"),
+          lpad((ck % 12 + 1).cast("string"), 2, "0"), lpad((ck % 28 + 1).cast("string"), 2, "0")))
+        .otherwise(concat(lit("19"), (ck % 20 + 80).cast("string"), lit("-"), (ck % 12 + 1).cast("string"), lit("-"), (ck % 28 + 1).cast("string"))).as("date_raw"),
+      concat(lit("  "), col("c_name"), lit("  ")).as("text_raw"))
+    raw.select(
+      ck.as("c_custkey"),
+      Normalize.postcode(col("pc_raw")).as("postcode_norm"),
+      Normalize.phone(col("ph_raw")).as("phone_norm"),
+      Normalize.creditLimit(col("money_raw")).as("money_norm"),
+      Normalize.birthday(col("date_raw")).as("date_norm"),
+      Normalize.text(col("text_raw")).as("text_norm"))
+      .orderBy(ck)
+  }
+
+  val qNormalizeSql: String =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    '  ' || lower(c_mktsegment) || ' ' || CAST(c_custkey % 100 AS VARCHAR) || ' ' AS pc_raw,
+      |    CASE WHEN c_custkey % 2 = 0
+      |         THEN '+31 6 ' || CAST(c_custkey AS VARCHAR) || '-' || CAST(c_nationkey AS VARCHAR)
+      |         ELSE '0' || CAST(c_custkey AS VARCHAR) || ' ' || CAST(c_nationkey AS VARCHAR) END AS ph_raw,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'NOTANUMBER'
+      |         ELSE CAST(c_custkey % 1000 AS VARCHAR) || ',' || CAST(c_custkey % 100 AS VARCHAR) END AS money_raw,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'someday maybe'
+      |         WHEN c_custkey % 3 = 0 THEN CAST(c_custkey % 28 + 1 AS VARCHAR) || '/' || CAST(c_custkey % 12 + 1 AS VARCHAR) || '/19' || CAST(80 + c_custkey % 20 AS VARCHAR)
+      |         WHEN c_custkey % 3 = 1 THEN '19' || CAST(80 + c_custkey % 20 AS VARCHAR) || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+      |         ELSE '19' || CAST(80 + c_custkey % 20 AS VARCHAR) || '-' || CAST(c_custkey % 12 + 1 AS VARCHAR) || '-' || CAST(c_custkey % 28 + 1 AS VARCHAR) END AS date_raw,
+      |    '  ' || c_name || '  ' AS text_raw
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  upper(regexp_replace(trim(pc_raw), '\s+', '', 'g')) AS postcode_norm,
+      |  CASE WHEN starts_with(trim(ph_raw), '+')
+      |       THEN '+' || regexp_replace(substr(trim(ph_raw), 2), '[^0-9]', '', 'g')
+      |       ELSE regexp_replace(trim(ph_raw), '[^0-9]', '', 'g') END AS phone_norm,
+      |  CASE WHEN regexp_extract(regexp_replace(trim(money_raw), ',', '.'), '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?', 0) = ''
+      |       THEN '0.00'
+      |       ELSE CAST(CAST(regexp_extract(regexp_replace(trim(money_raw), ',', '.'), '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?', 0) AS DECIMAL(38,2)) AS VARCHAR) END AS money_norm,
+      |  CASE WHEN regexp_matches(trim(date_raw), '^(\d{1,2})/(\d{1,2})/(\d{4})$')
+      |       THEN regexp_extract(trim(date_raw), '^(\d{1,2})/(\d{1,2})/(\d{4})$', 3) || '-' ||
+      |            lpad(regexp_extract(trim(date_raw), '^(\d{1,2})/(\d{1,2})/(\d{4})$', 2), 2, '0') || '-' ||
+      |            lpad(regexp_extract(trim(date_raw), '^(\d{1,2})/(\d{1,2})/(\d{4})$', 1), 2, '0')
+      |       WHEN regexp_matches(trim(date_raw), '^(\d{4})(\d{2})(\d{2})$')
+      |       THEN regexp_extract(trim(date_raw), '^(\d{4})(\d{2})(\d{2})$', 1) || '-' ||
+      |            regexp_extract(trim(date_raw), '^(\d{4})(\d{2})(\d{2})$', 2) || '-' ||
+      |            regexp_extract(trim(date_raw), '^(\d{4})(\d{2})(\d{2})$', 3)
+      |       WHEN regexp_matches(trim(date_raw), '^(\d{4})-(\d{1,2})-(\d{1,2})$')
+      |       THEN regexp_extract(trim(date_raw), '^(\d{4})-(\d{1,2})-(\d{1,2})$', 1) || '-' ||
+      |            lpad(regexp_extract(trim(date_raw), '^(\d{4})-(\d{1,2})-(\d{1,2})$', 2), 2, '0') || '-' ||
+      |            lpad(regexp_extract(trim(date_raw), '^(\d{4})-(\d{1,2})-(\d{1,2})$', 3), 2, '0')
+      |       ELSE trim(date_raw) END AS date_norm,
+      |  trim(text_raw) AS text_norm
+      |FROM raw ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_normalize" -> (qNormalize _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_normalize" -> qNormalizeSql)
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EtlQueries, Relational}
+import graft.operators.{Dedup, EtlQueries, Relational, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EtlQueries.queries
+    Relational.queries ++ EtlQueries.queries ++ Text.queries ++ Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EtlQueries.oracles
+    Relational.oracles ++ EtlQueries.oracles ++ Text.oracles ++ Dedup.oracles
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — exact
+  * (hash-groupBy), MinHash+LSH near-dup, SimHash, n-gram Jaccard
+  * verification, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is a map-side md5 + one hash aggregate — the
+  *    canonical "shuffle only the 16-byte digest" shape.
+  *  - MinHash signatures are computed per document in one projection
+  *    (no shuffle); LSH banding explodes to (band, hash) keys so the
+  *    candidate join shuffles only band digests, never text. The
+  *    expensive exact-Jaccard verification runs only on LSH
+  *    candidates, which is the entire point of LSH: all-pairs never
+  *    materializes.
+  *  - SimHash is again map-only per document; near-dup lookup at
+  *    scale is a groupBy on the 16-bit key (or a band of it).
+  *  - Embedding cosine here is the brute-force verifier; the scale
+  *    path is the LSH-bucketed variant in [[Similarity]].
+  *
+  * The MinHash family uses md5-keyed "permutations"
+  * (min over md5(k || shingle) per k) so the DuckDB oracle can
+  * reproduce signatures exactly — both engines agree on md5 and on
+  * lexicographic ordering of lowercase hex strings.
+  */
+object Dedup {
+
+  private val NumHashes = 12
+  private val BandSize = 2 // 6 bands of 2 hashes -> catches jaccard >~ 0.3 pairs reliably
+  private val NumBands = NumHashes / BandSize
+  private val JaccardThreshold = 0.1
+  private val CosineThreshold = 0.45
+
+  private def words(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Word 3-gram shingles; documents shorter than 3 words contribute
+    * their whole text as a single shingle. */
+  private def shingles(c: Column): Column = {
+    val ws = words(c)
+    when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3), i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  private val shinglesSqlCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |       THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |       ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // exact dedup: md5-groupBy summary. Only digests shuffle.
+  def qExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+
+  val qExactSql: String =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH near-dup: signature -> bands -> candidate pairs ->
+  // exact-Jaccard verification of candidates only.
+  def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(col("shingles"), x => md5(concat(k.cast("string"), lit("_"), x)))))
+    val base = docs
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .select(col("doc_id"), sig.as("sig"), array_distinct(col("shingles")).as("sset"))
+    val bandHashes = transform(sequence(lit(0), lit(NumBands - 1)),
+      b => md5(concat_ws("|",
+        element_at(col("sig"), b * BandSize + 1),
+        element_at(col("sig"), b * BandSize + 2))))
+    val bands = base.select(col("doc_id"), col("sset"),
+      posexplode(bandHashes).as(Seq("band_id", "band_hash")))
+    val left = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sset").as("sset_a"))
+    val right = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sset").as("sset_b"))
+    val cand = left.join(right, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sset_a"), col("sset_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
+      size(array_union(col("sset_a"), col("sset_b")))
+    cand.select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinHashLshSql: String =
+    s"""WITH $shinglesSqlCte,
+       |mh AS (SELECT doc_id,
+       |  list_transform(range($NumHashes),
+       |    k -> list_aggregate(list_transform(shingles, x -> md5(CAST(k AS VARCHAR) || '_' || x)), 'min')) AS sig,
+       |  list_distinct(shingles) AS sset
+       |  FROM sh),
+       |bands AS (SELECT doc_id, sset, b AS band_id,
+       |  md5(sig[$BandSize*b + 1] || '|' || sig[$BandSize*b + 2]) AS band_hash
+       |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(list_distinct(sa.sset || sb.sset)) AS jac
+       |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+       |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SimHash: 16-bit signature from per-word md5 nibble votes —
+  // map-only per document; bucketing on the signature gives the
+  // scale-out near-dup lookup.
+  def qSimHash(s: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(words(col("text")), w => md5(w))
+    val bits: Seq[Column] = (0 until 16).map { j =>
+      val vote = aggregate(
+        transform(col("hs"), h => when(conv(substring(h, j + 1, 1), 16, 10).cast("int") % 2 === 1, 1).otherwise(-1)),
+        lit(0), (acc, x) => acc + x)
+      when(vote > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSimHashSql: String = {
+    val bitExprs = (0 until 16).map { j =>
+      s"""CASE WHEN list_aggregate(list_transform(hs,
+         |  h -> CASE WHEN (strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END),
+         |  'sum') > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> md5(w)) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $bitExprs AS simhash
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Embedding-cosine near-dup (brute-force verifier; the LSH-bucketed
+  // scale path lives in Similarity). Norms are precomputed per row so
+  // the pair stage does one dot product per pair.
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def qEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val qEmbedCosineSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_aggregate(list_transform(range(len(v)), i -> v[i+1] * v[i+1]), 'sum')) AS nrm
+       |  FROM e),
+       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  list_aggregate(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]), 'sum')
+       |    / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT ia, ib, round(cos, 4) AS cosine FROM p
+       |WHERE cos >= $CosineThreshold ORDER BY ia, ib""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (qExact _),
+    "dedup_minhash_lsh" -> (qMinHashLsh _),
+    "dedup_simhash" -> (qSimHash _),
+    "dedup_embed_cosine" -> (qEmbedCosine _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> qExactSql,
+    "dedup_minhash_lsh" -> qMinHashLshSql,
+    "dedup_simhash" -> qSimHashSql,
+    "dedup_embed_cosine" -> qEmbedCosineSql,
+  )
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline layer (token counting, quality scoring,
+  * language ID, fingerprinting). The reference has no text analytics
+  * (SURVEY.md §2.3 A7); these are the driver-mandated extensions.
+  *
+  * All per-document logic is a single narrow projection of built-in
+  * higher-order functions (`split`/`transform`/`filter`/`aggregate`)
+  * — no UDFs, no shuffles except the final deterministic `orderBy`.
+  * At 100 TB this is the best possible shape: map-only over the scan,
+  * prunes `documents` to (doc_id, text), and parallelizes per file
+  * split. Every query is mirrored in DuckDB SQL for the oracle.
+  */
+object Text {
+
+  /** Words of the lowercased, whitespace-collapsed text. */
+  private def words(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private def sqlList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------
+  // token counting: whitespace tokens + a BPE-ish regex tokenization
+  // (alnum runs and single punctuation marks), char counts, average
+  // token length.
+  def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_re_tokens"),
+        round(
+          aggregate(transform(words(col("text")), w => length(w)), lit(0), (acc, x) => acc + x)
+            .cast("double") / size(words(col("text"))), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val qTokenStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0)) AS n_re_tokens,
+      |  round(CAST(list_aggregate(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'), w -> length(w)), 'sum') AS DOUBLE)
+      |        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // quality scoring: length / stopword ratio / punctuation ratio /
+  // mean word length, combined into a 0..1 rubric score. The ratio
+  // arithmetic is identical on both engines (bit-equal doubles), so
+  // the rubric thresholds compare identically too.
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / nWords
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(col("text"))
+    val meanWordLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+      .cast("double") / nWords
+    val score =
+      when(length(col("text")).between(100, 2000), lit(0.25)).otherwise(lit(0.0)) +
+        when(stopRatio.between(0.05, 0.6), lit(0.25)).otherwise(lit(0.0)) +
+        when(punctRatio < 0.1, lit(0.25)).otherwise(lit(0.0)) +
+        when(meanWordLen.between(3.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    d.select(
+      col("doc_id"),
+      col("n_chars"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    length(text) AS n FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(list_filter(ws, w -> w IN ${sqlList(stopwords)})) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS mean_wl,
+       |    n FROM t)
+       |SELECT doc_id, n_chars,
+       |  round(stop_ratio, 4) AS stopword_ratio,
+       |  round(punct_ratio, 4) AS punct_ratio,
+       |  round(mean_wl, 4) AS mean_word_len,
+       |  (CASE WHEN n BETWEEN 100 AND 2000 THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END +
+       |   CASE WHEN mean_wl BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // language ID: marker-stopword n-gram heuristic with a CJK
+  // character check, deterministic tie order. (The synthetic corpus
+  // is English-vocabulary for every lang label, so the value of this
+  // query is the operator itself, not label recovery.)
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "que"))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val counts = markers.map { case (lang, ms) =>
+      lang -> size(filter(ws, w => w.isin(ms: _*)))
+    }
+    val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val predicted = when(cjk > 0, lit("zh"))
+      .when(best === 0, lit("und"))
+      .otherwise(
+        counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+          when(c === best, lit(lang)).otherwise(acc)
+        })
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), predicted.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLangIdSql: String = {
+    val countExprs = markers.map { case (lang, ms) =>
+      s"len(list_filter(ws, w -> w IN ${sqlList(ms)})) AS c_$lang"
+    }.mkString(",\n    ")
+    val bestExpr = markers.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+    val pick = markers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN c_$lang = best THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, cjk,
+       |    $countExprs
+       |  FROM t),
+       |b AS (SELECT *, $bestExpr AS best FROM c)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN best = 0 THEN 'und'
+       |       ELSE $pick END AS predicted_lang
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // document fingerprinting: full-content fingerprint over the
+  // whitespace-normalized text + a head fingerprint over the first 5
+  // words (a cheap fuzzy key for prefix-clustering at scale).
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val head = concat_ws(" ", slice(words(col("text")), 1, 5))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("content_fp"),
+        md5(head).as("head_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_fp,
+      |  md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[1:5], ' ')) AS head_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (qTokenStats _),
+    "text_quality" -> (qQuality _),
+    "text_langid" -> (qLangId _),
+    "text_fingerprint" -> (qFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> qTokenStatsSql,
+    "text_quality" -> qQualitySql,
+    "text_langid" -> qLangIdSql,
+    "text_fingerprint" -> qFingerprintSql,
+  )
+}

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). Each call is a plain parquet scan: Catalyst
@@ -27,7 +29,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` is nanosecond-precision in the parquet, which Spark's
+    * reader rejects; read it as a long and truncate to microseconds
+    * (matching a DuckDB `CAST(ts AS TIMESTAMP)`). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fixEventTs(load(s, d, "events"))
+  }
+
+  /** ts-as-nanos long -> TimestampType µs (integer division, so
+    * truncation semantics match DuckDB's ns->µs cast). */
+  def fixEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

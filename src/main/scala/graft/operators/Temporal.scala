@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Temporal operators over the `events` table: as-of join and
+  * sessionization. The reference has no time semantics at all
+  * (SURVEY.md §2.3 A9); these are the extension-layer operators a
+  * training-data/event pipeline needs.
+  *
+  * As-of join is expressed Spark-first as the "union + running
+  * last-match" window pattern rather than a custom physical operator:
+  * tag both sides, sort within the key partition by event time, and
+  * carry the latest left-side match forward with a running `max over
+  * window`. One shuffle on the join key, no point lookups, no
+  * broadcast state — the same plan shape scales to any key
+  * cardinality, which is why engines without a native ASOF operator
+  * use it. The DuckDB oracle states the same semantics as a
+  * correlated max.
+  */
+object Temporal {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val duckFmt = "%Y-%m-%d %H:%M:%S.%f"
+  private val SessionGapUs = 1800000000L // 30 min
+
+  // ---------------------------------------------------------------
+  // as-of join: each purchase matched to the latest click at-or-before
+  // it for the same user.
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      // clicks sort before purchases at equal ts, making the match
+      // condition exactly click.ts <= purchase.ts
+      .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click_ts",
+        max(when(col("side") === 0, col("ts"))).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        date_format(col("last_click_ts"), tsFmt).as("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+       |m AS (SELECT p.event_id, p.user_id, p.ts,
+       |  (SELECT max(c.ts) FROM ev c
+       |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS c_ts
+       |  FROM p)
+       |SELECT event_id, user_id,
+       |  strftime(ts, '$duckFmt') AS purchase_ts,
+       |  strftime(c_ts, '$duckFmt') AS last_click_ts,
+       |  date_diff('microsecond', c_ts, ts) AS gap_us
+       |FROM m ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // sessionization: 30-minute-gap sessions per user, batch form
+  // (lag + cumulative sum). The Structured Streaming stateful twin
+  // lives in graft.streaming.
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val isNew = when(gapUs.isNull || gapUs > SessionGapUs, 1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), tsFmt).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val qSessionizeSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |g AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > $SessionGapUs
+       |       THEN 1 ELSE 0 END AS is_new
+       |  FROM ev),
+       |s AS (SELECT user_id, ts,
+       |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM g)
+       |SELECT user_id, session_idx,
+       |  strftime(min(ts), '$duckFmt') AS session_start,
+       |  count(*) AS n_events,
+       |  date_diff('microsecond', min(ts), max(ts)) AS duration_us
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (qAsofJoin _),
+    "sessionize" -> (qSessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" -> qAsofJoinSql,
+    "sessionize" -> qSessionizeSql,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference's "streaming" is transport only (Node object-mode
+  * Transforms, no event time — SURVEY.md §2.3 A9); this is the real
+  * thing: a file-source `readStream` with an event-time watermark and
+  * tumbling-window aggregation. For the correctness gate the query
+  * runs to completion against the static parquet (a bounded stream),
+  * lands in a memory sink, and the final table must equal the batch
+  * answer — exactly the semantics Structured Streaming guarantees
+  * (streaming query ≡ incremental execution of the batch plan).
+  *
+  * At scale the same plan runs unbounded: the 1-hour watermark bounds
+  * state, windows emit incrementally, and the memory sink becomes a
+  * parquet/Kafka sink. Nothing in the aggregation changes.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windows per event_type, streamed end-to-end. */
+  def qWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema // ts arrives as long nanos
+    val name = "graft_win_" + UUID.randomUUID().toString.replace("-", "")
+    // The file stream source monitors a directory; the test table is a
+    // single file, so expose it through a temp dir symlink.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val stream = Tables.fixEventTs(s.readStream.schema(schema).parquet(streamDir.toString))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val qWindowAggSql: String =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (qWindowAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> qWindowAggSql)
+}

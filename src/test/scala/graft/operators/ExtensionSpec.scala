@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural/semantic checks for the extension operator families at
+  * sf0.001 (the oracle gate at sf0.01 covers value-exactness). */
+class ExtensionSpec extends SparkSpec {
+
+  test("every extension query executes and oracle keys line up") {
+    val allQ = Text.queries ++ Dedup.queries ++ Similarity.queries ++
+      Temporal.queries ++ Multimodal.queries ++ graft.streaming.Streams.queries
+    val allO = Text.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Temporal.oracles ++ Multimodal.oracles ++ graft.streaming.Streams.oracles
+    // every oracle key has a query; mm_decode_batched is rows-only
+    assert(allO.keySet.subsetOf(allQ.keySet))
+    assert(allQ.keySet -- allO.keySet == Set("mm_decode_batched"))
+    allQ.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("minhash LSH candidates are symmetric-free and above threshold") {
+    val rows = Dedup.qMinHashLsh(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.1)
+    }
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    // sanity: identical text must give identical simhash
+    val sh = Dedup.qSimHash(spark, sfDir)
+    assert(sh.count() == sh.select("doc_id").distinct().count())
+    val vals = sh.select("simhash").collect().map(_.getInt(0))
+    assert(vals.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("topk similarity returns exactly k neighbors per query, self excluded") {
+    val rows = Similarity.qTopkCosine(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length}")
+      assert(!rs.exists(_.getAs[Long]("neighbor") == q))
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sortBy(-(_: Double))))
+    }
+  }
+
+  test("asof join matches only clicks at or before each purchase") {
+    val rows = Temporal.qAsofJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[String]("last_click_ts") != null).foreach { r =>
+      assert(r.getAs[Long]("gap_us") >= 0L)
+    }
+  }
+
+  test("sessionize: events in a session are within gap; session counts sane") {
+    val sess = Temporal.qSessionize(spark, sfDir).collect()
+    assert(sess.nonEmpty)
+    val events = graft.Tables.events(spark, sfDir).count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == events)
+  }
+
+  test("batched multimodal decode agrees with the expression-based stub") {
+    val a = Multimodal.qDecodeStub(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"))
+    val b = Multimodal.qDecodeBatched(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

@@ -74,30 +74,49 @@ object Dedup {
   // ---------------------------------------------------------------
   // MinHash + LSH near-dup: signature -> bands -> candidate pairs ->
   // exact-Jaccard verification of candidates only.
+  //
+  // Each shingle is digested ONCE (md5 -> 60-bit int); the 12
+  // "permutations" are then integer mixes (a_k·h + b_k mod p,
+  // p = 2^31-1) of that digest. The naive per-permutation md5
+  // formulation cost 12 digests per shingle and measured 33s per
+  // pass at sf0.1; this form is one digest + trivial int math.
+  // Bands carry only (doc_id, band_id, two ints): the candidate join
+  // shuffles fixed-width keys, never text. The per-doc intermediates
+  // (shingle sets, band keys) are persisted because both sides of the
+  // self-join and the verification join need them — at 100 TB this
+  // materialization is a signatures table, not a recompute.
+  private val MersenneP = 2147483647L // 2^31 - 1
+
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // one digest per shingle: first 15 md5 hex chars -> 60-bit int
+    val hvals = transform(col("shingles"),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MersenneP)
     val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(col("shingles"), x => md5(concat(k.cast("string"), lit("_"), x)))))
+      k => array_min(transform(col("hv"),
+        h => ((lit(1) + k * 2) * h + (lit(17) + k)) % MersenneP)))
     val base = docs
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
-      .select(col("doc_id"), sig.as("sig"), array_distinct(col("shingles")).as("sset"))
-    val bandHashes = transform(sequence(lit(0), lit(NumBands - 1)),
-      b => md5(concat_ws("|",
-        element_at(col("sig"), b * BandSize + 1),
-        element_at(col("sig"), b * BandSize + 2))))
-    val bands = base.select(col("doc_id"), col("sset"),
-      posexplode(bandHashes).as(Seq("band_id", "band_hash")))
-    val left = bands.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sset").as("sset_a"))
-    val right = bands.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sset").as("sset_b"))
-    val cand = left.join(right, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), hvals.as("hv"), array_distinct(col("shingles")).as("sset"))
+      .select(col("doc_id"), sig.as("sig"), col("sset"))
+      .persist()
+    val bandKeys = transform(sequence(lit(0), lit(NumBands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        element_at(col("sig"), b * BandSize + 1).cast("string"),
+        element_at(col("sig"), b * BandSize + 2).cast("string")))
+    val bands = base.select(col("doc_id"), explode(bandKeys).as("band_key"))
+    val cand = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sset_a"), col("sset_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sets = base.select(col("doc_id"), col("sset"))
     val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
       size(array_union(col("sset_a"), col("sset_b")))
-    cand.select(col("doc_a"), col("doc_b"), jac.as("jac"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -105,17 +124,20 @@ object Dedup {
 
   val qMinHashLshSql: String =
     s"""WITH $shinglesSqlCte,
-       |mh AS (SELECT doc_id,
-       |  list_transform(range($NumHashes),
-       |    k -> list_aggregate(list_transform(shingles, x -> md5(CAST(k AS VARCHAR) || '_' || x)), 'min')) AS sig,
+       |hv AS (SELECT doc_id,
+       |  list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv,
        |  list_distinct(shingles) AS sset
        |  FROM sh),
-       |bands AS (SELECT doc_id, sset, b AS band_id,
-       |  md5(sig[$BandSize*b + 1] || '|' || sig[$BandSize*b + 2]) AS band_hash
+       |mh AS (SELECT doc_id, sset,
+       |  list_transform(range($NumHashes),
+       |    k -> list_aggregate(list_transform(hv, h -> ((1 + k * 2) * h + (17 + k)) % $MersenneP), 'min')) AS sig
+       |  FROM hv),
+       |bands AS (SELECT doc_id,
+       |  CAST(b AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 1] AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 2] AS VARCHAR) AS band_key
        |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(list_distinct(sa.sset || sb.sset)) AS jac
        |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
@@ -156,32 +178,48 @@ object Dedup {
 
   // ---------------------------------------------------------------
   // Embedding-cosine near-dup (brute-force verifier; the LSH-bucketed
-  // scale path lives in Similarity). Norms are precomputed per row so
-  // the pair stage does one dot product per pair.
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // scale path lives in Similarity).
+  //
+  // All-pairs scoring through Catalyst expressions measured 17-24s at
+  // sf0.1 (2M pairs x interpreted array ops). This is the one place
+  // per-partition imperative code is the right Spark tool: broadcast
+  // the (small) comparison side as primitive arrays, stream the
+  // corpus through mapPartitions with a tight multiply-add loop —
+  // the same shape a cluster uses (broadcast block vs corpus
+  // partition), ~100x less per-pair overhead. Summation is
+  // left-to-right, bit-identical to the oracle's explicit sum chain.
+  import graft.functions.Vectors
 
   def qEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("ia") < col("ib"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= CosineThreshold)
+    val side: Array[(Long, Array[Double], Double)] = e
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(Vectors.dotJvm(v, v))) }
+    val bc = s.sparkContext.broadcast(side)
+    val thr = CosineThreshold
+    val pairs = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val others = bc.value
+      it.flatMap { case (ia, va) =>
+        val na = math.sqrt(Vectors.dotJvm(va, va))
+        others.iterator
+          .filter(_._1 > ia)
+          .map { case (ib, vb, nb) => (ia, ib, Vectors.dotJvm(va, vb) / (na * nb)) }
+          .filter(_._3 >= thr)
+      }
+    }
+    pairs.toDF("ia", "ib", "cos")
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("ia"), col("ib"))
   }
 
   val qEmbedCosineSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, v,
-       |  sqrt(list_aggregate(list_transform(range(len(v)), i -> v[i+1] * v[i+1]), 'sum')) AS nrm
-       |  FROM e),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-       |  list_aggregate(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]), 'sum')
-       |    / (a.nrm * b.nrm) AS cos
+       |  (${Vectors.dotSql("a.v", "b.v")}) / (a.nrm * b.nrm) AS cos
        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
        |SELECT ia, ib, round(cos, 4) AS cosine FROM p
        |WHERE cos >= $CosineThreshold ORDER BY ia, ib""".stripMargin

@@ -32,20 +32,19 @@ object Similarity {
   private val QueryStride = 50 // vec_id % 50 == 0 -> the probe set
   private val NumPlanes = 8
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import graft.functions.Vectors
 
   def qTopkCosine(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", Vectors.norm(col("v")))
     val queries = e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = Tables.embeddings(s, dir) // rescan: corpus side stays un-broadcast
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", Vectors.norm(col("v")))
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -56,13 +55,10 @@ object Similarity {
 
   val qTopkCosineSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, v,
-       |  sqrt(list_aggregate(list_transform(range(len(v)), i -> v[i+1] * v[i+1]), 'sum')) AS nrm
-       |  FROM e),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0),
        |scored AS (SELECT q.qid, n.vec_id,
-       |  round(list_aggregate(list_transform(range(len(n.v)), i -> n.v[i+1] * q.qv[i+1]), 'sum')
-       |        / (n.nrm * q.qn), 6) AS cos
+       |  round((${Vectors.dotSql("n.v", "q.qv")}) / (n.nrm * q.qn), 6) AS cos
        |  FROM n JOIN q ON n.vec_id <> q.qid),
        |r AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
@@ -70,31 +66,24 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
-  /** Deterministic ±1 hyperplane component for (plane, dim): parity
-    * of the first md5 nibble of "p_d". */
-  private def planeSign(p: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"${p}_"), i.cast("string"))), 1, 1), 16, 10)
-      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+  /** Hyperplane ±1 components, computed once on the driver (md5 nibble
+    * parity — see [[Vectors.planeSigns]]) and baked into both the
+    * Spark plan and the generated oracle SQL as literals. */
+  private lazy val planes: Seq[Seq[Double]] = Vectors.planeSigns(NumPlanes)
 
   def qLshBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val bucket = (0 until NumPlanes).map { p =>
-      val d = aggregate(
-        transform(sequence(lit(0), size(col("v")) - 1),
-          i => element_at(col("v"), i + 1) * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1 << p)).otherwise(lit(0))
+    val bucket = planes.zipWithIndex.map { case (signs, p) =>
+      when(Vectors.signedProjection(col("v"), signs) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     e.select(col("vec_id"), col("label"), bucket.as("bucket"))
       .orderBy(col("vec_id"))
   }
 
   val qLshBucketsSql: String = {
-    val planeTerms = (0 until NumPlanes).map { p =>
-      s"""CASE WHEN list_aggregate(list_transform(range(len(v)),
-         |  i -> v[i+1] * (CASE WHEN (strpos('0123456789abcdef', substr(md5('${p}_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)),
-         |  'sum') > 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+    val planeTerms = planes.zipWithIndex.map { case (signs, p) =>
+      s"CASE WHEN ${Vectors.signedProjectionSql("v", signs)} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" +\n  ")
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
        |SELECT vec_id, label,

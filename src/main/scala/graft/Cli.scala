@@ -5,8 +5,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sinks.{HtmlSink, JsonSink}
-import graft.sources.{CsvSource, PrnSource}
+import graft.sinks.SinkRegistry
+import graft.sources.SourceRegistry
 
 /** CLI entry: `<inputType> <outputType> [-d <delimiter>]`, stdin →
   * stdout, mirroring the reference's surface
@@ -64,17 +64,14 @@ object Cli {
     Args(validateInputType(positional(0)), validateOutputType(positional(1)), delimiter)
   }
 
-  /** The data plane: scan → normalize (executors) → render (driver). */
+  /** The data plane: scan → normalize (executors) → render (driver),
+    * resolved through the registries (mirrors the reference's
+    * createParser/createRenderer factories). */
   def convert(spark: SparkSession, args: Args, inputPath: String, inputIsUtf8: Boolean): String = {
     val encoding = if (inputIsUtf8) "UTF-8" else "ISO-8859-1"
-    val df: DataFrame = args.inputType match {
-      case "csv" => CsvSource.read(spark, inputPath, args.csvDelimiter.getOrElse(","), encoding)
-      case "prn" => PrnSource.read(spark, inputPath, encoding)
-    }
-    args.outputType match {
-      case "json" => JsonSink.render(df)
-      case "html" => HtmlSink.render(df)
-    }
+    val opts = SourceRegistry.SourceOptions(args.csvDelimiter.getOrElse(","), encoding)
+    val df: DataFrame = SourceRegistry(args.inputType)(spark, inputPath, opts)
+    SinkRegistry(args.outputType)(df)
   }
 
   def main(argv: Array[String]): Unit = {

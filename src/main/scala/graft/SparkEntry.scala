@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EtlQueries, Multimodal, Relational, Similarity, Temporal, Text}
+import graft.operators.{Dedup, EtlQueries, Multimodal, Relational, Relational2, Similarity, Temporal, Text}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EtlQueries.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ Temporal.queries ++ Multimodal.queries ++ Streams.queries
+    Relational.queries ++ Relational2.queries ++ EtlQueries.queries ++
+      Text.queries ++ Dedup.queries ++ Similarity.queries ++
+      Temporal.queries ++ Multimodal.queries ++ Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EtlQueries.oracles ++ Text.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Temporal.oracles ++ Multimodal.oracles ++ Streams.oracles
+    Relational.oracles ++ Relational2.oracles ++ EtlQueries.oracles ++
+      Text.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Temporal.oracles ++ Multimodal.oracles ++ Streams.oracles
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Second relational wave: outer joins, range/theta join, pivot,
+  * grouping sets through the SQL surface, lateral explode, and
+  * approximate sketches. Same conventions as [[Relational]]:
+  * declarative plans, deterministic ordering, DuckDB oracles (omitted
+  * only for the sketch query, whose HLL/KLL internals legitimately
+  * differ between engines). */
+object Relational2 {
+
+  // ---------------------------------------------------------------
+  // q20: FULL OUTER join of two aggregates — preserves nations that
+  // appear on only one side; coalesce supplies the zero counts.
+  def q20FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppN = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    custN.join(suppN, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q21: range (theta) join — orders binned into literal price tiers.
+  // The tier table is tiny → broadcast nested loop with the band
+  // predicate, which is exactly the right physical plan; the big side
+  // streams through map-side.
+  private val tiers = Seq(
+    ("bronze", 0.0, 100000.0),
+    ("silver", 100000.0, 250000.0),
+    ("gold", 250000.0, 400000.0),
+    ("platinum", 400000.0, 1000000.0))
+
+  def q21RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = broadcast(tiers.toDF("tier", "lo", "hi"))
+    Tables.orders(s, dir)
+      .join(t, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("tier"))
+  }
+
+  val q21Sql: String = {
+    val values = tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+    s"""SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       |FROM orders JOIN (VALUES $values) AS tiers(tier, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q22: pivot — order counts by priority × status. Statuses are
+  // pinned explicitly so the output schema is static (required for
+  // both a sane pivot at scale and a stable oracle).
+  def q22Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val q22Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q23: GROUPING SETS through the SQL surface (spark.sql) — the
+  // reference has no query language (SURVEY.md §2.3 A6); Catalyst
+  // provides one for free, demonstrated here end-to-end.
+  def q23GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS total, count(*) AS n,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_extendedprice), 2) AS total, count(*) AS n,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q24: lateral explode — word frequencies over documents, the
+  // canonical flatten-then-aggregate. The explode is map-side; only
+  // (word, partial count) shuffles.
+  def q24ExplodeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  val q24Sql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q25: approximate sketches — HLL distinct + quantile sketch.
+  // Engines implement different sketches, so there is deliberately no
+  // value oracle (rows-only check); exact counterparts ride along so
+  // the sketch error is visible in the output itself.
+  def q25Sketches(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2).as("approx_median_price"),
+      count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_full_outer" -> (q20FullOuter _),
+    "q21_range_join" -> (q21RangeJoin _),
+    "q22_pivot" -> (q22Pivot _),
+    "q23_grouping_sets" -> (q23GroupingSets _),
+    "q24_explode_words" -> (q24ExplodeWords _),
+    "q25_sketches" -> (q25Sketches _), // rows-only: sketch internals differ per engine
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_full_outer" -> q20Sql,
+    "q21_range_join" -> q21Sql,
+    "q22_pivot" -> q22Sql,
+    "q23_grouping_sets" -> q23Sql,
+    "q24_explode_words" -> q24Sql,
+  )
+}

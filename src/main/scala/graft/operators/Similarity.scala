@@ -33,18 +33,20 @@ object Similarity {
   private val NumPlanes = 8
 
   import graft.functions.Vectors
+  import graft.plans.DotF64
 
   def qTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s) // codegen'd dot product (see graft.plans.DotF64)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
     val queries = e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = Tables.embeddings(s, dir) // rescan: corpus side stays un-broadcast
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -109,14 +111,15 @@ object Similarity {
   private val CentroidStride = 40 // vec_id % 40 == 7 -> the codebook
 
   def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
     val cents = e.filter(col("vec_id") % CentroidStride === 7)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+      .withColumn("ccos", round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
@@ -126,7 +129,7 @@ object Similarity {
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     assign.join(broadcast(probes),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(Vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))

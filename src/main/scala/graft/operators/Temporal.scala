@@ -102,13 +102,49 @@ object Temporal {
        |FROM s GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // sessionization via Spark's built-in session_window — the same
+  // 30-minute-gap semantics as [[qSessionize]] expressed as a gap
+  // session window aggregation (the form that runs unchanged as a
+  // stateful streaming query). Oracle: the lag+cumsum SQL, aggregated
+  // to the same shape.
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        date_format(min(col("ts")), tsFmt).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val qSessionWindowSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |g AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= $SessionGapUs
+       |       THEN 1 ELSE 0 END AS is_new
+       |  FROM ev),
+       |s AS (SELECT user_id, ts,
+       |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM g)
+       |SELECT user_id,
+       |  strftime(min(ts), '$duckFmt') AS session_start,
+       |  count(*) AS n_events,
+       |  date_diff('microsecond', min(ts), max(ts)) AS duration_us
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "sessionize" -> (qSessionize _),
+    "session_window" -> (qSessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> qAsofJoinSql,
     "sessionize" -> qSessionizeSql,
+    "session_window" -> qSessionWindowSql,
   )
 }

@@ -8,14 +8,14 @@ import graft.SparkSpec
   * sf0.001 (the oracle gate at sf0.01 covers value-exactness). */
 class ExtensionSpec extends SparkSpec {
 
-  test("every extension query executes and oracle keys line up") {
-    val allQ = Text.queries ++ Dedup.queries ++ Similarity.queries ++
-      Temporal.queries ++ Multimodal.queries ++ graft.streaming.Streams.queries
-    val allO = Text.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Temporal.oracles ++ Multimodal.oracles ++ graft.streaming.Streams.oracles
-    // every oracle key has a query; mm_decode_batched is rows-only
+  test("every SparkEntry query executes and oracle keys line up") {
+    val allQ = graft.SparkEntry.queries
+    val allO = graft.SparkEntry.oracleSql
+    // every oracle key has a query; only deliberately rows-only
+    // queries lack an oracle
     assert(allO.keySet.subsetOf(allQ.keySet))
-    assert(allQ.keySet -- allO.keySet == Set("mm_decode_batched"))
+    assert(allQ.keySet -- allO.keySet ==
+      Set("mm_decode_batched", "q25_sketches"))
     allQ.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
@@ -34,8 +34,8 @@ class ExtensionSpec extends SparkSpec {
     // sanity: identical text must give identical simhash
     val sh = Dedup.qSimHash(spark, sfDir)
     assert(sh.count() == sh.select("doc_id").distinct().count())
-    val vals = sh.select("simhash").collect().map(_.getInt(0))
-    assert(vals.forall(v => v >= 0 && v < 65536))
+    val vals = sh.select("simhash").collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0L && v < (1L << 32)))
   }
 
   test("topk similarity returns exactly k neighbors per query, self excluded") {

@@ -141,6 +141,33 @@ object Relational2 {
       count(lit(1)).as("n"))
 
   // ---------------------------------------------------------------
+  // q26: custom typed aggregate — per-customer top-3 order totals via
+  // Aggregator[IN,BUF,OUT] with a bounded k-element buffer: partial
+  // aggregation ships at most k doubles per group per partition
+  // (contrast q9, which windows full rows). Output is a joined string
+  // so the oracle compares exactly.
+  def q26TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top3 = new graft.functions.TopKAggregator(3).toColumn
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(top3.name("top3"))
+      .toDF("o_custkey", "top3")
+      .select(col("o_custkey"),
+        concat_ws(",", transform(col("top3"), x => round(x, 2).cast("string"))).as("top3_prices"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey,
+      |  array_to_string(list_transform(
+      |    (list(o_totalprice ORDER BY o_totalprice DESC))[1:3],
+      |    x -> CAST(round(x, 2) AS VARCHAR)), ',') AS top3_prices
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_full_outer" -> (q20FullOuter _),
@@ -149,6 +176,7 @@ object Relational2 {
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_explode_words" -> (q24ExplodeWords _),
     "q25_sketches" -> (q25Sketches _), // rows-only: sketch internals differ per engine
+    "q26_topk_agg" -> (q26TopkAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,5 +185,6 @@ object Relational2 {
     "q22_pivot" -> q22Sql,
     "q23_grouping_sets" -> q23Sql,
     "q24_explode_words" -> q24Sql,
+    "q26_topk_agg" -> q26Sql,
   )
 }

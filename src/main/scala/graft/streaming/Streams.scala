@@ -63,9 +63,62 @@ object Streams {
       |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Custom streaming state: per-user running (count, sum) maintained
+  // in mapGroupsWithState — the arbitrary-state API a pipeline uses
+  // when built-in aggregations can't express the state machine. Each
+  // micro-batch emits the group's updated state (update mode); the
+  // final state per user must equal the batch aggregate, which is the
+  // oracle. State is one (long, double) per user — bounded, and at
+  // scale partitioned by the grouping key in the state store.
+  def qStatefulCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+    val updates = stream.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          (user, n, sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    val q = updates.writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // multiple micro-batches emit successive states; the final state
+    // per user is the row with the highest count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStatefulCountsSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> (qWindowAgg _))
+    "stream_window_agg" -> (qWindowAgg _),
+    "stream_stateful_counts" -> (qStatefulCounts _))
 
   val oracles: Map[String, String] = Map(
-    "stream_window_agg" -> qWindowAggSql)
+    "stream_window_agg" -> qWindowAggSql,
+    "stream_stateful_counts" -> qStatefulCountsSql)
 }

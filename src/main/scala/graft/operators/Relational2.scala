@@ -168,6 +168,34 @@ object Relational2 {
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q27: salted two-phase aggregation — the skew-mitigation pattern
+  // spelled out: partial-aggregate on (key, salt) so a hot key's rows
+  // spread over 16 reducers, then final-aggregate on the key. For
+  // low-cardinality/skewed keys (here: 3 return flags over 600k rows)
+  // this caps any single reducer's load at ~1/16 of the hot key.
+  // Results are identical to the direct groupBy (the oracle).
+  private val SaltBuckets = 16
+
+  def q27SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("part_qty"),
+        sum(col("l_extendedprice")).as("part_price"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
+        round(sum(col("part_price")), 1).as("sum_price"),
+        sum(col("part_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 1) AS sum_price, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_full_outer" -> (q20FullOuter _),
@@ -177,6 +205,7 @@ object Relational2 {
     "q24_explode_words" -> (q24ExplodeWords _),
     "q25_sketches" -> (q25Sketches _), // rows-only: sketch internals differ per engine
     "q26_topk_agg" -> (q26TopkAgg _),
+    "q27_salted_agg" -> (q27SaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +215,6 @@ object Relational2 {
     "q23_grouping_sets" -> q23Sql,
     "q24_explode_words" -> q24Sql,
     "q26_topk_agg" -> q26Sql,
+    "q27_salted_agg" -> q27Sql,
   )
 }

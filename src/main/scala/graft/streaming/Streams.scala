@@ -114,11 +114,61 @@ object Streams {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Stream-stream join: purchases joined to same-user clicks in the
+  // preceding hour, both sides watermarked so the join state is
+  // bounded (clicks older than purchase-watermark - 1h are evicted).
+  // Inner time-interval join emits matches as they form; on the
+  // bounded source the result equals the batch interval join, which
+  // is the oracle.
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    def side(tpe: String, prefix: String) =
+      Tables.fixEventTs(s.readStream.schema(schema).parquet(streamDir.toString))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val qStreamStreamJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+      |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+      |FROM ev p JOIN ev c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (qWindowAgg _),
-    "stream_stateful_counts" -> (qStatefulCounts _))
+    "stream_stateful_counts" -> (qStatefulCounts _),
+    "stream_stream_join" -> (qStreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> qWindowAggSql,
-    "stream_stateful_counts" -> qStatefulCountsSql)
+    "stream_stateful_counts" -> qStatefulCountsSql,
+    "stream_stream_join" -> qStreamStreamJoinSql)
 }

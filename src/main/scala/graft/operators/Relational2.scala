@@ -196,6 +196,58 @@ object Relational2 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------
+  // q29: bucketed co-located join — both sides written as
+  // catalog-backed tables bucketed (and sorted) on the join key, so
+  // the subsequent join is a sort-merge with NO shuffle on either
+  // side (bucket files align 1:1). This is the 100 TB pattern for a
+  // fact-fact join that runs repeatedly: pay the bucketed write once,
+  // then every join on that key is exchange-free. The write happens
+  // inside the query here to keep it self-contained; the only
+  // shuffle in the final plan is the small post-join aggregation.
+  private val BucketCount = 8
+
+  def q29BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '/tmp/graft_warehouse'")
+    // The in-memory catalog forgets tables across sessions but their
+    // files survive; drop + clear the locations so re-runs are
+    // idempotent.
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_buck.$t")
+      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_buck.orders_b")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_buck.lineitem_b")
+    // hint("merge"): at test scale AQE would broadcast the small side,
+    // hiding the point; the merge hint forces the sort-merge path,
+    // which on bucket-aligned sorted tables needs neither exchange
+    // nor sort — the plan a 100 TB fact-fact join would use.
+    s.table("graft_buck.lineitem_b")
+      .join(s.table("graft_buck.orders_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice")), 1).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderpriority, round(sum(l_extendedprice), 1) AS total, count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_full_outer" -> (q20FullOuter _),
@@ -206,6 +258,7 @@ object Relational2 {
     "q25_sketches" -> (q25Sketches _), // rows-only: sketch internals differ per engine
     "q26_topk_agg" -> (q26TopkAgg _),
     "q27_salted_agg" -> (q27SaltedAgg _),
+    "q29_bucketed_join" -> (q29BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +269,6 @@ object Relational2 {
     "q24_explode_words" -> q24Sql,
     "q26_topk_agg" -> q26Sql,
     "q27_salted_agg" -> q27Sql,
+    "q29_bucketed_join" -> q29Sql,
   )
 }

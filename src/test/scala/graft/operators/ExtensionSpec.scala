@@ -64,6 +64,15 @@ class ExtensionSpec extends SparkSpec {
     assert(sess.map(_.getAs[Long]("n_events")).sum == events)
   }
 
+  test("bucketed join plans a shuffle-free sort-merge join") {
+    val df = Relational2.q29BucketedJoin(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(plan).isEmpty, "join keys must not shuffle")
+  }
+
   test("batched multimodal decode agrees with the expression-based stub") {
     val a = Multimodal.qDecodeStub(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"))

@@ -36,17 +36,6 @@ object Dedup {
   private val JaccardThreshold = 0.1
   private val CosineThreshold = 0.45
 
-  private def words(c: Column): Column = split(lower(trim(c)), "\\s+")
-
-  /** Word 3-gram shingles; documents shorter than 3 words contribute
-    * their whole text as a single shingle. */
-  private def shingles(c: Column): Column = {
-    val ws = words(c)
-    when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3), i => concat_ws(" ", slice(ws, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", ws)))
-  }
-
   private val shinglesSqlCte =
     """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id,

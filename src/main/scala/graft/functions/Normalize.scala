@@ -50,7 +50,11 @@ object Normalize {
     val t = regexp_replace(trim(c), ",", ".")
     val prefix = regexp_extract(t, "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?", 0)
     val num = when(prefix =!= "", prefix.cast(DecimalType(38, 2)))
-    coalesce(num.cast("string"), lit("0.00"))
+    // parseFloat also accepts a [+-]Infinity prefix; toFixed renders it
+    // verbatim (minus an explicit '+', which Number drops).
+    when(t.rlike("^\\+?Infinity"), lit("Infinity"))
+      .when(t.rlike("^-Infinity"), lit("-Infinity"))
+      .otherwise(coalesce(num.cast("string"), lit("0.00")))
   }
 
   /** F4 — birthday. Pure string rebuilds (no `to_date`) because the

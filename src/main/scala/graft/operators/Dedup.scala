@@ -360,14 +360,7 @@ object Dedup {
             else (0 to t.length - gramLen).map(i => t.substring(i, i + gramLen)).distinct.toArray
           val sig = Array.fill(nHashes)(Long.MaxValue)
           grams.foreach { gram =>
-            md.reset()
-            val d = md.digest(gram.getBytes("UTF-8"))
-            // first 15 hex chars = 60 bits: 7 bytes + high nibble of the 8th
-            var h = 0L
-            var i = 0
-            while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-            h = (h << 4) | ((d(7) >> 4) & 0xfL)
-            h %= p
+            val h = md5Mod(md, gram, p)
             var k = 0
             while (k < nHashes) {
               val m = ((1L + 2L * k) * h + (17L + k)) % p

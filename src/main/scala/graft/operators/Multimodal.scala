@@ -42,8 +42,9 @@ object Multimodal {
     // dimensions deterministically from the byte length.
     val width = lit(64) + col("n_bytes") % 577
     val height = lit(64) + (col("n_bytes") * 31) % 417
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    p.join(d, "doc_id")
+    // frame slices decode the payload itself — no join back to the
+    // source table; the whole query stays one map-only projection.
+    p.withColumn("text", decode(col("payload"), "utf-8"))
       .select(
         col("doc_id"),
         col("n_bytes"),

@@ -25,21 +25,26 @@ import graft.{Canonical, functions}
   */
 object CsvSource {
 
-  /** @param validateQuotes when true (the CLI/fidelity path), a
-    *   driver-side RFC-4180 quote scan rejects unterminated quoted
-    *   fields with the reference's error shape (`csvParser.ts:55-57`)
-    *   — Spark's univocity parser would otherwise swallow small
-    *   malformed files silently. Leave false for bulk data. */
+  /** @param fidelityChecks when true (the CLI path: one local file),
+    *   two driver-side scans run first: an RFC-4180 quote scan that
+    *   rejects unterminated quoted fields with the reference's error
+    *   shape (`csvParser.ts:55-57` — univocity would swallow small
+    *   malformed files silently), and a blank-file check so empty
+    *   input yields the canonical empty frame instead of a schema
+    *   inference error. Both read the file on the driver — set false
+    *   for bulk/distributed paths (directories, globs, remote
+    *   filesystems), where no driver-side I/O happens at all. */
   def read(
       spark: SparkSession,
       path: String,
       delimiter: String = ",",
       encoding: String = "ISO-8859-1",
-      validateQuotes: Boolean = true): DataFrame = {
+      fidelityChecks: Boolean = true): DataFrame = {
 
-    if (validateQuotes) checkQuotes(path, delimiter, encoding)
-
-    if (isBlank(path, encoding)) return empty(spark)
+    if (fidelityChecks) {
+      checkQuotes(path, delimiter, encoding)
+      if (isBlank(path, encoding)) return empty(spark)
+    }
 
     val raw = spark.read
       .option("header", "true")

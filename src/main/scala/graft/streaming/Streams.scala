@@ -11,16 +11,18 @@ import graft.Tables
   *
   * The reference's "streaming" is transport only (Node object-mode
   * Transforms, no event time — SURVEY.md §2.3 A9); this is the real
-  * thing: a file-source `readStream` with an event-time watermark and
-  * tumbling-window aggregation. For the correctness gate the query
-  * runs to completion against the static parquet (a bounded stream),
-  * lands in a memory sink, and the final table must equal the batch
-  * answer — exactly the semantics Structured Streaming guarantees
-  * (streaming query ≡ incremental execution of the batch plan).
+  * thing: file-source `readStream`s with event-time watermarks
+  * driving a windowed aggregation, arbitrary keyed state
+  * (mapGroupsWithState), and a time-interval stream-stream join. For
+  * the correctness gate each query runs to completion against the
+  * static parquet (a bounded stream) and the final result must equal
+  * the batch answer — exactly the semantics Structured Streaming
+  * guarantees (streaming query ≡ incremental execution of the batch
+  * plan).
   *
-  * At scale the same plan runs unbounded: the 1-hour watermark bounds
-  * state, windows emit incrementally, and the memory sink becomes a
-  * parquet/Kafka sink. Nothing in the aggregation changes.
+  * At scale the same plans run unbounded: the 1-hour watermarks bound
+  * window/join state, keyed state is partitioned by the grouping key,
+  * and the memory sink becomes a parquet/Kafka sink.
   */
 object Streams {
 
@@ -32,45 +34,59 @@ object Streams {
     * session value after. At scale, size to key cardinality. */
   private val StreamPartitions = "8"
 
-  private def withStreamPartitions[A](s: SparkSession)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+  /** Runs `build(eventsStream)` to completion against the bounded
+    * events source through a memory sink and returns the sink's final
+    * contents as a materialized local frame, cleaning up the sink's
+    * temp view and the symlink directory (the file stream source
+    * monitors a directory; the test table is a single file).
+    * `rawTs = true` skips the ns→µs conversion for queries that don't
+    * read event time. */
+  private def runBounded(
+      s: SparkSession, dir: String, mode: String, rawTs: Boolean = false)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  /** Tumbling 1-hour windows per event_type, streamed end-to-end. */
-  def qWindowAgg(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
     val path = s"$dir/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(path).schema // ts arrives as long nanos
-    val name = "graft_win_" + UUID.randomUUID().toString.replace("-", "")
-    // The file stream source monitors a directory; the test table is a
-    // single file, so expose it through a temp dir symlink.
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    streamDir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val stream = Tables.fixEventTs(s.readStream.schema(schema).parquet(streamDir.toString))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+    val link = streamDir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    try {
+      val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+      val stream = if (rawTs) raw else Tables.fixEventTs(raw)
+      val q = build(stream).writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val sink = s.table(name)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = s.createDataFrame(rows, sink.schema)
+      s.catalog.dropTempView(name)
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Tumbling 1-hour windows per event_type, streamed end-to-end.
+  def qWindowAgg(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "complete") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    }
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"),
         col("n_events"),
         round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
-  }
 
   val qWindowAggSql: String =
     """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
@@ -84,41 +100,29 @@ object Streams {
   // when built-in aggregations can't express the state machine. Each
   // micro-batch emits the group's updated state (update mode); the
   // final state per user must equal the batch aggregate, which is the
-  // oracle. State is one (long, double) per user — bounded, and at
-  // scale partitioned by the grouping key in the state store.
-  def qStatefulCounts(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+  // oracle. State is one (long, double) per user.
+  def qStatefulCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    import s.implicits._
-    val path = s"$dir/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(path).schema
-    val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    streamDir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-    val updates = stream.select(col("user_id"), col("value")).as[(Long, Double)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
-          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { case (_, v) => n += 1; sum += v }
-          state.update((n, sum))
-          (user, n, sum)
-      }
-      .toDF("user_id", "n_events", "sum_value")
-    val q = updates.writeStream
-      .format("memory").queryName(name).outputMode("update").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val updated = runBounded(s, dir, "update", rawTs = true) { stream =>
+      import s.implicits._
+      stream.select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+            var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+            rows.foreach { case (_, v) => n += 1; sum += v }
+            state.update((n, sum))
+            (user, n, sum)
+        }
+        .toDF("user_id", "n_events", "sum_value")
+    }
     // multiple micro-batches emit successive states; the final state
     // per user is the row with the highest count
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    s.table(name)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+    updated
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -136,36 +140,22 @@ object Streams {
   // Inner time-interval join emits matches as they form; on the
   // bounded source the result equals the batch interval join, which
   // is the oracle.
-  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
-    val path = s"$dir/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(path).schema
-    val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    streamDir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    def side(tpe: String, prefix: String) =
-      Tables.fixEventTs(s.readStream.schema(schema).parquet(streamDir.toString))
-        .filter(col("event_type") === tpe)
-        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
-          col("ts").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    val purchases = side("purchase", "p")
-    val clicks = side("click", "c")
-    val joined = purchases.join(clicks,
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
-    val q = joined.writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append") { stream =>
+      def side(tpe: String, prefix: String) =
+        stream
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+    }
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
       .orderBy(col("p_id"), col("c_id"))
-  }
 
   val qStreamStreamJoinSql: String =
     """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)

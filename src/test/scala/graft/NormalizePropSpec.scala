@@ -22,7 +22,8 @@ class NormalizePropSpec extends SparkSpec {
     Gen.asciiPrintableStr,
     Gen.listOf(Gen.oneOf(' ', '\t', 'a', 'Z', '0', '9', '+', '-', ',', '.', '/')).map(_.mkString),
     Gen.oneOf("", "  ", "+31 6 123", "1.005", "1,5", "31/12/1999", "19991231",
-      "1999-1-2", "99/99/9999", "abc123", "Børke straße", "１２３"))
+      "1999-1-2", "99/99/9999", "abc123", "Børke straße", "１２３",
+      "Infinity", "-Infinity", "+Infinity"))
 
   private def runNorm(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       inputs: Seq[String]): Seq[(String, String, String)] = {
@@ -55,7 +56,7 @@ class NormalizePropSpec extends SparkSpec {
       assert(once.matches("\\+?[0-9]*"), s"phone: '$once'")
     }
     runNorm(Normalize.creditLimit, inputs).foreach { case (_, once, _) =>
-      assert(once.matches("-?\\d+\\.\\d{2}"), s"money: '$once'")
+      assert(once.matches("-?\\d+\\.\\d{2}|-?Infinity"), s"money: '$once'")
     }
   }
 

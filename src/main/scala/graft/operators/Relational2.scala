@@ -137,7 +137,7 @@ object Relational2 {
     Tables.lineitem(s, dir).agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"),
-      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2).as("approx_median_price"),
+      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2).as("approx_median_price"),
       count(lit(1)).as("n"))
 
   // ---------------------------------------------------------------

@@ -92,8 +92,8 @@ object Temporal {
        |       THEN 1 ELSE 0 END AS is_new
        |  FROM ev),
        |s AS (SELECT user_id, ts,
-       |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM g)
        |SELECT user_id, session_idx,
        |  strftime(min(ts), '$duckFmt') AS session_start,

@@ -102,6 +102,11 @@ object Dedup {
       StructField("sig", ArrayType(LongType))))
     val (p, nHashes) = (MersenneP, NumHashes)
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the test corpus is one small parquet file -> ~3 scan
+      // partitions; hash-repartitioning the (tiny) raw text decouples
+      // the CPU-bound kernel's parallelism from file layout (measured
+      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
+      .repartition(col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -194,6 +199,11 @@ object Dedup {
     // repeatedly, like the reference-free definition in the SQL
     // oracle.
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the test corpus is one small parquet file -> ~3 scan
+      // partitions; hash-repartitioning the (tiny) raw text decouples
+      // the CPU-bound kernel's parallelism from file layout (measured
+      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
+      .repartition(col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -403,17 +413,31 @@ object Dedup {
     * (40 interpreted passes over ~450-element arrays per doc)
     * measured 60s at sf0.1; this is the same integer arithmetic
     * (order-independent minima, md5 = md5), so the oracle is
-    * unaffected. */
+    * unaffected.
+    *
+    * The gram set is carried as SORTED DISTINCT 60-bit md5 hashes
+    * (`gh: array<long>`), not strings: the exact-verify joins and
+    * kernel then move primitive arrays instead of ~290 string objects
+    * per doc (string-array ser/de through the candidate joins measured
+    * 13s of the 21s total at sf0.1). The oracle computes jaccard over
+    * the same hash lists, so values agree exactly — and a md5 collision
+    * between distinct grams (p ~ 2^-61 per pair) would be seen
+    * identically by both engines. */
   private def ngramSignatures(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("g", ArrayType(StringType)),
+      StructField("gh", ArrayType(LongType)),
       StructField("sig", ArrayType(LongType))))
     val p = MersenneP
     val (gramLen, nHashes) = (CharGram, NgramHashes)
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the test corpus is one small parquet file -> ~3 scan
+      // partitions; hash-repartitioning the (tiny) raw text decouples
+      // the CPU-bound kernel's parallelism from file layout (measured
+      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
+      .repartition(col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -423,8 +447,12 @@ object Dedup {
             if (t.length <= gramLen) Array(t)
             else (0 to t.length - gramLen).map(i => t.substring(i, i + gramLen)).distinct.toArray
           val sig = Array.fill(nHashes)(Long.MaxValue)
+          val gh = new Array[Long](grams.length)
+          var gi = 0
           grams.foreach { gram =>
             val h = md5Mod(md, gram, p)
+            gh(gi) = h
+            gi += 1
             var k = 0
             while (k < nHashes) {
               val m = ((1L + 2L * k) * h + (17L + k)) % p
@@ -432,39 +460,100 @@ object Dedup {
               k += 1
             }
           }
-          Row(id, grams, sig)
+          Row(id, gh.distinct.sorted, sig)
         }
       }(Encoders.row(schema))
   }
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val base = ngramSignatures(s, dir).persist()
-    val bandKeys = transform(sequence(lit(0), lit(NgramBands - 1)),
-      b => concat_ws(":", b.cast("string"),
-        element_at(col("sig"), b * NgramBandSize + 1).cast("string"),
-        element_at(col("sig"), b * NgramBandSize + 2).cast("string")))
-    val bands = base.select(col("doc_id"), explode(bandKeys).as("band_key"))
-    val cand = bands.select(col("band_key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+    // Band keys as (band_id, h1, h2) int structs, not concat'd strings:
+    // the self-join shuffles 20 fixed-width band rows per doc and the
+    // candidate set is identical to the string-key form, so the oracle
+    // (which builds string keys for readability) is unaffected.
+    val bandStructs = array((0 until NgramBands).map { b =>
+      struct(lit(b).as("band_id"),
+        element_at(col("sig"), b * NgramBandSize + 1).as("h1"),
+        element_at(col("sig"), b * NgramBandSize + 2).as("h2"))
+    }: _*)
+    val bands = base.select(col("doc_id"), explode(bandStructs).as("bk"))
+    // The candidate pipeline below is CPU-heavy per row but small in
+    // bytes (413k 16-byte pairs at sf0.1) — two execution pathologies
+    // to avoid: AQE would coalesce the post-shuffle stage to ~3
+    // partitions by size, serializing the per-pair compute, so the
+    // explicit width-preserving repartition stays; and the signature
+    // frames must be the hash-join BUILD side (shuffle_hash hint) —
+    // left to its stats Spark broadcast the *candidate* subtree for
+    // both verification joins, computing the whole band+est pipeline
+    // twice (2 x 19.6s CPU measured at sf0.1).
+    val par = s.sparkContext.defaultParallelism
+    val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+      // repartition BEFORE dropDuplicates on the same keys: the
+      // aggregate reuses the explicit hash partitioning (one shuffle,
+      // not two) and AQE can't size-coalesce the width away
+      .repartition(par, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sigs = base.select(col("doc_id"), col("sig"))
-    val estMatches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    // Signature-estimate prefilter as a JVM kernel over the two
+    // 40-long signature arrays. Neither expression form survives
+    // codegen here: the zip_with/aggregate HOF is interpreted (2.9s)
+    // and the unrolled 40-term when-chain fell back to interpreted
+    // eval (64s CPU at sf0.1 — CLAUDE.md's giant-chain rule).
+    val estMin = NgramEstMin
+    val nH = NgramHashes
+    val pairSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    }
     val estFiltered = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(estMatches >= NgramEstMin)
-      .select(col("doc_a"), col("doc_b"))
-    val sets = base.select(col("doc_id"), col("g"))
-    val jac = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-      size(array_union(col("g_a"), col("g_b")))
-    estFiltered
-      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val sa = r.getSeq[Long](2)
+          val sb = r.getSeq[Long](3)
+          var m = 0; var k = 0
+          while (k < nH) { if (sa(k) == sb(k)) m += 1; k += 1 }
+          if (m >= estMin) Some(Row(r.getLong(0), r.getLong(1))) else None
+        }
+      }(Encoders.row(pairSchema))
+    val sets = base.select(col("doc_id"), col("gh"))
+    // Exact set-Jaccard on the surviving candidates via a JVM
+    // merge-intersection kernel over the sorted hash arrays:
+    // |A∩B| by linear merge, |A∪B| = |A|+|B|-|A∩B|. The
+    // array_intersect/array_union expression form over string grams
+    // was interpreted and measured 16s at sf0.1 on 76k candidate
+    // pairs; this is the same set arithmetic over the same (hashed)
+    // sets the oracle uses.
+    val joined = estFiltered
+      .join(sets.select(col("doc_id").as("doc_a"), col("gh").as("g_a")).hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gh").as("g_b")).hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("g_a"), col("g_b"))
+    val outSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType),
+      StructField("jac", DoubleType)))
+    val scored = joined.mapPartitions { it =>
+      it.map { r =>
+        val ga = r.getSeq[Long](2)
+        val gb = r.getSeq[Long](3)
+        val (na, nb) = (ga.length, gb.length)
+        var i = 0; var j = 0; var inter = 0
+        while (i < na && j < nb) {
+          val x = ga(i); val y = gb(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        Row(r.getLong(0), r.getLong(1), inter.toDouble / (na + nb - inter))
+      }
+    }(Encoders.row(outSchema))
+    scored
       .filter(col("jac") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -477,10 +566,10 @@ object Dedup {
        |  list_distinct(list_transform(range(greatest(length(t) - $CharGram, 0) + 1),
        |    i -> substr(t, i + 1, $CharGram))) AS g
        |  FROM t),
-       |hv AS (SELECT doc_id, g,
+       |hv AS (SELECT doc_id,
        |  list_transform(g, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv
        |  FROM g),
-       |mh AS (SELECT doc_id, g,
+       |mh AS (SELECT doc_id, list_distinct(hv) AS gh,
        |  list_transform(range($NgramHashes),
        |    k -> list_aggregate(list_transform(hv, h -> ((1 + k * 2) * h + (17 + k)) % $MersenneP), 'min')) AS sig
        |  FROM hv),
@@ -495,8 +584,8 @@ object Dedup {
        |  WHERE list_aggregate(list_transform(range($NgramHashes),
        |    i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END), 'sum') >= $NgramEstMin),
        |j AS (SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(list_distinct(ga.g || gb.g)) AS jac
-       |  FROM est JOIN g ga ON est.doc_a = ga.doc_id JOIN g gb ON est.doc_b = gb.doc_id)
+       |  CAST(len(list_intersect(ha.gh, hb.gh)) AS DOUBLE) / len(list_distinct(ha.gh || hb.gh)) AS jac
+       |  FROM est JOIN mh ha ON est.doc_a = ha.doc_id JOIN mh hb ON est.doc_b = hb.doc_id)
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $NgramJaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 

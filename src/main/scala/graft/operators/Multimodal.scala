@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,64 +10,82 @@ import graft.Tables
   * typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * No image/audio codecs exist in this environment, so the *decode*
-  * step is a clearly-marked deterministic stub — but everything
-  * Spark-side is real: the binary column type, the metadata schema,
-  * the batched per-partition processing shape ([[decodeBatched]],
-  * where a JNI/codec library would plug in), and the partitioning
-  * story (payloads never shuffle; all stages are map-only).
-  *
-  * Payloads here are the UTF-8 bytes of `documents.text` (ASCII), so
-  * the DuckDB oracle can reproduce byte lengths, hashes and slices
-  * through the text functions.
+  * Payloads carry a REAL parseable fixed header (BMP-shaped: 2-byte
+  * magic "GM", big-endian u32 width, big-endian u32 height, then the
+  * body), synthesized deterministically from `documents.text` since no
+  * codec libraries exist in this environment. The decode queries
+  * recover the fields by offset-parsing the binary column — the same
+  * work a header sniffer does on real media — and the DuckDB oracle
+  * independently states the expected field values from the source
+  * text, so a construction or parsing bug on the Spark side turns the
+  * row red. Pixel decoding proper remains a clearly-marked stub
+  * (byte-sum features in [[qDecodeBatched]], where a JNI codec would
+  * plug in); everything Spark-side — binary schema, header layout,
+  * offset math, batched per-partition shape, map-only partitioning
+  * (payloads never shuffle) — is real and gate-checked.
   */
 object Multimodal {
 
+  private val Magic = "GM"
+  private val HeaderLen = 10 // 2 magic + 4 width + 4 height
+
+  /** Big-endian u32 as 4 binary bytes: unhex(lpad(hex(v), 8, '0')). */
+  private def be4(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+
   /** documents -> (doc_id, payload binary, meta struct) — the
-    * canonical multimodal frame. */
-  def payloads(s: SparkSession, dir: String): DataFrame =
+    * canonical multimodal frame. Header fields are derived from the
+    * body length (stand-ins for real media dimensions). */
+  def payloads(s: SparkSession, dir: String): DataFrame = {
+    val body = encode(col("text"), "utf-8")
+    val n = length(body)
+    val width = lit(64) + n % 577
+    val height = lit(64) + (n * 31) % 417
     Tables.documents(s, dir).select(
       col("doc_id"),
-      encode(col("text"), "utf-8").as("payload"),
+      concat(encode(lit(Magic), "utf-8"), be4(width), be4(height), body).as("payload"),
       struct(
-        lit("application/octet-stream").as("mime"),
+        lit("image/x-graft").as("mime"),
         col("source").as("origin"),
         col("lang").as("lang")).as("meta"))
+  }
 
   // ---------------------------------------------------------------
-  // metadata + stub decode + resize + frame sampling, one projection.
-  def qDecodeStub(s: SparkSession, dir: String): DataFrame = {
-    val p = payloads(s, dir).withColumn("n_bytes", length(col("payload")))
-    // STUB decode: real codecs would read the header; the fake derives
-    // dimensions deterministically from the byte length.
-    val width = lit(64) + col("n_bytes") % 577
-    val height = lit(64) + (col("n_bytes") * 31) % 417
-    // frame slices decode the payload itself — no join back to the
-    // source table; the whole query stays one map-only projection.
-    p.withColumn("text", decode(col("payload"), "utf-8"))
-      .select(
+  // header parse + resize + frame sampling, one map-only projection.
+  // Fields come from offset-slicing the binary payload (substring on
+  // binary + hex -> int), NOT from the source text — the oracle
+  // recomputes them from the text, closing the loop.
+  def qDecodeHeader(s: SparkSession, dir: String): DataFrame = {
+    val p = payloads(s, dir)
+      .withColumn("magic", decode(substring(col("payload"), 1, 2), "utf-8"))
+      .withColumn("width", conv(hex(substring(col("payload"), 3, 4)), 16, 10).cast("int"))
+      .withColumn("height", conv(hex(substring(col("payload"), 7, 4)), 16, 10).cast("int"))
+      .withColumn("body", decode(substring(col("payload"), HeaderLen + 1, 1 << 30), "utf-8"))
+      .withColumn("n_bytes", length(col("payload")) - HeaderLen)
+    p.select(
         col("doc_id"),
+        col("magic"),
         col("n_bytes"),
-        sha2(col("payload"), 256).as("sha256"),
+        sha2(substring(col("payload"), HeaderLen + 1, 1 << 30), 256).as("sha256"),
         col("meta.mime").as("mime"),
-        width.as("width"),
-        height.as("height"),
-        floor(width / 2).cast("int").as("resized_w"),
-        floor(height / 2).cast("int").as("resized_h"),
-        md5(substring(col("text"), 1, 32)).as("frame_0"),
-        md5(substring(col("text"), floor(col("n_bytes") / 4).cast("int") + 1, lit(32))).as("frame_1"),
-        md5(substring(col("text"), floor(col("n_bytes") / 2).cast("int") + 1, lit(32))).as("frame_2"),
-        md5(substring(col("text"), floor(col("n_bytes") * 3 / 4).cast("int") + 1, lit(32))).as("frame_3"))
+        col("width"),
+        col("height"),
+        floor(col("width") / 2).cast("int").as("resized_w"),
+        floor(col("height") / 2).cast("int").as("resized_h"),
+        md5(substring(col("body"), 1, 32)).as("frame_0"),
+        md5(substring(col("body"), floor(col("n_bytes") / 4).cast("int") + 1, lit(32))).as("frame_1"),
+        md5(substring(col("body"), floor(col("n_bytes") / 2).cast("int") + 1, lit(32))).as("frame_2"),
+        md5(substring(col("body"), floor(col("n_bytes") * 3 / 4).cast("int") + 1, lit(32))).as("frame_3"))
       .orderBy(col("doc_id"))
   }
 
-  val qDecodeStubSql: String =
+  val qDecodeHeaderSql: String =
     """SELECT doc_id,
+      |  'GM' AS magic,
       |  octet_length(encode(text)) AS n_bytes,
       |  sha256(text) AS sha256,
-      |  'application/octet-stream' AS mime,
-      |  64 + octet_length(encode(text)) % 577 AS width,
-      |  64 + (octet_length(encode(text)) * 31) % 417 AS height,
+      |  'image/x-graft' AS mime,
+      |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INT) AS height,
       |  CAST(floor((64 + octet_length(encode(text)) % 577) / 2) AS INT) AS resized_w,
       |  CAST(floor((64 + (octet_length(encode(text)) * 31) % 417) / 2) AS INT) AS resized_h,
       |  md5(substr(text, 1, 32)) AS frame_0,
@@ -79,9 +97,10 @@ object Multimodal {
   // ---------------------------------------------------------------
   // The batched per-partition decode surface: the shape a real codec
   // integration uses (one library handle per partition, batch loop
-  // over payloads, typed output). Deterministic fake features stand
-  // in for pixel decoding. Exposed as a rows-only query (no SQL
-  // oracle — mapPartitions is deliberately outside SQL).
+  // over payloads, typed output). The header parse is real byte work
+  // (ByteBuffer big-endian reads at fixed offsets); only the pixel
+  // features are a stub (body byte-sum), which the oracle can state
+  // exactly because the body is ASCII text.
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
@@ -96,22 +115,33 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val n = bytes.length
-        // STUB: byte-sum stands in for decoded pixel features.
+        val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+        require(bytes(0) == 'G' && bytes(1) == 'M', s"bad magic for doc $id")
+        val width = bb.getInt(2)
+        val height = bb.getInt(6)
+        // STUB: body byte-sum stands in for decoded pixel features.
         var sum = 0L
-        var i = 0
-        while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
-        Row(id, 64 + n % 577, 64 + (n * 31) % 417, sum)
+        var i = HeaderLen
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        Row(id, width, height, sum)
       }
     }(enc)
     out.orderBy(col("doc_id"))
   }
 
+  val qDecodeBatchedSql: String =
+    """SELECT doc_id,
+      |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INT) AS height,
+      |  CAST(list_aggregate(list_transform(range(length(text)), i -> ord(substr(text, i + 1, 1))), 'sum') AS BIGINT) AS feature_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stub" -> (qDecodeStub _),
-    "mm_decode_batched" -> (qDecodeBatched _), // rows-only: no oracle entry
+    "mm_decode_header" -> (qDecodeHeader _),
+    "mm_decode_batched" -> (qDecodeBatched _),
   )
 
   val oracles: Map[String, String] = Map(
-    "mm_decode_stub" -> qDecodeStubSql)
+    "mm_decode_header" -> qDecodeHeaderSql,
+    "mm_decode_batched" -> qDecodeBatchedSql)
 }

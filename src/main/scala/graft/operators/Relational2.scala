@@ -9,9 +9,10 @@ import graft.Tables
 /** Second relational wave: outer joins, range/theta join, pivot,
   * grouping sets through the SQL surface, lateral explode, and
   * approximate sketches. Same conventions as [[Relational]]:
-  * declarative plans, deterministic ordering, DuckDB oracles (omitted
-  * only for the sketch query, whose HLL/KLL internals legitimately
-  * differ between engines). */
+  * declarative plans, deterministic ordering, DuckDB oracles (the
+  * sketch query, whose HLL/KLL internals legitimately differ between
+  * engines, is gated through error-bound invariants instead of raw
+  * sketch values). */
 object Relational2 {
 
   // ---------------------------------------------------------------
@@ -130,15 +131,38 @@ object Relational2 {
 
   // ---------------------------------------------------------------
   // q25: approximate sketches — HLL distinct + quantile sketch.
-  // Engines implement different sketches, so there is deliberately no
-  // value oracle (rows-only check); exact counterparts ride along so
-  // the sketch error is visible in the output itself.
-  def q25Sketches(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+  // Sketch values differ per engine, so instead of emitting the raw
+  // sketch outputs (which would force a rows-only check), the query
+  // emits the exact ride-alongs PLUS error-bound assertions computed
+  // from the sketches: |HLL - exact|/exact within 3x the default 5%
+  // rsd, and the approx median's RANK within 0.5% of n/2 — rank error
+  // is the actual guarantee a quantile sketch makes, and checking it
+  // distributedly (one filter+count pass against the broadcast 1-row
+  // sketch result) avoids the single-group sort an exact median would
+  // need. The oracle states the bounds as invariants (TRUE), so a
+  // sketch drifting out of tolerance turns the row red in the gate.
+  def q25Sketches(s: SparkSession, dir: String): DataFrame = {
+    val ag = Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey")).as("ap"),
       countDistinct(col("l_partkey")).as("exact_parts"),
-      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2).as("approx_median_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("am"),
       count(lit(1)).as("n"))
+    Tables.lineitem(s, dir).select(col("l_extendedprice"))
+      .crossJoin(broadcast(ag))
+      .groupBy(col("exact_parts"), col("n"), col("ap"), col("am"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("am"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("l_extendedprice") <= col("am"), 1L).otherwise(0L)).as("n_at_or_below"))
+      .select(col("exact_parts"), col("n"),
+        (abs(col("ap") - col("exact_parts")) / col("exact_parts") <= 0.15).as("err_parts_ok"),
+        (col("n_below") <= col("n") * 0.505 && col("n_at_or_below") >= col("n") * 0.495)
+          .as("err_median_ok"))
+  }
+
+  val q25Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts, count(*) AS n,
+      |  TRUE AS err_parts_ok, TRUE AS err_median_ok
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------
   // q26: custom typed aggregate — per-customer top-3 order totals via
@@ -255,7 +279,7 @@ object Relational2 {
     "q22_pivot" -> (q22Pivot _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_explode_words" -> (q24ExplodeWords _),
-    "q25_sketches" -> (q25Sketches _), // rows-only: sketch internals differ per engine
+    "q25_sketches" -> (q25Sketches _),
     "q26_topk_agg" -> (q26TopkAgg _),
     "q27_salted_agg" -> (q27SaltedAgg _),
     "q29_bucketed_join" -> (q29BucketedJoin _),
@@ -267,6 +291,7 @@ object Relational2 {
     "q22_pivot" -> q22Sql,
     "q23_grouping_sets" -> q23Sql,
     "q24_explode_words" -> q24Sql,
+    "q25_sketches" -> q25Sql,
     "q26_topk_agg" -> q26Sql,
     "q27_salted_agg" -> q27Sql,
     "q29_bucketed_join" -> q29Sql,

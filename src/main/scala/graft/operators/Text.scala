@@ -10,11 +10,12 @@ import graft.Tables
   * language ID, fingerprinting). The reference has no text analytics
   * (SURVEY.md §2.3 A7); these are the driver-mandated extensions.
   *
-  * All per-document logic is a single narrow projection of built-in
-  * higher-order functions (`split`/`transform`/`filter`/`aggregate`)
-  * — no UDFs, no shuffles except the final deterministic `orderBy`.
-  * At 100 TB this is the best possible shape: map-only over the scan,
-  * prunes `documents` to (doc_id, text), and parallelizes per file
+  * All per-document logic is map-only — a narrow projection of
+  * built-in functions, or (where HOF interpretation overhead was
+  * measured to dominate: lang-id) a per-partition JVM kernel — with
+  * no shuffles except the final deterministic `orderBy`. At 100 TB
+  * this is the best possible shape: map-only over the scan, prunes
+  * `documents` to the needed columns, and parallelizes per file
   * split. Every query is mirrored in DuckDB SQL for the oracle.
   */
 object Text {
@@ -112,20 +113,54 @@ object Text {
     "fr" -> Seq("le", "la", "et", "est", "que"))
 
   def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val counts = markers.map { case (lang, ms) =>
-      lang -> size(filter(ws, w => w.isin(ms: _*)))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // Single-pass JVM kernel: one walk over the words counts all four
+    // marker sets at once (the four `list_filter` HOF passes were
+    // interpreted — 4.1s at sf0.1 before kernelization), plus one char
+    // scan for the CJK range. Tie-break order (first lang in marker
+    // order with the max count) matches the oracle's CASE chain.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("labeled_lang", StringType),
+      StructField("predicted_lang", StringType)))
+    val langOf: Map[String, Array[Int]] = {
+      val m = scala.collection.mutable.Map[String, List[Int]]().withDefaultValue(Nil)
+      markers.zipWithIndex.foreach { case ((_, ms), i) => ms.foreach(w => m(w) = i :: m(w)) }
+      m.map { case (w, is) => w -> is.toArray }.toMap
     }
-    val cjk = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    val predicted = when(cjk > 0, lit("zh"))
-      .when(best === 0, lit("und"))
-      .otherwise(
-        counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
-          when(c === best, lit(lang)).otherwise(acc)
-        })
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang").as("labeled_lang"), predicted.as("predicted_lang"))
+    val langNames = markers.map(_._1).toArray
+    val nLangs = langNames.length
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val text = r.getString(2)
+          var cjk = false
+          var ci = 0
+          while (ci < text.length && !cjk) {
+            val c = text.charAt(ci)
+            if (c >= 0x4e00 && c <= 0x9fff) cjk = true
+            ci += 1
+          }
+          val counts = new Array[Int](nLangs)
+          text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+            langOf.get(w) match {
+              case Some(is) =>
+                var k = 0
+                while (k < is.length) { counts(is(k)) += 1; k += 1 }
+              case None => ()
+            }
+          }
+          var best = 0
+          var li = 0
+          while (li < nLangs) { if (counts(li) > best) best = counts(li); li += 1 }
+          val predicted =
+            if (cjk) "zh"
+            else if (best == 0) "und"
+            else langNames(counts.indexOf(best))
+          Row(r.getLong(0), r.getString(1), predicted)
+        }
+      }(Encoders.row(schema))
       .orderBy(col("doc_id"))
   }
 

@@ -11,11 +11,9 @@ class ExtensionSpec extends SparkSpec {
   test("every SparkEntry query executes and oracle keys line up") {
     val allQ = graft.SparkEntry.queries
     val allO = graft.SparkEntry.oracleSql
-    // every oracle key has a query; only deliberately rows-only
-    // queries lack an oracle
+    // every oracle key has a query and every query is oracle-checked
     assert(allO.keySet.subsetOf(allQ.keySet))
-    assert(allQ.keySet -- allO.keySet ==
-      Set("mm_decode_batched", "q25_sketches"))
+    assert(allQ.keySet -- allO.keySet == Set.empty)
     allQ.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n >= 0, s"$name failed")
@@ -73,8 +71,8 @@ class ExtensionSpec extends SparkSpec {
       .findAllIn(plan).isEmpty, "join keys must not shuffle")
   }
 
-  test("batched multimodal decode agrees with the expression-based stub") {
-    val a = Multimodal.qDecodeStub(spark, sfDir)
+  test("batched multimodal decode agrees with the expression-based header parse") {
+    val a = Multimodal.qDecodeHeader(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"))
     val b = Multimodal.qDecodeBatched(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"))

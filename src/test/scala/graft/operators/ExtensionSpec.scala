@@ -71,6 +71,59 @@ class ExtensionSpec extends SparkSpec {
       .findAllIn(plan).isEmpty, "join keys must not shuffle")
   }
 
+  test("banded simhash pairs equal the naive all-pairs join") {
+    val sh = Dedup.qSimHash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val naive = (for {
+      (a, sa) <- sh; (b, sb) <- sh
+      if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h)).toSet
+    val banded = Dedup.qSimHashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(banded.length == naive.size)
+    assert(banded.toSet == naive)
+  }
+
+  test("ball-pruned embed cosine equals brute force (zero recall loss)") {
+    import graft.functions.Vectors
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getAs[Long](0), r.getSeq[Double](1).toArray))
+    val brute = (for {
+      (a, va) <- e; (b, vb) <- e
+      if a < b
+      cos = Vectors.dotJvm(va, vb) /
+        (math.sqrt(Vectors.dotJvm(va, va)) * math.sqrt(Vectors.dotJvm(vb, vb)))
+      if cos >= 0.45
+    } yield (a, b)).toSet
+    val pruned = Dedup.qEmbedCosine(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")))
+    assert(pruned.length == brute.size)
+    assert(pruned.toSet == brute)
+  }
+
+  test("multimodal header round-trips magic and dimensions") {
+    val rows = Multimodal.qDecodeHeader(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("magic") == "GM")
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 64 && w < 64 + 577, s"width $w out of range")
+      assert(h >= 64 && h < 64 + 417, s"height $h out of range")
+    }
+  }
+
+  test("compaction preserves rows and is idempotent") {
+    val expected = graft.Tables.orders(spark, sfDir).count()
+    Seq(1, 2).foreach { pass =>
+      val r = Maintenance.qCompact(spark, sfDir).collect()(0)
+      assert(r.getAs[Long]("n_rows") == expected, s"pass $pass lost rows")
+      assert(r.getAs[Boolean]("compacted_ok"), s"pass $pass did not compact")
+    }
+  }
+
   test("batched multimodal decode agrees with the expression-based header parse") {
     val a = Multimodal.qDecodeHeader(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"))

@@ -589,7 +589,74 @@ object Dedup {
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $NgramJaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Near-dup CLUSTER RESOLUTION: pair lists are not directly usable by
+  // a pipeline — keeping one canonical doc per duplicate group needs
+  // connected components over the pair graph. Components via
+  // min-label propagation: every doc starts labeled with its own id;
+  // each round every doc takes the min label among itself and its
+  // neighbors; fixpoint = min reachable doc_id = the cluster id.
+  //
+  // Scale shape: each round is one equi-join (edges x labels, both
+  // partitioned by key) + a groupBy min — all fixed-width longs; the
+  // driver only checks the converged-count metadata per round, never
+  // data. Rounds = graph diameter; near-dup components are shallow
+  // (pairs at sf0.01 converge in 2). At 100 TB with adversarial
+  // chains you'd switch to the alternating large-star/small-star
+  // algorithm (same join primitive, O(log n) rounds).
+  //
+  // The DuckDB oracle computes the same fixpoint non-iteratively with
+  // a recursive CTE (min over the transitive reachability set).
+  def qClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist()
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  val qClustersSql: String =
+    s"""WITH edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM (
+       |$qMinHashLshSql
+       |  ) p
+       |),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach AS (
+       |  WITH RECURSIVE r(node, root) AS (
+       |    SELECT doc_id, doc_id FROM documents
+       |    UNION
+       |    SELECT s.dst, r.root FROM r JOIN sym s ON s.src = r.node
+       |  ) SELECT node, root FROM r
+       |)
+       |SELECT node AS doc_id, min(root) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (qClusters _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -599,6 +666,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> qClustersSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-assembly operators a training-data pipeline needs around
+  * the analytics core: deterministic stratified sampling (train/eval
+  * splits, per-source quotas) and pseudonymization (PII-safe
+  * identifiers before a corpus leaves the trust boundary). The
+  * reference has neither (SURVEY.md §2.3); both are driver-mandated
+  * extension surface.
+  *
+  * Both are map-only projections/aggregations — no operator here
+  * shuffles anything but fixed-width partial aggregates — and both
+  * are deterministic (md5/sha2-keyed), so the same rows are selected
+  * on any cluster size, any partitioning, and in the DuckDB oracle.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------
+  // Stratified sampling over `events`: per-stratum rates applied via
+  // a uniform hash of the row key — md5(event_id) mod 10000 — so
+  // membership is a pure row-local predicate: reproducible across
+  // engines and restarts, no sampling state, map-side evaluable. This
+  // is how a pipeline takes "all purchases, half the clicks, 5% of
+  // errors" out of 100 TB in one scan.
+  private val strataRates: Seq[(String, Int)] = Seq( // per-10000
+    "purchase" -> 10000,
+    "click" -> 5000,
+    "view" -> 2500,
+    "signup" -> 1000,
+    "error" -> 500)
+
+  def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000
+    val thr = strataRates.tail.foldLeft(when(
+      col("event_type") === strataRates.head._1, lit(strataRates.head._2))) {
+      case (acc, (t, r)) => acc.when(col("event_type") === t, lit(r))
+    }.otherwise(lit(0))
+    val sampled = (h < thr).cast("int")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"), sampled.as("keep"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_sampled"),
+        round(sum(col("value") * col("keep")), 2).as("sampled_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qStratifiedSql: String = {
+    val thr = strataRates.map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH e AS (SELECT event_id, event_type, value,
+       |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+       |            < $thr
+       |       THEN 1 ELSE 0 END AS keep
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_total,
+       |  CAST(sum(keep) AS BIGINT) AS n_sampled,
+       |  round(sum(value * keep), 2) AS sampled_value
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Pseudonymization over `customer`: identifier -> deterministic
+  // token (sha256 prefix — referentially stable across tables and
+  // runs, irreversible without the original), quasi-identifier
+  // generalized (account balance -> 1000-unit band; floor BEFORE the
+  // int cast per the cross-engine rule). Map-only projection.
+  def qPseudonymize(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        concat(lit("cust_"), substring(sha2(col("c_name"), 256), 1, 12)).as("name_token"),
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("acctbal_band"))
+      .orderBy(col("c_custkey"))
+
+  val qPseudonymizeSql: String =
+    """SELECT c_custkey,
+      |  'cust_' || substr(sha256(c_name), 1, 12) AS name_token,
+      |  c_nationkey,
+      |  c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_stratified" -> (qStratified _),
+    "pii_pseudonymize" -> (qPseudonymize _))
+
+  val oracles: Map[String, String] = Map(
+    "samp_stratified" -> qStratifiedSql,
+    "pii_pseudonymize" -> qPseudonymizeSql)
+}

@@ -104,6 +104,26 @@ class ExtensionSpec extends SparkSpec {
     assert(pruned.toSet == brute)
   }
 
+  test("near-dup clusters are consistent with the pair graph") {
+    val labels = Dedup.qClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Dedup.qMinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster is labeled by its minimum member
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by min member")
+    }
+    // docs in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.foreach { case (d, c) =>
+      if (!paired.contains(d)) assert(c == d, s"singleton $d relabeled to $c")
+    }
+  }
+
   test("multimodal header round-trips magic and dimensions") {
     val rows = Multimodal.qDecodeHeader(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -623,15 +623,18 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // one join per round: the new label and the did-it-change flag
+      // come out of the same propagation join (labels only ever
+      // decrease, so changed == new < old)
+      val newLabel = least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("doc_id"), newLabel.as("new_label"),
+          (newLabel < col("cluster_id")).as("chg"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
+      val changed = next.filter(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
       converged = changed == 0
       rounds += 1
     }

@@ -133,13 +133,18 @@ object Dedup {
 
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = wordSignatures(s, dir).persist()
-    val bandKeys = transform(sequence(lit(0), lit(NumBands - 1)),
-      b => concat_ws(":", b.cast("string"),
-        element_at(col("sig"), b * BandSize + 1).cast("string"),
-        element_at(col("sig"), b * BandSize + 2).cast("string")))
-    val bands = base.select(col("doc_id"), explode(bandKeys).as("band_key"))
-    val cand = bands.select(col("band_key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+    // Fixed-width (band_id, h1, h2) struct keys and shuffle_hash build
+    // hints, for the same measured reasons documented in
+    // [[qNgramJaccard]]; the candidate set is identical to the
+    // string-key form the oracle builds, so the oracle is unaffected.
+    val bandStructs = array((0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        element_at(col("sig"), b * BandSize + 1).as("h1"),
+        element_at(col("sig"), b * BandSize + 2).as("h2"))
+    }: _*)
+    val bands = base.select(col("doc_id"), explode(bandStructs).as("bk"))
+    val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -147,8 +152,8 @@ object Dedup {
     val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
       size(array_union(col("sset_a"), col("sset_b")))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")).hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")).hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))

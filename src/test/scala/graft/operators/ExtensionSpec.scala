@@ -71,6 +71,14 @@ class ExtensionSpec extends SparkSpec {
       .findAllIn(plan).isEmpty, "join keys must not shuffle")
   }
 
+  test("banded simhash pairs plan has no nested-loop join") {
+    val df = Dedup.qSimHashPairs(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidate generation must be an equi-join on band keys")
+  }
+
   test("banded simhash pairs equal the naive all-pairs join") {
     val sh = Dedup.qSimHash(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))

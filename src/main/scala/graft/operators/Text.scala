@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -211,8 +212,61 @@ object Text {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // TF-IDF top terms per document — the canonical two-pass corpus
+  // statistic: document frequencies aggregated over the corpus, then
+  // joined back to per-doc term frequencies, top-3 terms per doc by
+  // score. Scale shape: both passes are explode -> partial-agg
+  // groupBy (only (word, count) pairs shuffle); the df table joins on
+  // the word key (broadcastable when the vocabulary is small, shuffle
+  // join otherwise — left to Catalyst/AQE); top-k per doc is a
+  // WindowGroupLimit window.
+  //
+  // idf is the RATIONAL form (N+1)/(df+1): IEEE division is
+  // exact-rounded and bit-identical across engines, while ln()
+  // (the textbook form) is libm-dependent and may differ in the last
+  // ulp — the same reasoning as the left-to-right dot products.
+  // Scores are rounded to 6 dp before ranking with a term tiebreak.
+  private val TfIdfTopK = 3
+
+  def qTfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val score = round(col("tf") * ((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val qTfIdfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT doc_id, term,
+       |  round(tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS score
+       |  FROM tf JOIN df USING (term), n),
+       |r AS (SELECT doc_id, term, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, score FROM r
+       |WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (qTfIdf _),
     "text_token_stats" -> (qTokenStats _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
@@ -220,6 +274,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> qTfIdfSql,
     "text_token_stats" -> qTokenStatsSql,
     "text_quality" -> qQualitySql,
     "text_langid" -> qLangIdSql,

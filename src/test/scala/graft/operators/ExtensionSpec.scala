@@ -143,6 +143,43 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling is deterministic and rate-shaped") {
+    val a = Pipeline.qStratified(spark, sfDir).collect()
+    val b = Pipeline.qStratified(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach { r =>
+      val (t, n, k) = (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))
+      assert(k <= n)
+      if (t == "purchase") assert(k == n, "purchase stratum samples at 100%")
+    }
+  }
+
+  test("pseudonymization tokens are stable, distinct per name, and PII-free") {
+    val rows = Pipeline.qPseudonymize(spark, sfDir).collect()
+    val again = Pipeline.qPseudonymize(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val names = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokens = rows.map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("name_token"))
+    assert(tokens.map(_._2).distinct.length == names.values.toSeq.distinct.length)
+    tokens.foreach { case (k, tok) =>
+      assert(tok.startsWith("cust_") && !tok.contains(names(k)))
+    }
+  }
+
+  test("tfidf ranks are dense 1..k with deterministic tiebreaks") {
+    val rows = Text.qTfIdf(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rs.length), s"doc $d ranks $ranks")
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (-r.getAs[Double]("score"), r.getAs[String]("term")))
+      assert(sorted.sameElements(sorted.sorted), s"doc $d not score-desc/term-asc")
+    }
+  }
+
   test("compaction preserves rows and is idempotent") {
     val expected = graft.Tables.orders(spark, sfDir).count()
     Seq(1, 2).foreach { pass =>

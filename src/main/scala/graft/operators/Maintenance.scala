@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Table-maintenance operators — the ops layer a 100 TB pipeline needs
-  * around the query engine. The reference has none of this (its sinks
+  * around the query engine: small-files compaction and CDC
+  * merge/upsert apply. The reference has none of this (its sinks
   * are streams, SURVEY.md §2.2 K1-K4); at scale the dominant ops
   * problem is small files: every incremental load/session write leaves
   * thousands of sub-row-group parquet files, and scan throughput dies
@@ -63,9 +64,73 @@ object Maintenance {
     s"""SELECT count(*) AS n_rows, $FragmentFiles AS files_before, TRUE AS compacted_ok
        |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MERGE / upsert apply — the CDC-ingest shape: a snapshot plus a
+  // change batch (updates, deletes, inserts) resolved into the next
+  // snapshot with one full-outer join on the key. Spark has no MERGE
+  // INTO without a table format; the join formulation IS what those
+  // formats execute, and it co-partitions/buckets like any fact-fact
+  // join at 100 TB. The change batch here is synthesized
+  // deterministically from `orders` itself (keys %13 -> delete,
+  // %7 -> 10%-price update, %11 -> insert under a shifted key;
+  // delete wins over update), so the oracle can state the exact
+  // same merge in SQL.
+  private val InsertKeyOffset = 10000000L
+
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val changes = base.select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        when(col("o_orderkey") % 13 === 0, lit("D"))
+          .when(col("o_orderkey") % 7 === 0, lit("U"))
+          .when(col("o_orderkey") % 11 === 0, lit("I"))
+          .as("op"))
+      .filter(col("op").isNotNull)
+      .select(
+        when(col("op") === "I", col("o_orderkey") + InsertKeyOffset)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        // floor-to-cents, not round: a x1.1 update lands on half-cent
+        // boundaries where Spark (HALF_UP) and DuckDB disagree
+        when(col("op") === "U", floor(col("o_totalprice") * 1.1 * 100) / 100)
+          .otherwise(col("o_totalprice")).as("c_totalprice"),
+        col("o_orderpriority").as("c_orderpriority"),
+        col("op"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("c_orderpriority"), col("o_orderpriority")).as("o_orderpriority"),
+        coalesce(col("op"), lit("K")).as("op"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qMergeUpsertSql: String =
+    s"""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+       |tagged AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+       |  CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+       |       WHEN o_orderkey % 7 = 0 THEN 'U'
+       |       WHEN o_orderkey % 11 = 0 THEN 'I' END AS op
+       |  FROM base),
+       |changes AS (SELECT
+       |  CASE WHEN op = 'I' THEN o_orderkey + $InsertKeyOffset ELSE o_orderkey END AS c_orderkey,
+       |  CASE WHEN op = 'U' THEN floor(o_totalprice * 1.1 * 100) / 100 ELSE o_totalprice END AS c_totalprice,
+       |  o_orderpriority AS c_orderpriority, op
+       |  FROM tagged WHERE op IS NOT NULL)
+       |SELECT COALESCE(b.o_orderkey, c.c_orderkey) AS o_orderkey,
+       |  COALESCE(c.c_totalprice, b.o_totalprice) AS o_totalprice,
+       |  COALESCE(c.c_orderpriority, b.o_orderpriority) AS o_orderpriority,
+       |  COALESCE(c.op, 'K') AS op
+       |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.c_orderkey
+       |WHERE c.op IS NULL OR c.op <> 'D'
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "maint_compact" -> (qCompact _))
+    "maint_compact" -> (qCompact _),
+    "maint_merge_upsert" -> (qMergeUpsert _))
 
   val oracles: Map[String, String] = Map(
-    "maint_compact" -> qCompactSql)
+    "maint_compact" -> qCompactSql,
+    "maint_merge_upsert" -> qMergeUpsertSql)
 }

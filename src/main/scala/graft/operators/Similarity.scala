@@ -157,15 +157,67 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Symmetric per-vector int8 quantization — the storage/bandwidth
+  // step before ANN at scale (4x smaller vectors, SIMD-int dot
+  // products). Map-only: scale = maxabs/127 per vector, code =
+  // clamp(floor(x / scale)). The query emits per-vector checksums of
+  // the code array plus the max reconstruction error so the oracle
+  // hash-checks the exact quantization (floor BEFORE the int
+  // conversion and the same division order on both engines — the
+  // cross-engine double rules).
+  def qQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val maxabs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = col("maxabs") / 127
+    val q = transform(v, x => greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale")))))
+    val qsum = aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+    val qmin = aggregate(col("q"), lit(127.0), (acc, x) => least(acc, x))
+    val qmax = aggregate(col("q"), lit(-127.0), (acc, x) => greatest(acc, x))
+    val maxErr = aggregate(
+      zip_with(v, col("q"), (x, qi) => abs(x - qi * col("scale"))),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    Tables.embeddings(s, dir)
+      .withColumn("maxabs", maxabs)
+      .withColumn("scale", scale)
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        qsum.as("qsum"),
+        qmin.cast("long").as("qmin"),
+        qmax.cast("long").as("qmax"),
+        round(maxErr, 6).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qQuantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |  list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127 AS scale
+      |  FROM e),
+      |qq AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale)))) AS q
+      |  FROM m)
+      |SELECT vec_id,
+      |  round(scale, 6) AS scale_r,
+      |  CAST(list_aggregate(list_transform(q, x -> CAST(x AS BIGINT)), 'sum') AS BIGINT) AS qsum,
+      |  CAST(list_aggregate(q, 'min') AS BIGINT) AS qmin,
+      |  CAST(list_aggregate(q, 'max') AS BIGINT) AS qmax,
+      |  round(list_aggregate(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * scale)), 'max'), 6) AS max_err
+      |FROM qq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
+    "sim_quantize_int8" -> (qQuantizeInt8 _),
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
+    "sim_quantize_int8" -> qQuantizeInt8Sql,
   )
 }

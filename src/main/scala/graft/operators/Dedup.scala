@@ -471,8 +471,7 @@ object Dedup {
   }
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
+    graft.plans.SetExprs.register(s)
     val base = ngramSignatures(s, dir).persist()
     // Band keys as (band_id, h1, h2) int structs, not concat'd strings:
     // the self-join shuffles 20 fixed-width band rows per doc and the
@@ -504,60 +503,30 @@ object Dedup {
       .repartition(par, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sigs = base.select(col("doc_id"), col("sig"))
-    // Signature-estimate prefilter as a JVM kernel over the two
-    // 40-long signature arrays. Neither expression form survives
-    // codegen here: the zip_with/aggregate HOF is interpreted (2.9s)
-    // and the unrolled 40-term when-chain fell back to interpreted
-    // eval (64s CPU at sf0.1 — CLAUDE.md's giant-chain rule).
-    val estMin = NgramEstMin
-    val nH = NgramHashes
-    val pairSchema = {
-      import org.apache.spark.sql.types._
-      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))
-    }
+    // Signature-estimate prefilter via the codegen'd EqCountLong
+    // expression. No Catalyst built-in survives codegen here: the
+    // zip_with/aggregate HOF is interpreted (2.9s) and an unrolled
+    // 40-term when-chain fell back to interpreted eval (64s CPU at
+    // sf0.1 — CLAUDE.md's giant-chain rule); a custom doGenCode loop
+    // stays inside the join's WholeStageCodegen span with no
+    // row-conversion boundary (unlike the earlier kernel form).
     val estFiltered = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val sa = r.getSeq[Long](2)
-          val sb = r.getSeq[Long](3)
-          var m = 0; var k = 0
-          while (k < nH) { if (sa(k) == sb(k)) m += 1; k += 1 }
-          if (m >= estMin) Some(Row(r.getLong(0), r.getLong(1))) else None
-        }
-      }(Encoders.row(pairSchema))
+      .filter(graft.plans.SetExprs.eqCount(col("sig_a"), col("sig_b")) >= NgramEstMin)
+      .select(col("doc_a"), col("doc_b"))
     val sets = base.select(col("doc_id"), col("gh"))
-    // Exact set-Jaccard on the surviving candidates via a JVM
-    // merge-intersection kernel over the sorted hash arrays:
-    // |A∩B| by linear merge, |A∪B| = |A|+|B|-|A∩B|. The
-    // array_intersect/array_union expression form over string grams
-    // was interpreted and measured 16s at sf0.1 on 76k candidate
-    // pairs; this is the same set arithmetic over the same (hashed)
-    // sets the oracle uses.
-    val joined = estFiltered
+    // Exact set-Jaccard on the surviving candidates via the codegen'd
+    // merge-intersection over the sorted hash arrays: |A∩B| by linear
+    // merge, |A∪B| = |A|+|B|-|A∩B|. The array_intersect/array_union
+    // form over string grams was interpreted and measured 16s at
+    // sf0.1 on 76k candidate pairs; this is the same set arithmetic
+    // over the same (hashed) sets the oracle uses.
+    val scored = estFiltered
       .join(sets.select(col("doc_id").as("doc_a"), col("gh").as("g_a")).hint("shuffle_hash"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("gh").as("g_b")).hint("shuffle_hash"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("g_a"), col("g_b"))
-    val outSchema = StructType(Seq(
-      StructField("doc_a", LongType), StructField("doc_b", LongType),
-      StructField("jac", DoubleType)))
-    val scored = joined.mapPartitions { it =>
-      it.map { r =>
-        val ga = r.getSeq[Long](2)
-        val gb = r.getSeq[Long](3)
-        val (na, nb) = (ga.length, gb.length)
-        var i = 0; var j = 0; var inter = 0
-        while (i < na && j < nb) {
-          val x = ga(i); val y = gb(j)
-          if (x == y) { inter += 1; i += 1; j += 1 }
-          else if (x < y) i += 1
-          else j += 1
-        }
-        Row(r.getLong(0), r.getLong(1), inter.toDouble / (na + nb - inter))
-      }
-    }(Encoders.row(outSchema))
+      .select(col("doc_a"), col("doc_b"),
+        graft.plans.SetExprs.jaccardSorted(col("g_a"), col("g_b")).as("jac"))
     scored
       .filter(col("jac") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))

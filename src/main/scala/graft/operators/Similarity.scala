@@ -117,12 +117,21 @@ object Similarity {
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
     val cents = e.filter(col("vec_id") % CentroidStride === 7)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    // Nearest-centroid assignment as a map-side partial aggregate
+    // (max over (ccos, -cid) structs), not a row_number window: the
+    // window form forced a full shuffle+sort of the K·N scored rows,
+    // while groupBy collapses the K candidates per vector before the
+    // one shuffle — same argmax semantics (struct comparison orders by
+    // ccos desc then cid asc exactly like the oracle's ROW_NUMBER
+    // ORDER BY), same trick as the qEmbedCosine assign stage.
+    val ccos = round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(col("cand")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"), col("v"), col("nrm"))
     val probes = assign.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))

@@ -196,4 +196,48 @@ class ExtensionSpec extends SparkSpec {
       .select(col("doc_id"), col("width"), col("height"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("IVF centroid assignment is a partial aggregate, not a window") {
+    val df = Similarity.qIvfTopk(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // the only window left is the per-query rank; the assign stage must
+    // be the groupBy(max(struct)) form (no shuffle+sort of K*N rows)
+    assert(!plan.contains("windowspecdefinition(vec_id"),
+      "centroid assign must not be a vec_id-partitioned window")
+    assert(plan.contains("windowspecdefinition(qid"), "rank window expected")
+  }
+
+  test("cluster propagation converges in O(log n) rounds on a 1000-node chain") {
+    import spark.implicits._
+    // worst case for plain min-label propagation (diameter = n-1): the
+    // pointer-jumping step must make this converge in ~log2(n) rounds,
+    // not n rounds — evidence for the production round cap.
+    val n = 1000L
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, rounds) = Dedup.resolveComponents(edges)
+    assert(rounds <= 15, s"chain took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "all chain nodes must label to the min node")
+  }
+
+  test("dedup queries leave no cached relations behind (library contract)") {
+    spark.catalog.clearCache()
+    Dedup.qMinHashLsh(spark, sfDir).count()
+    Dedup.qNgramJaccard(spark, sfDir).count()
+    Dedup.qSimHashPairs(spark, sfDir).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "queries must not accrue catalog-cached relations across calls")
+  }
+
+  test("jaccard of two empty long sets is 0.0, not NaN") {
+    graft.plans.SetExprs.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaccard_sorted_long(array(), array()) AS j," +
+        " graft_jaccard_sorted_long(array(1L,2L), array()) AS j2")
+      .collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
 }

@@ -42,7 +42,16 @@ object Cli {
 
   final case class Args(inputType: String, outputType: String, csvDelimiter: Option[String])
 
-  /** Parses `<inputType> <outputType> [-d|--csv-delimiter <char>]`. */
+  /** Parses `<inputType> <outputType> [-d|--csv-delimiter <char>]`.
+    *
+    * Error phrasing and check ORDER mirror commander 13 (the
+    * reference's parser, `/root/reference/src/index.ts:105-121` with
+    * `commander ^13.1.0`): unknown options fail during the option
+    * scan; then argument-count checks run (missing first, then
+    * excess) BEFORE any value validator; an invalid value surfaces
+    * wrapped as `command-argument value '<v>' is invalid for argument
+    * '<name>'. <validator message>`. The `error: ` prefix is added by
+    * [[main]], as commander does when printing. */
   def parseArgs(argv: Seq[String]): Args = {
     var positional = Vector.empty[String]
     var delimiter: Option[String] = None
@@ -58,10 +67,24 @@ object Cli {
         case p => positional :+= p; i += 1
       }
     }
-    if (positional.length != 2)
+    Seq("inputType", "outputType").zipWithIndex.foreach { case (name, idx) =>
+      if (positional.length <= idx)
+        throw new IllegalArgumentException(s"missing required argument '$name'")
+    }
+    if (positional.length > 2)
       throw new IllegalArgumentException(
-        "expected exactly two arguments: <inputType> <outputType>")
-    Args(validateInputType(positional(0)), validateOutputType(positional(1)), delimiter)
+        s"too many arguments. Expected 2 arguments but got ${positional.length}.")
+    def checked(name: String, value: String, f: String => String): String =
+      try f(value)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"command-argument value '$value' is invalid for argument '$name'. ${e.getMessage}")
+      }
+    Args(
+      checked("inputType", positional(0), validateInputType),
+      checked("outputType", positional(1), validateOutputType),
+      delimiter)
   }
 
   /** The data plane: scan → normalize (executors) → render (driver),

@@ -29,7 +29,10 @@ object Maintenance {
   private val TargetFileBytes = 32L * 1024 * 1024
 
   def qCompact(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_warehouse/compact"
+    // app-id suffix: two concurrent sessions (e.g. Verify and sbt
+    // test) running the query must not clobber each other's files
+    // mid-read; the per-application path isolates them.
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/compact"
     val fragPath = s"$base/orders_frag"
     val outPath = s"$base/orders_compacted"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -75,9 +78,23 @@ object Maintenance {
   // %7 -> 10%-price update, %11 -> insert under a shifted key;
   // delete wins over update), so the oracle can state the exact
   // same merge in SQL.
-  private val InsertKeyOffset = 10000000L
+  //
+  // The insert-key shift is DERIVED from the data — the next power of
+  // 10 above max(o_orderkey) — not a fixed constant: a constant that
+  // clears the key space at one SF collides with real keys at a
+  // larger one, fanning out the full-outer join on duplicate keys and
+  // leaving the ORDER BY tie-broken differently per engine. Both
+  // engines compute the same offset from the same table (the oracle
+  // as a scalar subquery), so the query stays SF-independent. The
+  // driver-side agg here is a one-row metadata lookup, same class as
+  // qCompact's file listing.
+  private def insertKeyOffset(s: SparkSession, dir: String): Long = {
+    val maxKey = Tables.orders(s, dir).agg(max(col("o_orderkey"))).first().getLong(0)
+    math.pow(10, maxKey.toString.length).toLong
+  }
 
   def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val InsertKeyOffset = insertKeyOffset(s, dir)
     val base = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     val changes = base.select(
@@ -113,8 +130,9 @@ object Maintenance {
        |       WHEN o_orderkey % 7 = 0 THEN 'U'
        |       WHEN o_orderkey % 11 = 0 THEN 'I' END AS op
        |  FROM base),
+       |koff AS (SELECT CAST(power(10, length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT) AS off FROM orders),
        |changes AS (SELECT
-       |  CASE WHEN op = 'I' THEN o_orderkey + $InsertKeyOffset ELSE o_orderkey END AS c_orderkey,
+       |  CASE WHEN op = 'I' THEN o_orderkey + (SELECT off FROM koff) ELSE o_orderkey END AS c_orderkey,
        |  CASE WHEN op = 'U' THEN floor(o_totalprice * 1.1 * 100) / 100 ELSE o_totalprice END AS c_totalprice,
        |  o_orderpriority AS c_orderpriority, op
        |  FROM tagged WHERE op IS NOT NULL)

@@ -99,8 +99,12 @@ object Multimodal {
   // integration uses (one library handle per partition, batch loop
   // over payloads, typed output). The header parse is real byte work
   // (ByteBuffer big-endian reads at fixed offsets); only the pixel
-  // features are a stub (body byte-sum), which the oracle can state
-  // exactly because the body is ASCII text.
+  // features are a stub — the UTF-8-decoded body's codepoint sum,
+  // which DuckDB states as sum(ord(char)) over the source text. The
+  // earlier byte-sum form matched the codepoint oracle only because
+  // the corpus happened to be pure ASCII; codepoints agree for ANY
+  // valid UTF-8 text, so a non-ASCII document cannot silently break
+  // the gate.
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
@@ -119,10 +123,13 @@ object Multimodal {
         require(bytes(0) == 'G' && bytes(1) == 'M', s"bad magic for doc $id")
         val width = bb.getInt(2)
         val height = bb.getInt(6)
-        // STUB: body byte-sum stands in for decoded pixel features.
+        // STUB: codepoint sum of the decoded body stands in for pixel
+        // features (a real impl hands `bytes` to the codec here).
+        val body = new String(bytes, HeaderLen, bytes.length - HeaderLen,
+          java.nio.charset.StandardCharsets.UTF_8)
         var sum = 0L
-        var i = HeaderLen
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        val cps = body.codePoints().iterator()
+        while (cps.hasNext) sum += cps.nextInt()
         Row(id, width, height, sum)
       }
     }(enc)

@@ -239,13 +239,17 @@ object Relational2 {
 
   private def ensureBucketTables(s: SparkSession, dir: String): Unit = synchronized {
     if (bucketTablesFor == ((s, dir)) && s.catalog.tableExists("graft_buck.lineitem_b")) return
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '/tmp/graft_warehouse'")
+    // app-id suffix: a concurrent session (e.g. Verify next to sbt
+    // test) must not delete/rewrite this session's bucket files
+    // mid-read.
+    val wh = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '$wh'")
     // The in-memory catalog forgets tables across sessions but their
     // files survive; drop + clear the locations so re-runs are
     // idempotent.
     Seq("orders_b", "lineitem_b").foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS graft_buck.$t")
-      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      val p = java.nio.file.Paths.get(s"$wh/$t")
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse

@@ -202,7 +202,34 @@ class EtlSpec extends SparkSpec {
     assert(e2.getMessage == "Output type must be one of: json, html.")
     val a = Cli.parseArgs(Seq("csv", "json", "-d", ";"))
     assert(a == Cli.Args("csv", "json", Some(";")))
-    intercept[IllegalArgumentException](Cli.parseArgs(Seq("csv")))
-    intercept[IllegalArgumentException](Cli.parseArgs(Seq("csv", "json", "--bogus")))
+  }
+
+  test("CLI: argument errors use commander-13 phrasing and check order") {
+    def msg(args: String*): String =
+      intercept[IllegalArgumentException](Cli.parseArgs(args)).getMessage
+    assert(msg() == "missing required argument 'inputType'")
+    assert(msg("csv") == "missing required argument 'outputType'")
+    // count checks run BEFORE validators: a bad value with a missing
+    // second argument reports the missing argument, like commander
+    assert(msg("xml") == "missing required argument 'outputType'")
+    assert(msg("csv", "json", "extra") == "too many arguments. Expected 2 arguments but got 3.")
+    assert(msg("xml", "json") ==
+      "command-argument value 'xml' is invalid for argument 'inputType'. Input type must be one of: csv, prn.")
+    assert(msg("csv", "yaml") ==
+      "command-argument value 'yaml' is invalid for argument 'outputType'. Output type must be one of: json, html.")
+    assert(msg("csv", "json", "--bogus") == "unknown option '--bogus'")
+    assert(msg("csv", "json", "-d") == "option '-d, --csv-delimiter <char>' argument missing")
+  }
+
+  test("CLI: multi-char CSV delimiters parse like the reference's csv-parse") {
+    // the reference accepts any delimiter string
+    // (/root/reference/src/parsers/csvParser.ts:47); Spark 4's CSV
+    // `sep` option also takes multi-char separators, so the surface
+    // matches end-to-end
+    val p = tmpFile("Name;;Postcode\nJohnson, John;;3732 GE\n")
+    val df = CsvSource.read(spark, p, delimiter = ";;")
+    val rows = JsonSink.render(df)
+    assert(rows.contains(""""Name":"Johnson, John""""))
+    assert(rows.contains(""""Postcode":"3732GE""""))
   }
 }

@@ -89,11 +89,56 @@ object Pipeline {
       |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Training-sequence PACKING — the concat-and-chunk step that turns
+  // a document corpus into fixed-length training sequences: documents
+  // are concatenated in order and split into SeqBudget-token windows;
+  // each doc reports its token offset and the [first, last] sequence
+  // ids it lands in (a doc can straddle a boundary).
+  //
+  // Scale shape: a single global concatenation order would serialize
+  // into one partition, so packing is SHARDED — docs hash to ShardCount
+  // independent streams (at 100 TB: one shard per output file), and
+  // the running-offset window partitions by shard: ShardCount parallel
+  // cumsums, one shuffle. All integer arithmetic (token counts,
+  // offsets, floor-div) — bit-exact across engines by construction.
+  private val SeqBudget = 2048L
+  private val ShardCount = 8
+
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % ShardCount).as("shard"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+        floor(col("offset") / SeqBudget).cast("long").as("seq_first"),
+        floor((col("offset") + col("n_tokens") - 1) / SeqBudget).cast("long").as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id, doc_id % $ShardCount AS shard,
+       |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT doc_id, shard, n_tokens,
+       |  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, "offset",
+       |  CAST(floor("offset" / $SeqBudget) AS BIGINT) AS seq_first,
+       |  CAST(floor(("offset" + n_tokens - 1) / $SeqBudget) AS BIGINT) AS seq_last
+       |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
-    "pii_pseudonymize" -> (qPseudonymize _))
+    "pii_pseudonymize" -> (qPseudonymize _),
+    "pack_sequences" -> (qPackSequences _))
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> qStratifiedSql,
-    "pii_pseudonymize" -> qPseudonymizeSql)
+    "pii_pseudonymize" -> qPseudonymizeSql,
+    "pack_sequences" -> qPackSequencesSql)
 }

@@ -264,6 +264,128 @@ object Text {
        |WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // Train/eval DECONTAMINATION — the n-gram overlap check every LLM
+  // training pipeline runs before touching a benchmark: find training
+  // documents sharing word n-grams with any eval-set document
+  // (eval = doc_id % 50 == 3 here, standing in for a benchmark
+  // corpus). Reports (train, eval, shared-gram count) pairs at a
+  // minimum-overlap threshold.
+  //
+  // Scale shape: the eval side is inherently tiny (benchmarks are
+  // KBs against a 100 TB corpus), so its exploded gram set is the
+  // broadcast BUILD side — the training corpus streams map-side
+  // through one broadcast hash join and a partial-aggregated count;
+  // nothing about the corpus is ever shuffled except the matched
+  // (train, eval) long pairs. Grams travel as 60-bit md5-derived
+  // longs (the string-array cost rule); the oracle joins the same
+  // grams as strings, which is value-identical (a cross-gram md5
+  // collision is ~2^-60).
+  private val DecontamGramLen = 3
+  private val DecontamMinShared = 2
+  private val DecontamEvalMod = 50
+  private val DecontamEvalRem = 3
+
+  /** doc_id -> distinct word-`n`-gram md5 hashes, exploded. */
+  private def gramHashes(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val n = DecontamGramLen
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+      .otherwise(array(concat_ws(" ", ws)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_h"))
+  }
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = gramHashes(s, dir)
+    val ev = g.filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+      .select(col("doc_id").as("eval_id"), col("gram_h"))
+    val tr = g.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+      .select(col("doc_id").as("train_id"), col("gram_h"))
+    tr.join(broadcast(ev), "gram_h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= $DecontamGramLen
+       |    THEN list_transform(range(len(ws) - ${DecontamGramLen - 1}),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |    ELSE [array_to_string(ws, ' ')] END) AS grams FROM w),
+       |ev AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DecontamEvalMod = $DecontamEvalRem),
+       |tr AS (SELECT doc_id AS train_id, unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DecontamEvalMod <> $DecontamEvalRem)
+       |SELECT train_id, eval_id, count(*) AS n_shared
+       |FROM tr JOIN ev USING (gram)
+       |GROUP BY train_id, eval_id HAVING count(*) >= $DecontamMinShared
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // REPETITION-based quality filter (the Gopher/MassiveText rules):
+  // documents dominated by repeated n-grams or by one word are
+  // low-quality for training. Per doc: duplicate-2-gram fraction
+  // (1 - distinct/total) and top-word fraction, with the keep
+  // decision at the published-style thresholds. Map-only except the
+  // top-word partial aggregate (explode -> two-level groupBy, both
+  // partial-aggregated map-side); fractions divide as doubles AFTER
+  // integer counts, then round 4 dp (the cross-engine double rule).
+  private val MaxDup2Frac = 0.2
+  private val MaxTopWordFrac = 0.2
+
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"), g2FromWords(col("ws")).as("g2"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("g2")).as("n_2grams"),
+        size(array_distinct(col("g2"))).as("n_distinct_2grams"))
+    val topWord = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ws).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    val dup2 = round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 4)
+    val topf = round(col("top_c").cast("double") / col("n_words"), 4)
+    perDoc.join(topWord, "doc_id")
+      .filter(col("n_2grams") > 0)
+      .select(col("doc_id"), col("n_words"),
+        dup2.as("dup_2gram_frac"), topf.as("top_word_frac"),
+        (dup2 <= MaxDup2Frac && topf <= MaxTopWordFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Adjacent word bigrams of a word array (empty below 2 words). */
+  private def g2FromWords(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+
+  val qRepetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, len(ws) AS n_words,
+       |  CASE WHEN len(ws) >= 2
+       |    THEN list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END AS g2 FROM w),
+       |t AS (SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word),
+       |top AS (SELECT doc_id, max(c) AS top_c FROM t GROUP BY doc_id),
+       |f AS (SELECT g.doc_id, n_words,
+       |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup_2gram_frac,
+       |  round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_frac
+       |  FROM g JOIN top ON g.doc_id = top.doc_id WHERE len(g2) > 0)
+       |SELECT doc_id, n_words, dup_2gram_frac, top_word_frac,
+       |  dup_2gram_frac <= $MaxDup2Frac AND top_word_frac <= $MaxTopWordFrac AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (qTfIdf _),
@@ -271,6 +393,8 @@ object Text {
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
     "text_fingerprint" -> (qFingerprint _),
+    "text_decontaminate" -> (qDecontaminate _),
+    "text_repetition" -> (qRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,5 +403,7 @@ object Text {
     "text_quality" -> qQualitySql,
     "text_langid" -> qLangIdSql,
     "text_fingerprint" -> qFingerprintSql,
+    "text_decontaminate" -> qDecontaminateSql,
+    "text_repetition" -> qRepetitionSql,
   )
 }

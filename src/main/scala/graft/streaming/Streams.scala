@@ -167,13 +167,37 @@ object Streams {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Streaming exact dedup — the ingest-time "have we seen this
+  // content before" stage of a training pipeline, as streaming
+  // dropDuplicates on a content hash (md5 of the payload). Only the
+  // key column is emitted, so the result is the distinct key SET —
+  // deterministic regardless of which arrival "won" — and equals the
+  // batch DISTINCT, the oracle. State is one entry per distinct hash;
+  // unbounded by design for EXACT global dedup (at 100 TB that state
+  // lives in RocksDB, or becomes dropDuplicatesWithinWatermark when
+  // duplicates are known to arrive within a bounded delay).
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append", rawTs = true) { stream =>
+      stream
+        .select(md5(col("props")).as("content_h"))
+        .dropDuplicates("content_h")
+    }
+      .orderBy(col("content_h")) // the emitted rows ARE the distinct set
+
+  val qStreamDedupSql: String =
+    """SELECT DISTINCT md5(props) AS content_h
+      |FROM events ORDER BY content_h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (qWindowAgg _),
     "stream_stateful_counts" -> (qStatefulCounts _),
-    "stream_stream_join" -> (qStreamStreamJoin _))
+    "stream_stream_join" -> (qStreamStreamJoin _),
+    "stream_dedup" -> (qStreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> qWindowAggSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
-    "stream_stream_join" -> qStreamStreamJoinSql)
+    "stream_stream_join" -> qStreamStreamJoinSql,
+    "stream_dedup" -> qStreamDedupSql)
 }

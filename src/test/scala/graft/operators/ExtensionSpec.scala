@@ -232,6 +232,45 @@ class ExtensionSpec extends SparkSpec {
       "queries must not accrue catalog-cached relations across calls")
   }
 
+  test("decontamination pairs always cross the train/eval split") {
+    val rows = Text.qDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))
+      assert(t % 50 != 3, s"train_id $t is an eval doc")
+      assert(e % 50 == 3, s"eval_id $e is not an eval doc")
+      assert(r.getAs[Long]("n_shared") >= 2)
+    }
+  }
+
+  test("repetition fractions are in [0,1] and keep matches the thresholds") {
+    val rows = Text.qRepetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d2 = r.getAs[Double]("dup_2gram_frac")
+      val tf = r.getAs[Double]("top_word_frac")
+      assert(d2 >= 0.0 && d2 <= 1.0 && tf > 0.0 && tf <= 1.0)
+      assert(r.getAs[Boolean]("keep") == (d2 <= 0.2 && tf <= 0.2))
+    }
+  }
+
+  test("sequence packing offsets are contiguous per shard and spans consistent") {
+    val rows = Pipeline.qPackSequences(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == docs)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedOffset = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("offset") == expectedOffset,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")} offset gap")
+        expectedOffset += r.getAs[Long]("n_tokens")
+        val (f, l) = (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))
+        assert(f <= l && l - f <= r.getAs[Long]("n_tokens") / 2048 + 1)
+      }
+    }
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

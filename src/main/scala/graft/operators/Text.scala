@@ -285,18 +285,38 @@ object Text {
   private val DecontamEvalMod = 50
   private val DecontamEvalRem = 3
 
-  /** doc_id -> distinct word-`n`-gram md5 hashes, exploded. */
+  /** doc_id -> distinct word-`n`-gram md5 hashes (60-bit longs),
+    * exploded. A per-partition JVM kernel, not a transform() HOF: the
+    * HOF form re-evaluates the interpreted `split` inside every
+    * element_at of every lambda invocation — O(words²) splits per
+    * document (UTF8String.split dominated the profile at 35s CPU for
+    * 5k docs at sf0.1); the kernel splits once and slides. Same gram
+    * definition and md5-prefix hash as the SQL oracle's string join
+    * keys. */
   private def gramHashes(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("gram_hs", ArrayType(LongType))))
     val n = DecontamGramLen
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-      .otherwise(array(concat_ws(" ", ws)))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_h"))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val grams =
+            if (ws.length >= n)
+              (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
+            else Seq(ws.mkString(" "))
+          // md5Mod with p = Long.MaxValue is the identity on the 60-bit
+          // digest prefix: the same value as the oracle's md5 strings
+          Row(r.getLong(0), grams.map(g => Dedup.md5Mod(md, g, Long.MaxValue)).toArray)
+        }
+      }(Encoders.row(schema))
+      .select(col("doc_id"), explode(col("gram_hs")).as("gram_h"))
   }
 
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -340,33 +360,45 @@ object Text {
   private val MaxTopWordFrac = 0.2
 
   def qRepetition(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val perDoc = Tables.documents(s, dir)
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("n_words"), g2FromWords(col("ws")).as("g2"))
-      .select(col("doc_id"), col("n_words"),
-        size(col("g2")).as("n_2grams"),
-        size(array_distinct(col("g2"))).as("n_distinct_2grams"))
-    val topWord = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(ws).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // One-pass per-doc JVM kernel (not HOFs — the interpreted-split
+    // O(words²) pathology, see [[gramHashes]]): word count, bigram
+    // counts via a HashSet, top-word count via a HashMap. Map-only:
+    // the whole operator is kernel + projection + final sort.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_words", IntegerType),
+      StructField("n_2grams", IntegerType),
+      StructField("n_distinct_2grams", IntegerType),
+      StructField("top_c", IntegerType)))
+    val perDoc = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < ws.length - 1) { seen.add(ws(i) + " " + ws(i + 1)); i += 1 }
+          val counts = new java.util.HashMap[String, Int]()
+          var top = 0
+          ws.foreach { w =>
+            val c = counts.merge(w, 1, Integer.sum)
+            if (c > top) top = c
+          }
+          Row(r.getLong(0), ws.length, math.max(ws.length - 1, 0), seen.size(), top)
+        }
+      }(Encoders.row(schema))
     val dup2 = round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 4)
     val topf = round(col("top_c").cast("double") / col("n_words"), 4)
-    perDoc.join(topWord, "doc_id")
+    perDoc
       .filter(col("n_2grams") > 0)
       .select(col("doc_id"), col("n_words"),
         dup2.as("dup_2gram_frac"), topf.as("top_word_frac"),
         (dup2 <= MaxDup2Frac && topf <= MaxTopWordFrac).as("keep"))
       .orderBy(col("doc_id"))
   }
-
-  /** Adjacent word bigrams of a word array (empty below 2 words). */
-  private def g2FromWords(ws: Column): Column =
-    when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-      .otherwise(array())
 
   val qRepetitionSql: String =
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),

@@ -396,13 +396,21 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val b = bands.select(col("band_id"), col("band_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    // The exact hamming verify runs BEFORE the pair dedup: unlike the
+    // MinHash pipelines (where verification needs a join to fetch the
+    // sets, so deduplicating candidates first avoids re-joining
+    // duplicates), both signatures are already on the joined row and
+    // bit_count is one codegen'd instruction — filtering first shrinks
+    // the dedup exchange from every band collision (~1M rows / 29 MB
+    // at sf0.1, carried with both signatures through first() aggs) to
+    // just the true near-dup pairs. hamming is a function of the pair,
+    // so deduplicating after the filter is value-identical.
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -32,6 +32,17 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** Money aggregation: exact DECIMAL(38,6) sums, not double sums.
+    * Double summation is association-dependent — Spark's partition
+    * order vs DuckDB's (or two Spark runs) diverge in the last
+    * decimal once totals reach ~1e10 (measured: q27/q29 at sf0.1) —
+    * while decimal sums are exact and order-independent at any scale.
+    * Inputs are cent/bp-quantized, so the 6dp cast is lossless on
+    * both engines; rounded output is cast back to double for a stable
+    * cross-engine schema. */
+  private[operators] def moneySum(c: Column, dp: Int): Column =
+    round(sum(c.cast("decimal(38,6)")), dp).cast("double")
+
   // ---------------------------------------------------------------
   // q1: TPC-H Q1 pricing summary — the canonical scan + partial agg.
   // Filter reaches the parquet scan (PushedFilters); agg is a single
@@ -43,9 +54,9 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -55,9 +66,9 @@ object Relational {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -129,13 +140,13 @@ object Relational {
       .join(nation, col("s_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -156,10 +167,10 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
         && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"), 2).as("revenue"))
 
   val q6Sql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin

@@ -55,13 +55,16 @@ object Relational2 {
     Tables.orders(s, dir)
       .join(t, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy(col("tier"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      // exact decimal money sum (see Relational.moneySum)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(38,6)")), 2).cast("double").as("total"))
       .orderBy(col("tier"))
   }
 
   val q21Sql: String = {
     val values = tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
-    s"""SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    s"""SELECT tier, count(*) AS n,
+       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
        |FROM orders JOIN (VALUES $values) AS tiers(tier, lo, hi)
        |  ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY tier ORDER BY tier""".stripMargin
@@ -97,7 +100,7 @@ object Relational2 {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_extendedprice), 2) AS total, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total, count(*) AS n,
         |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -106,7 +109,7 @@ object Relational2 {
 
   val q23Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_extendedprice), 2) AS total, count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total, count(*) AS n,
       |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -201,22 +204,29 @@ object Relational2 {
   private val SaltBuckets = 16
 
   def q27SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    // Money sums as integer CENTS (round(x*100) -> long): double
+    // summation is association-dependent, and at sf0.1 (~600k rows,
+    // 11-digit totals) Spark's partition order vs DuckDB's diverges in
+    // the last decimal — two Spark runs could too. Long sums are exact
+    // and order-independent at ANY scale; divide back once at the end.
+    val cents = round(col("l_extendedprice") * 100).cast("long")
     val salted = Tables.lineitem(s, dir)
       .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
       .groupBy(col("l_returnflag"), col("salt"))
       .agg(sum(col("l_quantity")).as("part_qty"),
-        sum(col("l_extendedprice")).as("part_price"),
+        sum(cents).as("part_cents"),
         count(lit(1)).as("part_n"))
     salted.groupBy(col("l_returnflag"))
       .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
-        round(sum(col("part_price")), 1).as("sum_price"),
+        round(sum(col("part_cents")) / 100.0, 1).as("sum_price"),
         sum(col("part_n")).as("n"))
       .orderBy(col("l_returnflag"))
   }
 
   val q27Sql: String =
     """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 1) AS sum_price, count(*) AS n
+      |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 1) AS sum_price,
+      |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------
@@ -279,18 +289,53 @@ object Relational2 {
       .join(s.table("graft_buck.orders_b").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice")), 1).as("total"), count(lit(1)).as("n"))
+      // integer-cents sum: order-independent and cross-engine exact at
+      // any row count (see q27SaltedAgg)
+      .agg(round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 1).as("total"),
+        count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
 
   val q29Sql: String =
-    """SELECT o_orderpriority, round(sum(l_extendedprice), 1) AS total, count(*) AS n
+    """SELECT o_orderpriority,
+      |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 1) AS total,
+      |  count(*) AS n
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------
+  // q30: semi-structured extraction — typed JSON parsing of the
+  // `events.props` column with `from_json` (one parse per row yields
+  // every field; schema declared, so the extraction is codegen'd and
+  // null-safe on malformed input), feeding a standard partial-agg
+  // rollup. At 100 TB this is the canonical log-analytics shape: the
+  // JSON never shuffles, only the extracted typed columns do.
+  def q30JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        count(when(col("k") > 50, lit(1))).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  val q30Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+      |  count(*) FILTER (CAST(props->>'k' AS INT) > 50) AS n_high
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_json_extract" -> (q30JsonExtract _),
     "q20_full_outer" -> (q20FullOuter _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
@@ -303,6 +348,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_json_extract" -> q30Sql,
     "q20_full_outer" -> q20Sql,
     "q21_range_join" -> q21Sql,
     "q22_pivot" -> q22Sql,

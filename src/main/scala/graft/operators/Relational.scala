@@ -32,7 +32,7 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
-  /** Money aggregation: exact DECIMAL(38,6) sums, not double sums.
+  /** Money aggregation: exact DECIMAL(18,6) sums, not double sums.
     * Double summation is association-dependent — Spark's partition
     * order vs DuckDB's (or two Spark runs) diverge in the last
     * decimal once totals reach ~1e10 (measured: q27/q29 at sf0.1) —
@@ -41,7 +41,7 @@ object Relational {
     * both engines; rounded output is cast back to double for a stable
     * cross-engine schema. */
   private[operators] def moneySum(c: Column, dp: Int): Column =
-    round(sum(c.cast("decimal(38,6)")), dp).cast("double")
+    round(sum(c.cast("decimal(18,6)")), dp).cast("double")
 
   // ---------------------------------------------------------------
   // q1: TPC-H Q1 pricing summary — the canonical scan + partial agg.
@@ -66,9 +66,9 @@ object Relational {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -146,7 +146,7 @@ object Relational {
 
   val q5Sql: String =
     """SELECT n_name,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -170,7 +170,7 @@ object Relational {
       .agg(moneySum(col("l_extendedprice") * col("l_discount"), 2).as("revenue"))
 
   val q6Sql: String =
-    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin

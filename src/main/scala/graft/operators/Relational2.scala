@@ -57,14 +57,14 @@ object Relational2 {
       .groupBy(col("tier"))
       // exact decimal money sum (see Relational.moneySum)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(38,6)")), 2).cast("double").as("total"))
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))
       .orderBy(col("tier"))
   }
 
   val q21Sql: String = {
     val values = tiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
     s"""SELECT tier, count(*) AS n,
-       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
        |FROM orders JOIN (VALUES $values) AS tiers(tier, lo, hi)
        |  ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY tier ORDER BY tier""".stripMargin
@@ -100,7 +100,7 @@ object Relational2 {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total, count(*) AS n,
         |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -109,7 +109,7 @@ object Relational2 {
 
   val q23Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total, count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total, count(*) AS n,
       |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

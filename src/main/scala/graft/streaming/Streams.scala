@@ -189,15 +189,41 @@ object Streams {
     """SELECT DISTINCT md5(props) AS content_h
       |FROM events ORDER BY content_h""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Streaming SESSION windows — the stateful gap-merge aggregation
+  // (sessions extend/merge as events arrive; the state store holds
+  // open sessions per user, closed by the watermark). Complete mode
+  // on the bounded source re-emits all sessions each micro-batch, so
+  // the final table equals the batch session_window aggregation —
+  // the oracle is the identical lag+cumsum SQL used by the batch
+  // twin (`session_window` in Temporal), closing the loop
+  // batch ≡ stream for session semantics too.
+  def qStreamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "complete") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    }
+      .select(col("user_id"), col("session_start"), col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val qStreamSessionWindowSql: String = graft.operators.Temporal.qSessionWindowSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (qWindowAgg _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
-    "stream_dedup" -> (qStreamDedup _))
+    "stream_dedup" -> (qStreamDedup _),
+    "stream_session_window" -> (qStreamSessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> qWindowAggSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
-    "stream_dedup" -> qStreamDedupSql)
+    "stream_dedup" -> qStreamDedupSql,
+    "stream_session_window" -> qStreamSessionWindowSql)
 }

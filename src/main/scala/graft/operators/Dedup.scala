@@ -721,7 +721,44 @@ object Dedup {
        |SELECT node AS doc_id, min(root) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // FUZZY entity matching (record linkage): typo-tolerant near-dup
+  // detection on short strings via edit distance — the classic
+  // blocked-join shape. All-pairs levenshtein is quadratic, so
+  // candidates come from an equi-join on a BLOCKING key (brand here;
+  // in a name-matching pipeline: phonetic code / prefix / sorted
+  // tokens) plus a cheap length-band prune (|len(a)-len(b)| <= d is
+  // necessary for distance <= d) that runs before the O(n*m) distance
+  // in the same codegen'd stage. Blocks bound the quadratic term;
+  // at 100 TB the block key IS the shuffle key and each block
+  // computes independently. Both engines implement classic
+  // unit-cost Levenshtein, so values agree exactly.
+  private val FuzzyMaxDist = 2
+
+  def qFuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("p_brand"), col("key_a"), col("key_b"), col("dist"))
+      .orderBy(col("p_brand"), col("key_a"), col("key_b"))
+  }
+
+  val qFuzzyNamesSql: String =
+    s"""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       | AND abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDist
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY a.p_brand, key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
@@ -732,6 +769,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,

@@ -333,8 +333,49 @@ object Relational2 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q31: calendar densification (gap-fill) — hourly per-type activity
+  // with missing hours zero-filled: generate the full hour grid with
+  // sequence()+explode, cross the (tiny) grid with the (tiny) type
+  // dimension, left-join the aggregated facts back. The standard
+  // time-series resample shape: the fact table aggregates first
+  // (partial map-side), so the dense grid join touches only
+  // #hours × #types rows regardless of event volume.
+  def q31GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+    val grid = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    grid.crossJoin(types)
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("sv"), lit(0.0)), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q31Sql: String =
+    """WITH ev AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value FROM events),
+      |hourly AS (SELECT event_type, h, count(*) AS n_events, sum(value) AS sv
+      |  FROM ev GROUP BY event_type, h),
+      |grid AS (SELECT unnest(generate_series((SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+      |  INTERVAL 1 HOUR)) AS h),
+      |types AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT t.event_type,
+      |  strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  round(COALESCE(sv, 0.0), 2) AS sum_value
+      |FROM grid g CROSS JOIN types t
+      |LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h
+      |ORDER BY t.event_type, hour""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
     "q20_full_outer" -> (q20FullOuter _),
     "q21_range_join" -> (q21RangeJoin _),
@@ -348,6 +389,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,
     "q20_full_outer" -> q20Sql,
     "q21_range_join" -> q21Sql,

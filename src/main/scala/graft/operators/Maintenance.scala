@@ -144,11 +144,52 @@ object Maintenance {
        |WHERE c.op IS NULL OR c.op <> 'D'
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Snapshot RECONCILIATION — the data-ops diff that audits an apply:
+  // full-outer join two table snapshots on the key and classify every
+  // row as added / deleted / changed / unchanged, reporting counts
+  // per class. Here the "next" snapshot is the CDC merge result, so
+  // the diff independently re-derives the change batch's op counts
+  // from the physical tables — a change in either the merge or the
+  // diff logic breaks the cross-check. One co-partitioned join +
+  // fixed-width partial counts: the 100 TB shape of every
+  // reconciliation/backfill-audit job.
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price_a"))
+    val next = qMergeUpsert(s, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price_b"))
+    base.join(next, Seq("key"), "full_outer")
+      .select(
+        when(col("price_a").isNull, "added")
+          .when(col("price_b").isNull, "deleted")
+          .when(col("price_a") =!= col("price_b"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+
+  val qSnapshotDiffSql: String =
+    s"""WITH nxt AS (
+       |$qMergeUpsertSql
+       |),
+       |d AS (SELECT
+       |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+       |       WHEN n.o_orderkey IS NULL THEN 'deleted'
+       |       WHEN b.o_totalprice <> n.o_totalprice THEN 'changed'
+       |       ELSE 'unchanged' END AS change_type
+       |  FROM orders b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
+       |SELECT change_type, count(*) AS n FROM d
+       |GROUP BY change_type ORDER BY change_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact" -> (qCompact _),
-    "maint_merge_upsert" -> (qMergeUpsert _))
+    "maint_merge_upsert" -> (qMergeUpsert _),
+    "maint_snapshot_diff" -> (qSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "maint_compact" -> qCompactSql,
-    "maint_merge_upsert" -> qMergeUpsertSql)
+    "maint_merge_upsert" -> qMergeUpsertSql,
+    "maint_snapshot_diff" -> qSnapshotDiffSql)
 }

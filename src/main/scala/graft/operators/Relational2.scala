@@ -373,8 +373,34 @@ object Relational2 {
       |ORDER BY t.event_type, hour""".stripMargin
 
   // ---------------------------------------------------------------
+  // q32: exact grouped percentiles — `percentile()` (the exact
+  // sort-based aggregate, vs q25's sketch): p50/p90/p99 of value per
+  // event type. Spark's percentile and DuckDB's quantile_cont use the
+  // same linear interpolation at rank p·(n-1), so values agree; the
+  // exact form costs a per-group sort, which is the documented trade
+  // against percentile_approx at scale (q25) — both belong in the
+  // library.
+  def q32Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  val q32Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_percentiles" -> (q32Percentiles _),
     "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
     "q20_full_outer" -> (q20FullOuter _),
@@ -389,6 +415,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,
     "q20_full_outer" -> q20Sql,

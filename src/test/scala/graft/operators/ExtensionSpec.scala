@@ -271,6 +271,40 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill grid is dense and preserves event totals") {
+    val rows = Relational2.q31GapFill(spark, sfDir).collect()
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total, "zero-fill must not drop events")
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val nHours = byType.values.head.length
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == nHours, s"type $t grid not dense")
+    }
+  }
+
+  test("fuzzy name pairs share the block key and respect the distance bound") {
+    // sf0.001's blocks are too small to contain close pairs; use the
+    // next SF up so the assertion set is non-vacuous
+    val rows = Dedup.qFuzzyNames(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_a") < r.getAs[Long]("key_b"))
+      assert(r.getAs[Int]("dist") >= 0 && r.getAs[Int]("dist") <= 2)
+    }
+  }
+
+  test("snapshot diff classes re-derive the merge op counts") {
+    val diff = Maintenance.qSnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n")).toMap
+    val merged = Maintenance.qMergeUpsert(spark, sfDir).collect()
+    val ops = merged.groupBy(_.getAs[String]("op")).view.mapValues(_.length.toLong).toMap
+    assert(diff("added") == ops("I"), "added must equal insert ops")
+    assert(diff("changed") == ops("U"), "changed must equal update ops")
+    assert(diff("unchanged") == ops("K"), "unchanged must equal keep ops")
+    val base = graft.Tables.orders(spark, sfDir).count()
+    assert(diff("deleted") == base - ops("U") - ops("K"), "deleted must account for the rest")
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

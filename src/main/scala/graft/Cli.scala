@@ -117,12 +117,9 @@ object Cli {
     Files.write(tmp, text.getBytes(StandardCharsets.UTF_8))
     debugLog(s"Spooled ${raw.length} bytes of stdin to $tmp")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = GraftSession
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"), 32)
       .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Catalyst optimizer rule: put a cheap LENGTH-RATIO prune in front of
+  * expensive exact-Jaccard filters.
+  *
+  * For sorted-distinct sets, |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+  * max(|A|,|B|), so jaccard(A,B) ≤ min/max — a filter
+  * `jaccardSorted(a,b) >= t` can only pass rows where
+  * `size(a) >= t·size(b)` AND `size(b) >= t·size(a)`. The rule
+  * rewrites such filters to evaluate the two integer size compares
+  * first (codegen'd, O(1)) so the O(|A|+|B|) merge-intersection runs
+  * only on length-compatible pairs — the optimizer-rule form of the
+  * hand-written prefilters the dedup pipelines carry, applied
+  * automatically to ANY query using the expression.
+  *
+  * Semantics-preserving: the added conjunct is a necessary condition
+  * of the original one. A 1e-9 slack absorbs the double rounding of
+  * `t·size` so an exact-boundary pair (jac == t == min/max) is never
+  * pruned. The rule is a no-op on filters it has already rewritten
+  * (it looks for an existing Size() over the jaccard's arguments),
+  * so it is idempotent under the optimizer's fixpoint loop.
+  *
+  * Registered per session via [[SetExprs.register]]
+  * (experimental.extraOptimizations) or cluster-wide with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object JaccardLengthPrune extends Rule[LogicalPlan] {
+
+  private val Slack = Literal(1e-9, DoubleType)
+
+  private def sizeOf(e: Expression): Expression =
+    Cast(Size(e, legacySizeOfNull = false), DoubleType)
+
+  /** size(x) + slack >= t * size(y) */
+  private def ratioOk(x: Expression, t: Literal, y: Expression): Expression =
+    GreaterThanOrEqual(Add(sizeOf(x), Slack), Multiply(t, sizeOf(y)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val alreadyPruned = cond.exists {
+        case s: Size => true
+        case _ => false
+      }
+      if (alreadyPruned) f
+      else {
+        // transformUp, NOT transformDown: the replacement embeds the
+        // matched node as a child, which transformDown would descend
+        // into and match again, forever
+        val rewritten = cond.transformUp {
+          case ge @ GreaterThanOrEqual(j: JaccardSortedLong, t @ Literal(_: Double, DoubleType)) =>
+            And(And(ratioOk(j.left, t, j.right), ratioOk(j.right, t, j.left)), ge)
+        }
+        if (rewritten fastEquals cond) f else Filter(rewritten, child)
+      }
+  }
+}
+
+/** `spark.sql.extensions` entry point installing the graft optimizer
+  * rules into every session of the cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => JaccardLengthPrune)
+}
+
+object GraftExtensions {
+  /** Installs the rule into an already-running session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(JaccardLengthPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardLengthPrune
+}

@@ -107,13 +107,14 @@ object SetExprs {
   private val JaccardFn = "graft_jaccard_sorted_long"
   private val EqCountFn = "graft_eq_count_long"
 
-  /** Registers both expressions in the session's function registry
-    * (idempotent). */
+  /** Registers both expressions in the session's function registry and
+    * installs the [[JaccardLengthPrune]] optimizer rule (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaccardFn, exprs => JaccardSortedLong(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       EqCountFn, exprs => EqCountLong(exprs(0), exprs(1)), "built-in")
+    GraftExtensions.install(spark)
   }
 
   def jaccardSorted(a: Column, b: Column): Column = call_function(JaccardFn, a, b)

@@ -305,6 +305,26 @@ class ExtensionSpec extends SparkSpec {
     assert(diff("deleted") == base - ops("U") - ops("K"), "deleted must account for the rest")
   }
 
+  test("jaccard length-prune rule injects size compares, keeps exact-boundary pairs") {
+    graft.plans.SetExprs.register(spark)
+    // the arrays depend on a scanned column (doc_id * 0 keeps the
+    // values but defeats constant folding) so the filter survives to
+    // the optimizer and the injected prune is observable in the plan
+    def onScan(aN: Int, bN: Int) = graft.Tables.documents(spark, sfDir).limit(1)
+      .select(
+        sequence(lit(1L) + col("doc_id") * 0, lit(aN.toLong)).as("a"),
+        sequence(lit(1L) + col("doc_id") * 0, lit(bN.toLong)).as("b"))
+    // |A∩B|=3, |A|=3, |B|=10 -> jac = 3/10 = 0.3 exactly at threshold
+    // 0.3: the 1e-9 slack must keep the boundary pair
+    val q = onScan(3, 10).filter(expr("graft_jaccard_sorted_long(a, b) >= 0.3"))
+    assert(q.count() == 1, "exact-boundary pair must survive the prune")
+    assert(q.queryExecution.optimizedPlan.toString.contains("size("),
+      "optimizer must inject the length-ratio prune")
+    // a length-incompatible pair (1 vs 10 elements, ratio 0.1 < 0.3)
+    // is correctly rejected — by the prune, before the merge runs
+    assert(onScan(1, 10).filter(expr("graft_jaccard_sorted_long(a, b) >= 0.3")).count() == 0)
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

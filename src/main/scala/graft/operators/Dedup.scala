@@ -648,10 +648,24 @@ object Dedup {
 
   private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = synchronized {
     if (pairsFor == ((s, dir)) && pairsCache != null) return pairsCache
+    // a replaced entry's localCheckpoint blocks would otherwise be
+    // pinned by this static for the JVM lifetime (the ContextCleaner
+    // only frees them once the RDD is unreachable) — release the old
+    // checkpoint explicitly before memoizing the new one
+    if (pairsCache != null) freeLocalCheckpoint(pairsCache)
     pairsCache = qMinHashLsh(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint()
     pairsFor = (s, dir)
     pairsCache
   }
+
+  /** Unpersists the block-backed RDD behind a localCheckpoint'ed
+    * frame ([[org.apache.spark.sql.execution.LogicalRDD]] holds it;
+    * `df.unpersist()` is a no-op there — the frame is not in the
+    * catalog cache). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Connected components over a symmetric (src, dst) edge list via
     * min-label propagation + pointer jumping. Returns (labels for

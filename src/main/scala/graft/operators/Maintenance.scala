@@ -88,9 +88,21 @@ object Maintenance {
   // as a scalar subquery), so the query stays SF-independent. The
   // driver-side agg here is a one-row metadata lookup, same class as
   // qCompact's file listing.
-  private def insertKeyOffset(s: SparkSession, dir: String): Long = {
-    val maxKey = Tables.orders(s, dir).agg(max(col("o_orderkey"))).first().getLong(0)
-    math.pow(10, maxKey.toString.length).toLong
+  // Memoized per (session, dir) — qSnapshotDiff re-invokes
+  // qMergeUpsert, which would otherwise re-run this full-scan max()
+  // driver action on every call (same pay-once pattern as
+  // Relational2.ensureBucketTables).
+  @volatile private var offsetFor: (SparkSession, String) = null
+  private var offsetCache: Long = 0L
+
+  private def insertKeyOffset(s: SparkSession, dir: String): Long = synchronized {
+    if (offsetFor == ((s, dir))) return offsetCache
+    val row = Tables.orders(s, dir).agg(max(col("o_orderkey"))).first()
+    require(!row.isNullAt(0),
+      s"orders at $dir is empty: cannot derive the merge insert-key offset")
+    offsetCache = math.pow(10, row.getLong(0).toString.length).toLong
+    offsetFor = (s, dir)
+    offsetCache
   }
 
   def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {

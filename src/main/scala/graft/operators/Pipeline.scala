@@ -97,20 +97,27 @@ object Pipeline {
   // ids it lands in (a doc can straddle a boundary).
   //
   // Scale shape: a single global concatenation order would serialize
-  // into one partition, so packing is SHARDED — docs hash to ShardCount
-  // independent streams (at 100 TB: one shard per output file), and
-  // the running-offset window partitions by shard: ShardCount parallel
-  // cumsums, one shuffle. All integer arithmetic (token counts,
-  // offsets, floor-div) — bit-exact across engines by construction.
+  // into one partition, so packing is SHARDED — docs hash to
+  // `shardCount` independent streams, and the running-offset window
+  // partitions by shard: shardCount parallel cumsums, one shuffle.
+  // All integer arithmetic (token counts, offsets, floor-div) —
+  // bit-exact across engines by construction.
+  //
+  // Choosing shardCount: it caps the cumsum parallelism AND fixes the
+  // number of independent packed streams, so at scale set it to the
+  // intended output-file count (e.g. ~one shard per final training
+  // shard file; thousands at 100 TB). The default 8 matches the gated
+  // oracle, which templates the same value into its SQL.
   private val SeqBudget = 2048L
-  private val ShardCount = 8
+  val DefaultShardCount = 8
 
-  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+  def qPackSequences(s: SparkSession, dir: String,
+                     shardCount: Int = DefaultShardCount): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
-      .select(col("doc_id"), (col("doc_id") % ShardCount).as("shard"),
+      .select(col("doc_id"), (col("doc_id") % shardCount).as("shard"),
         size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
@@ -119,13 +126,17 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  // DuckDB widens window sum(BIGINT) to HUGEINT, which the driver's
+  // pandas layer coerces to float64 ("123.0" vs Spark's "123" under
+  // the hasher) — the outer CAST back to BIGINT keeps the offset an
+  // int64 on both engines (same pattern as qStratifiedSql's sum(keep)).
   val qPackSequencesSql: String =
-    s"""WITH t AS (SELECT doc_id, doc_id % $ShardCount AS shard,
+    s"""WITH t AS (SELECT doc_id, doc_id % $DefaultShardCount AS shard,
        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |o AS (SELECT doc_id, shard, n_tokens,
-       |  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+       |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
        |  FROM t)
        |SELECT doc_id, shard, n_tokens, "offset",
        |  CAST(floor("offset" / $SeqBudget) AS BIGINT) AS seq_first,
@@ -135,7 +146,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
     "pii_pseudonymize" -> (qPseudonymize _),
-    "pack_sequences" -> (qPackSequences _))
+    "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> qStratifiedSql,

@@ -13,11 +13,24 @@ final case class CustomerRow(
     c_custkey: Long, c_name: String, c_mktsegment: String)
 
 /** Typed `Dataset[T]` surface — compile-time field checks where the
-  * row shape is static: typed filter, `joinWith` (a typed join whose
-  * result is a Dataset of pairs), and `groupByKey.count`. The plan
-  * Catalyst sees is the same relational plan as the DataFrame form
-  * (encoders erase to expressions), so nothing is lost to the
-  * optimizer — demonstrated by the hash-matching SQL oracle.
+  * row shape is static: column-predicate filter on a typed Dataset,
+  * `joinWith` (a typed join whose result is a Dataset of pairs), and
+  * `groupByKey.count`.
+  *
+  * Filter shape matters: `ds.filter(_.o_totalprice > x)` is a
+  * `TypedFilter` — every row deserializes to an `OrderRow` and the
+  * predicate is an opaque closure Catalyst can never push into the
+  * parquet scan (no PushedFilters — a full 100 TB fact-table read).
+  * `ds.filter(col("o_totalprice") > x)` keeps the Dataset typed AND
+  * stays a Catalyst predicate, so it reaches the reader
+  * (plan-asserted in ExtensionSpec).
+  *
+  * `groupByKey` on the pair Dataset IS a deserializing operator (each
+  * (OrderRow, CustomerRow) pair materializes so the key closure can
+  * run) — that is the point of this demo, and its cost: at scale the
+  * same query as a relational `groupBy(col(...))` avoids the
+  * object round-trip entirely. It is the only deserializing operator
+  * in the query inventory (optimizedPlan-swept in ExtensionSpec).
   */
 object Typed {
 
@@ -29,7 +42,9 @@ object Typed {
     val customers = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .as[CustomerRow]
-    val bigOrders = orders.filter(_.o_totalprice > 400000.0)
+    // Column predicate, not a Scala closure: still Dataset[OrderRow],
+    // but the filter participates in pushdown (see class Scaladoc).
+    val bigOrders = orders.filter(col("o_totalprice") > 400000.0)
     val joined = bigOrders.joinWith(customers,
       bigOrders("o_custkey") === customers("c_custkey"))
     joined

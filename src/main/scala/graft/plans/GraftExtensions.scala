@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.DoubleType
   * Semantics-preserving: the added conjunct is a necessary condition
   * of the original one. A 1e-9 slack absorbs the double rounding of
   * `t·size` so an exact-boundary pair (jac == t == min/max) is never
-  * pruned. The rule is a no-op on filters it has already rewritten
-  * (it looks for an existing Size() over the jaccard's arguments),
-  * so it is idempotent under the optimizer's fixpoint loop.
+  * pruned. The rule is a no-op on compares it has already rewritten —
+  * it matches the injected shape itself (an And pairing the compare
+  * with size() of the compare's own arguments), so it is idempotent
+  * under the optimizer's fixpoint loop while unrelated user size()
+  * conjuncts don't suppress the prune.
   *
   * Registered per session via [[SetExprs.register]]
   * (experimental.extraOptimizations) or cluster-wide with
@@ -44,21 +46,32 @@ object JaccardLengthPrune extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val alreadyPruned = cond.exists {
-        case s: Size => true
-        case _ => false
-      }
-      if (alreadyPruned) f
-      else {
-        // transformUp, NOT transformDown: the replacement embeds the
-        // matched node as a child, which transformDown would descend
-        // into and match again, forever
-        val rewritten = cond.transformUp {
-          case ge @ GreaterThanOrEqual(j: JaccardSortedLong, t @ Literal(_: Double, DoubleType)) =>
-            And(And(ratioOk(j.left, t, j.right), ratioOk(j.right, t, j.left)), ge)
+      // Idempotency guard, matched against the exact injected shape: a
+      // jaccard compare is skipped only when it already sits as the
+      // right leg of an And whose left leg size-compares the jaccard's
+      // OWN arguments (what the rewrite below builds). An unrelated
+      // user `size(...)` conjunct elsewhere in the filter — e.g.
+      // `size(a) > 5 AND jaccard(a,b) >= t` — must not suppress the
+      // prune.
+      def alreadyPruned(ge: GreaterThanOrEqual, j: JaccardSortedLong): Boolean =
+        cond.exists {
+          case And(pre, inner) if inner fastEquals ge =>
+            pre.exists {
+              case s: Size =>
+                s.child.semanticEquals(j.left) || s.child.semanticEquals(j.right)
+              case _ => false
+            }
+          case _ => false
         }
-        if (rewritten fastEquals cond) f else Filter(rewritten, child)
+      // transformUp, NOT transformDown: the replacement embeds the
+      // matched node as a child, which transformDown would descend
+      // into and match again, forever
+      val rewritten = cond.transformUp {
+        case ge @ GreaterThanOrEqual(j: JaccardSortedLong, t @ Literal(_: Double, DoubleType))
+            if !alreadyPruned(ge, j) =>
+          And(And(ratioOk(j.left, t, j.right), ratioOk(j.right, t, j.left)), ge)
       }
+      if (rewritten fastEquals cond) f else Filter(rewritten, child)
   }
 }
 

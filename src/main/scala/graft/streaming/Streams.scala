@@ -190,6 +190,31 @@ object Streams {
       |FROM events ORDER BY content_h""".stripMargin
 
   // ---------------------------------------------------------------
+  // Bounded-state streaming dedup — dropDuplicatesWithinWatermark,
+  // the scale alternative the qStreamDedup Scaladoc names: state for
+  // a key is evicted once the watermark passes its event time + delay,
+  // so the store holds only the dedup HORIZON, not all history. The
+  // result equals batch DISTINCT exactly when every duplicate arrives
+  // within the delay of its first occurrence — here the delay (31
+  // days) covers the measured max duplicate gap in `events` (~30
+  // days, the full table span), so the gate is a true equality; in
+  // production the delay is the known duplicate-arrival bound (e.g.
+  // an ingest retry window), which is what makes this the 100 TB
+  // shape. Only the key column is emitted (first arrival per key), so
+  // the result is the deterministic distinct key set.
+  def qStreamDedupWatermarked(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append") { stream =>
+      stream
+        .select(col("ts"), md5(col("props")).as("content_h"))
+        .withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark("content_h")
+        .select(col("content_h"))
+    }
+      .orderBy(col("content_h"))
+
+  val qStreamDedupWatermarkedSql: String = qStreamDedupSql
+
+  // ---------------------------------------------------------------
   // Streaming SESSION windows — the stateful gap-merge aggregation
   // (sessions extend/merge as events arrive; the state store holds
   // open sessions per user, closed by the watermark). Complete mode
@@ -218,6 +243,7 @@ object Streams {
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
+    "stream_dedup_watermarked" -> (qStreamDedupWatermarked _),
     "stream_session_window" -> (qStreamSessionWindow _))
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +251,6 @@ object Streams {
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,
+    "stream_dedup_watermarked" -> qStreamDedupWatermarkedSql,
     "stream_session_window" -> qStreamSessionWindowSql)
 }

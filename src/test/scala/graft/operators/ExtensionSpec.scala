@@ -325,6 +325,29 @@ class ExtensionSpec extends SparkSpec {
     assert(onScan(1, 10).filter(expr("graft_jaccard_sorted_long(a, b) >= 0.3")).count() == 0)
   }
 
+  test("typed join pushes the o_totalprice predicate into the parquet scan") {
+    val df = Typed.qTypedJoin(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice"),
+      "column-predicate filter must reach the parquet reader's PushedFilters")
+  }
+
+  test("no query plans a closure TypedFilter (deserializing scan filter)") {
+    // groupByKey's AppendColumns/MapGroups in q28 is the one intended
+    // deserializing operator (see Typed Scaladoc); a TypedFilter is
+    // never intended — it blocks pushdown on what may be a fact scan.
+    // Streaming queries are skipped: constructing their DataFrame runs
+    // the bounded stream (covered by the execute-all test above), and
+    // their result is a memory-sink scan with no filter to mis-plan.
+    graft.SparkEntry.queries
+      .filterNot { case (name, _) => name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+        assert(!plan.contains("TypedFilter"), s"$name plans a TypedFilter")
+      }
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

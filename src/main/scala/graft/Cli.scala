@@ -42,6 +42,40 @@ object Cli {
 
   final case class Args(inputType: String, outputType: String, csvDelimiter: Option[String])
 
+  /** Raised when an option short-circuits the run (help/version):
+    * `text` goes to STDOUT (commander prints both there) and the
+    * process exits with `code` (0). */
+  final case class CliInfo(text: String, code: Int) extends RuntimeException(text)
+
+  /** Commander-13 `--help` output for the reference's program
+    * definition (`/root/reference/src/index.ts:105-121`: version
+    * 1.0.0, description, two documented arguments, the -d option,
+    * plus commander's implicit -V/-h rows), laid out with commander's
+    * formatHelp geometry: 2-space item indent, terms padded to the
+    * longest term (26 cols here) + 2 separator spaces, descriptions
+    * wrapped at helpWidth 80 with a hanging indent to column 30. The
+    * program name slot shows this binary's name (commander derives it
+    * from the invoked script, so the reference's is install-dependent;
+    * it has no `bin` entry to pin one). */
+  val helpText: String =
+    """Usage: graft [options] <inputType> <outputType>
+      |
+      |A command line utility to transform CSV or PRN data from stdin to JSON or HTML
+      |on stdout.
+      |
+      |Arguments:
+      |  inputType                   Input data format (csv or prn)
+      |  outputType                  Output data format (json or html)
+      |
+      |Options:
+      |  -V, --version               output the version number
+      |  -d, --csv-delimiter <char>  Delimiter character for CSV input (e.g., ";",
+      |                              "\t"). Default is ",".
+      |  -h, --help                  display help for command
+      |""".stripMargin
+
+  val versionText: String = "1.0.0"
+
   /** Parses `<inputType> <outputType> [-d|--csv-delimiter <char>]`.
     *
     * Error phrasing and check ORDER mirror commander 13 (the
@@ -62,6 +96,12 @@ object Cli {
           if (i + 1 >= argv.length)
             throw new IllegalArgumentException("option '-d, --csv-delimiter <char>' argument missing")
           delimiter = Some(argv(i + 1)); i += 2
+        // help/version act WHERE ENCOUNTERED in the left-to-right
+        // option scan, before any argument-count check — commander's
+        // order: `--help` with no arguments shows help (exit 0), but
+        // an unknown option EARLIER in argv still errors first
+        case "-h" | "--help" => throw CliInfo(helpText, 0)
+        case "-V" | "--version" => throw CliInfo(versionText + "\n", 0)
         case flag if flag.startsWith("-") && flag.length > 1 =>
           throw new IllegalArgumentException(s"unknown option '$flag'")
         case p => positional :+= p; i += 1
@@ -101,6 +141,10 @@ object Cli {
     val args =
       try parseArgs(argv.toIndexedSeq)
       catch {
+        case CliInfo(text, code) =>
+          System.out.print(text)
+          System.out.flush()
+          sys.exit(code)
         case e: IllegalArgumentException =>
           System.err.println(s"error: ${e.getMessage}")
           sys.exit(1)

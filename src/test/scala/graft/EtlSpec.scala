@@ -221,6 +221,22 @@ class EtlSpec extends SparkSpec {
     assert(msg("csv", "json", "-d") == "option '-d, --csv-delimiter <char>' argument missing")
   }
 
+  test("CLI: --help/--version short-circuit to stdout with commander-13 shapes") {
+    val h = intercept[Cli.CliInfo](Cli.parseArgs(Seq("--help")))
+    assert(h.code == 0)
+    assert(h.text.startsWith("Usage: graft [options] <inputType> <outputType>\n"))
+    assert(h.text.contains(
+      "  -d, --csv-delimiter <char>  Delimiter character for CSV input (e.g., \";\",\n" +
+        "                              \"\\t\"). Default is \",\".\n"))
+    assert(h.text.contains("  -h, --help                  display help for command\n"))
+    // help acts before argument checks: bad/missing args still get help
+    assert(intercept[Cli.CliInfo](Cli.parseArgs(Seq("xml", "-h"))).code == 0)
+    assert(intercept[Cli.CliInfo](Cli.parseArgs(Seq("-V"))).text == "1.0.0\n")
+    // but an unknown option earlier in the scan errors first
+    assert(intercept[IllegalArgumentException](
+      Cli.parseArgs(Seq("--bogus", "--help"))).getMessage == "unknown option '--bogus'")
+  }
+
   test("CLI: multi-char CSV delimiters parse like the reference's csv-parse") {
     // the reference accepts any delimiter string
     // (/root/reference/src/parsers/csvParser.ts:47); Spark 4's CSV

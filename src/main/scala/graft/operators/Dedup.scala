@@ -736,6 +736,52 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Canonical-doc selection — the step that CONSUMES the near-dup
+  // clusters: per cluster keep one representative (longest text,
+  // tiebreak smallest doc_id) and report how many members it stands
+  // for. This is the "dedup actually removes data" operator: a corpus
+  // pipeline runs clusters → canonical → anti-join to drop the rest.
+  //
+  // The argmax is max(struct(n_chars, -doc_id)) — a PARTIAL (map-side
+  // combinable) aggregate over fixed-width ints, not a window: no
+  // per-cluster sort, and only one candidate struct per cluster per
+  // partition reaches the shuffle. At 100 TB the labels frame is a
+  // (doc_id, cluster_id) long table, the metadata join is a
+  // co-partitioned equi-join on doc_id, and no text moves at all.
+  def qCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = qClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("c"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(
+        col("cluster_id"),
+        (-col("best.negid")).as("kept_doc"),
+        col("best.c").as("kept_chars"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val qCanonicalSql: String =
+    s"""WITH labels AS (
+       |$qClustersSql
+       |),
+       |j AS (
+       |  SELECT l.cluster_id, d.doc_id, d.n_chars
+       |  FROM labels l JOIN documents d USING (doc_id)
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars, n_members
+       |FROM (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM j)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // FUZZY entity matching (record linkage): typo-tolerant near-dup
   // detection on short strings via edit distance — the classic
   // blocked-join shape. All-pairs levenshtein is quadratic, so
@@ -784,6 +830,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
+    "dedup_canonical" -> (qCanonical _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -795,6 +842,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
+    "dedup_canonical" -> qCanonicalSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

@@ -132,6 +132,27 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("canonical selection keeps one member per cluster, longest text wins") {
+    val labels = Dedup.qClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val chars = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.qCanonical(spark, sfDir).collect()
+    // exactly one row per cluster, members fully accounted for
+    assert(kept.map(_.getAs[Long]("cluster_id")).distinct.length == kept.length)
+    assert(kept.map(_.getAs[Long]("n_members")).sum == labels.size)
+    kept.foreach { r =>
+      val (cid, doc) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("kept_doc"))
+      assert(labels(doc) == cid, s"kept doc $doc not in cluster $cid")
+      val members = labels.collect { case (d, c) if c == cid => d }
+      val best = members.maxBy(d => (chars(d), -d))
+      assert(doc == best, s"cluster $cid kept $doc, expected $best")
+      assert(r.getAs[Long]("kept_chars") == chars(doc))
+      assert(r.getAs[Long]("n_members") == members.size)
+    }
+  }
+
   test("multimodal header round-trips magic and dimensions") {
     val rows = Multimodal.qDecodeHeader(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -48,19 +48,23 @@ object JaccardLengthPrune extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       // Idempotency guard, matched against the exact injected shape: a
       // jaccard compare is skipped only when it already sits as the
-      // right leg of an And whose left leg size-compares the jaccard's
-      // OWN arguments (what the rewrite below builds). An unrelated
-      // user `size(...)` conjunct elsewhere in the filter — e.g.
-      // `size(a) > 5 AND jaccard(a,b) >= t` — must not suppress the
-      // prune.
+      // right leg of an And whose left leg is the pair of ratio
+      // conjuncts built below — `size(x)+slack >= t·size(y)` over the
+      // jaccard's OWN arguments. A user `size(...)` conjunct — even
+      // `size(a) > 5 AND jaccard(a,b) >= t`, which also puts a Size
+      // beside the compare — must not suppress the prune.
+      def isInjectedRatio(e: Expression, j: JaccardSortedLong): Boolean = e match {
+        case GreaterThanOrEqual(
+            Add(Cast(sa: Size, DoubleType, _, _), _, _),
+            Multiply(_, Cast(sb: Size, DoubleType, _, _), _)) =>
+          Seq(sa, sb).forall(s =>
+            s.child.semanticEquals(j.left) || s.child.semanticEquals(j.right))
+        case _ => false
+      }
       def alreadyPruned(ge: GreaterThanOrEqual, j: JaccardSortedLong): Boolean =
         cond.exists {
-          case And(pre, inner) if inner fastEquals ge =>
-            pre.exists {
-              case s: Size =>
-                s.child.semanticEquals(j.left) || s.child.semanticEquals(j.right)
-              case _ => false
-            }
+          case And(And(r1, r2), inner) if inner fastEquals ge =>
+            isInjectedRatio(r1, j) && isInjectedRatio(r2, j)
           case _ => false
         }
       // transformUp, NOT transformDown: the replacement embeds the

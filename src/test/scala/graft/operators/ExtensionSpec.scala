@@ -369,6 +369,26 @@ class ExtensionSpec extends SparkSpec {
       }
   }
 
+  test("jaccard prune injects beside an unrelated user size() conjunct") {
+    graft.plans.SetExprs.register(spark)
+    // regression (r4 advice): the idempotency guard used to skip any
+    // filter containing ANY Size expression, so a user's own size()
+    // conjunct silently disabled the prune; the guard now matches only
+    // the injected shape
+    val q = graft.Tables.documents(spark, sfDir).limit(1)
+      .select(
+        sequence(lit(1L) + col("doc_id") * 0, lit(3L)).as("a"),
+        sequence(lit(1L) + col("doc_id") * 0, lit(10L)).as("b"))
+      .filter(expr("size(a) > 2 AND graft_jaccard_sorted_long(a, b) >= 0.3"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // the injected prune compares size(b) (scaled by the threshold);
+    // the user conjunct alone never mentions b, so its presence in the
+    // optimized filter proves the rewrite fired
+    assert(optimized.contains("size(b"),
+      s"prune must still inject with a user size() conjunct present:\n$optimized")
+    assert(q.count() == 1, "boundary pair must survive both conjuncts")
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

@@ -143,13 +143,64 @@ object Pipeline {
        |  CAST(floor(("offset" + n_tokens - 1) / $SeqBudget) AS BIGINT) AS seq_last
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // END-TO-END corpus pipeline — the integration the individual
+  // operators exist for, composed as one declarative plan:
+  //   quality filter  (rubric >= 0.75, drops low-score docs)
+  //   repetition filter (Gopher-style dup-2gram / top-word bounds)
+  //   near-dup dedup   (keep each cluster's canonical doc)
+  //   sequence packing (per-shard token totals and sequence counts)
+  // Survivor sets intersect via inner joins on the unique doc_id —
+  // all three filter legs and the token projection co-partition on
+  // doc_id, so Catalyst plans one exchange per leg and the final
+  // summary is a partial aggregate over 8 shard keys. At 100 TB the
+  // same plan holds: filters are map-only, the canonical leg reads
+  // the materialized cluster table, and no text ever shuffles.
+  private val MinQuality = 0.75
+
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val qual = Text.qQuality(s, dir)
+      .filter(col("quality_score") >= MinQuality).select("doc_id")
+    val rep = Text.qRepetition(s, dir)
+      .filter(col("keep")).select("doc_id")
+    val keep = Dedup.qCanonical(s, dir)
+      .select(col("kept_doc").as("doc_id"))
+    val surv = qual.join(rep, "doc_id").join(keep, "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % DefaultShardCount).as("shard"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .join(surv, "doc_id")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        floor((sum(col("n_tokens")) + SeqBudget - 1) / SeqBudget).cast("long").as("n_seqs"))
+      .orderBy(col("shard"))
+  }
+
+  val qPipelineE2eSql: String =
+    s"""WITH qual AS (SELECT doc_id FROM (${Text.qQualitySql}) WHERE quality_score >= $MinQuality),
+       |rep AS (SELECT doc_id FROM (${Text.qRepetitionSql}) WHERE keep),
+       |keepd AS (SELECT kept_doc AS doc_id FROM (${Dedup.qCanonicalSql})),
+       |surv AS (SELECT doc_id FROM qual
+       |  INTERSECT SELECT doc_id FROM rep
+       |  INTERSECT SELECT doc_id FROM keepd),
+       |toks AS (SELECT s.doc_id, s.doc_id % $DefaultShardCount AS shard,
+       |  CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM surv s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(floor((sum(n_tokens) + ${SeqBudget - 1}) / $SeqBudget) AS BIGINT) AS n_seqs
+       |FROM toks GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
     "pii_pseudonymize" -> (qPseudonymize _),
-    "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)))
+    "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)),
+    "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> qStratifiedSql,
     "pii_pseudonymize" -> qPseudonymizeSql,
-    "pack_sequences" -> qPackSequencesSql)
+    "pack_sequences" -> qPackSequencesSql,
+    "pipeline_e2e" -> qPipelineE2eSql)
 }

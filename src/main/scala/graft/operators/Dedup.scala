@@ -704,7 +704,17 @@ object Dedup {
     (labels, rounds)
   }
 
-  def qClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Resolved (doc_id, cluster_id) labels, memoized per (session, dir)
+    * like [[lshPairs]]: three queries consume them (qClusters,
+    * qCanonical, Pipeline.qPipelineE2e) and the O(log d) propagation
+    * rounds are the expensive part. At 100 TB this IS "the cluster
+    * table is materialized once per corpus snapshot". */
+  @volatile private var labelsFor: (SparkSession, String) = null
+  private var labelsCache: DataFrame = null
+
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (labelsFor == ((s, dir)) && labelsCache != null) return labelsCache
+    if (labelsCache != null) freeLocalCheckpoint(labelsCache)
     val pairs = lshPairs(s, dir)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -712,11 +722,16 @@ object Dedup {
     val (labels, _) = resolveComponents(edges)
     // union singletons back: docs with no near-dup edge are their own
     // cluster — they never enter the iteration
-    Tables.documents(s, dir).select(col("doc_id"))
+    labelsCache = Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    labelsFor = (s, dir)
+    labelsCache
   }
+
+  def qClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir).orderBy(col("doc_id"))
 
   val qClustersSql: String =
     s"""WITH edges AS (
@@ -749,7 +764,7 @@ object Dedup {
   // (doc_id, cluster_id) long table, the metadata join is a
   // co-partitioned equi-join on doc_id, and no text moves at all.
   def qCanonical(s: SparkSession, dir: String): DataFrame = {
-    val labels = qClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val labels = clusterLabels(s, dir)
     Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       .join(labels, Seq("doc_id"))
       .groupBy(col("cluster_id"))

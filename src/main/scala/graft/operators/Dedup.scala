@@ -134,6 +134,16 @@ object Dedup {
       }(Encoders.row(schema))
   }
 
+  /** Fixed-width (band_id, h1, h2) struct keys over a `sig` column,
+    * for the same measured reasons documented in [[qNgramJaccard]];
+    * the candidate set is identical to the string-key form the oracle
+    * builds, so the oracle is unaffected. */
+  private def bandKeyStructs: Column = array((0 until NumBands).map { b =>
+    struct(lit(b).as("band_id"),
+      element_at(col("sig"), b * BandSize + 1).as("h1"),
+      element_at(col("sig"), b * BandSize + 2).as("h2"))
+  }: _*)
+
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     // Eager localCheckpoint, not persist: materializes the signature
     // pass once for all downstream consumers (both band sides + the
@@ -143,16 +153,7 @@ object Dedup {
     // (checkpointed RDDs are released by the ContextCleaner when the
     // returned frame is garbage-collected).
     val base = wordSignatures(s, dir).localCheckpoint()
-    // Fixed-width (band_id, h1, h2) struct keys, for the same measured
-    // reasons documented in [[qNgramJaccard]]; the candidate set is
-    // identical to the string-key form the oracle builds, so the
-    // oracle is unaffected.
-    val bandStructs = array((0 until NumBands).map { b =>
-      struct(lit(b).as("band_id"),
-        element_at(col("sig"), b * BandSize + 1).as("h1"),
-        element_at(col("sig"), b * BandSize + 2).as("h2"))
-    }: _*)
-    val bands = base.select(col("doc_id"), explode(bandStructs).as("bk"))
+    val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
     val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
       .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -197,6 +198,103 @@ object Dedup {
        |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // INCREMENTAL dedup — the steady-state shape of a production
+  // ingestion pipeline: a (small) new batch of documents is checked
+  // against the (huge) already-ingested corpus, exact-hash AND
+  // near-dup, without ever re-pairing the corpus against itself.
+  // Batch membership stands in as doc_id % IncrBatchMod ==
+  // IncrBatchRem (~10% of docs); at 100 TB the batch is a day's crawl
+  // against years of corpus.
+  //
+  // Scale shape — every join broadcasts the BATCH side and streams
+  // the corpus exactly once per artifact:
+  //  - exact: corpus md5 digests stream through a broadcast hash join
+  //    against the batch digest set (16-byte keys, no text);
+  //  - near: corpus band keys stream against broadcast batch bands —
+  //    the corpus is never self-joined, so candidate count is bounded
+  //    by batch fan-out, not corpus²;
+  //  - verify: the candidate list (batch-bounded, fixed-width longs)
+  //    broadcasts against the corpus shingle-set table, which streams;
+  //    batch shingle sets broadcast onto the surviving candidates.
+  // At scale the signature/band/digest artifacts for the corpus are
+  // the incrementally-maintained tables this query's localCheckpoint
+  // stands in for — the batch recomputes its own, the corpus never
+  // recomputes anything.
+  private val IncrBatchMod = 10
+  private val IncrBatchRem = 7
+
+  def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isBatch = col("doc_id") % IncrBatchMod === IncrBatchRem
+    // localCheckpoint: one signature pass feeds bands + both set
+    // attaches (library cache contract, see [[qMinHashLsh]])
+    val base = wordSignatures(s, dir).localCheckpoint()
+
+    val dig = Tables.documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = dig.filter(!isBatch)
+      .join(broadcast(dig.filter(isBatch).select(col("doc_id").as("batch_doc"), col("h"))), "h")
+      .groupBy(col("batch_doc")).agg(count(lit(1)).as("n_exact"))
+
+    val bBands = base.filter(isBatch)
+      .select(col("doc_id").as("batch_doc"), explode(bandKeyStructs).as("bk"))
+    val cBands = base.filter(!isBatch)
+      .select(col("doc_id").as("corpus_doc"), explode(bandKeyStructs).as("bk"))
+    val cand = cBands.join(broadcast(bBands), "bk")
+      .select(col("batch_doc"), col("corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
+      size(array_union(col("sset_a"), col("sset_b")))
+    val near = base.filter(!isBatch).select(col("doc_id").as("corpus_doc"), col("sset").as("sset_b"))
+      .join(broadcast(cand), "corpus_doc")
+      .join(broadcast(base.filter(isBatch)
+        .select(col("doc_id").as("batch_doc"), col("sset").as("sset_a"))), "batch_doc")
+      .select(col("batch_doc"), jac.as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .groupBy(col("batch_doc")).agg(max(col("jac")).as("best"))
+
+    Tables.documents(s, dir).filter(isBatch).select(col("doc_id"))
+      .join(exact.withColumnRenamed("batch_doc", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("batch_doc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_exact") > 0, 1).otherwise(0).as("exact_dup"),
+        when(col("best").isNotNull, 1).otherwise(0).as("near_dup"),
+        coalesce(round(col("best"), 4), lit(0.0)).as("best_jac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qIncrementalSql: String =
+    s"""WITH $shinglesSqlCte,
+       |hv AS (SELECT doc_id,
+       |  list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv,
+       |  list_distinct(shingles) AS sset
+       |  FROM sh),
+       |mh AS (SELECT doc_id, sset,
+       |  list_transform(range($NumHashes),
+       |    k -> list_aggregate(list_transform(hv, h -> ((1 + k * 2) * h + (17 + k)) % $MersenneP), 'min')) AS sig
+       |  FROM hv),
+       |dig AS (SELECT doc_id, md5(text) AS h,
+       |  doc_id % $IncrBatchMod = $IncrBatchRem AS is_batch FROM documents),
+       |exact AS (SELECT b.doc_id,
+       |  CASE WHEN count(c.doc_id) > 0 THEN 1 ELSE 0 END AS exact_dup
+       |  FROM dig b LEFT JOIN dig c ON b.h = c.h AND NOT c.is_batch
+       |  WHERE b.is_batch GROUP BY b.doc_id),
+       |bands AS (SELECT doc_id,
+       |  CAST(b AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 1] AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 2] AS VARCHAR) AS band_key
+       |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+       |  FROM bands b JOIN bands c ON b.band_key = c.band_key
+       |  WHERE b.doc_id % $IncrBatchMod = $IncrBatchRem
+       |    AND c.doc_id % $IncrBatchMod <> $IncrBatchRem),
+       |j AS (SELECT batch_doc,
+       |  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(list_distinct(sa.sset || sb.sset)) AS jac
+       |  FROM cand JOIN mh sa ON cand.batch_doc = sa.doc_id JOIN mh sb ON cand.corpus_doc = sb.doc_id),
+       |near AS (SELECT batch_doc, max(jac) AS best FROM j WHERE jac >= $JaccardThreshold GROUP BY batch_doc)
+       |SELECT e.doc_id, e.exact_dup,
+       |  CASE WHEN n.best IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  COALESCE(round(n.best, 4), 0.0) AS best_jac
+       |FROM exact e LEFT JOIN near n ON e.doc_id = n.batch_doc
+       |ORDER BY e.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // SimHash: 32-bit signature from per-word md5 nibble-parity votes
@@ -849,6 +947,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
+    "dedup_incremental" -> (qIncremental _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_simhash_pairs" -> (qSimHashPairs _),
     "dedup_embed_cosine" -> (qEmbedCosine _),
@@ -861,6 +960,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,
+    "dedup_incremental" -> qIncrementalSql,
     "dedup_simhash" -> qSimHashSql,
     "dedup_simhash_pairs" -> qSimHashPairsSql,
     "dedup_embed_cosine" -> qEmbedCosineSql,

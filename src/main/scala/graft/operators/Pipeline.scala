@@ -90,6 +90,49 @@ object Pipeline {
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // Language-BALANCED sampling over `documents`: cap each language at
+  // `BalancedCap` docs, selected by md5(doc_id) order — the standard
+  // re-balancing step before multilingual training (a raw crawl is
+  // dominated by one language; the trainer wants a per-language
+  // quota). Selection is deterministic: the hash order is a pure
+  // function of doc_id, so the same docs are kept on any cluster
+  // size and in the DuckDB oracle.
+  //
+  // Scale shape: a rank-filter under a per-group window is planned as
+  // WindowGroupLimit (Spark 3.5+) — each map task keeps only its
+  // local top-`cap` rows per language BEFORE the exchange, so the
+  // shuffle carries at most cap·partitions rows per language, not the
+  // whole corpus (asserted in ExtensionSpec). With ~dozens of
+  // languages the reduce side is trivially parallel at any scale.
+  private val BalancedCap = 50
+
+  def qBalanced(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BalancedCap)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qBalancedSql: String =
+    s"""WITH r AS (SELECT doc_id, lang, n_chars,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM r WHERE rk <= $BalancedCap GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // Training-sequence PACKING — the concat-and-chunk step that turns
   // a document corpus into fixed-length training sequences: documents
   // are concatenated in order and split into SeqBudget-token windows;
@@ -194,12 +237,14 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
+    "samp_balanced" -> (qBalanced _),
     "pii_pseudonymize" -> (qPseudonymize _),
     "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)),
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> qStratifiedSql,
+    "samp_balanced" -> qBalancedSql,
     "pii_pseudonymize" -> qPseudonymizeSql,
     "pack_sequences" -> qPackSequencesSql,
     "pipeline_e2e" -> qPipelineE2eSql)

@@ -418,6 +418,45 @@ object Text {
        |FROM f ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Corpus VOCABULARY — the global bigram frequency table, i.e. the
+  // pair-count statistic a BPE/WordPiece tokenizer trainer consumes
+  // (and the classic "what does the corpus say" audit). One kernel
+  // pass emits bigrams (split once, slide — not a HOF, see
+  // [[gramHashes]]), then explode -> partial-aggregated groupBy:
+  // only (gram, partial-count) pairs shuffle, which is the inherent
+  // shape of vocabulary counting (strings ARE the output here; at
+  // 100 TB the map-side combine is what keeps the exchange
+  // proportional to the vocabulary, not the corpus). The global
+  // top-k plans as TakeOrderedAndProject: each task keeps its local
+  // top-k, the driver merges k·partitions rows — no global sort.
+  private val VocabTopK = 200
+
+  def qVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("gram", StringType)))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          (0 until ws.length - 1).iterator.map(i => Row(ws(i) + " " + ws(i + 1)))
+        }
+      }(Encoders.row(schema))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(VocabTopK)
+  }
+
+  val qVocabSql: String =
+    s"""WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT unnest(list_transform(range(len(ws) - 1),
+       |    i -> ws[i+1] || ' ' || ws[i+2])) AS gram FROM w)
+       |SELECT gram, count(*) AS freq FROM g
+       |GROUP BY gram ORDER BY freq DESC, gram LIMIT $VocabTopK""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (qTfIdf _),
@@ -427,6 +466,7 @@ object Text {
     "text_fingerprint" -> (qFingerprint _),
     "text_decontaminate" -> (qDecontaminate _),
     "text_repetition" -> (qRepetition _),
+    "text_vocab" -> (qVocab _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,5 +477,6 @@ object Text {
     "text_fingerprint" -> qFingerprintSql,
     "text_decontaminate" -> qDecontaminateSql,
     "text_repetition" -> qRepetitionSql,
+    "text_vocab" -> qVocabSql,
   )
 }

@@ -389,6 +389,64 @@ class ExtensionSpec extends SparkSpec {
     assert(q.count() == 1, "boundary pair must survive both conjuncts")
   }
 
+  test("balanced sampling caps every language and plans a group-limit") {
+    val df = Pipeline.qBalanced(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") <= 50))
+    // the rank filter must reach the map side as a WindowGroupLimit so
+    // the exchange carries at most cap rows per (language, task)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("vocab top bigrams equal a naive recount") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { t =>
+      val ws = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      (0 until ws.length - 1).foreach { i =>
+        val g = ws(i) + " " + ws(i + 1)
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(200)
+    val got = Text.qVocab(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("freq"))).toSeq
+    assert(got == expected)
+  }
+
+  test("incremental dedup agrees with the batch-restricted pair list") {
+    val rows = Dedup.qIncremental(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val batch = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(batch.forall(_ % 10 == 7), "output must be exactly the batch docs")
+    // near flags must equal the cross-split restriction of the full
+    // self-join pair list (same bands, same threshold); best_jac is
+    // max-of-rounded == round-of-max (round is monotone)
+    val best = scala.collection.mutable.HashMap.empty[Long, Double]
+    Dedup.qMinHashLsh(spark, sfDir).collect().foreach { r =>
+      val (a, b, j) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))
+      val (aB, bB) = (a % 10 == 7, b % 10 == 7)
+      if (aB != bB) {
+        val d = if (aB) a else b
+        best(d) = math.max(best.getOrElse(d, 0.0), j)
+      }
+    }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("near_dup") == (if (best.contains(d)) 1 else 0),
+        s"near_dup flag mismatch for $d")
+      assert(r.getAs[Double]("best_jac") == best.getOrElse(d, 0.0),
+        s"best_jac mismatch for $d")
+      assert(r.getAs[Int]("exact_dup") == 0 || r.getAs[Int]("near_dup") == 1,
+        s"exact dup $d must also be a near dup")
+    }
+  }
+
   test("jaccard of two empty long sets is 0.0, not NaN") {
     graft.plans.SetExprs.register(spark)
     val r = spark.sql(

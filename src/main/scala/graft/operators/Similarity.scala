@@ -216,11 +216,122 @@ object Similarity {
       |  round(list_aggregate(list_transform(range(len(v)), i -> abs(v[i+1] - q[i+1] * scale)), 'max'), 6) AS max_err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PRODUCT QUANTIZATION + asymmetric distance (ADC) — the memory
+  // tier of the ANN ladder (brute force -> LSH buckets -> IVF -> PQ):
+  // each vector is coded per 8-dim subspace by its nearest codebook
+  // centroid, so a 64-dim float vector becomes M=8 small codes
+  // (8 bytes instead of 512 — the compression that lets a 100 TB
+  // embedding corpus live in cluster memory). Queries stay
+  // uncompressed; the score is dot(query, reconstruction), which at
+  // scale is M table lookups per candidate from a per-query
+  // 16x8 distance table, composed with IVF's candidate pruning.
+  //
+  // Scale shape: the codebook (K·Dim doubles) is a driver-side
+  // metadata artifact exactly like [[planes]] — collected once,
+  // closure-broadcast to the encode kernel; encoding is map-only
+  // (split once, tight argmin loops); scored rows drop to fixed width
+  // (qid, vec_id, adot) BEFORE the top-k window, so no array ever
+  // shuffles. Centroids are a deterministic 1-in-30 subset standing
+  // in for trained k-means (same convention as [[qIvfTopk]]); argmin
+  // ties break to the lowest code on both engines, and the
+  // subspace-distance sum is the same left-to-right 8-term chain in
+  // the kernel and the oracle (bit-identical doubles).
+  private val PqSubspaces = 8
+  private val PqSubDim = Vectors.Dim / PqSubspaces
+  private val PqCodebookStride = 30
+  private val PqCodebookRem = 7
+  private val PqK = 16
+  private val PqTopK = 5
+
+  def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val cb: Array[Array[Double]] = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % PqCodebookStride === PqCodebookRem)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(PqK)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val (subs, subDim) = (PqSubspaces, PqSubDim)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("r", ArrayType(DoubleType))))
+    val rec = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // single-file table scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val v = row.getSeq[Double](1).toArray
+          val out = new Array[Double](subs * subDim)
+          var m = 0
+          while (m < subs) {
+            var bestJ = 0
+            var bestD = Double.PositiveInfinity
+            var j = 0
+            while (j < cb.length) {
+              var d = 0.0
+              var i = 0
+              while (i < subDim) {
+                val t = v(m * subDim + i) - cb(j)(m * subDim + i)
+                d += t * t
+                i += 1
+              }
+              if (d < bestD) { bestD = d; bestJ = j } // strict <: ties keep min j
+              j += 1
+            }
+            var i = 0
+            while (i < subDim) { out(m * subDim + i) = cb(bestJ)(m * subDim + i); i += 1 }
+            m += 1
+          }
+          Row(row.getLong(0), out)
+        }
+      }(Encoders.row(schema))
+    val probes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
+    rec.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(DotF64.dot(col("qv"), col("r")), 6).as("adot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("adot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qPqTopkSql: String = {
+    val d8 = (1 to PqSubDim)
+      .map(i => s"(s.sv[$i]-c.cs[$i])*(s.sv[$i]-c.cs[$i])").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT j, cv FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM n WHERE vec_id % $PqCodebookStride = $PqCodebookRem ORDER BY vec_id LIMIT $PqK)),
+       |ms AS (SELECT unnest(range($PqSubspaces)) AS m),
+       |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS sv FROM n, ms),
+       |cbsub AS (SELECT j, m, cv[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS cs FROM cb, ms),
+       |d AS (SELECT s.vec_id, s.m, c.j, $d8 AS dist
+       |  FROM sub s JOIN cbsub c ON s.m = c.m),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |  SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |  FROM d) t WHERE rn = 1),
+       |rec AS (SELECT e.vec_id, flatten(list(c.cs ORDER BY e.m)) AS r
+       |  FROM enc e JOIN cbsub c ON e.m = c.m AND e.j = c.j GROUP BY e.vec_id),
+       |probes AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id % $QueryStride = 0),
+       |scored AS (SELECT p.qid, c.vec_id, round(${Vectors.dotSql("p.qv", "c.r")}, 6) AS adot
+       |  FROM probes p JOIN rec c ON c.vec_id <> p.qid),
+       |rk AS (SELECT qid, vec_id, adot,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id AS neighbor, adot FROM rk
+       |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
+    "sim_pq_topk" -> (qPqTopk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +339,6 @@ object Similarity {
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
+    "sim_pq_topk" -> qPqTopkSql,
   )
 }

@@ -455,4 +455,62 @@ class ExtensionSpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("PQ top-k equals an independent naive encode+ADC re-derivation") {
+    // Re-implement the whole PQ pipeline in plain driver-side Scala
+    // (constants restated on purpose — this is a second derivation,
+    // not a call back into the operator) and compare row-for-row.
+    val (subs, subDim, k, topK) = (8, 8, 16, 5)
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cb = all.filter(_._1 % 30 == 7).take(k).map(_._2)
+    def reconstruct(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](subs * subDim)
+      for (m <- 0 until subs) {
+        val bestJ = (0 until cb.length).minBy { j =>
+          (0 until subDim).map { i =>
+            val t = v(m * subDim + i) - cb(j)(m * subDim + i); t * t
+          }.sum
+        }
+        for (i <- 0 until subDim) out(m * subDim + i) = cb(bestJ)(m * subDim + i)
+      }
+      out
+    }
+    val rec = all.map { case (id, v) => id -> reconstruct(v) }.toMap
+    val probes = all.filter(_._1 % 50 == 0)
+    val expected = probes.flatMap { case (qid, qv) =>
+      all.iterator
+        .filter(_._1 != qid)
+        .map { case (id, _) =>
+          val r = rec(id)
+          var d = 0.0; var i = 0
+          while (i < qv.length) { d += qv(i) * r(i); i += 1 }
+          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toSeq.sortBy { case (id, adot) => (-adot, id) }
+        .take(topK).zipWithIndex
+        .map { case ((id, adot), rk) => (qid, rk + 1, id, adot) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.qPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length} rows")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("PQ rank window sees only fixed-width columns (no array shuffles)") {
+    val df = Similarity.qPqTopk(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-query rank window")
+    windows.foreach { w =>
+      val arrayCols = w.child.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"array columns ${arrayCols.map(_.name)} would shuffle into the top-k window")
+    }
+  }
 }

@@ -940,6 +940,66 @@ object Dedup {
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY a.p_brand, a.p_size, key_a, key_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SUBSTRING-level dedup signal (the gram-granular equivalent of
+  // suffix-array substring dedup, Lee et al. "Deduplicating Training
+  // Data Makes Language Models Better"): per document, the fraction
+  // of its distinct word-8-grams that also occur in at least one
+  // OTHER document. Unlike the whole-doc MinHash/SimHash family this
+  // catches partial overlap — boilerplate paragraphs, quoted spans,
+  // template text — and is the signal a pipeline uses to CUT spans
+  // rather than drop documents.
+  //
+  // Scale shape: grams hash to 60-bit longs in the shared per-
+  // partition kernel ([[Text.gramHashes]] — split once, slide, one
+  // md5 per gram), so the exploded gram table is fixed-width
+  // (doc_id, gram_h) — text never shuffles. The per-gram document
+  // count is a map-side partial aggregate, and its exchange hashes on
+  // gram_h exactly like the gram side of the count-attach join, so
+  // the planner reuses one exchange for both (ReusedExchange; the
+  // window-over-gram_h form would sort instead). Final per-doc
+  // rollup is a second fixed-width partial aggregate. No broadcast
+  // anywhere: every stage co-partitions, valid at any corpus size.
+  //
+  // Gram length 8 separates cleanly on this corpus: planted near-dup
+  // documents score dup_frac ≈ 1, independent text scores 0 (8 words
+  // from a ~40-word vocabulary collide with probability ~40^-8).
+  private val SubstrGramLen = 8
+  private val SubstrFlagFrac = 0.5
+
+  def qSubstring(s: SparkSession, dir: String): DataFrame = {
+    val g = Text.gramHashes(s, dir, SubstrGramLen) // (doc_id, gram_h), distinct per doc
+    val counts = g.groupBy(col("gram_h")).agg(count(lit(1)).as("n_docs"))
+    g.join(counts, "gram_h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum((col("n_docs") > 1).cast("int")).cast("long").as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_grams"), 4))
+      .withColumn("flagged",
+        when(col("n_dup").cast("double") / col("n_grams") >= SubstrFlagFrac, lit(1))
+          .otherwise(lit(0)))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"), col("dup_frac"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSubstringSql: String = {
+    val n = SubstrGramLen
+    val terms = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= $n
+       |    THEN list_transform(range(len(ws) - ${n - 1}), i -> $terms)
+       |    ELSE [array_to_string(ws, ' ')] END) AS grams FROM w),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |c AS (SELECT gram, count(*) AS n_docs FROM e GROUP BY gram)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac,
+       |  CASE WHEN sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) >= $SubstrFlagFrac
+       |       THEN 1 ELSE 0 END AS flagged
+       |FROM e JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
@@ -951,6 +1011,7 @@ object Dedup {
     "dedup_simhash" -> (qSimHash _),
     "dedup_simhash_pairs" -> (qSimHashPairs _),
     "dedup_embed_cosine" -> (qEmbedCosine _),
+    "dedup_substring" -> (qSubstring _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -964,5 +1025,6 @@ object Dedup {
     "dedup_simhash" -> qSimHashSql,
     "dedup_simhash_pairs" -> qSimHashPairsSql,
     "dedup_embed_cosine" -> qEmbedCosineSql,
+    "dedup_substring" -> qSubstringSql,
   )
 }

@@ -235,17 +235,149 @@ object Pipeline {
        |  CAST(floor((sum(n_tokens) + ${SeqBudget - 1}) / $SeqBudget) AS BIGINT) AS n_seqs
        |FROM toks GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SLIDING-WINDOW CHUNKING — the retrieval/RAG-side counterpart of
+  // sequence packing: each document splits into overlapping
+  // `ChunkSize`-word windows advancing by `ChunkStride`, each chunk
+  // carrying a content hash (the embedding/indexing key downstream).
+  // Overlap (stride < size) preserves cross-boundary context, the
+  // standard retrieval-index preparation.
+  //
+  // Scale shape: pure flatMap — a per-partition kernel splits each
+  // doc once and slides (the HOF form would re-split per element,
+  // the measured O(words²) pathology), emitting only fixed-width
+  // rows (ids, offsets, a 60-bit hash). No shuffle at all until the
+  // presentation sort; chunk output is ~words/stride rows per doc
+  // regardless of corpus size.
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  def qChunkSliding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("chunk_idx", LongType),
+      StructField("start_word", LongType),
+      StructField("n_words", LongType),
+      StructField("chunk_h", LongType)))
+    val (size, stride) = (ChunkSize, ChunkStride)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val starts = 0 until math.max(ws.length, 1) by stride
+          starts.map { start =>
+            val n = math.min(size, ws.length - start)
+            val chunk = ws.slice(start, start + n).mkString(" ")
+            Row(id, (start / stride).toLong, start.toLong, n.toLong,
+              Dedup.md5Mod(md, chunk, Long.MaxValue))
+          }
+        }
+      }(Encoders.row(schema))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val qChunkSlidingSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), $ChunkStride)) AS start FROM w)
+       |SELECT doc_id, CAST(start / $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_word,
+       |  CAST(least($ChunkSize, len(ws) - start) AS BIGINT) AS n_words,
+       |  ('0x' || substr(md5(array_to_string(
+       |    ws[start+1:start+least($ChunkSize, len(ws) - start)], ' ')), 1, 15))::BIGINT AS chunk_h
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // TEMPERATURE-scaled language mixing — the multilingual rebalancing
+  // rule (sample language l with probability ∝ p_l^α, α = 0.5): a
+  // raw crawl's head language dominates; temperature flattens the
+  // distribution without the hard cutoff of [[qBalanced]]'s cap.
+  // Per-language keep rate = min(1, target·q_l / n_l) with
+  // q_l = √p_l / Σ√p_m, applied row-locally via the md5(doc_id)
+  // hash-mod threshold (same determinism device as [[qStratified]]).
+  //
+  // Cross-engine determinism: α = 0.5 on purpose — √ is IEEE-754
+  // correctly rounded in both engines where libm pow(x, 0.5) need
+  // not be; the 5-term Σ√p_m accumulates under an ORDER BY lang
+  // window frame so both engines add in the same order; thresholds
+  // integerize as floor(rate·1e6) compared against md5 mod 1e6.
+  //
+  // Scale shape: pass 1 reads only `lang` (column-pruned scan) into
+  // a map-side partial count; the 5-row weight table broadcasts back
+  // onto the corpus scan where keep is a row-local predicate — at
+  // 100 TB this is two column-pruned scans and zero corpus shuffles
+  // (the final rollup is a partial aggregate over |langs| keys).
+  private val TempTarget = 250.0 // expected sample size at sf0.01
+
+  def qTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // 5-row frame: the unpartitioned window is deliberate (and cheap)
+    val rates = counts
+      .withColumn("w", sqrt(col("n_docs").cast("double") / sum(col("n_docs")).over(full)))
+      .withColumn("q", col("w") / sum(col("w")).over(full))
+      .withColumn("rate", least(lit(1.0), lit(TempTarget) * col("q") / col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("q"), col("rate"),
+        floor(col("rate") * 1000000).cast("long").as("thr"))
+    val keep = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000 < col("thr")).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(rates), "lang")
+      .withColumn("keep", keep)
+      .groupBy(col("lang"), col("n_docs"), col("q"), col("rate"))
+      .agg(
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("n_chars") * col("keep")).cast("long").as("kept_chars"))
+      .select(col("lang"), col("n_docs"), round(col("q"), 6).as("q_weight"),
+        round(col("rate"), 6).as("keep_rate"), col("n_kept"), col("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT lang, n_docs,
+       |  sqrt(n_docs::DOUBLE / sum(n_docs) OVER (ORDER BY lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS w FROM c),
+       |r AS (SELECT lang, n_docs,
+       |  w / sum(w) OVER (ORDER BY lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS q FROM t),
+       |r2 AS (SELECT lang, n_docs, q, least(1.0, $TempTarget * q / n_docs) AS rate FROM r),
+       |r3 AS (SELECT lang, n_docs, q, rate,
+       |  CAST(floor(rate * 1000000) AS BIGINT) AS thr FROM r2),
+       |k AS (SELECT d.doc_id, d.lang, d.n_chars,
+       |  CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+       |            < r3.thr THEN 1 ELSE 0 END AS keep
+       |  FROM documents d JOIN r3 USING (lang))
+       |SELECT k.lang, r3.n_docs, round(r3.q, 6) AS q_weight, round(r3.rate, 6) AS keep_rate,
+       |  CAST(sum(k.keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(k.n_chars * k.keep) AS BIGINT) AS kept_chars
+       |FROM k JOIN r3 USING (lang)
+       |GROUP BY k.lang, r3.n_docs, r3.q, r3.rate ORDER BY k.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
     "samp_balanced" -> (qBalanced _),
+    "samp_temperature" -> (qTemperature _),
     "pii_pseudonymize" -> (qPseudonymize _),
     "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)),
+    "chunk_sliding" -> (qChunkSliding _),
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
     "samp_stratified" -> qStratifiedSql,
     "samp_balanced" -> qBalancedSql,
+    "samp_temperature" -> qTemperatureSql,
     "pii_pseudonymize" -> qPseudonymizeSql,
     "pack_sequences" -> qPackSequencesSql,
+    "chunk_sliding" -> qChunkSlidingSql,
     "pipeline_e2e" -> qPipelineE2eSql)
 }

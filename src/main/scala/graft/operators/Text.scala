@@ -293,13 +293,13 @@ object Text {
     * 5k docs at sf0.1); the kernel splits once and slides. Same gram
     * definition and md5-prefix hash as the SQL oracle's string join
     * keys. */
-  private def gramHashes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def gramHashes(
+      s: SparkSession, dir: String, n: Int = DecontamGramLen): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("gram_hs", ArrayType(LongType))))
-    val n = DecontamGramLen
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // single-file corpus scans as ~3 partitions; pin the kernel width
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))

@@ -456,6 +456,68 @@ class ExtensionSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
 
+  test("substring dedup equals a naive in-test gram recount") {
+    // independent re-derivation over raw text (grams as strings, not
+    // the operator's md5-longs)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+")
+      if (ws.length >= 8) (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val docsPerGram = byDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = Dedup.qSubstring(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == byDoc.keySet)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val g = byDoc(id)
+      val dup = g.count(docsPerGram(_) > 1)
+      assert(r.getLong(1) == g.size, s"doc $id: n_grams ${r.getLong(1)} != ${g.size}")
+      assert(r.getLong(2) == dup, s"doc $id: n_dup ${r.getLong(2)} != $dup")
+      assert((r.getInt(4) == 1) == (dup.toDouble / g.size >= 0.5), s"doc $id flag")
+    }
+    assert(rows.exists(_.getInt(4) == 1), "corpus should contain flagged near-dups")
+  }
+
+  test("sliding chunks tile each document with the declared size and stride") {
+    val wordCounts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length).toMap
+    val byDoc = Pipeline.qChunkSliding(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == wordCounts.keySet, "every doc must chunk")
+    byDoc.foreach { case (doc, chunks) =>
+      val len = wordCounts(doc)
+      val sorted = chunks.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, n), i) =>
+        assert(idx == i, s"doc $doc: chunk ids must be contiguous")
+        assert(start == i * 24L, s"doc $doc: stride must be 24")
+        assert(n == math.min(32L, len - start), s"doc $doc chunk $i: bad width")
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 == len, s"doc $doc: chunks must reach the end")
+    }
+  }
+
+  test("temperature sampling flattens the language distribution") {
+    val rows = Pipeline.qTemperature(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, "q weights must sum to 1")
+    rows.foreach { case (lang, n, q, rate, kept) =>
+      assert(q > 0 && rate > 0 && rate <= 1.0, s"$lang: rate $rate out of range")
+      assert(kept <= n, s"$lang: kept $kept > $n")
+    }
+    // flattening: sampling rates order inversely to corpus share
+    val byShare = rows.sortBy(-_._2).map(_._4)
+    assert(byShare.zip(byShare.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"head languages must not out-rate tail languages: $rows")
+  }
+
   test("PQ top-k equals an independent naive encode+ADC re-derivation") {
     // Re-implement the whole PQ pipeline in plain driver-side Scala
     // (constants restated on purpose — this is a second derivation,

@@ -518,6 +518,26 @@ class ExtensionSpec extends SparkSpec {
       s"head languages must not out-rate tail languages: $rows")
   }
 
+  test("z-order buckets bound BOTH dimensions to one 1/16 cell") {
+    val orders = graft.Tables.orders(spark, sfDir)
+    val nOrders = orders.count()
+    val mck = orders.agg(max(col("o_custkey"))).first().getLong(0)
+    val mdy = orders.agg(max(datediff(col("o_orderdate"), lit("1992-01-01"))))
+      .first().getInt(0).toLong
+    val rows = Maintenance.qZOrder(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders, "buckets must partition")
+    // each bucket is one (top4(ck), top4(dy)) cell: raw spans are
+    // bounded by a cell width in BOTH dims — the property a date-only
+    // sort cannot give (its files span the full customer range)
+    val (ckCell, dyCell) = ((mck + 1) / 16.0 + 1, (mdy + 1) / 16.0 + 1)
+    rows.foreach { r =>
+      val ckSpan = r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust")
+      val dySpan = r.getAs[Long]("max_day") - r.getAs[Long]("min_day")
+      assert(ckSpan <= ckCell, s"bucket ${r.getLong(0)}: cust span $ckSpan > cell $ckCell")
+      assert(dySpan <= dyCell, s"bucket ${r.getLong(0)}: day span $dySpan > cell $dyCell")
+    }
+  }
+
   test("PQ top-k equals an independent naive encode+ADC re-derivation") {
     // Re-implement the whole PQ pipeline in plain driver-side Scala
     // (constants restated on purpose — this is a second derivation,

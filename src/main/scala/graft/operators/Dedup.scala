@@ -954,12 +954,16 @@ object Dedup {
   // partition kernel ([[Text.gramHashes]] — split once, slide, one
   // md5 per gram), so the exploded gram table is fixed-width
   // (doc_id, gram_h) — text never shuffles. The per-gram document
-  // count is a map-side partial aggregate, and its exchange hashes on
-  // gram_h exactly like the gram side of the count-attach join, so
-  // the planner reuses one exchange for both (ReusedExchange; the
-  // window-over-gram_h form would sort instead). Final per-doc
-  // rollup is a second fixed-width partial aggregate. No broadcast
-  // anywhere: every stage co-partitions, valid at any corpus size.
+  // count is a window over gram_h on that ONE gram table: the
+  // count-attach-via-join form plans the kernel subtree under BOTH
+  // join children (verified in the executed plan — no ReusedExchange
+  // fires because only the counts child exchanges), i.e. two full
+  // corpus scans + two kernel passes at 100 TB; the window form
+  // shuffles the gram table once and re-reads nothing. The per-gram
+  // sort it adds orders near-unique 60-bit keys inside each
+  // partition — fixed-width rows, linear-ish runs — which is cheaper
+  // than a second corpus scan at any scale that matters. Final
+  // per-doc rollup is a fixed-width partial aggregate.
   //
   // Gram length 8 separates cleanly on this corpus: planted near-dup
   // documents score dup_frac ≈ 1, independent text scores 0 (8 words
@@ -968,9 +972,9 @@ object Dedup {
   private val SubstrFlagFrac = 0.5
 
   def qSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = Text.gramHashes(s, dir, SubstrGramLen) // (doc_id, gram_h), distinct per doc
-    val counts = g.groupBy(col("gram_h")).agg(count(lit(1)).as("n_docs"))
-    g.join(counts, "gram_h")
+    g.withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

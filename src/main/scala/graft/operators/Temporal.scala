@@ -136,15 +136,61 @@ object Temporal {
        |FROM s GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ROLLING per-entity features — the feature-engineering projection
+  // a training pipeline derives from an event stream: previous value
+  // (lag), 5-event rolling mean, and inter-event gap, per user in
+  // event-time order. One shuffle on user_id; all three window
+  // functions share the same (partition, order) spec, so Catalyst
+  // plans a single exchange + sort feeding stacked Window operators —
+  // the per-key work is a linear scan, horizontally parallel in the
+  // number of users at any scale. First-event rows carry NULL
+  // lag/gap (both engines agree; the presentation sort never ties on
+  // them — event_id is unique and non-null).
+  //
+  // roll_mean rounds at 4 dp: a ≤5-term running mean, the
+  // self-cancelling class under the cross-engine double rules (not a
+  // corpus-sized unordered sum).
+  private val RollWindow = 5
+
+  def qRolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(-(RollWindow - 1), 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("lag_value", lag(col("value"), 1).over(w))
+      .withColumn("roll_mean", round(avg(col("value")).over(wf), 4))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .select(col("event_id"), col("user_id"), date_format(col("ts"), tsFmt).as("ts"),
+        col("value"), col("lag_value"), col("roll_mean"), col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRollingSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+       |r AS (SELECT event_id, user_id, ts, value,
+       |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_value,
+       |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN ${RollWindow - 1} PRECEDING AND CURRENT ROW), 4) AS roll_mean,
+       |  date_diff('microsecond',
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+       |  FROM ev)
+       |SELECT event_id, user_id, strftime(ts, '$duckFmt') AS ts, value,
+       |  lag_value, roll_mean, gap_us
+       |FROM r ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
+    "temporal_rolling" -> (qRolling _),
   )
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> qAsofJoinSql,
     "sessionize" -> qSessionizeSql,
     "session_window" -> qSessionWindowSql,
+    "temporal_rolling" -> qRollingSql,
   )
 }

@@ -457,6 +457,85 @@ object Text {
        |GROUP BY gram ORDER BY freq DESC, gram LIMIT $VocabTopK""".stripMargin
 
   // ---------------------------------------------------------------
+  // DIVERSITY quality signal — Simpson index 1 − Σk²/n² over the
+  // per-doc character and word distributions: near 1 for varied text,
+  // plunging toward 0 for repeated-character/repeated-token junk
+  // (the keyboard-mash and template-spam failure modes the
+  // repetition filter's bigram rules don't catch). Simpson instead
+  // of Shannon entropy ON PURPOSE: Σk² is exact integer arithmetic
+  // (order-free, overflow-safe at any doc length long before Long
+  // saturates), so the only float op is one final division —
+  // bit-identical cross-engine where entropy's per-term log2 would
+  // hang on libm rounding (same rational-arithmetic dodge as
+  // [[qTfIdf]]'s idf).
+  //
+  // Scale shape: one kernel pass per doc (char counts via a codepoint
+  // HashMap — codePOINTS, matching the oracle's split(text,'') —
+  // word counts via a HashMap), integer outputs, Spark-side round():
+  // map-only + presentation sort, nothing shuffles but the result.
+  def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_chars", LongType),
+      StructField("n_unique_chars", LongType),
+      StructField("ss_chars", LongType),
+      StructField("n_words", LongType),
+      StructField("n_unique_words", LongType),
+      StructField("ss_words", LongType)))
+    val perDoc = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val text = r.getString(1)
+          val cc = new java.util.HashMap[Integer, Long]()
+          var i = 0
+          var n = 0L
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            cc.merge(cp, 1L, (a, b) => a + b)
+            n += 1
+            i += Character.charCount(cp)
+          }
+          var ssc = 0L
+          cc.values.forEach(k => ssc += k * k)
+          val wc = new java.util.HashMap[String, Long]()
+          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .foreach(w => wc.merge(w, 1L, (a, b) => a + b))
+          var nw = 0L
+          var ssw = 0L
+          wc.values.forEach { k => nw += k; ssw += k * k }
+          Row(r.getLong(0), n, cc.size.toLong, ssc, nw, wc.size.toLong, ssw)
+        }
+      }(Encoders.row(schema))
+    perDoc.select(
+      col("doc_id"), col("n_chars"), col("n_unique_chars"),
+      round(lit(1.0) - col("ss_chars").cast("double") / (col("n_chars") * col("n_chars")), 6)
+        .as("char_diversity"),
+      col("n_words"), col("n_unique_words"),
+      round(lit(1.0) - col("ss_words").cast("double") / (col("n_words") * col("n_words")), 6)
+        .as("word_diversity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDiversitySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+      |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      |ca AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+      |  CAST(count(*) AS BIGINT) AS n_unique_chars,
+      |  round(1.0 - sum(k*k)::DOUBLE / (CAST(sum(k) AS BIGINT) * CAST(sum(k) AS BIGINT)), 6)
+      |    AS char_diversity FROM cc GROUP BY doc_id),
+      |wd AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS k FROM wd GROUP BY doc_id, w),
+      |wa AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+      |  CAST(count(*) AS BIGINT) AS n_unique_words,
+      |  round(1.0 - sum(k*k)::DOUBLE / (CAST(sum(k) AS BIGINT) * CAST(sum(k) AS BIGINT)), 6)
+      |    AS word_diversity FROM wc GROUP BY doc_id)
+      |SELECT ca.doc_id, n_chars, n_unique_chars, char_diversity,
+      |  n_words, n_unique_words, word_diversity
+      |FROM ca JOIN wa ON ca.doc_id = wa.doc_id ORDER BY ca.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (qTfIdf _),
@@ -467,6 +546,7 @@ object Text {
     "text_decontaminate" -> (qDecontaminate _),
     "text_repetition" -> (qRepetition _),
     "text_vocab" -> (qVocab _),
+    "text_diversity" -> (qDiversity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +558,6 @@ object Text {
     "text_decontaminate" -> qDecontaminateSql,
     "text_repetition" -> qRepetitionSql,
     "text_vocab" -> qVocabSql,
+    "text_diversity" -> qDiversitySql,
   )
 }

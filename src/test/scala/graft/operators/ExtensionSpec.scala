@@ -518,6 +518,57 @@ class ExtensionSpec extends SparkSpec {
       s"head languages must not out-rate tail languages: $rows")
   }
 
+  test("diversity indexes match a naive recount and rank junk below text") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def simpson(counts: Iterable[Long]): Double = {
+      val n = counts.sum
+      1.0 - counts.map(k => k * k).sum.toDouble / (n * n)
+    }
+    val rows = Text.qDiversity(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val t = docs(r.getLong(0))
+      val charCounts = t.codePoints().toArray.groupBy(identity).map(_._2.length.toLong)
+      val wordCounts = t.trim.toLowerCase.split("\\s+").groupBy(identity).map(_._2.length.toLong)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) == charCounts.sum && r.getLong(2) == charCounts.size)
+      assert(r.getDouble(3) == r6(simpson(charCounts)), s"char div doc ${r.getLong(0)}")
+      assert(r.getLong(4) == wordCounts.sum && r.getLong(5) == wordCounts.size)
+      assert(r.getDouble(6) == r6(simpson(wordCounts)), s"word div doc ${r.getLong(0)}")
+    }
+    // sanity: a repeated-token doc must rank below every corpus doc
+    assert(simpson(Map("spam" -> 40L, "x" -> 1L).values) <
+      rows.map(_.getDouble(6)).min)
+  }
+
+  test("rolling features agree with a per-user naive scan") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = events.groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    val rows = Temporal.qRolling(spark, sfDir).collect()
+    assert(rows.length == events.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val seq = byUser(r.getLong(1))
+      val i = seq.indexWhere(_._1 == id)
+      if (i == 0) {
+        assert(r.isNullAt(4) && r.isNullAt(6), s"event $id: first row must carry NULLs")
+        assert(r.getDouble(5) == r.getDouble(3), s"event $id: roll_mean of one value")
+      } else {
+        assert(r.getDouble(4) == seq(i - 1)._4, s"event $id: lag mismatch")
+        assert(r.getLong(6) == seq(i)._3 - seq(i - 1)._3, s"event $id: gap mismatch")
+        val win = seq.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val mean = BigDecimal(win.sum / win.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(5) - mean) < 1e-9, s"event $id: roll_mean")
+      }
+    }
+  }
+
   test("z-order buckets bound BOTH dimensions to one 1/16 cell") {
     val orders = graft.Tables.orders(spark, sfDir)
     val nOrders = orders.count()

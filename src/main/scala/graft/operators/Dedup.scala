@@ -974,6 +974,12 @@ object Dedup {
   def qSubstring(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Text.gramHashes(s, dir, SubstrGramLen) // (doc_id, gram_h), distinct per doc
+    // AQE coalesces the window's gram_h exchange to ~3 tasks at this
+    // SF — measured as the RIGHT call here, unlike the CPU-heavy
+    // kernel stages: pinning 32-way with repartition(N, gram_h) cost
+    // 1.8s vs 1.4s because the per-task radix-sort buffer setup
+    // dominates tiny sorted partitions. At real scale the gram table
+    // is large-bytes and AQE sizes the stage normally.
     g.withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gram_h"))))
       .groupBy(col("doc_id"))
       .agg(

@@ -518,6 +518,39 @@ class ExtensionSpec extends SparkSpec {
       s"head languages must not out-rate tail languages: $rows")
   }
 
+  test("chunking and diversity plan map-only: no joins, no aggregate exchanges") {
+    Seq(
+      "chunk_sliding" -> Pipeline.qChunkSliding(spark, sfDir),
+      "text_diversity" -> Text.qDiversity(spark, sfDir)
+    ).foreach { case (name, df) =>
+      df.count() // materialize through AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name must not join")
+      assert(!plan.contains("HashAggregate"), s"$name must not aggregate")
+      // only the kernel-width repartition and the presentation sort
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+      assert(exchanges.length <= 2, s"$name: unexpected exchanges $exchanges")
+    }
+  }
+
+  test("rolling features share one window exchange across all three functions") {
+    val df = Temporal.qRolling(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).toSeq
+    assert(hashEx.length == 1,
+      s"lag/avg/gap must reuse ONE user_id exchange, found ${hashEx.length}")
+  }
+
+  test("temperature sampling broadcasts the rates and scans the corpus twice") {
+    val df = Pipeline.qTemperature(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "5-row rate table must broadcast")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected the counts pass + the sampling pass, got $scans scans")
+  }
+
   test("diversity indexes match a naive recount and rank junk below text") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

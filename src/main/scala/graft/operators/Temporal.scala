@@ -180,11 +180,43 @@ object Temporal {
        |  lag_value, roll_mean, gap_us
        |FROM r ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // HOPPING (sliding) windows in batch — Spark's native
+  // `window(ts, windowDuration, slideDuration)`: each event lands in
+  // window/slide = 4 overlapping hourly windows, the moving-average
+  // view a monitoring/feature pipeline reads. The generator explodes
+  // each row into its 4 window assignments BEFORE the aggregation, so
+  // the exchange carries (window, type, partial agg) — a map-side
+  // partial aggregate over ~4·|windows|·|types| keys, independent of
+  // event count. The oracle states the same window arithmetic in µs
+  // integers (floor to slide, back off j slides, j < 4 — exactly
+  // Spark's assignment because window = 4·slide).
+  def qHopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val qHoppingSql: String =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |j AS (SELECT unnest(range(4)) AS j),
+      |h AS (SELECT make_timestamp((epoch_us(ev.ts) // 900000000) * 900000000
+      |         - j.j * 900000000) AS ws, event_type, value FROM ev, j)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM h GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
+    "temporal_hopping" -> (qHopping _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +224,6 @@ object Temporal {
     "sessionize" -> qSessionizeSql,
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,
+    "temporal_hopping" -> qHoppingSql,
   )
 }

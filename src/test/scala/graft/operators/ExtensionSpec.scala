@@ -602,6 +602,19 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("hopping windows assign every event to exactly 4 slide-aligned windows") {
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    val rows = Temporal.qHopping(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 4 * nEvents,
+      "window/slide = 4 overlapping assignments per event")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    rows.foreach { r =>
+      val t = java.time.LocalDateTime.parse(r.getString(0), fmt)
+      assert(t.getMinute % 15 == 0 && t.getSecond == 0,
+        s"window start ${r.getString(0)} must align to the 15-min slide")
+    }
+  }
+
   test("z-order buckets bound BOTH dimensions to one 1/16 cell") {
     val orders = graft.Tables.orders(spark, sfDir)
     val nOrders = orders.count()

@@ -363,6 +363,46 @@ object Pipeline {
        |FROM k JOIN r3 USING (lang)
        |GROUP BY k.lang, r3.n_docs, r3.q, r3.rate ORDER BY k.lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Deterministic GLOBAL SHUFFLE — the training-order randomization
+  // pass (a corpus must be read in pseudo-random order, and that
+  // order must be reproducible across re-runs and engines): position
+  // = dense rank of md5(doc_id) over the whole corpus.
+  //
+  // The naive global `row_number() OVER (ORDER BY k)` is a
+  // single-partition window — THE classic scale trap (every row
+  // through one task). The scale shape used here is sharded rank +
+  // offset compose: shard on the hash's first hex digit (its sort
+  // prefix, so shard order IS global order), rank within each shard
+  // in parallel, then add per-shard offsets from a 16-row cumulative
+  // count (driver-scale metadata, broadcast back). The composed
+  // positions equal the naive global row_number exactly — which is
+  // what the oracle states. At 100 TB widen the prefix (2-3 hex
+  // digits -> 256-4096 parallel shards); nothing else changes.
+  def qShuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+    val rankW = Window.partitionBy(col("shard")).orderBy(col("k"))
+    // 16-row offset table: rows before each shard, in shard sort order
+    val offW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("shard"), col("off"))
+    keyed
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .join(broadcast(offsets), "shard")
+      .select((col("off") + col("rk") - 1).as("pos"), col("doc_id"), col("n_chars"))
+      .orderBy(col("pos"))
+  }
+
+  val qShuffleOrderSql: String =
+    """WITH k AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS pos, doc_id, n_chars
+      |FROM k ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (qStratified _),
     "samp_balanced" -> (qBalanced _),
@@ -370,6 +410,7 @@ object Pipeline {
     "pii_pseudonymize" -> (qPseudonymize _),
     "pack_sequences" -> ((s: SparkSession, dir: String) => qPackSequences(s, dir)),
     "chunk_sliding" -> (qChunkSliding _),
+    "pipeline_shuffle" -> (qShuffleOrder _),
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
@@ -379,5 +420,6 @@ object Pipeline {
     "pii_pseudonymize" -> qPseudonymizeSql,
     "pack_sequences" -> qPackSequencesSql,
     "chunk_sliding" -> qChunkSlidingSql,
+    "pipeline_shuffle" -> qShuffleOrderSql,
     "pipeline_e2e" -> qPipelineE2eSql)
 }

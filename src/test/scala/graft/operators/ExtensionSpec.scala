@@ -602,6 +602,22 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("global shuffle order is a dense permutation ranked per shard, not one task") {
+    val df = Pipeline.qShuffleOrder(spark, sfDir)
+    val rows = df.collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until n),
+      "positions must be a dense 0..n-1 permutation")
+    // corpus-sized ranking must partition by shard; only the 16-row
+    // offset table may use an unpartitioned window
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"),
+      "row_number must rank within hash-prefix shards")
+    // determinism across runs (the whole point of a seeded shuffle)
+    assert(Pipeline.qShuffleOrder(spark, sfDir).collect().map(_.getLong(1)).toSeq ==
+      rows.map(_.getLong(1)).toSeq)
+  }
+
   test("hopping windows assign every event to exactly 4 slide-aligned windows") {
     val nEvents = graft.Tables.events(spark, sfDir).count()
     val rows = Temporal.qHopping(spark, sfDir).collect()

@@ -238,13 +238,42 @@ object Streams {
 
   val qStreamSessionWindowSql: String = graft.operators.Temporal.qSessionWindowSql
 
+  // ---------------------------------------------------------------
+  // Stream-STATIC join — enrichment at ingest: the event stream joins
+  // a static dimension (customer → market segment) as each
+  // micro-batch arrives, then aggregates per segment. The static side
+  // is stateless for the stream (no watermark, no join state — every
+  // batch probes the same broadcast dimension), which is why this is
+  // THE pattern for attaching reference data at 100 TB/day ingest
+  // rates: dimension updates just swap the static side between
+  // restarts. Final result ≡ the batch join+agg, which is the oracle.
+  def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    runBounded(s, dir, "complete", rawTs = true) { stream =>
+      stream.select(col("user_id"), col("event_type"), col("value"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    }
+      .select(col("c_mktsegment").as("mktsegment"), col("event_type"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("mktsegment"), col("event_type"))
+  }
+
+  val qStreamStaticJoinSql: String =
+    """SELECT c_mktsegment AS mktsegment, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY mktsegment, event_type ORDER BY mktsegment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (qWindowAgg _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_watermarked" -> (qStreamDedupWatermarked _),
-    "stream_session_window" -> (qStreamSessionWindow _))
+    "stream_session_window" -> (qStreamSessionWindow _),
+    "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> qWindowAggSql,
@@ -252,5 +281,6 @@ object Streams {
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,
     "stream_dedup_watermarked" -> qStreamDedupWatermarkedSql,
-    "stream_session_window" -> qStreamSessionWindowSql)
+    "stream_session_window" -> qStreamSessionWindowSql,
+    "stream_static_join" -> qStreamStaticJoinSql)
 }

@@ -244,7 +244,10 @@ object Similarity {
   private val PqK = 16
   private val PqTopK = 5
 
-  def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The PQ-scored candidate frame (qid, vec_id, adot) shared by
+    * [[qPqTopk]] (rank directly) and [[qPqRerank]] (rank, widen to
+    * `PqRerankK`, re-score exactly). */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
     DotF64.register(s)
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -291,17 +294,61 @@ object Similarity {
     val probes = Tables.embeddings(s, dir)
       .filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
     rec.join(broadcast(probes), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(DotF64.dot(col("qv"), col("r")), 6).as("adot"))
+  }
+
+  def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
+    pqScored(s, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PqTopK)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("adot"))
       .orderBy(col("qid"), col("rank"))
   }
 
-  val qPqTopkSql: String = {
+  // ---------------------------------------------------------------
+  // PQ + exact RE-RANK — the production two-stage retrieval: the
+  // compressed index proposes a wide candidate set cheaply
+  // (PqRerankK per query from ADC scores), then only those survivors
+  // are re-scored against the UNcompressed vectors for the final
+  // top-k. Recall comes from the cheap wide stage, precision from
+  // the exact narrow one; at 100 TB the exact fetch touches
+  // k·|queries| full vectors instead of the corpus.
+  //
+  // Scale shape: the candidate list (queries × PqRerankK ids) is tiny
+  // and broadcasts; the full-precision corpus STREAMS through the
+  // semi-join-shaped fetch (never the reverse — fetching vectors "to"
+  // candidates would shuffle full vectors per pair). Exact scoring
+  // reuses qTopkCosine's expression chain verbatim, so re-ranked
+  // cosines are bit-identical to the brute-force query's.
+  private val PqRerankK = 20
+
+  def qPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
+    val cand = pqScored(s, dir)
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= PqRerankK)
+      .select(col("qid"), col("vec_id"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(probes), "qid")
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shared CTE chain ending at `rk` (qid, vec_id, adot, rank) —
+    * the SQL twin of [[pqScored]] + the ADC rank. */
+  private lazy val pqSqlCtes: String = {
     val d8 = (1 to PqSubDim)
       .map(i => s"(s.sv[$i]-c.cs[$i])*(s.sv[$i]-c.cs[$i])").mkString(" + ")
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -321,10 +368,26 @@ object Similarity {
        |scored AS (SELECT p.qid, c.vec_id, round(${Vectors.dotSql("p.qv", "c.r")}, 6) AS adot
        |  FROM probes p JOIN rec c ON c.vec_id <> p.qid),
        |rk AS (SELECT qid, vec_id, adot,
-       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id) AS rank FROM scored)
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id) AS rank FROM scored)""".stripMargin
+  }
+
+  val qPqTopkSql: String =
+    s"""$pqSqlCtes
        |SELECT qid, rank, vec_id AS neighbor, adot FROM rk
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
-  }
+
+  val qPqRerankSql: String =
+    s"""$pqSqlCtes,
+       |cand AS (SELECT qid, vec_id FROM rk WHERE rank <= $PqRerankK),
+       |ex AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM n),
+       |pex AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ex WHERE vec_id % $QueryStride = 0),
+       |sc AS (SELECT c.qid, c.vec_id,
+       |  round((${Vectors.dotSql("e.v", "p.qv")}) / (e.nrm * p.qn), 6) AS cos
+       |  FROM cand c JOIN ex e ON c.vec_id = e.vec_id JOIN pex p ON c.qid = p.qid),
+       |r2 AS (SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (qTopkCosine _),
@@ -332,6 +395,7 @@ object Similarity {
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_pq_topk" -> (qPqTopk _),
+    "sim_pq_rerank" -> (qPqRerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +404,6 @@ object Similarity {
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_pq_topk" -> qPqTopkSql,
+    "sim_pq_rerank" -> qPqRerankSql,
   )
 }

@@ -695,6 +695,35 @@ class ExtensionSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 
+  test("PQ rerank scores are bit-exact brute-force cosines in descending order") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byQ = Similarity.qPqRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"qid $qid: ranks")
+      assert(rows.map(_._3).distinct.length == 5 && !rows.exists(_._3 == qid))
+      val sorted = rows.sortBy(_._2)
+      sorted.foreach { case (_, _, nb, c) =>
+        assert(c == cos(qid, nb), s"qid $qid neighbor $nb: rerank cosine must be exact")
+      }
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("PQ rank window sees only fixed-width columns (no array shuffles)") {
     val df = Similarity.qPqTopk(spark, sfDir)
     val windows = df.queryExecution.optimizedPlan.collect {

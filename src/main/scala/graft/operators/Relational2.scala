@@ -93,6 +93,35 @@ object Relational2 {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------
+  // q33: unpivot (melt) — the inverse reshape of q22's pivot: the
+  // wide per-status counts fold back into (priority, status, n)
+  // rows via Spark's native `unpivot` (relational MELT, 3.4+). The
+  // round trip q22 -> q33 is the schema-evolution path a pipeline
+  // uses when a wide metrics table must become long again for
+  // storage or joining; unpivot is a map-only generator (each wide
+  // row emits |values| long rows — no shuffle beyond q22's agg).
+  def q33Unpivot(s: SparkSession, dir: String): DataFrame =
+    q22Pivot(s, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n_orders")
+      .withColumn("o_orderstatus", upper(substring(col("status_col"), 3, 1)))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n_orders"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  val q33Sql: String =
+    """WITH p AS (SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'F' AS o_orderstatus, n_f AS n_orders FROM p
+      |UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+      |UNION ALL SELECT o_orderpriority, 'P', n_p FROM p
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------
   // q23: GROUPING SETS through the SQL surface (spark.sql) — the
   // reference has no query language (SURVEY.md §2.3 A6); Catalyst
   // provides one for free, demonstrated here end-to-end.
@@ -406,6 +435,7 @@ object Relational2 {
     "q20_full_outer" -> (q20FullOuter _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
+    "q33_unpivot" -> (q33Unpivot _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_explode_words" -> (q24ExplodeWords _),
     "q25_sketches" -> (q25Sketches _),
@@ -421,6 +451,7 @@ object Relational2 {
     "q20_full_outer" -> q20Sql,
     "q21_range_join" -> q21Sql,
     "q22_pivot" -> q22Sql,
+    "q33_unpivot" -> q33Sql,
     "q23_grouping_sets" -> q23Sql,
     "q24_explode_words" -> q24Sql,
     "q25_sketches" -> q25Sql,

@@ -510,13 +510,17 @@ object Text {
           Row(r.getLong(0), n, cc.size.toLong, ssc, nw, wc.size.toLong, ssw)
         }
       }(Encoders.row(schema))
-    perDoc.select(
-      col("doc_id"), col("n_chars"), col("n_unique_chars"),
-      round(lit(1.0) - col("ss_chars").cast("double") / (col("n_chars") * col("n_chars")), 6)
-        .as("char_diversity"),
-      col("n_words"), col("n_unique_words"),
-      round(lit(1.0) - col("ss_words").cast("double") / (col("n_words") * col("n_words")), 6)
-        .as("word_diversity"))
+    perDoc
+      // zero-length docs have no distribution to score; the oracle's
+      // inner join drops them, so the library does too (not NaN)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"), col("n_chars"), col("n_unique_chars"),
+        round(lit(1.0) - col("ss_chars").cast("double") / (col("n_chars") * col("n_chars")), 6)
+          .as("char_diversity"),
+        col("n_words"), col("n_unique_words"),
+        round(lit(1.0) - col("ss_words").cast("double") / (col("n_words") * col("n_words")), 6)
+          .as("word_diversity"))
       .orderBy(col("doc_id"))
   }
 

@@ -221,11 +221,16 @@ object Maintenance {
 
   private def zMaxima(s: SparkSession, dir: String): (Long, Long) = synchronized {
     if (zMaxFor == ((s, dir))) return zMaxCache
+    val dy = datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
     val row = Tables.orders(s, dir)
-      .agg(max(col("o_custkey")),
-        max(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))).first()
+      .agg(max(col("o_custkey")), max(dy), min(col("o_custkey")), min(dy)).first()
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"orders at $dir is empty: cannot derive z-order cell scales")
+    // negative dimension values would bit-interleave as garbage
+    // (two's-complement high bits): reject rather than mis-bucket
+    require(row.getLong(2) >= 0 && row.getLong(3) >= 0,
+      s"z-order dims must be non-negative (got min custkey ${row.getLong(2)}, " +
+        s"min day ${row.getLong(3)}): shift the epoch below the data")
     zMaxCache = (row.getLong(0), row.getLong(1))
     zMaxFor = (s, dir)
     zMaxCache

@@ -196,6 +196,48 @@ object Maintenance {
        |GROUP BY change_type ORDER BY change_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // SCHEMA EVOLUTION read — the ingest-generation drift problem: a
+  // long-lived dataset accretes columns over time, so a scan must
+  // union old and new file schemas and back-fill NULLs for columns a
+  // generation predates. Two parquet generations are written under
+  // gen= partition directories (gen 1: three columns; gen 2: adds
+  // o_orderpriority), then read back as ONE table via partition
+  // discovery + mergeSchema. The gate checks the union accounting:
+  // total rows, rows whose missing column back-filled NULL (exactly
+  // gen 1), rows carrying the new column (exactly gen 2), and the
+  // exact money total across both — all stated by the oracle from the
+  // base table alone, so a merge/back-fill bug turns the row red.
+  //
+  // At scale this is why mergeSchema exists: rewriting 100 TB of
+  // history to add a column is not an option; footer-schema union at
+  // planning time (+ per-file column pruning) is.
+  def qSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/schema_evolve"
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(base)
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_backfilled"),
+      sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+      round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))
+  }
+
+  val qSchemaEvolveSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------
   // Z-ORDER layout — the multi-dimensional clustering pass (Delta
   // OPTIMIZE ZORDER BY / Iceberg sort-order rewrite): interleave the
   // bits of two filter dimensions so that rows close in EITHER
@@ -280,11 +322,13 @@ object Maintenance {
     "maint_compact" -> (qCompact _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
-    "maint_zorder" -> (qZOrder _))
+    "maint_zorder" -> (qZOrder _),
+    "maint_schema_evolve" -> (qSchemaEvolve _))
 
   val oracles: Map[String, String] = Map(
     "maint_compact" -> qCompactSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
-    "maint_zorder" -> qZOrderSql)
+    "maint_zorder" -> qZOrderSql,
+    "maint_schema_evolve" -> qSchemaEvolveSql)
 }

@@ -631,6 +631,15 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("schema-evolution read partitions rows between generations exactly") {
+    val row = Maintenance.qSchemaEvolve(spark, sfDir).collect()(0)
+    val (n, back, evo) = (row.getAs[Long]("n_rows"),
+      row.getAs[Long]("n_backfilled"), row.getAs[Long]("n_evolved"))
+    assert(n == back + evo, "every row is exactly one generation")
+    assert(back > 0 && evo > 0, "both generations must be present")
+    assert(n == graft.Tables.orders(spark, sfDir).count(), "no rows lost in the union")
+  }
+
   test("z-order buckets bound BOTH dimensions to one 1/16 cell") {
     val orders = graft.Tables.orders(spark, sfDir)
     val nOrders = orders.count()

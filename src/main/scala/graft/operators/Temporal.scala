@@ -211,12 +211,58 @@ object Temporal {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM h GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Z-SCORE outlier detection — the monitoring pass a pipeline runs
+  // over an event stream: flag events whose value sits ≥3 standard
+  // deviations from their type's mean. Cross-engine determinism via
+  // INTEGER moments: values are exact cents (round(value·100) as
+  // BIGINT), so per-type Σv and Σv² are order-free integer sums —
+  // no unordered float accumulation anywhere; mean/variance/z are
+  // then a fixed chain of exact-input double ops identical in both
+  // engines (the same rational-moments dodge as text_diversity).
+  //
+  // Scale shape: pass 1 is a map-side partial aggregate to |types|
+  // rows; the tiny stats table broadcasts back onto the scan where
+  // the z filter is row-local — two column-pruned scans, zero corpus
+  // shuffles (the same two-pass shape as samp_temperature).
+  private val AnomalyZ = 3.0
+
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("sc"),
+      sum(col("vc") * col("vc")).as("ssc"))
+    val mean = col("sc").cast("double") / col("n")
+    val variance =
+      (col("ssc").cast("double") - col("sc").cast("double") * col("sc").cast("double") / col("n")) / col("n")
+    val z = (col("vc") - mean) / sqrt(variance)
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= AnomalyZ)
+      .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z_score"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAnomalySql: String =
+    s"""WITH c AS (SELECT event_id, event_type, value,
+       |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |s AS (SELECT event_type, count(*) AS n, sum(vc) AS sc, sum(vc * vc) AS ssc
+       |  FROM c GROUP BY event_type),
+       |z AS (SELECT c.event_id, c.event_type, c.value,
+       |  (c.vc - sc::DOUBLE / n) / sqrt((ssc::DOUBLE - sc::DOUBLE * sc::DOUBLE / n) / n) AS z
+       |  FROM c JOIN s USING (event_type))
+       |SELECT event_id, event_type, value, round(z, 4) AS z_score
+       |FROM z WHERE abs(z) >= $AnomalyZ ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
     "temporal_hopping" -> (qHopping _),
+    "temporal_anomaly" -> (qAnomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +271,6 @@ object Temporal {
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,
     "temporal_hopping" -> qHoppingSql,
+    "temporal_anomaly" -> qAnomalySql,
   )
 }

@@ -618,6 +618,24 @@ class ExtensionSpec extends SparkSpec {
       rows.map(_.getLong(1)).toSeq)
   }
 
+  test("anomaly flags exactly the naive-moment outliers, nothing more or less") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = events.groupBy(_._2)
+    val expected = byType.values.flatMap { es =>
+      val cents = es.map(e => math.round(e._3 * 100))
+      val n = cents.length.toLong
+      val (sc, ssc) = (cents.sum, cents.map(c => c * c).sum)
+      val mean = sc.toDouble / n
+      val sd = math.sqrt((ssc.toDouble - sc.toDouble * sc.toDouble / n) / n)
+      es.zip(cents).filter { case (_, c) => math.abs((c - mean) / sd) >= 3.0 }.map(_._1._1)
+    }.toSet
+    val got = Temporal.qAnomaly(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+  }
+
   test("hopping windows assign every event to exactly 4 slide-aligned windows") {
     val nEvents = graft.Tables.events(spark, sfDir).count()
     val rows = Temporal.qHopping(spark, sfDir).collect()

@@ -318,7 +318,47 @@ object Maintenance {
        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // CONTENT FINGERPRINT — the anti-entropy / replica-verification
+  // primitive a 100 TB pipeline runs after every copy, backfill, or
+  // engine migration: a per-partition (here: order month) checksum
+  // that two independent systems can compute and diff without moving
+  // data. Each row hashes to a 60-bit integer (first 15 hex chars of
+  // md5 over a canonical `|`-joined rendering — the cross-engine
+  // hash rules); partitions reduce with XOR (order-free, overflow-
+  // free, and incrementally updatable: re-XOR a changed row out/in)
+  // plus a modular sum + count to catch XOR's blind spots (duplicate
+  // pairs cancel under XOR; the sum sees them). Map-side partial
+  // aggregate to |months| rows — the scan is the only full-data pass,
+  // and a mismatched month pinpoints the partition to re-copy.
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    Tables.orders(s, dir)
+      .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(col("h") % 1000000007L).as("sum_fp"))
+      .orderBy(col("month"))
+  }
+
+  val qFingerprintSql: String =
+    """WITH h AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |  CAST(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+      |    CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR || '|' ||
+      |    strftime(o_orderdate, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS h
+      |  FROM orders)
+      |SELECT month, count(*) AS n_rows, bit_xor(h) AS xor_fp,
+      |  CAST(sum(h % 1000000007) AS BIGINT) AS sum_fp
+      |FROM h GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_fingerprint" -> (qFingerprint _),
     "maint_compact" -> (qCompact _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
@@ -326,6 +366,7 @@ object Maintenance {
     "maint_schema_evolve" -> (qSchemaEvolve _))
 
   val oracles: Map[String, String] = Map(
+    "maint_fingerprint" -> qFingerprintSql,
     "maint_compact" -> qCompactSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,

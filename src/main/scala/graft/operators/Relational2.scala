@@ -427,8 +427,91 @@ object Relational2 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q34: fixed-width histogram — the distribution profile every data
+  // audit starts with: o_totalprice binned into $25k buckets with
+  // count and exact min/max per bucket. Bucketing is pure integer
+  // arithmetic (cents `div` width — no float division anywhere, so
+  // boundary values cannot straddle engines), the aggregation is a
+  // map-side partial combine to |buckets| rows, and the money column
+  // is the only column read (column pruning to 1 field at 100 TB).
+  private val HistBucketCents = 2500000L // $25k
+
+  def q34Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(expr(s"cents div $HistBucketCents").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("bucket"), (col("bucket") * lit(HistBucketCents / 100)).as("lo_dollars"),
+        col("n_orders"), col("min_cents"), col("max_cents"))
+      .orderBy(col("bucket"))
+
+  val q34Sql: String =
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+       |b AS (SELECT cents // $HistBucketCents AS bucket, cents FROM c)
+       |SELECT bucket, bucket * ${HistBucketCents / 100} AS lo_dollars, count(*) AS n_orders,
+       |  min(cents) AS min_cents, max(cents) AS max_cents
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q35: exact grouped correlation + regression slope — Pearson corr
+  // and OLS beta of extendedprice on quantity per return flag,
+  // computed from EXACT integer moments instead of the engines'
+  // native streaming `corr` (whose float accumulation is partition-
+  // order-dependent — the q27/q29 failure class). x, y are integer
+  // units/cents; Σx Σy Σxy Σx² Σy² accumulate as DECIMAL(38,0) in
+  // Spark and HUGEINT in DuckDB (both exact and order-free; Σy²
+  // overflows BIGINT at sf0.1 already — 6e19 — which is why the
+  // sums are NOT longs), and the closed-form corr/beta is then one
+  // fixed chain of double ops over exact inputs, identical in both
+  // engines. Matches DuckDB's native corr() to 4 dp (verified).
+  // Scale shape: map-side partial aggregate to |flags| rows — one
+  // tiny exchange, two columns read.
+  def q35CorrExact(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val s0 = c.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val num = nD * sxy - sx * sy
+    s0.select(col("flag"), col("n"),
+        round(num / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4)
+          .as("corr_qty_price"),
+        round(num / (nD * sxx - sx * sx) / 100.0, 4).as("beta_dollars_per_unit"))
+      .orderBy(col("flag"))
+  }
+
+  val q35Sql: String =
+    """WITH c AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+      |s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM c GROUP BY flag)
+      |SELECT flag, n,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS corr_qty_price,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / 100.0, 4) AS beta_dollars_per_unit
+      |FROM s ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_histogram" -> (q34Histogram _),
+    "q35_corr_exact" -> (q35CorrExact _),
     "q32_percentiles" -> (q32Percentiles _),
     "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
@@ -445,6 +528,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_histogram" -> q34Sql,
+    "q35_corr_exact" -> q35Sql,
     "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,

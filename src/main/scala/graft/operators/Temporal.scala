@@ -256,6 +256,96 @@ object Temporal {
        |SELECT event_id, event_type, value, round(z, 4) AS z_score
        |FROM z WHERE abs(z) >= $AnomalyZ ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // FUNNEL analysis — the ordered-step conversion query every event
+  // pipeline runs: per user, the first `view`, the first `click`
+  // STRICTLY AFTER that view, the first `purchase` strictly after
+  // that click; emit per-stage user counts and the mean microsecond
+  // gap from the previous stage. Sequential dependence (each stage's
+  // cutoff is the previous stage's timestamp) is expressed as a chain
+  // of filter → groupBy(user) → equi-join legs: every leg shuffles
+  // only on user_id, so the three joins co-partition on one key and
+  // the event_type filters push to the scan. The stage rows are
+  // single-row partial aggregates (map-side combine to 1 row).
+  //
+  // mean_gap_us: Σgap is an exact BIGINT sum (order-free); the one
+  // division is floor(exact::DOUBLE / n) — identical both engines.
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2.select(col("user_id"), col("t2")), "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    def stageRow(df: DataFrame, stage: String, gapUs: Option[Column]): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_users"),
+        gapUs.map(g => floor(sum(g).cast("double") / count(lit(1))).cast("long"))
+          .getOrElse(lit(null).cast("long")).as("mean_gap_us"))
+        .select(lit(stage).as("stage"), col("n_users"), col("mean_gap_us"))
+    stageRow(t1, "1_view", None)
+      .unionAll(stageRow(t2, "2_click",
+        Some(unix_micros(col("t2")) - unix_micros(col("t1")))))
+      .unionAll(stageRow(t3, "3_purchase",
+        Some(unix_micros(col("t3")) - unix_micros(col("t2")))))
+      .orderBy(col("stage"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+      |  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2.t2) AS t2
+      |  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users, CAST(NULL AS BIGINT) AS mean_gap_us FROM t1
+      |  UNION ALL
+      |  SELECT '2_click', count(*),
+      |    CAST(floor(sum(date_diff('microsecond', t1, t2))::DOUBLE / count(*)) AS BIGINT) FROM t2
+      |  UNION ALL
+      |  SELECT '3_purchase', count(*),
+      |    CAST(floor(sum(date_diff('microsecond', t2, t3))::DOUBLE / count(*)) AS BIGINT) FROM t3
+      |) ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------
+  // COHORT RETENTION — weekly cohorts (week of a user's first event)
+  // by activity-week offset: the standard retention triangle. Two
+  // aggregates over one scan — per-user first week, and the distinct
+  // (user, week) activity set — joined back on user_id; every
+  // exchange is on user_id or the tiny (cohort, offset) result keys.
+  // Week arithmetic is pure integers (both engines truncate to
+  // Monday 00:00 UTC; offsets are exact multiples of 7 days — no DST
+  // in UTC), so the gate has no float anywhere.
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firstW = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+    firstW.join(act, "user_id")
+      .groupBy(
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        ((unix_micros(col("aw")) - unix_micros(col("cw"))) / lit(604800000000L))
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM ev GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM ev)
+      |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM f JOIN act a ON f.user_id = a.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "sessionize" -> (qSessionize _),
@@ -263,6 +353,8 @@ object Temporal {
     "temporal_rolling" -> (qRolling _),
     "temporal_hopping" -> (qHopping _),
     "temporal_anomaly" -> (qAnomaly _),
+    "temporal_funnel" -> (qFunnel _),
+    "temporal_retention" -> (qRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +364,7 @@ object Temporal {
     "temporal_rolling" -> qRollingSql,
     "temporal_hopping" -> qHoppingSql,
     "temporal_anomaly" -> qAnomalySql,
+    "temporal_funnel" -> qFunnelSql,
+    "temporal_retention" -> qRetentionSql,
   )
 }

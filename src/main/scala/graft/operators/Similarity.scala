@@ -110,28 +110,34 @@ object Similarity {
   // the standard high-recall configuration.
   private val CentroidStride = 40 // vec_id % 40 == 7 -> the codebook
 
-  def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Nearest-centroid assignment as a map-side partial aggregate
+    * (max over (ccos, -cid) structs), not a row_number window: the
+    * window form forced a full shuffle+sort of the K·N scored rows,
+    * while groupBy collapses the K candidates per vector before the
+    * one shuffle — same argmax semantics (struct comparison orders by
+    * ccos desc then cid asc exactly like the oracle's ROW_NUMBER
+    * ORDER BY), same trick as the qEmbedCosine assign stage.
+    * Returns (vec_id, cid, v, nrm); shared by [[qIvfTopk]] (the
+    * inverted-file build) and [[qKmeansStep]] (the Lloyd update). */
+  private def assignToCentroids(s: SparkSession, dir: String): DataFrame = {
     DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
     val cents = e.filter(col("vec_id") % CentroidStride === 7)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // Nearest-centroid assignment as a map-side partial aggregate
-    // (max over (ccos, -cid) structs), not a row_number window: the
-    // window form forced a full shuffle+sort of the K·N scored rows,
-    // while groupBy collapses the K candidates per vector before the
-    // one shuffle — same argmax semantics (struct comparison orders by
-    // ccos desc then cid asc exactly like the oracle's ROW_NUMBER
-    // ORDER BY), same trick as the qEmbedCosine assign stage.
     val ccos = round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"),
         struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         max(col("cand")).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cid"), col("v"), col("nrm"))
+  }
+
+  def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val assign = assignToCentroids(s, dir)
     val probes = assign.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -145,8 +151,10 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val qIvfTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The e/n/c/sc/asg assignment CTE chain — the SQL twin of
+    * [[assignToCentroids]], shared by the IVF and k-means oracles. */
+  private val assignCteSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 7),
        |sc AS (SELECT n.vec_id, c.cid,
@@ -154,7 +162,10 @@ object Similarity {
        |  FROM n, c),
        |asg AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-       |  FROM sc) t WHERE rn = 1),
+       |  FROM sc) t WHERE rn = 1)""".stripMargin
+
+  val qIvfTopkSql: String =
+    s"""WITH $assignCteSql,
        |probes AS (SELECT a.vec_id AS qid, a.cid AS qcid, n.v AS qv, n.nrm AS qn
        |  FROM asg a JOIN n ON a.vec_id = n.vec_id WHERE a.vec_id % $QueryStride = 0),
        |cand AS (SELECT p.qid, n.vec_id,
@@ -165,6 +176,44 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
        |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // K-MEANS LLOYD STEP — one full iteration of the centroid-training
+  // loop that produces real IVF codebooks: assign every vector to its
+  // nearest centroid (shared [[assignToCentroids]] stage), then emit
+  // the updated centroid as the per-dimension member mean. A training
+  // driver would loop this query to convergence, feeding each round's
+  // output back as the next round's codebook.
+  //
+  // Cross-engine determinism via exact integer moments: member values
+  // scale to round(v·1e6) BIGINTs, so the per-(cid, dim) Σ is
+  // order-free; the mean is one fixed double chain over exact inputs
+  // (the temporal_anomaly / q35 dodge). Scale shape: posexplode fans
+  // each vector to 64 (cid, dim, value) rows, but the groupBy
+  // partial-aggregates map-side, so the one exchange carries only
+  // K·64·|partitions| partial sums — independent of corpus size,
+  // exactly how a distributed k-means update must shuffle (a vector
+  // sum-aggregator would shave the explode's row overhead but shuffle
+  // the same bytes).
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame =
+    assignToCentroids(s, dir)
+      .select(col("cid"), posexplode(col("v")).as(Seq("d", "value")))
+      .select(col("cid"), col("d").cast("long").as("d"),
+        round(col("value") * 1000000).cast("long").as("sv"))
+      .groupBy(col("cid"), col("d"))
+      .agg(count(lit(1)).as("n_members"), sum(col("sv")).as("ssum"))
+      .select(col("cid"), col("d"), col("n_members"),
+        round(col("ssum").cast("double") / col("n_members") / 1000000.0, 6).as("centroid_val"))
+      .orderBy(col("cid"), col("d"))
+
+  val qKmeansStepSql: String =
+    s"""WITH $assignCteSql,
+       |av AS (SELECT a.cid, n.v FROM asg a JOIN n ON a.vec_id = n.vec_id),
+       |ex AS (SELECT cid, d.d AS d, CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM av, (SELECT unnest(range(${Vectors.Dim})) AS d) d)
+       |SELECT cid, d, count(*) AS n_members,
+       |  round(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*) / 1000000.0, 6) AS centroid_val
+       |FROM ex GROUP BY cid, d ORDER BY cid, d""".stripMargin
 
   // ---------------------------------------------------------------
   // Symmetric per-vector int8 quantization — the storage/bandwidth
@@ -403,6 +452,7 @@ object Similarity {
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
+    "sim_kmeans_step" -> (qKmeansStep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +462,6 @@ object Similarity {
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_pq_topk" -> qPqTopkSql,
     "sim_pq_rerank" -> qPqRerankSql,
+    "sim_kmeans_step" -> qKmeansStepSql,
   )
 }

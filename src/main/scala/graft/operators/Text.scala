@@ -457,6 +457,75 @@ object Text {
        |GROUP BY gram ORDER BY freq DESC, gram LIMIT $VocabTopK""".stripMargin
 
   // ---------------------------------------------------------------
+  // COLLOCATION LIFT — association-rule lift over corpus bigrams:
+  // lift(w1,w2) = P(w1,w2) / (P(w1)·P(w2)), the monotone cousin of
+  // PMI (PMI = ln lift). Lift instead of PMI ON PURPOSE: the value
+  // is one fixed chain of divisions over exact integer counts —
+  // bit-identical cross-engine — where PMI's ln() would hang the
+  // gate on libm-vs-JVM last-ulp rounding (the same
+  // rational-arithmetic dodge as [[qTfIdf]]'s idf and
+  // [[qDiversity]]'s Simpson index).
+  //
+  // Scale shape: two kernel passes over the corpus (unigrams and
+  // bigrams — the [[qTfIdf]] precedent; both partial-aggregate
+  // map-side so only (token, partial-count) pairs shuffle, exchanges
+  // proportional to vocabulary not corpus). The min-count filter
+  // lands BEFORE the unigram joins, so the join input is the rare
+  // high-frequency tail, not the long tail; totals are single-row
+  // aggregates broadcast via crossJoin.
+  private val CollocMinCount = 20
+
+  def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val uniSchema = StructType(Seq(StructField("w", StringType)))
+    val biSchema = StructType(Seq(StructField("w1", StringType), StructField("w2", StringType)))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val ucnt = docs.mapPartitions { it =>
+        it.flatMap { r =>
+          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .iterator.map(Row(_))
+        }
+      }(Encoders.row(uniSchema))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bcnt = docs.mapPartitions { it =>
+        it.flatMap { r =>
+          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          (0 until ws.length - 1).iterator.map(i => Row(ws(i), ws(i + 1)))
+        }
+      }(Encoders.row(biSchema))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val nw = ucnt.agg(sum(col("c")).as("n_words"))
+    val nb = bcnt.agg(sum(col("c_xy")).as("n_bigrams"))
+    bcnt.filter(col("c_xy") >= CollocMinCount)
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round((col("c_xy").cast("double") / col("n_bigrams")) /
+          ((col("c1").cast("double") / col("n_words")) *
+           (col("c2").cast("double") / col("n_words"))), 4).as("lift"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val qCollocationsSql: String =
+    s"""WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |uni AS (SELECT unnest(ws) AS w FROM w),
+       |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM uni),
+       |big AS (SELECT unnest(list_transform(range(len(ws) - 1),
+       |    i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2]))) AS b FROM w),
+       |bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy FROM big GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bcnt)
+       |SELECT w1, w2, c_xy,
+       |  round((c_xy::DOUBLE / n_bigrams) / ((u1.c::DOUBLE / n_words) * (u2.c::DOUBLE / n_words)), 4) AS lift
+       |FROM bcnt JOIN ucnt u1 ON bcnt.w1 = u1.w JOIN ucnt u2 ON bcnt.w2 = u2.w, nw, nb
+       |WHERE c_xy >= $CollocMinCount
+       |ORDER BY w1, w2""".stripMargin
+
+  // ---------------------------------------------------------------
   // DIVERSITY quality signal — Simpson index 1 − Σk²/n² over the
   // per-doc character and word distributions: near 1 for varied text,
   // plunging toward 0 for repeated-character/repeated-token junk
@@ -550,6 +619,7 @@ object Text {
     "text_decontaminate" -> (qDecontaminate _),
     "text_repetition" -> (qRepetition _),
     "text_vocab" -> (qVocab _),
+    "text_collocations" -> (qCollocations _),
     "text_diversity" -> (qDiversity _),
   )
 
@@ -562,6 +632,7 @@ object Text {
     "text_decontaminate" -> qDecontaminateSql,
     "text_repetition" -> qRepetitionSql,
     "text_vocab" -> qVocabSql,
+    "text_collocations" -> qCollocationsSql,
     "text_diversity" -> qDiversitySql,
   )
 }

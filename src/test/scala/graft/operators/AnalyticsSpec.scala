@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic + plan-shape checks for the analytics wave added after the
+  * round-5 close: funnel, retention, histogram, exact correlation,
+  * fingerprint, collocation lift, and the k-means Lloyd step. Each
+  * test re-derives the operator's defining invariant independently of
+  * the oracle SQL (which the DuckDB gate already cross-checks).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are ordered and monotonically non-increasing") {
+    val rows = Temporal.qFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"stage user counts must be non-increasing: ${counts.toSeq}")
+    assert(rows(0).isNullAt(2), "stage 1 has no previous stage, so no gap")
+    rows.drop(1).filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getLong(2) > 0, "mean stage gap must be strictly positive (ts strictly increases)")
+    }
+  }
+
+  test("retention week-0 cell counts every user of its cohort") {
+    val df = Temporal.qRetention(spark, sfDir)
+    val week0 = df.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).first().getLong(0)
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    // every user is by construction active in their own first week
+    assert(week0 == users, s"week-0 retention $week0 != distinct users $users")
+    assert(df.filter(col("week_offset") < 0).isEmpty,
+      "activity cannot precede the cohort week")
+  }
+
+  test("histogram buckets partition the table and bound their members") {
+    val rows = Relational2.q34Histogram(spark, sfDir).collect()
+    val total = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "bucket counts must partition all orders")
+    rows.foreach { r =>
+      val (bucket, n, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0)
+      assert(lo >= bucket * 2500000L && hi < (bucket + 1) * 2500000L,
+        s"bucket $bucket min/max [$lo,$hi] escape its bounds")
+    }
+  }
+
+  test("exact-moment correlation matches Spark's native corr") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val native = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Relational2.q35CorrExact(spark, sfDir).collect().foreach { r =>
+      val (flag, c) = (r.getString(0), r.getDouble(2))
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - native(flag)) < 1e-3,
+        s"flag $flag: exact-moment corr $c vs native ${native(flag)}")
+    }
+  }
+
+  test("fingerprint months partition the table and XOR-fold to the global fingerprint") {
+    val rows = Maintenance.qFingerprint(spark, sfDir).collect()
+    val orders = graft.Tables.orders(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == orders.count())
+    // same canonical hash, computed globally: months must XOR-fold to it
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val globalXor = orders
+      .select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).first().getLong(0)
+    assert(rows.map(_.getLong(2)).reduce(_ ^ _) == globalXor,
+      "per-month XOR fingerprints must fold to the whole-table fingerprint")
+  }
+
+  test("collocation lift re-derives from raw unigram/bigram counts") {
+    val df = Text.qCollocations(spark, sfDir)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    val byName = df.columns.zipWithIndex.toMap
+    got.foreach(r => assert(r.getLong(byName("c_xy")) >= 20, "min-count filter must hold"))
+    // naive driver-side recount of the first bigram's lift (per doc —
+    // bigrams never span document boundaries)
+    val docs = graft.Tables.documents(spark, sfDir).select(col("text")).collect()
+    def tokens(t: String) = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val words = docs.iterator.flatMap(d => tokens(d.getString(0))).toSeq
+    val perDoc = docs.iterator.flatMap { d =>
+      val ws = tokens(d.getString(0))
+      (0 until ws.length - 1).iterator.map(i => (ws(i), ws(i + 1)))
+    }.toSeq
+    val r0 = got.head
+    val (a, b) = (r0.getString(byName("w1")), r0.getString(byName("w2")))
+    val cXY = perDoc.count(p => p._1 == a && p._2 == b).toLong
+    assert(cXY == r0.getLong(byName("c_xy")), s"bigram ($a,$b) recount $cXY")
+    val expected = (cXY.toDouble / perDoc.size) /
+      ((words.count(_ == a).toDouble / words.size) * (words.count(_ == b).toDouble / words.size))
+    assert(math.abs(r0.getDouble(byName("lift")) - expected) < 1e-3)
+  }
+
+  test("k-means step: every centroid carries all dims with one member count") {
+    val rows = Similarity.qKmeansStep(spark, sfDir).collect()
+    val byCid = rows.groupBy(_.getLong(0))
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    byCid.foreach { case (cid, rs) =>
+      assert(rs.length == graft.functions.Vectors.Dim, s"centroid $cid missing dims")
+      assert(rs.map(_.getLong(2)).distinct.length == 1,
+        s"centroid $cid member count must not vary across dims")
+    }
+    val totalMembers = byCid.values.map(_.head.getLong(2)).sum
+    assert(totalMembers == nVecs, "cluster sizes must partition the vector set")
+  }
+
+  test("histogram reads only the money column (column pruning)") {
+    val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("o_totalprice"), "scan must read the money column")
+    assert(!plan.contains("o_orderpriority") && !plan.contains("o_custkey"),
+      "histogram must prune every column but o_totalprice:\n" + plan)
+  }
+}

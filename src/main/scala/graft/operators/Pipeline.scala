@@ -403,7 +403,83 @@ object Pipeline {
       |SELECT CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS pos, doc_id, n_chars
       |FROM k ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------
+  // TRAIN/VAL/TEST SPLIT — the 80/10/10 hash split every training
+  // pipeline runs before anything else, with the per-language class
+  // balance that audits split bias. Membership is a pure row-local
+  // function of doc_id (md5 bucket 0-99 — the samp_stratified hash),
+  // so the same document lands in the same split on any cluster
+  // size, under any partitioning, and in the DuckDB oracle; no
+  // global sort or state anywhere. Map-side partial aggregate to
+  // |splits|·|langs| rows.
+  private val SplitBuckets = Seq(("train", 80L), ("val", 90L)) // else "test"
+
+  def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val split = SplitBuckets.foldLeft(Option.empty[Column]) {
+      case (acc, (name, hi)) => Some(acc.map(_.when(b < hi, name))
+        .getOrElse(when(b < hi, name)))
+    }.get.otherwise("test")
+    Tables.documents(s, dir)
+      .select(split.as("split"), col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val qSplitSql: String = {
+    val cases = SplitBuckets.map { case (n, hi) => s"WHEN b < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""WITH h AS (SELECT lang,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |  FROM documents),
+       |s AS (SELECT CASE $cases ELSE 'test' END AS split, lang FROM h)
+       |SELECT split, lang, count(*) AS n_docs FROM s
+       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // PARTIAL-AGGREGATE MERGE — the incremental-rollup contract: daily
+  // partial aggregates (what a nightly job materializes per
+  // partition) merge into the all-time answer without touching raw
+  // rows again: counts add, sums add, mins/maxes fold. This is the
+  // lambda-architecture primitive that makes 100 TB rollups O(days)
+  // instead of O(events) — the gate proves merged(daily) by checking
+  // the two-level aggregation against DuckDB's same two levels.
+  // Money is exact integer cents end-to-end (order-free), and both
+  // aggregation levels partial-aggregate map-side.
+  def qPartialMerge(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sc"),
+        min(col("vc")).as("mn"), max(col("vc")).as("mx"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_events"),
+        sum(col("sc")).as("sum_cents"),
+        min(col("mn")).as("min_cents"),
+        max(col("mx")).as("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPartialMergeSql: String =
+    """WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |daily AS (SELECT d, event_type, count(*) AS n, sum(vc) AS sc,
+      |    min(vc) AS mn, max(vc) AS mx FROM c GROUP BY d, event_type)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sc) AS BIGINT) AS sum_cents,
+      |  min(mn) AS min_cents, max(mx) AS max_cents
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_split" -> (qSplit _),
+    "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
     "samp_balanced" -> (qBalanced _),
     "samp_temperature" -> (qTemperature _),
@@ -414,6 +490,8 @@ object Pipeline {
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "samp_split" -> qSplitSql,
+    "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,
     "samp_balanced" -> qBalancedSql,
     "samp_temperature" -> qTemperatureSql,

@@ -427,6 +427,50 @@ object Relational2 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q36: SALTED SKEW JOIN — q27's salting applied to a join: when a
+  // fact table's join key is pathologically hot (every row here maps
+  // to one of 10 keys — the celebrity-user / null-bucket shape), a
+  // plain shuffle join lands each hot key on ONE reducer; the 100 TB
+  // cure is to replicate the small dimension [[JoinSalt]] ways
+  // (explode over the salt range) and salt the fact side with a
+  // row-local hash, so the join key becomes (key, salt) and a hot
+  // key's rows spread over [[JoinSalt]] reducers. The result is
+  // byte-identical to the unsalted join (the oracle), and the
+  // post-join aggregate re-merges on the bare key — two-phase, like
+  // q27. (AQE's skew-join split is the automatic variant; salting is
+  // the explicit form that also works mid-pipeline where AQE can't
+  // re-plan, and it composes with the partial-agg pushdown here.)
+  private val JoinSalt = 16
+
+  def q36SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = (0L until 10L).map(hk => (hk, s"seg_$hk")).toDF("hk", "segment")
+      .withColumn("salt", explode(sequence(lit(0), lit(JoinSalt - 1))))
+    val fact = Tables.orders(s, dir).select(
+      (col("o_custkey") % 10).as("hk"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % JoinSalt).cast("int").as("salt"))
+    // shuffle_hash, not broadcast: at test scale Catalyst would
+    // broadcast the 160-row dim, which IS the other skew cure but
+    // hides the salted exchange this query demonstrates — the real
+    // case is a dimension too big to broadcast. The hint stands in
+    // for that; the fact side shuffles on (hk, salt), 16 reducers
+    // per hot key.
+    fact.join(dim.hint("shuffle_hash"), Seq("hk", "salt"))
+      .groupBy(col("hk"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("hk"))
+  }
+
+  val q36Sql: String =
+    """WITH f AS (SELECT o_custkey % 10 AS hk,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |dim AS (SELECT unnest(range(10)) AS hk),
+      |j AS (SELECT f.hk, 'seg_' || f.hk AS segment, cents FROM f JOIN dim d ON f.hk = d.hk)
+      |SELECT hk, segment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM j GROUP BY hk, segment ORDER BY hk""".stripMargin
+
+  // ---------------------------------------------------------------
   // q34: fixed-width histogram — the distribution profile every data
   // audit starts with: o_totalprice binned into $25k buckets with
   // count and exact min/max per bucket. Bucketing is pure integer
@@ -512,6 +556,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_histogram" -> (q34Histogram _),
     "q35_corr_exact" -> (q35CorrExact _),
+    "q36_salted_join" -> (q36SaltedJoin _),
     "q32_percentiles" -> (q32Percentiles _),
     "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
@@ -530,6 +575,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q34_histogram" -> q34Sql,
     "q35_corr_exact" -> q35Sql,
+    "q36_salted_join" -> q36Sql,
     "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,

@@ -113,6 +113,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(totalMembers == nVecs, "cluster sizes must partition the vector set")
   }
 
+  test("train/val/test split partitions the corpus near its 80/10/10 design") {
+    val rows = Pipeline.qSplit(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == graft.Tables.documents(spark, sfDir).count())
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainShare = bySplit("train").toDouble / total
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare far from 0.8")
+    // determinism: a second run is bit-identical
+    assert(Pipeline.qSplit(spark, sfDir).collect().toSeq == rows.toSeq)
+  }
+
+  test("partial-aggregate merge equals the direct single-level aggregation") {
+    val merged = Pipeline.qPartialMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val direct = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(col("vc")), min(col("vc")), max(col("vc")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct, "merging daily partials must reproduce the direct aggregate")
+  }
+
+  test("salted join equals the unsalted join and shuffles on (hk, salt)") {
+    val df = Relational2.q36SaltedJoin(spark, sfDir)
+    val unsalted = graft.Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 10).as("hk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("hk"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    df.collect().foreach { r =>
+      assert(unsalted(r.getLong(0)) == ((r.getLong(2), r.getLong(3))),
+        s"salted result diverges for hot key ${r.getLong(0)}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), "salted join must not silently broadcast:\n" + plan)
+    assert(plan.contains("hashpartitioning(hk") && plan.contains("salt"),
+      "the fact exchange must partition on (hk, salt):\n" + plan)
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

@@ -471,6 +471,53 @@ object Relational2 {
       |FROM j GROUP BY hk, segment ORDER BY hk""".stripMargin
 
   // ---------------------------------------------------------------
+  // q37: BLOOM-PREFILTERED SEMI JOIN — the runtime-filter technique
+  // for the case salting and broadcast don't cover: the fact table is
+  // huge AND the dimension's matching-key set is too big to broadcast
+  // as a hash relation, but its Bloom fingerprint fits in a few MB.
+  // Build one filter over the dim keys (one pass over the small
+  // side), probe it inside the fact scan's WholeStageCodegen span
+  // (graft.plans.MightContainLong — a codegen'd native expression,
+  // not a UDF), and only the ~matching rows ever reach the exchange;
+  // the exact semi join then runs on the survivors, so false
+  // positives cost shuffle bytes, never correctness. Spark's own
+  // InjectRuntimeFilter plants the same shape automatically when
+  // stats allow; the library surface makes it explicit and
+  // mid-pipeline-composable. The oracle is the plain semi join.
+  private val BloomFpp = 0.001
+
+  def q37BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MightContainLong
+    MightContainLong.register(s)
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // Sizing pass over the SMALL side only (at scale this number
+    // comes from table stats); the build is stat.bloomFilter's
+    // distributed aggregate — fact rows are never touched.
+    val bloom = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1L), BloomFpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.orders(s, dir)
+      .filter(MightContainLong.probe(col("o_custkey"), bytes))
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
   // q34: fixed-width histogram — the distribution profile every data
   // audit starts with: o_totalprice binned into $25k buckets with
   // count and exact min/max per bucket. Bucketing is pure integer
@@ -557,6 +604,7 @@ object Relational2 {
     "q34_histogram" -> (q34Histogram _),
     "q35_corr_exact" -> (q35CorrExact _),
     "q36_salted_join" -> (q36SaltedJoin _),
+    "q37_bloom_semi_join" -> (q37BloomSemiJoin _),
     "q32_percentiles" -> (q32Percentiles _),
     "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
@@ -576,6 +624,7 @@ object Relational2 {
     "q34_histogram" -> q34Sql,
     "q35_corr_exact" -> q35Sql,
     "q36_salted_join" -> q36Sql,
+    "q37_bloom_semi_join" -> q37Sql,
     "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,

@@ -155,6 +155,37 @@ class AnalyticsSpec extends SparkSpec {
       "the fact exchange must partition on (hk, salt):\n" + plan)
   }
 
+  test("bloom prefilter prunes hard but never drops a matching fact row") {
+    import graft.plans.MightContainLong
+    MightContainLong.register(spark)
+    val dim = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1L), 0.001)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    val orders = graft.Tables.orders(spark, sfDir)
+    val prefiltered = orders.filter(MightContainLong.probe(col("o_custkey"), bytes))
+    val semi = orders.join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+    val (nAll, nPre, nSemi) = (orders.count(), prefiltered.count(), semi.count())
+    assert(nPre >= nSemi, "bloom may only over-approximate the match set")
+    // fpp 0.001 over ~20% true matches: the prefilter must remove the
+    // bulk of the non-matching 80%
+    assert(nPre < nAll * 0.5, s"prefilter barely pruned: $nPre of $nAll")
+    // and the query result equals the plain semi join aggregation
+    val viaBloom = Relational2.q37BloomSemiJoin(spark, sfDir).collect().toSeq
+    val plain = semi.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(viaBloom == plain)
+    // the probe must run inside the scan-side WholeStageCodegen span
+    // (the plan renders the expression lowercase and stars codegen'd
+    // operators), not as a UDF
+    val plan = prefiltered.queryExecution.executedPlan.toString
+    assert(plan.contains("mightcontainlong"), "bloom probe missing from the scan filter:\n" + plan)
+    assert(plan.linesIterator.exists(l => l.contains("Filter mightcontainlong") && l.contains("*(")),
+      "bloom probe fell out of whole-stage codegen:\n" + plan)
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

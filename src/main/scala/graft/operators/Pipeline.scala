@@ -404,6 +404,30 @@ object Pipeline {
       |FROM k ORDER BY pos""".stripMargin
 
   // ---------------------------------------------------------------
+  // PII REDACTION — the log-scrubbing pass telemetry goes through
+  // before leaving its trust boundary: every digit in the free-form
+  // `props` payload masks to '#' (numbers are the id/quasi-identifier
+  // carrier in structured logs), with the per-row masked count as the
+  // audit column. Row-local regexp projection — map-only, no state,
+  // no shuffle but the presentation sort; composes with
+  // [[qPseudonymize]] (identifier tokens) as the two halves of the
+  // privacy layer. DuckDB's regexp_replace needs the explicit 'g'
+  // flag to match Spark's replace-all default (CLAUDE.md rule).
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_masked"),
+        regexp_replace(col("props"), "[0-9]", "#").as("props_masked"))
+      .orderBy(col("event_id"))
+
+  val qRedactSql: String =
+    """SELECT event_id,
+      |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_masked,
+      |  regexp_replace(props, '[0-9]', '#', 'g') AS props_masked
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // TRAIN/VAL/TEST SPLIT — the 80/10/10 hash split every training
   // pipeline runs before anything else, with the per-language class
   // balance that audits split bias. Membership is a pure row-local
@@ -479,6 +503,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_split" -> (qSplit _),
+    "pii_redact" -> (qRedact _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
     "samp_balanced" -> (qBalanced _),
@@ -491,6 +516,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "samp_split" -> qSplitSql,
+    "pii_redact" -> qRedactSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,
     "samp_balanced" -> qBalancedSql,

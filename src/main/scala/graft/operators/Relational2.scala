@@ -518,6 +518,37 @@ object Relational2 {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------
+  // q38: RANK-FAMILY WINDOW FUNCTIONS — ntile / percent_rank /
+  // cume_dist over per-priority price order: the quantile-assignment
+  // projection (price quartile per segment, percentile features for
+  // training). All three share ONE window spec, so Catalyst plans a
+  // single exchange+sort feeding stacked window operators (the
+  // temporal_rolling shape). Values are rationals of exact integers
+  // — percent_rank = (rank-1)/(n-1), cume_dist = peers≤/n — and the
+  // ORDER BY carries an o_orderkey tiebreak so neither engine ever
+  // ranks inside a tie.
+  def q38WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("pri")).orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q38Sql: String =
+    """WITH c AS (SELECT o_orderkey, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT o_orderkey, pri, cents,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM c WINDOW w AS (PARTITION BY pri ORDER BY cents, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
   // q34: fixed-width histogram — the distribution profile every data
   // audit starts with: o_totalprice binned into $25k buckets with
   // count and exact min/max per bucket. Bucketing is pure integer
@@ -605,6 +636,7 @@ object Relational2 {
     "q35_corr_exact" -> (q35CorrExact _),
     "q36_salted_join" -> (q36SaltedJoin _),
     "q37_bloom_semi_join" -> (q37BloomSemiJoin _),
+    "q38_window_ranks" -> (q38WindowRanks _),
     "q32_percentiles" -> (q32Percentiles _),
     "q31_gapfill" -> (q31GapFill _),
     "q30_json_extract" -> (q30JsonExtract _),
@@ -625,6 +657,7 @@ object Relational2 {
     "q35_corr_exact" -> q35Sql,
     "q36_salted_join" -> q36Sql,
     "q37_bloom_semi_join" -> q37Sql,
+    "q38_window_ranks" -> q38Sql,
     "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,
     "q30_json_extract" -> q30Sql,

@@ -186,6 +186,34 @@ class AnalyticsSpec extends SparkSpec {
       "bloom probe fell out of whole-stage codegen:\n" + plan)
   }
 
+  test("rank-family windows share one exchange; quartiles are balanced") {
+    val df = Relational2.q38WindowRanks(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(pri"))
+    assert(exchanges == 1, s"the three window functions must share one exchange:\n$plan")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (pr, cd) = (r.getDouble(4), r.getDouble(5))
+      assert(pr >= 0 && pr <= 1 && cd > 0 && cd <= 1)
+    }
+    val quartiles = rows.groupBy(r => (r.getString(1), r.getInt(3))).view.mapValues(_.size)
+    quartiles.keys.map(_._1).toSet.foreach { (pri: String) =>
+      val sizes = (1 to 4).map(q => quartiles.getOrElse((pri, q), 0))
+      assert(sizes.max - sizes.min <= 1, s"ntile(4) must balance within 1: $pri $sizes")
+    }
+  }
+
+  test("redaction leaves no digit behind and counts every mask") {
+    val rows = Pipeline.qRedact(spark, sfDir).collect()
+    assert(rows.exists(_.getLong(1) > 0), "test data must exercise masking")
+    rows.foreach { r =>
+      val masked = r.getString(2)
+      assert(!masked.exists(_.isDigit), s"unmasked digit in: $masked")
+      assert(r.getLong(1) == masked.count(_ == '#'),
+        "audit count must equal the masked-character count")
+    }
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

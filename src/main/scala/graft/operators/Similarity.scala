@@ -187,8 +187,12 @@ object Similarity {
   //
   // Cross-engine determinism via exact integer moments: member values
   // scale to round(v·1e6) BIGINTs, so the per-(cid, dim) Σ is
-  // order-free; the mean is one fixed double chain over exact inputs
-  // (the temporal_anomaly / q35 dodge). Scale shape: posexplode fans
+  // order-free, and the centroid is emitted in integer MICRO-UNITS
+  // via floor(Σ/n) — floor, not round: a mean landing on a half-µ
+  // boundary (sf0.1 did, dim 7 of centroid 1647) splits Spark's
+  // HALF_UP and DuckDB's float round, while floor of the identical
+  // IEEE quotient is the same on both (the floor-before-cast rule).
+  // Scale shape: posexplode fans
   // each vector to 64 (cid, dim, value) rows, but the groupBy
   // partial-aggregates map-side, so the one exchange carries only
   // K·64·|partitions| partial sums — independent of corpus size,
@@ -203,7 +207,7 @@ object Similarity {
       .groupBy(col("cid"), col("d"))
       .agg(count(lit(1)).as("n_members"), sum(col("sv")).as("ssum"))
       .select(col("cid"), col("d"), col("n_members"),
-        round(col("ssum").cast("double") / col("n_members") / 1000000.0, 6).as("centroid_val"))
+        floor(col("ssum").cast("double") / col("n_members")).cast("long").as("centroid_micro"))
       .orderBy(col("cid"), col("d"))
 
   val qKmeansStepSql: String =
@@ -212,7 +216,7 @@ object Similarity {
        |ex AS (SELECT cid, d.d AS d, CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
        |  FROM av, (SELECT unnest(range(${Vectors.Dim})) AS d) d)
        |SELECT cid, d, count(*) AS n_members,
-       |  round(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*) / 1000000.0, 6) AS centroid_val
+       |  CAST(floor(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS centroid_micro
        |FROM ex GROUP BY cid, d ORDER BY cid, d""".stripMargin
 
   // ---------------------------------------------------------------

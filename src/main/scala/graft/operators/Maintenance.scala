@@ -357,8 +357,73 @@ object Maintenance {
       |  CAST(sum(h % 1000000007) AS BIGINT) AS sum_fp
       |FROM h GROUP BY month ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DYNAMIC PARTITION PRUNING — the scan-elimination that makes a
+  // date-partitioned 100 TB fact table queryable: the fact is laid
+  // out hive-style by order month (the write is the standard
+  // ingest-partitioning pass, memoized per session like the bucket
+  // tables), the filter arrives on a JOINED calendar dimension
+  // (quarter → months), and Spark's DPP turns the broadcast dim into
+  // a runtime partition filter on the fact scan — only the three
+  // matching month directories are ever opened, provably
+  // (`dynamicpruningexpression(o_month ...)` in the plan, asserted
+  // in AnalyticsSpec). This is the dynamic sibling of static
+  // partition pruning: the month list exists only at runtime, so no
+  // literal filter could be pushed at plan time.
+  @volatile private var dppFor: (SparkSession, String) = null
+
+  /** Writes the month-partitioned fact and the tiny calendar dim;
+    * returns their paths. The calendar is a REAL parquet table, not a
+    * local relation: Catalyst folds a filter over literal rows into
+    * the relation itself, and DPP's planner only plants a runtime
+    * pruning subquery when a selective Filter survives on the dim
+    * side — exactly the on-disk dimension-table shape a warehouse
+    * has anyway. */
+  private def dppTablePaths(s: SparkSession, dir: String): (String, String) = synchronized {
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    val (factPath, calPath) = (s"$base/orders_by_month", s"$base/calendar")
+    if (dppFor == ((s, dir))) return (factPath, calPath)
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(factPath), true)
+    fs.delete(new Path(calPath), true)
+    Tables.orders(s, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // one task per month before the partitioned write: ~1 file per
+      // month directory instead of |tasks|·|months| shards
+      .repartition(col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(factPath)
+    import s.implicits._
+    (for { y <- 1992 to 1998; m <- 1 to 12 }
+      yield (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")).toDF("month", "quarter")
+      .coalesce(1).write.mode("overwrite").parquet(calPath)
+    dppFor = (s, dir)
+    (factPath, calPath)
+  }
+
+  def qDpp(s: SparkSession, dir: String): DataFrame = {
+    val (factPath, calPath) = dppTablePaths(s, dir)
+    val cal = s.read.parquet(calPath)
+    s.read.parquet(factPath)
+      .join(broadcast(cal.filter(col("quarter") === "1996-Q1")),
+        col("o_month") === col("month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_month"))
+  }
+
+  val qDppSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS o_month,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE strftime(date_trunc('month', o_orderdate), '%Y-%m')
+      |      IN ('1996-01', '1996-02', '1996-03')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_fingerprint" -> (qFingerprint _),
+    "maint_dpp" -> (qDpp _),
     "maint_compact" -> (qCompact _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
@@ -367,6 +432,7 @@ object Maintenance {
 
   val oracles: Map[String, String] = Map(
     "maint_fingerprint" -> qFingerprintSql,
+    "maint_dpp" -> qDppSql,
     "maint_compact" -> qCompactSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,

@@ -214,6 +214,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("calendar join dynamically prunes the partitioned fact scan") {
+    val df = Maintenance.qDpp(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "the dim filter must become a runtime partition filter on the fact scan:\n" + plan)
+    // result equals the static-filter aggregation on the raw table
+    val direct = graft.Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").isin("1996-01", "1996-02", "1996-03"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_month")).collect().toSeq
+    assert(df.collect().toSeq == direct)
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

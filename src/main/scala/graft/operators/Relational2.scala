@@ -174,7 +174,16 @@ object Relational2 {
   // need. The oracle states the bounds as invariants (TRUE), so a
   // sketch drifting out of tolerance turns the row red in the gate.
   def q25Sketches(s: SparkSession, dir: String): DataFrame = {
-    val ag = Tables.lineitem(s, dir).agg(
+    // The sketch partials (QuantileSummaries compress/merge, HLL) are
+    // CPU-heavy, and the single-file test scan yields ~3 partitions —
+    // the narrow-CPU-stage trap: pin the kernel width with an explicit
+    // count so the partial-agg stage parallelizes (profiled: stage CPU
+    // 1.16s over 3 tasks before, spread over defaultParallelism after;
+    // the shuffled bytes are just the two input columns).
+    val wide = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .repartition(s.sparkContext.defaultParallelism, col("l_partkey"))
+    val ag = wide.agg(
       approx_count_distinct(col("l_partkey")).as("ap"),
       countDistinct(col("l_partkey")).as("exact_parts"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("am"),

@@ -81,9 +81,76 @@ object EtlQueries {
       |  trim(text_raw) AS text_norm
       |FROM raw ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CORRUPT-RECORD QUARANTINE — the resilient-ingest contract: a
+  // malformed row must never fail the job OR silently vanish; it
+  // routes to a quarantine channel with the clean rows unaffected.
+  // A CSV rendering of `orders` (deterministically corrupted: every
+  // 13th key's money field becomes unparsable) is read back under
+  // PERMISSIVE mode with `columnNameOfCorruptRecord`, and the query
+  // accounts for every input row: parsed count + exact parsed-cents
+  // sum on one side, quarantined count + a key checksum recovered
+  // FROM THE RAW QUARANTINED TEXT on the other (proving the corrupt
+  // channel carries the full original line, not a null husk).
+  //
+  // Scale shape: the permissive parse is map-only (each task
+  // quarantines locally — no coordination), and the accounting is a
+  // single-row partial aggregate. The same pattern at 100 TB writes
+  // the `_corrupt IS NOT NULL` slice to a quarantine sink with
+  // observability counts — this query gates the counts.
+  @volatile private var quarantineFor: (SparkSession, String) = null
+
+  private def quarantineCsvPath(s: SparkSession, dir: String): String = synchronized {
+    val path = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/quarantine_csv"
+    if (quarantineFor == ((s, dir))) return path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 13 === 0, lit("N/A"))
+          .otherwise(round(col("o_totalprice") * 100).cast("long").cast("string"))
+          .as("cents"))
+      .write.mode("overwrite").csv(path)
+    quarantineFor = (s, dir)
+    path
+  }
+
+  def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = quarantineCsvPath(s, dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ck", LongType),
+      StructField("cents", LongType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .select(col("k"), col("cents"), col("_corrupt"),
+        // the quarantined line is the raw original: recover its key
+        split(col("_corrupt"), ",").getItem(0).cast("long").as("qk"))
+      .agg(
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_parsed"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("_corrupt").isNull, col("cents")).otherwise(0L)).as("sum_cents_parsed"),
+        sum(coalesce(col("qk"), lit(0L))).as("sum_quarantined_keys"))
+  }
+
+  val qQuarantineSql: String =
+    """WITH c AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT
+      |  CAST(sum(CASE WHEN k % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+      |  CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(CASE WHEN k % 13 <> 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_cents_parsed,
+      |  CAST(sum(CASE WHEN k % 13 = 0 THEN k ELSE 0 END) AS BIGINT) AS sum_quarantined_keys
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_normalize" -> (qNormalize _))
+    "etl_normalize" -> (qNormalize _),
+    "etl_quarantine" -> (qQuarantine _))
 
   val oracles: Map[String, String] = Map(
-    "etl_normalize" -> qNormalizeSql)
+    "etl_normalize" -> qNormalizeSql,
+    "etl_quarantine" -> qQuarantineSql)
 }

@@ -230,6 +230,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.collect().toSeq == direct)
   }
 
+  test("quarantine accounts for every input row and keeps the raw corrupt line") {
+    val r = EtlQueries.qQuarantine(spark, sfDir).collect().head
+    val total = graft.Tables.orders(spark, sfDir).count()
+    assert(r.getLong(0) + r.getLong(1) == total,
+      "parsed + quarantined must partition the input rows")
+    assert(r.getLong(1) > 0, "the corruption rule must exercise the quarantine channel")
+    // the key checksum came from the raw quarantined text, so it must
+    // equal the sum of the keys the corruption rule targeted
+    val expectedKeySum = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 13 === 0)
+      .agg(sum(col("o_orderkey"))).first().getLong(0)
+    assert(r.getLong(3) == expectedKeySum,
+      "quarantined rows must carry their full original line")
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

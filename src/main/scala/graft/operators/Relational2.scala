@@ -639,8 +639,45 @@ object Relational2 {
       |FROM s ORDER BY flag""".stripMargin
 
   // ---------------------------------------------------------------
+  // q39: MAP-typed aggregation — the per-entity keyed profile
+  // (hour-of-day → event count) materialized as a genuine Spark
+  // `MapType` column: two-level aggregate, `map_from_entries` builds
+  // the map, `map_entries` → sort → transform renders it canonically
+  // (sorted `h:n` pairs) so the DuckDB oracle — which has no
+  // equivalent map literal — compares the same logical value as a
+  // string. The inner aggregate partial-combines to |types|·24 rows
+  // before the one exchange; the map assembly is map-side of a
+  // 5-row result. This is the feature-store row shape (entity →
+  // keyed feature bag) that array columns can't model when keys are
+  // sparse per entity.
+  def q39MapAgg(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .groupBy(col("event_type"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("hr"), col("n")))))
+        .as("profile"))
+      .select(col("event_type"),
+        size(col("profile")).cast("long").as("n_hours"),
+        concat_ws(",", transform(sort_array(map_entries(col("profile"))),
+          e => concat(e.getField("key"), lit(":"), e.getField("value")))).as("hour_profile"))
+      .orderBy(col("event_type"))
+  }
+
+  val q39Sql: String =
+    """WITH h AS (SELECT event_type,
+      |    CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr FROM events),
+      |c AS (SELECT event_type, hr, count(*) AS n FROM h GROUP BY event_type, hr)
+      |SELECT event_type, count(*) AS n_hours,
+      |  string_agg(hr || ':' || n, ',' ORDER BY hr) AS hour_profile
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_map_agg" -> (q39MapAgg _),
     "q34_histogram" -> (q34Histogram _),
     "q35_corr_exact" -> (q35CorrExact _),
     "q36_salted_join" -> (q36SaltedJoin _),
@@ -666,6 +703,7 @@ object Relational2 {
     "q35_corr_exact" -> q35Sql,
     "q36_salted_join" -> q36Sql,
     "q37_bloom_semi_join" -> q37Sql,
+    "q39_map_agg" -> q39Sql,
     "q38_window_ranks" -> q38Sql,
     "q32_percentiles" -> q32Sql,
     "q31_gapfill" -> q31Sql,

@@ -126,6 +126,15 @@ object Relational2 {
   // reference has no query language (SURVEY.md §2.3 A6); Catalyst
   // provides one for free, demonstrated here end-to-end.
   def q23GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    // Narrow-stage note: the Expand×3 + decimal partials run on the
+    // single-file scan's ~3 partitions (0.97s CPU / 3 tasks at
+    // sf0.1). A q25-style repartition does NOT pay here — the
+    // shuffle WRITE runs on the same 3 scan tasks and costs what the
+    // aggregate did (measured: 1.46s → 1.44s, net zero). The width
+    // lever for a CPU-heavy scan-adjacent aggregate is the scan
+    // split size (spark.sql.files.maxPartitionBytes), a session
+    // knob, not a plan change; on a real multi-file table the scan
+    // parallelizes by itself.
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus,

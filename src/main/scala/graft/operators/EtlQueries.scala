@@ -146,11 +146,83 @@ object EtlQueries {
       |  CAST(sum(CASE WHEN k % 13 = 0 THEN k ELSE 0 END) AS BIGINT) AS sum_quarantined_keys
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SOURCE-FORMAT ROUNDTRIPS — the interchange formats an engine must
+  // read beyond its native parquet: JSON-lines (the log/API format)
+  // and ORC (the other columnar warehouse format, with its own
+  // predicate pushdown). Each query writes a projection of `events`
+  // in the format, reads it back, and aggregates; the oracle computes
+  // the same aggregate from the parquet original, so a fidelity bug
+  // anywhere in the write→read loop (type mapping, timestamp
+  // encoding, nullability) turns the row red. Timestamps cross the
+  // JSON boundary as explicit µs longs — JSON has no timestamp type,
+  // and gating that choice documents it. The ORC read keeps its
+  // column pruning + pushdown (same FileScan surface as parquet).
+  @volatile private var roundtripFor: (SparkSession, String) = null
+
+  private def roundtripPaths(s: SparkSession, dir: String): (String, String) = synchronized {
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    val (jsonPath, orcPath) = (s"$base/events_jsonl", s"$base/events_orc")
+    if (roundtripFor == ((s, dir))) return (jsonPath, orcPath)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(jsonPath, orcPath).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    ev.write.mode("overwrite").json(jsonPath)
+    ev.write.mode("overwrite").orc(orcPath)
+    roundtripFor = (s, dir)
+    (jsonPath, orcPath)
+  }
+
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .orderBy(col("event_type"))
+
+  def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (jsonPath, _) = roundtripPaths(s, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("cents", LongType)))
+    roundtripAgg(s.read.schema(schema).json(jsonPath))
+  }
+
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (_, orcPath) = roundtripPaths(s, dir)
+    // ORC carries its own schema; the filter proves pushdown survives
+    // the format (PushedFilters on the ORC scan, same as parquet)
+    roundtripAgg(s.read.orc(orcPath).filter(col("event_id") >= 0))
+  }
+
+  private val roundtripOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_normalize" -> (qNormalize _),
-    "etl_quarantine" -> (qQuarantine _))
+    "etl_quarantine" -> (qQuarantine _),
+    "src_json_roundtrip" -> (qJsonRoundtrip _),
+    "src_orc_roundtrip" -> (qOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
-    "etl_quarantine" -> qQuarantineSql)
+    "etl_quarantine" -> qQuarantineSql,
+    "src_json_roundtrip" -> roundtripOracle,
+    "src_orc_roundtrip" -> roundtripOracle)
 }

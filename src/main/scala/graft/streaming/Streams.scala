@@ -266,7 +266,47 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY mktsegment, event_type ORDER BY mktsegment, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Streaming PIPELINE — the e2e composition a 100 TB/day ingest
+  // actually runs, as ONE streaming query with CHAINED STATEFUL
+  // operators (Spark 3.5+ append-mode support): quality filter
+  // (stateless) → watermarked dedup on (user, type, hour) — the 1 h
+  // delay covers any same-key spread inside an hour bucket, so the
+  // bounded result equals a batch DISTINCT — → tumbling-window
+  // distinct-user counts. Append mode only finalizes windows the
+  // watermark has passed, so the last hour of data legitimately
+  // stays in state at end-of-stream; the oracle states exactly that
+  // (windows with end ≤ max(ts) − 1 h), gating the real emission
+  // semantics instead of papering over them with complete mode.
+  private val PipelineQualityMin = 1.0
+
+  def qStreamPipeline(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .filter(col("value") >= PipelineQualityMin)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_users"))
+    }
+      .orderBy(col("window_start"), col("event_type"))
+
+  val qStreamPipelineSql: String =
+    s"""WITH allev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+       |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM allev),
+       |ev AS (SELECT * FROM allev WHERE value >= $PipelineQualityMin),
+       |d AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM ev),
+       |agg AS (SELECT hr, event_type, count(*) AS n_users FROM d GROUP BY hr, event_type)
+       |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n_users
+       |FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w
+       |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_pipeline" -> (qStreamPipeline _),
     "stream_window_agg" -> (qWindowAgg _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
@@ -276,6 +316,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_pipeline" -> qStreamPipelineSql,
     "stream_window_agg" -> qWindowAggSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,

@@ -245,6 +245,17 @@ class AnalyticsSpec extends SparkSpec {
       "quarantined rows must carry their full original line")
   }
 
+  test("format roundtrips agree with each other; ORC keeps pushdown") {
+    val json = EtlQueries.qJsonRoundtrip(spark, sfDir)
+    val orc = EtlQueries.qOrcRoundtrip(spark, sfDir)
+    assert(json.collect().toSeq == orc.collect().toSeq,
+      "the same rows through JSON and ORC must aggregate identically")
+    val plan = orc.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc") && plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(event_id"),
+      "the ORC scan must carry the pushed predicate:\n" + plan)
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

@@ -421,9 +421,89 @@ object Maintenance {
       |      IN ('1996-01', '1996-02', '1996-03')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PARTITION RETENTION — the TTL/GDPR delete every regulated 100 TB
+  // store runs: expire whole partition directories past a cutoff
+  // (month < [[RetentionCutoff]]) by METADATA operation — a directory
+  // list + delete, never a row scan of the expired data; that
+  // O(partitions) cost profile is the entire point of date
+  // partitioning for retention. The query writes its own partitioned
+  // copy (fresh each call: the op is destructive, so re-runs must
+  // start from the full table to stay deterministic), expires, then
+  // audits the survivor table with a full read-back; the oracle
+  // states the expected post-delete world from the original rows.
+  private val RetentionCutoff = "1997-01"
+
+  def qRetentionExpire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/orders_retention"
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    Tables.orders(s, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path)
+    // the expire pass: pure directory metadata, no data read
+    val expired = fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("o_month="))
+      .filter(_.getPath.getName.stripPrefix("o_month=") < RetentionCutoff)
+    expired.foreach(st => fs.delete(st.getPath, true))
+    val kept = s.read.parquet(path)
+      .agg(
+        countDistinct(col("o_month")).as("n_months_kept"),
+        count(lit(1)).as("n_rows_kept"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents_kept"))
+    kept.select(lit(expired.size.toLong).as("n_months_dropped"),
+      col("n_months_kept"), col("n_rows_kept"), col("sum_cents_kept"))
+  }
+
+  val qRetentionExpireSql: String =
+    s"""WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mo,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+       |SELECT
+       |  CAST(count(DISTINCT CASE WHEN mo < '$RetentionCutoff' THEN mo END) AS BIGINT) AS n_months_dropped,
+       |  CAST(count(DISTINCT CASE WHEN mo >= '$RetentionCutoff' THEN mo END) AS BIGINT) AS n_months_kept,
+       |  CAST(sum(CASE WHEN mo >= '$RetentionCutoff' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_kept,
+       |  CAST(sum(CASE WHEN mo >= '$RetentionCutoff' THEN cents ELSE 0 END) AS BIGINT) AS sum_cents_kept
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // TABLE STATS COLLECTION — the ANALYZE pass that feeds a
+  // cost-based optimizer: per-column row count, exact NDV, min/max,
+  // null count. Exact NDV on purpose (the oracle must match);
+  // production at 100 TB swaps in approx_count_distinct and the
+  // query shape is unchanged — one pass per column batch, partial
+  // aggregates, a |columns|-row result. These are the numbers that
+  // decide broadcast-vs-shuffle and join order up the stack.
+  def qAnalyze(s: SparkSession, dir: String): DataFrame = {
+    def statsFor(c: String) = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(c)).as("ndv"),
+      min(col(c)).cast("long").as("min_v"),
+      max(col(c)).cast("long").as("max_v"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"))
+      .select(lit(c).as("col"), col("n_rows"), col("ndv"),
+        col("min_v"), col("max_v"), col("n_null"))
+    statsFor("o_custkey").unionAll(statsFor("o_orderkey")).orderBy(col("col"))
+  }
+
+  val qAnalyzeSql: String =
+    """SELECT 'o_custkey' AS col, count(*) AS n_rows,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+      |  CAST(min(o_custkey) AS BIGINT) AS min_v, CAST(max(o_custkey) AS BIGINT) AS max_v,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderkey', count(*), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |  CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_fingerprint" -> (qFingerprint _),
     "maint_dpp" -> (qDpp _),
+    "maint_retention" -> (qRetentionExpire _),
+    "maint_analyze" -> (qAnalyze _),
     "maint_compact" -> (qCompact _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
@@ -433,6 +513,8 @@ object Maintenance {
   val oracles: Map[String, String] = Map(
     "maint_fingerprint" -> qFingerprintSql,
     "maint_dpp" -> qDppSql,
+    "maint_retention" -> qRetentionExpireSql,
+    "maint_analyze" -> qAnalyzeSql,
     "maint_compact" -> qCompactSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,

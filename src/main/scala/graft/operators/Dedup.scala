@@ -849,6 +849,47 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // PAGERANK STEP over the near-dup graph — the graph-analytics
+  // primitive (one power-iteration of PR with damping 0.85, uniform
+  // start) computed on the memoized LSH pair list: rank within a
+  // duplicate cluster identifies the "hub" version of a document the
+  // same way cluster resolution identifies membership. FIXED-POINT
+  // INTEGER arithmetic on purpose: per-edge contributions are
+  // 1e9 `div` outdeg and the damped combine is integer div, so the
+  // unordered per-node sum is exact (the unordered-double-sum trap
+  // has no float to bite); a float PageRank differs across engines in
+  // the last decimals for exactly that reason. One shuffle per hop
+  // (join on src, groupBy dst) — the standard distributed PR shape,
+  // horizontally parallel in nodes; a driver loop iterates to
+  // convergence at scale exactly like [[resolveComponents]].
+  def qPagerankStep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val contrib = sym.join(deg, "src")
+      .select(col("dst"), expr("1000000000 div outdeg").as("c"))
+    contrib.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("indeg"), sum(col("c")).as("recv"))
+      .select(col("doc_id"), col("indeg"),
+        (lit(150000000L) + expr("(recv * 85) div 100")).as("pr_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPagerankStepSql: String =
+    s"""WITH p AS (
+       |$qMinHashLshSql
+       |),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |contrib AS (SELECT e.dst, 1000000000 // d.outdeg AS c
+       |  FROM edges e JOIN deg d ON e.src = d.src)
+       |SELECT dst AS doc_id, count(*) AS indeg,
+       |  CAST(150000000 + (sum(c) * 85) // 100 AS BIGINT) AS pr_scaled
+       |FROM contrib GROUP BY dst ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Canonical-doc selection — the step that CONSUMES the near-dup
   // clusters: per cluster keep one representative (longest text,
   // tiebreak smallest doc_id) and report how many members it stands
@@ -1013,6 +1054,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
+    "graph_pagerank_step" -> (qPagerankStep _),
     "dedup_canonical" -> (qCanonical _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
@@ -1027,6 +1069,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
+    "graph_pagerank_step" -> qPagerankStepSql,
     "dedup_canonical" -> qCanonicalSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,

@@ -256,6 +256,24 @@ class AnalyticsSpec extends SparkSpec {
       "the ORC scan must carry the pushed predicate:\n" + plan)
   }
 
+  test("pagerank step: degrees match the pair graph, mass stays bounded") {
+    val rows = Dedup.qPagerankStep(spark, sfDir).collect()
+    if (rows.nonEmpty) {
+      val pairs = Dedup.qMinHashLsh(spark, sfDir)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity).view.mapValues(_.size)
+      rows.foreach { r =>
+        val (id, indeg, pr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(indeg == deg(id), s"node $id indeg $indeg != symmetric degree ${deg(id)}")
+        // floor(1e9/outdeg) contributions: received mass is positive and
+        // cannot exceed indeg · 1e9 (each in-neighbor sends at most 1e9)
+        assert(pr > 150000000L && pr <= 150000000L + indeg * 850000000L,
+          s"node $id pr $pr out of bounds for indeg $indeg")
+      }
+    }
+  }
+
   test("histogram reads only the money column (column pruning)") {
     val plan = Relational2.q34Histogram(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("o_totalprice"), "scan must read the money column")

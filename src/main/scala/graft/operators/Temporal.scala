@@ -346,8 +346,56 @@ object Temporal {
       |FROM f JOIN act a ON f.user_id = a.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RESAMPLE + FORWARD-FILL — the time-series regularization step
+  // (sensor/metric pipelines): a 6-hour grid per event type where
+  // each tick carries the last observed value at-or-before it
+  // (NULL before the first observation — q31's gap-fill zero-fills
+  // COUNTS; forward-fill is the right semantics for sampled VALUES).
+  // Same scalable shape as [[qAsofJoin]]: union grid ticks into the
+  // event stream, one shuffle on the partition key, and a running
+  // `last(value, ignoreNulls)` carries the fill — no correlated
+  // lookup, no per-tick join; DuckDB states the same semantics as a
+  // correlated LIMIT 1 (tiebreak event_id so engines agree at equal
+  // timestamps).
+  def qResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+    val grid = ev.agg(date_trunc("day", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 6 hours"))).as("gts"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val tagged = ev
+      .select(col("event_type"), col("ts"), col("value"), lit(0).as("side"), col("event_id"))
+      .unionAll(grid.select(col("event_type"), col("gts").as("ts"),
+        lit(null).cast("double").as("value"), lit(1).as("side"),
+        lit(Long.MaxValue).as("event_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged.withColumn("ffill", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+        round(col("ffill"), 2).as("value_ffill"))
+      .orderBy(col("event_type"), col("grid_ts"))
+  }
+
+  val qResampleFfillSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+      |b AS (SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM ev),
+      |grid AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+      |  INTERVAL 6 HOUR)) AS gts),
+      |types AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT t.event_type, strftime(g.gts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+      |  round((SELECT e.value FROM ev e
+      |         WHERE e.event_type = t.event_type AND e.ts <= g.gts
+      |         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS value_ffill
+      |FROM grid g CROSS JOIN types t
+      |ORDER BY event_type, grid_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
+    "temporal_ffill" -> (qResampleFfill _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
@@ -359,6 +407,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> qAsofJoinSql,
+    "temporal_ffill" -> qResampleFfillSql,
     "sessionize" -> qSessionizeSql,
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,

@@ -79,17 +79,66 @@ object JaccardLengthPrune extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: put a LENGTH-BAND prune in front of
+  * expensive edit-distance filters — the [[JaccardLengthPrune]]
+  * pattern generalized to the second expensive similarity predicate.
+  *
+  * Levenshtein distance is bounded below by the length difference
+  * (every unmatched length unit costs at least one edit), so a filter
+  * `levenshtein(a,b) <= t` can only pass rows where
+  * `abs(length(a) - length(b)) <= t`. The rule evaluates the integer
+  * band first (codegen'd, O(1)) so the O(|a|·|b|) DP matrix runs only
+  * on length-compatible pairs — the hand-written prune
+  * Dedup.qFuzzyNames carries, applied automatically to ANY filter
+  * using the built-in expression. All-integer arithmetic: no slack
+  * needed, exact-boundary pairs (distance == t) are never pruned.
+  * Same idempotency discipline as the jaccard rule: the guard matches
+  * the exact injected shape over the levenshtein's own arguments.
+  */
+object LevenshteinLengthPrune extends Rule[LogicalPlan] {
+
+  private def lengthBand(l: Expression, r: Expression, t: Expression): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), t)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      def isInjectedBand(e: Expression, lev: Levenshtein): Boolean = e match {
+        case LessThanOrEqual(Abs(Subtract(Length(x), Length(y), _), _), _) =>
+          Seq(x, y).forall(c =>
+            c.semanticEquals(lev.left) || c.semanticEquals(lev.right))
+        case _ => false
+      }
+      def alreadyPruned(le: LessThanOrEqual, lev: Levenshtein): Boolean =
+        cond.exists {
+          case And(band, inner) if inner fastEquals le => isInjectedBand(band, lev)
+          case _ => false
+        }
+      val rewritten = cond.transformUp {
+        case le @ LessThanOrEqual(lev: Levenshtein, t @ Literal(_, _))
+            if !alreadyPruned(le, lev) =>
+          And(lengthBand(lev.left, lev.right, t), le)
+      }
+      if (rewritten fastEquals cond) f else Filter(rewritten, child)
+  }
+}
+
 /** `spark.sql.extensions` entry point installing the graft optimizer
   * rules into every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardLengthPrune)
+    ext.injectOptimizerRule(_ => LevenshteinLengthPrune)
+  }
 }
 
 object GraftExtensions {
-  /** Installs the rule into an already-running session (idempotent). */
+  private val rules = Seq(JaccardLengthPrune, LevenshteinLengthPrune)
+
+  /** Installs the rules into an already-running session (idempotent). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(JaccardLengthPrune))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ JaccardLengthPrune
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }

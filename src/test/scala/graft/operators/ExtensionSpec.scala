@@ -346,6 +346,26 @@ class ExtensionSpec extends SparkSpec {
     assert(onScan(1, 10).filter(expr("graft_jaccard_sorted_long(a, b) >= 0.3")).count() == 0)
   }
 
+  test("levenshtein length-band prune injects, keeps exact-boundary pairs") {
+    graft.plans.GraftExtensions.install(spark)
+    // column-dependent strings defeat constant folding so the filter
+    // survives to the optimizer (same trick as the jaccard rule test)
+    def onScan(a: String, b: String) = graft.Tables.documents(spark, sfDir).limit(1)
+      .select(
+        when(col("doc_id") >= 0, lit(a)).as("x"),
+        when(col("doc_id") >= 0, lit(b)).as("y"))
+    // levenshtein(kitten, sitting) = 3, exactly at the threshold: the
+    // all-integer band must keep the boundary pair
+    val q = onScan("kitten", "sitting").filter(expr("levenshtein(x, y) <= 3"))
+    assert(q.count() == 1, "exact-boundary pair must survive the prune")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      s"optimizer must inject the length-band prune:\n$optimized")
+    // a band-incompatible pair (length diff 6 > 3) is rejected by the
+    // prune before the DP matrix would run
+    assert(onScan("ab", "abcdefgh").filter(expr("levenshtein(x, y) <= 3")).count() == 0)
+  }
+
   test("typed join pushes the o_totalprice predicate into the parquet scan") {
     val df = Typed.qTypedJoin(spark, sfDir)
     df.count() // materialize through AQE

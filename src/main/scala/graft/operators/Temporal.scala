@@ -393,9 +393,43 @@ object Temporal {
       |FROM grid g CROSS JOIN types t
       |ORDER BY event_type, grid_ts""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CHURN LABEL GENERATION — supervised-label derivation, the step
+  // between raw events and any retention model's training set: a
+  // user churns if their last activity precedes the observation
+  // horizon (corpus max ts − 12 h; chosen so the test data splits
+  // the classes — 40/150 at the gate SF). Two aggregates: the
+  // per-user last-activity rollup (one shuffle on user_id) and a
+  // single-row global max that broadcasts back — the same two-pass
+  // map-side shape as temporal_anomaly. The label compare is exact
+  // integer µs on both engines.
+  private val ChurnHorizonUs = 12L * 3600 * 1000000
+
+  def qChurnLabel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val mx = ev.agg(max(col("ts")).as("m"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("lt"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("lt"), tsFmt).as("last_ts"),
+        when(unix_micros(col("lt")) < unix_micros(col("m")) - ChurnHorizonUs, 1L)
+          .otherwise(0L).as("churn_label"))
+      .orderBy(col("user_id"))
+  }
+
+  val qChurnLabelSql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |mx AS (SELECT max(ts) AS m FROM ev),
+       |u AS (SELECT user_id, count(*) AS n_events, max(ts) AS lt FROM ev GROUP BY user_id)
+       |SELECT user_id, n_events, strftime(lt, '$duckFmt') AS last_ts,
+       |  CAST(CASE WHEN epoch_us(lt) < epoch_us(m) - $ChurnHorizonUs THEN 1 ELSE 0 END AS BIGINT) AS churn_label
+       |FROM u, mx ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (qAsofJoin _),
     "temporal_ffill" -> (qResampleFfill _),
+    "temporal_churn_label" -> (qChurnLabel _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
@@ -408,6 +442,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "asof_join" -> qAsofJoinSql,
     "temporal_ffill" -> qResampleFfillSql,
+    "temporal_churn_label" -> qChurnLabelSql,
     "sessionize" -> qSessionizeSql,
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,

@@ -357,9 +357,14 @@ object Temporal {
   // `last(value, ignoreNulls)` carries the fill — no correlated
   // lookup, no per-tick join; DuckDB states the same semantics as a
   // correlated LIMIT 1 (tiebreak event_id so engines agree at equal
-  // timestamps).
+  // timestamps). NULL-valued observations are dropped on BOTH sides
+  // up front: Spark's ignoreNulls would skip a NULL observation and
+  // carry the older value while the correlated LIMIT 1 would return
+  // the newest row's NULL — filtering them makes the stated
+  // last-non-null semantics identical in the two engines.
   def qResampleFfill(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
       .select(col("event_type"), col("ts"), col("value"), col("event_id"))
     val grid = ev.agg(date_trunc("day", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 6 hours"))).as("gts"))
@@ -381,7 +386,8 @@ object Temporal {
   }
 
   val qResampleFfillSql: String =
-    """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+    """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      |  FROM events WHERE value IS NOT NULL),
       |b AS (SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM ev),
       |grid AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
       |  INTERVAL 6 HOUR)) AS gts),

@@ -3,10 +3,11 @@ package graft.plans
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst predicate: membership probe of a BIGINT key
@@ -32,6 +33,20 @@ case class MightContainLong(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
 
+  // Declarative input typing: ExpectsInputTypes/ImplicitCastInputTypes
+  // are private[sql] in Spark 4, so the registry builder widens
+  // narrower integral keys itself (MightContainLong.widened) and this
+  // check turns any remaining mismatch into a typed ANALYSIS error —
+  // without it, codegen silently widened an int key while the
+  // interpreted path threw ClassCastException in nullSafeEval.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might_contain expects (BIGINT, BINARY), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(
       new ByteArrayInputStream(right.eval().asInstanceOf[Array[Byte]]))
@@ -52,9 +67,25 @@ case class MightContainLong(left: Expression, right: Expression)
 object MightContainLong {
   private val FnName = "graft_bloom_might_contain"
 
+  /** Loss-free widening for narrower integral keys (byte/short/int →
+    * long), applied at build time so both eval paths see a LONG; any
+    * other type is left alone for checkInputDataTypes to reject. */
+  private def widened(e: Expression): Expression =
+    if (!e.resolved) e
+    else e.dataType match {
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case _ => e
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => MightContainLong(exprs(0), exprs(1)), "built-in")
+      FnName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$FnName expects 2 arguments (key BIGINT, filter BINARY), got ${exprs.length}")
+        MightContainLong(widened(exprs(0)), exprs(1))
+      },
+      "built-in")
 
   def probe(key: Column, bloomBytes: Array[Byte]): Column =
     call_function(FnName, key, org.apache.spark.sql.functions.lit(bloomBytes))

@@ -114,8 +114,13 @@ object LevenshteinLengthPrune extends Rule[LogicalPlan] {
           case _ => false
         }
       val rewritten = cond.transformUp {
+        // Only the 2-arg form: levenshtein(a, b, th) returns the -1
+        // sentinel when the distance exceeds th, so `lev3 <= t` can be
+        // TRUE (via -1) for pairs whose lengths differ by more than t —
+        // the band is NOT a necessary condition there and would prune
+        // matching rows.
         case le @ LessThanOrEqual(lev: Levenshtein, t @ Literal(_, _))
-            if !alreadyPruned(le, lev) =>
+            if lev.threshold.isEmpty && !alreadyPruned(le, lev) =>
           And(lengthBand(lev.left, lev.right, t), le)
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)

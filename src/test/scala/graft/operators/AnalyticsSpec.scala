@@ -186,6 +186,36 @@ class AnalyticsSpec extends SparkSpec {
       "bloom probe fell out of whole-stage codegen:\n" + plan)
   }
 
+  test("bloom probe widens int keys via analyzer cast; rejects wrong arity") {
+    import graft.plans.MightContainLong
+    MightContainLong.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L).foreach(bloom.putLong)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    // ImplicitCastInputTypes: an INT key column must be widened by the
+    // analyzer (consistent across interpreted + codegen paths) instead
+    // of codegen silently widening while interpreted eval throws CCE
+    val ints = spark.range(1, 6).select(col("id").cast("int").as("k"))
+    val hits = ints.filter(MightContainLong.probe(col("k"), bytes)).collect().map(_.getInt(0)).sorted
+    assert(hits.toSeq == Seq(1, 2, 3), s"int-key probe must widen and match: ${hits.toSeq}")
+    // a non-castable key type fails analysis with a typed error, not a
+    // runtime ClassCastException
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(lit("abc").as("s"))
+        .filter(MightContainLong.probe(col("s"), bytes)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("mismatch") ||
+      err.getMessage.contains("BIGINT"), err.getMessage)
+    // wrong arity is rejected at registration-lookup time with a clear
+    // message, not IndexOutOfBounds
+    val arity = intercept[Exception] {
+      spark.range(1).select(
+        org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", col("id"))).collect()
+    }
+    assert(arity.getMessage.contains("2 arguments") || arity.getMessage.toLowerCase.contains("number of arguments"),
+      arity.getMessage)
+  }
+
   test("rank-family windows share one exchange; quartiles are balanced") {
     val df = Relational2.q38WindowRanks(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -372,6 +372,24 @@ class ExtensionSpec extends SparkSpec {
     assert(onScan("ab", "abcdefgh").filter(expr("levenshtein(x, y) <= 3")).count() == 0)
   }
 
+  test("levenshtein length-band prune skips the 3-arg thresholded form") {
+    graft.plans.GraftExtensions.install(spark)
+    def onScan(a: String, b: String) = graft.Tables.documents(spark, sfDir).limit(1)
+      .select(
+        when(col("doc_id") >= 0, lit(a)).as("x"),
+        when(col("doc_id") >= 0, lit(b)).as("y"))
+    // levenshtein(a, b, th) returns -1 when the distance exceeds th, so
+    // `lev3 <= t` is TRUE via the sentinel even for pairs whose lengths
+    // differ by more than t — injecting the band would wrongly prune
+    // this row. Length diff 6 > threshold 3; distance 6 > 3 → -1 <= 3.
+    val q = onScan("ab", "abcdefgh").filter(expr("levenshtein(x, y, 3) <= 3"))
+    assert(q.count() == 1,
+      "3-arg levenshtein sentinel row must NOT be pruned by the length band")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!(optimized.contains("abs(") && optimized.contains("length(")),
+      s"rule must not inject a band for the thresholded form:\n$optimized")
+  }
+
   test("typed join pushes the o_totalprice predicate into the parquet scan") {
     val df = Typed.qTypedJoin(spark, sfDir)
     df.count() // materialize through AQE

@@ -51,6 +51,13 @@ object Bench {
     // pass keeps the min honest.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def pass(): Double = {
+        // drop object-level memos (LSH pair list, cluster labels) so
+        // every pass pays the COLD pipeline: without this the second
+        // pass — and any query after a memo-sharing sibling — clocks a
+        // memo hit (dedup_clusters read 0.07s in r5 when its cold cost
+        // is ~30x that). The memo is the right library design; the
+        // bench's job is the honest cold number.
+        graft.operators.Dedup.resetMemos()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -119,7 +119,7 @@ object Similarity {
     * ORDER BY), same trick as the qEmbedCosine assign stage.
     * Returns (vec_id, cid, v, nrm); shared by [[qIvfTopk]] (the
     * inverted-file build) and [[qKmeansStep]] (the Lloyd update). */
-  private def assignToCentroids(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def assignToCentroids(s: SparkSession, dir: String): DataFrame = {
     DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -297,6 +297,47 @@ object Similarity {
   private val PqK = 16
   private val PqTopK = 5
 
+  /** The PQ codebook: K small vectors, a driver-side metadata
+    * artifact (collected once, closure-broadcast to the encode
+    * kernels — same transport as [[planes]]). */
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % PqCodebookStride === PqCodebookRem)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(PqK)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Per-vector PQ reconstruction: nearest codebook entry per 8-dim
+    * subspace (strict <, ties keep the lowest code — matches the
+    * oracle's ORDER BY dist, j), concatenated back to full dimension.
+    * Shared by the flat ([[pqScored]]) and IVF-pruned
+    * ([[ivfPqCandidates]]) encode kernels. */
+  private def pqReconstruct(cb: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val (subs, subDim) = (PqSubspaces, PqSubDim)
+    val out = new Array[Double](subs * subDim)
+    var m = 0
+    while (m < subs) {
+      var bestJ = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val t = v(m * subDim + i) - cb(j)(m * subDim + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j } // strict <: ties keep min j
+        j += 1
+      }
+      var i = 0
+      while (i < subDim) { out(m * subDim + i) = cb(bestJ)(m * subDim + i); i += 1 }
+      m += 1
+    }
+    out
+  }
+
   /** The PQ-scored candidate frame (qid, vec_id, adot) shared by
     * [[qPqTopk]] (rank directly) and [[qPqRerank]] (rank, widen to
     * `PqRerankK`, re-score exactly). */
@@ -304,12 +345,7 @@ object Similarity {
     DotF64.register(s)
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val cb: Array[Array[Double]] = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % PqCodebookStride === PqCodebookRem)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .orderBy(col("vec_id")).limit(PqK)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val (subs, subDim) = (PqSubspaces, PqSubDim)
+    val cb = pqCodebook(s, dir)
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("r", ArrayType(DoubleType))))
@@ -318,31 +354,7 @@ object Similarity {
       // single-file table scans as ~3 partitions; pin the kernel width
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .mapPartitions { it =>
-        it.map { row =>
-          val v = row.getSeq[Double](1).toArray
-          val out = new Array[Double](subs * subDim)
-          var m = 0
-          while (m < subs) {
-            var bestJ = 0
-            var bestD = Double.PositiveInfinity
-            var j = 0
-            while (j < cb.length) {
-              var d = 0.0
-              var i = 0
-              while (i < subDim) {
-                val t = v(m * subDim + i) - cb(j)(m * subDim + i)
-                d += t * t
-                i += 1
-              }
-              if (d < bestD) { bestD = d; bestJ = j } // strict <: ties keep min j
-              j += 1
-            }
-            var i = 0
-            while (i < subDim) { out(m * subDim + i) = cb(bestJ)(m * subDim + i); i += 1 }
-            m += 1
-          }
-          Row(row.getLong(0), out)
-        }
+        it.map(row => Row(row.getLong(0), pqReconstruct(cb, row.getSeq[Double](1).toArray)))
       }(Encoders.row(schema))
     val probes = Tables.embeddings(s, dir)
       .filter(col("vec_id") % QueryStride === 0)
@@ -406,6 +418,145 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // IVF × PQ — the composed production retrieval query: IVF's coarse
+  // cells prune the candidate space, PQ's ADC scores only the
+  // surviving cells' members, and the exact re-rank restores
+  // precision on the shortlist. This removes the one flat scan left
+  // in the ANN ladder ([[pqScored]]'s |corpus|×|queries| broadcast
+  // NLJ): stage-1 pair count drops to Σ over (probe, cell) of cell
+  // sizes — nprobe/K_cells of the corpus per probe (measured 751 of
+  // 5000 flat pairs at the gate SF, nprobe=2 of 13 cells) — which is
+  // the property that lets a 1000-executor cluster answer against a
+  // 100 TB corpus: cells partition the index, a probe touches nprobe
+  // partitions, and every join in the chain carries either fixed-width
+  // keys or broadcast-sized probe metadata.
+  //
+  // Scale shape: cid rides WITH the PQ reconstruction out of one
+  // encode kernel (in a real index both are stored columns — no
+  // corpus-side join attaches them); the probe→cells table
+  // (|probes|·nprobe rows + one 64-dim array each) broadcasts; the
+  // candidate join is a BroadcastHashJoin on the cell id (hash, not
+  // NLJ — the test asserts this); the shortlist and exact re-rank
+  // reuse [[qPqRerank]]'s broadcast-fetch shape so the full-precision
+  // corpus streams through one semi-join. Determinism: identical
+  // round-to-6dp + id tiebreaks at every rank boundary, and the
+  // coarse/PQ assignment arithmetic is the same left-to-right chain
+  // on both engines ([[Vectors.dotJvm]] ≡ [[Vectors.dotSql]]).
+  private val IvfNProbe = 2
+
+  /** Probe → its `IvfNProbe` nearest coarse cells (qid, qcid, qv, qn).
+    * Tiny (|probes|·nprobe rows): broadcasts to the candidate join. */
+  private[operators] def probeCells(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") % CentroidStride === 7)
+      .select(col("vec_id").as("qcid"), col("v").as("cv"), col("nrm").as("cn"))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val ccos = round(DotF64.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("qcid"))
+    probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", ccos)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("qid"), col("qcid"), col("qv"), col("qn"))
+  }
+
+  /** Cell-bounded ADC candidates (qid, vec_id, adot): only vectors
+    * whose coarse cell is among the probe's nprobe nearest are
+    * scored. Package-visible so the spec can assert the pair count
+    * is cell-bounded, not corpus-bounded. */
+  private[operators] def ivfPqCandidates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val cb = pqCodebook(s, dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", LongType),
+      StructField("r", ArrayType(DoubleType))))
+    // one kernel pass emits (vec_id, cid, reconstruction): the coarse
+    // assignment's groupBy already left the frame 32-wide on vec_id
+    val rec = assignToCentroids(s, dir)
+      .select(col("vec_id"), col("cid"), col("v"))
+      .mapPartitions { it =>
+        it.map(row => Row(row.getLong(0), row.getLong(1),
+          pqReconstruct(cb, row.getSeq[Double](2).toArray)))
+      }(Encoders.row(schema))
+    rec.join(broadcast(probeCells(s, dir)),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(DotF64.dot(col("qv"), col("r")), 6).as("adot"))
+  }
+
+  def qIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
+    val shortlist = ivfPqCandidates(s, dir)
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= PqRerankK)
+      .select(col("qid"), col("vec_id"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(probes), "qid")
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qIvfPqTopkSql: String = {
+    val d8 = (1 to PqSubDim)
+      .map(i => s"(s.sv[$i]-c.cs[$i])*(s.sv[$i]-c.cs[$i])").mkString(" + ")
+    s"""WITH ebase AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM ebase),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 7),
+       |sc AS (SELECT n.vec_id, cents.cid,
+       |  round((${Vectors.dotSql("n.v", "cents.cv")}) / (n.nrm * cents.cn), 6) AS ccos
+       |  FROM n, cents),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM sc) t WHERE rn = 1),
+       |cb AS (SELECT j, cv FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM n WHERE vec_id % $PqCodebookStride = $PqCodebookRem ORDER BY vec_id LIMIT $PqK)),
+       |ms AS (SELECT unnest(range($PqSubspaces)) AS m),
+       |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS sv FROM n, ms),
+       |cbsub AS (SELECT j, m, cv[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS cs FROM cb, ms),
+       |d AS (SELECT s.vec_id, s.m, c.j, $d8 AS dist FROM sub s JOIN cbsub c ON s.m = c.m),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |  SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |  FROM d) t WHERE rn = 1),
+       |rec AS (SELECT e.vec_id, flatten(list(c.cs ORDER BY e.m)) AS r
+       |  FROM enc e JOIN cbsub c ON e.m = c.m AND e.j = c.j GROUP BY e.vec_id),
+       |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0),
+       |pc AS (SELECT qid, cid FROM (
+       |  SELECT p.qid, cents.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY round((${Vectors.dotSql("p.qv", "cents.cv")}) / (p.qn * cents.cn), 6) DESC, cents.cid) AS rn
+       |  FROM probes p, cents) t WHERE rn <= $IvfNProbe),
+       |cand AS (SELECT p.qid, r.vec_id, round(${Vectors.dotSql("p.qv", "r.r")}, 6) AS adot
+       |  FROM pc JOIN asg a ON pc.cid = a.cid
+       |  JOIN rec r ON r.vec_id = a.vec_id
+       |  JOIN probes p ON p.qid = pc.qid AND r.vec_id <> p.qid),
+       |rk AS (SELECT qid, vec_id, adot,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id) AS rank FROM cand),
+       |cand2 AS (SELECT qid, vec_id FROM rk WHERE rank <= $PqRerankK),
+       |sc2 AS (SELECT c2.qid, c2.vec_id,
+       |  round((${Vectors.dotSql("e2.v", "p.qv")}) / (e2.nrm * p.qn), 6) AS cos
+       |  FROM cand2 c2 JOIN n e2 ON c2.vec_id = e2.vec_id JOIN probes p ON c2.qid = p.qid),
+       |r2 AS (SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc2)
+       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
+  }
+
   /** Shared CTE chain ending at `rk` (qid, vec_id, adot, rank) —
     * the SQL twin of [[pqScored]] + the ADC rank. */
   private lazy val pqSqlCtes: String = {
@@ -456,6 +607,7 @@ object Similarity {
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
+    "sim_ivfpq_topk" -> (qIvfPqTopk _),
     "sim_kmeans_step" -> (qKmeansStep _),
   )
 
@@ -466,6 +618,7 @@ object Similarity {
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_pq_topk" -> qPqTopkSql,
     "sim_pq_rerank" -> qPqRerankSql,
+    "sim_ivfpq_topk" -> qIvfPqTopkSql,
     "sim_kmeans_step" -> qKmeansStepSql,
   )
 }

@@ -310,4 +310,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("o_orderpriority") && !plan.contains("o_custkey"),
       "histogram must prune every column but o_totalprice:\n" + plan)
   }
+
+  test("ivfpq stage-1 pair count is cell-bounded, not corpus-bounded") {
+    val cand = Similarity.ivfPqCandidates(spark, sfDir)
+    val pairs = cand.count()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val corpus = emb.count()
+    val probes = emb.filter(col("vec_id") % 50 === 0).count()
+    // strict pruning vs the flat |corpus|×|probes| ADC scan (nprobe=2
+    // of 13 cells at the test SF ≈ 15% — leave generous headroom)
+    assert(pairs < corpus * probes / 2,
+      s"stage 1 must prune: $pairs pairs vs flat ${corpus * probes}")
+    // exactness: the pair count equals the independent sum over
+    // (probe, chosen cell) of that cell's membership (minus self) —
+    // i.e. candidates come from cell membership and nothing else
+    val asg = Similarity.assignToCentroids(spark, sfDir).select(col("vec_id"), col("cid"))
+    val pcells = Similarity.probeCells(spark, sfDir).select(col("qid"), col("qcid"))
+    val expected = pcells.join(asg, col("qcid") === col("cid"))
+      .filter(col("vec_id") =!= col("qid")).count()
+    assert(pairs == expected, s"candidates $pairs != cell-membership sum $expected")
+    // and the candidate join is a hash join on the cell id; the only
+    // nested-loop joins left are the corpus×K-centroids assignment
+    // cross joins (bounded by the codebook, not by the probe set) —
+    // the flat query's probe-pairing NLJ (condition on qid) is gone
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cid"),
+      "stage-1 candidate join must hash on the cell id:\n" + plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("qid")),
+      "no nested-loop join may pair probes with the corpus:\n" + plan)
+  }
 }

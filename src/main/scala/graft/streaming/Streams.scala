@@ -305,7 +305,133 @@ object Streams {
        |FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w
        |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // EXACTLY-ONCE SINK — the missing piece of the streaming story
+  // (source → state → SINK): Structured Streaming guarantees
+  // at-least-once delivery to foreachBatch; end-to-end exactly-once
+  // is the SINK's job, via an idempotent apply. This query runs the
+  // canonical production pattern: each micro-batch's per-user partial
+  // (exact integer cents — order-free across batches) MERGEs into a
+  // keyed target table guarded by a per-key applied-batch watermark
+  // (`last_batch`), the same full-outer-join merge shape as
+  // [[Maintenance.qMergeUpsert]]. A batch re-delivered after a
+  // failure hits `last_batch >= batchId` on every key and the merge
+  // is a no-op.
+  //
+  // The gate SIMULATES the failure: after the stream completes, the
+  // final micro-batch is re-applied verbatim (sink committed,
+  // checkpoint didn't advance, restart re-delivers — the exact
+  // at-least-once window), and `replay_noop` gates that the table
+  // didn't move; the per-user totals gate against the batch oracle,
+  // so double-counting OR under-counting zeroes the row. Events
+  // arrive as 4 single-file micro-batches (maxFilesPerTrigger=1), so
+  // the accumulation genuinely crosses 4 merges (`batches_applied`).
+  //
+  // Scale shape: the merge is one equi-join per batch on the key —
+  // at 100 TB the target is a bucketed/partitioned table and the
+  // batch partial is tiny (pre-aggregated map-side before the sink);
+  // versioned-path writes stand in for a table format's atomic
+  // commit. Driver-side materialization is the per-batch PARTIAL
+  // (≤ |users| rows, metadata-scale — needed to re-deliver the exact
+  // batch for the replay gate), never the event stream.
+  def qStreamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/stream_eos"
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    try {
+      // 4 single-file batches out of the one test parquet
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = s"$base/src"
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("value"))
+        .repartition(4).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+
+      // versioned-path target: each apply reads version N and writes
+      // N+1 (never its own input — the read-then-overwrite trap)
+      var curPath: Option[String] = None
+      var applySeq = 0
+      def applyBatch(partial: DataFrame, batchId: Long): Unit = {
+        val next = curPath match {
+          case None =>
+            partial.select(col("p_uid").as("user_id"), col("p_n").as("n_events"),
+              col("p_cents").as("sum_cents"), lit(batchId).as("last_batch"))
+          case Some(p) =>
+            val fresh = col("p_uid").isNotNull &&
+              (col("user_id").isNull || col("last_batch") < lit(batchId))
+            s.read.parquet(p)
+              .join(partial, col("user_id") === col("p_uid"), "full_outer")
+              .select(
+                coalesce(col("user_id"), col("p_uid")).as("user_id"),
+                when(fresh, coalesce(col("n_events"), lit(0L)) + col("p_n"))
+                  .otherwise(col("n_events")).as("n_events"),
+                when(fresh, coalesce(col("sum_cents"), lit(0L)) + col("p_cents"))
+                  .otherwise(col("sum_cents")).as("sum_cents"),
+                when(fresh, lit(batchId)).otherwise(col("last_batch")).as("last_batch"))
+        }
+        val out = s"$base/target_v$applySeq"
+        next.write.mode("overwrite").parquet(out)
+        applySeq += 1
+        curPath = Some(out)
+      }
+
+      // the last delivered batch, kept verbatim for the replay gate
+      var lastPartial: Array[org.apache.spark.sql.Row] = Array.empty
+      var lastBatchId = -1L
+      var batchesApplied = 0
+      val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p_uid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_cents", org.apache.spark.sql.types.LongType)))
+      def localPartial(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), partialSchema)
+
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+          val rows = batchDf
+            .groupBy(col("user_id").as("p_uid"))
+            .agg(count(lit(1)).as("p_n"),
+              sum(floor(col("value") * 100).cast("long")).as("p_cents"))
+            .collect()
+          if (rows.nonEmpty) {
+            applyBatch(localPartial(rows), batchId)
+            lastPartial = rows
+            lastBatchId = batchId
+            batchesApplied += 1
+          }
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+
+      // failure simulation: re-deliver the final batch verbatim; the
+      // per-key last_batch guard must make the merge a no-op
+      val preReplay = curPath.get
+      applyBatch(localPartial(lastPartial), lastBatchId)
+      val pre = s.read.parquet(preReplay)
+      val post = s.read.parquet(curPath.get)
+      val noop = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+
+      post.select(col("user_id"), col("n_events"), col("sum_cents"),
+          lit(batchesApplied).as("batches_applied"), lit(noop).as("replay_noop"))
+        .orderBy(col("user_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
+  val qStreamExactlyOnceSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  4 AS batches_applied, TRUE AS replay_noop
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_exactly_once" -> (qStreamExactlyOnce _),
     "stream_pipeline" -> (qStreamPipeline _),
     "stream_window_agg" -> (qWindowAgg _),
     "stream_stateful_counts" -> (qStatefulCounts _),
@@ -316,6 +442,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_exactly_once" -> qStreamExactlyOnceSql,
     "stream_pipeline" -> qStreamPipelineSql,
     "stream_window_agg" -> qWindowAggSql,
     "stream_stateful_counts" -> qStatefulCountsSql,

@@ -390,6 +390,54 @@ class ExtensionSpec extends SparkSpec {
       s"rule must not inject a band for the thresholded form:\n$optimized")
   }
 
+  test("ANALYZE column stats flip the filtered-dim join from shuffle to broadcast") {
+    // The loop-closer on maint_analyze's claim that NDV/min-max "are
+    // the numbers that decide broadcast-vs-shuffle": the SAME join
+    // plans as a shuffle join when the optimizer only has file sizes,
+    // and as a broadcast hash join once ANALYZE-backed column stats
+    // let FilterEstimation shrink the filtered dim below the
+    // threshold. The threshold is derived from the two measured
+    // estimates, not hardcoded, so the test tracks the data.
+    val s = spark
+    val table = "graft_cbo_dim"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    graft.Tables.customer(s, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").saveAsTable(table)
+    def dimFiltered = s.table(table).filter(col("c_mktsegment") === "BUILDING")
+    def joined = graft.Tables.orders(s, sfDir)
+      .join(dimFiltered, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.get(k))
+    try {
+      // size-only estimate: without column stats the Filter cannot
+      // shrink the relation, so the estimate stays at ~file size
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val estNoStats = dimFiltered.queryExecution.optimizedPlan.stats.sizeInBytes
+      s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val estStats = dimFiltered.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(estStats < estNoStats,
+        s"NDV-based filter selectivity must shrink the estimate: $estStats !< $estNoStats")
+      // pin the broadcast threshold strictly between the two
+      // estimates: the stats are now the deciding input
+      val threshold = (estStats + estNoStats) / 2
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val planNoStats = joined.queryExecution.sparkPlan.toString
+      assert(!planNoStats.contains("BroadcastHashJoin"),
+        s"without column stats the dim estimate ($estNoStats > $threshold) must shuffle:\n$planNoStats")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val planStats = joined.queryExecution.sparkPlan.toString
+      assert(planStats.contains("BroadcastHashJoin"),
+        s"with ANALYZE stats the dim estimate ($estStats < $threshold) must broadcast:\n$planStats")
+    } finally {
+      saved.foreach { case (k, v) => s.conf.set(k, v) }
+      s.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("typed join pushes the o_totalprice predicate into the parquet scan") {
     val df = Typed.qTypedJoin(spark, sfDir)
     df.count() // materialize through AQE

@@ -610,7 +610,102 @@ object Text {
       |  n_words, n_unique_words, word_diversity
       |FROM ca JOIN wa ON ca.doc_id = wa.doc_id ORDER BY ca.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BPE PAIR-MERGE STEP — one full iteration of the byte-pair-
+  // encoding trainer loop (the tokenizer-training primitive every
+  // LLM data pipeline runs): count adjacent symbol pairs over the
+  // corpus vocabulary, pick the most frequent pair (rank-
+  // deterministic tiebreak: count DESC, pair ASC), apply the merge
+  // greedily left-to-right in every word type, and re-count. A
+  // training driver loops this query, feeding each round's merged
+  // vocabulary back — exactly like [[Similarity.qKmeansStep]] for
+  // IVF codebooks.
+  //
+  // Scale shape: the one corpus-proportional stage is the word-type
+  // rollup (tokenize kernel + groupBy word, map-side combined — only
+  // (word, partial-count) pairs shuffle, the [[qVocab]] precedent);
+  // everything after operates on the VOCABULARY (word types ×
+  // frequencies), which is sublinear in corpus size — the reason
+  // real BPE trainers run on type tables, not token streams. The
+  // per-type pair extraction is a Catalyst HOF over vocab-sized
+  // input (interpreted, but vocabulary-proportional — the measured
+  // sim_quantize_int8 rule: don't kernelize cold loops), and the
+  // rank windows order a ≤|alphabet|² pair table. Exact integer
+  // counts throughout; the merge is `replace()` — greedy
+  // left-to-right non-overlapping in BOTH engines, so "aaa" under
+  // merge "aa" yields [aa][a] identically. The merged symbol is a
+  // marker char (chr(1), absent from the corpus alphabet); rank ties
+  // break on the RAW pair (binary collation both sides) before the
+  // marker is rendered back for display.
+  private val BpeTopK = 10
+  private val BpeMarker = "\u0001"
+
+  def qBpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Column, Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val uniSchema = StructType(Seq(StructField("word", StringType)))
+    val wf = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .iterator.map(Row(_))
+        }
+      }(Encoders.row(uniSchema))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .filter(length(col("word")) >= 2) // 1-char types carry no pairs
+    val pairsOf = (w: Column) =>
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))
+    def pairCounts(types: DataFrame) = types
+      .select(explode(pairsOf(col("word"))).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+    val before = pairCounts(wf)
+    val best = before.orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("bp"))
+    val merged = wf.crossJoin(broadcast(best))
+      .select(replace(col("word"), col("bp"), lit(BpeMarker)).as("word"), col("f"))
+    val after = pairCounts(merged)
+    // rank windows order the ≤|alphabet|²-row pair table — vocab
+    // metadata, not data (no single-partition window over the corpus)
+    val wRank = Window.orderBy(col("cnt").desc, col("pair"))
+    val beforeTop = before.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= BpeTopK)
+      .select(lit("1_before").as("phase"), col("rank"), col("pair"), col("cnt"))
+    val afterTop = after.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= BpeTopK)
+      .crossJoin(broadcast(best))
+      .select(lit("2_after").as("phase"), col("rank"),
+        replace(col("pair"), lit(BpeMarker), col("bp")).as("pair"), col("cnt"))
+    beforeTop.unionAll(afterTop).orderBy(col("phase"), col("rank"))
+  }
+
+  val qBpeMergeStepSql: String =
+    s"""WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |wf AS (SELECT word, count(*) AS f FROM (SELECT unnest(ws) AS word FROM w) t
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |pb AS (SELECT unnest(list_transform(range(length(word) - 1),
+       |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f FROM wf),
+       |bc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pb GROUP BY pair),
+       |best AS (SELECT pair AS bp FROM bc ORDER BY cnt DESC, pair LIMIT 1),
+       |wf2 AS (SELECT replace(word, bp, chr(1)) AS word, f FROM wf, best),
+       |pa AS (SELECT unnest(list_transform(range(length(word) - 1),
+       |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f
+       |  FROM wf2 WHERE length(word) >= 2),
+       |ac AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pa GROUP BY pair),
+       |bt AS (SELECT '1_before' AS phase,
+       |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt FROM bc),
+       |at2 AS (SELECT '2_after' AS phase,
+       |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank,
+       |  replace(pair, chr(1), (SELECT bp FROM best)) AS pair, cnt FROM ac)
+       |SELECT phase, rank, pair, cnt FROM (
+       |  SELECT * FROM bt WHERE rank <= $BpeTopK
+       |  UNION ALL SELECT * FROM at2 WHERE rank <= $BpeTopK) u
+       |ORDER BY phase, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merge_step" -> (qBpeMergeStep _),
     "text_tfidf" -> (qTfIdf _),
     "text_token_stats" -> (qTokenStats _),
     "text_quality" -> (qQuality _),
@@ -624,6 +719,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_merge_step" -> qBpeMergeStepSql,
     "text_tfidf" -> qTfIdfSql,
     "text_token_stats" -> qTokenStatsSql,
     "text_quality" -> qQualitySql,

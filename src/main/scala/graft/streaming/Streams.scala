@@ -430,7 +430,70 @@ object Streams {
       |  4 AS batches_applied, TRUE AS replay_noop
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING AS-OF ENRICHMENT — point-in-time correctness at ingest:
+  // each event joins the dimension VERSION that was effective at the
+  // event's event time (SCD-2 semantics), not the version current at
+  // processing time — the difference between a training set with and
+  // without feature leakage. The versioned dim here is synthesized
+  // deterministically (per-user tier, three validity epochs over the
+  // corpus span) so the oracle can state the identical point-in-time
+  // join; in production it is the SCD-2 dim table itself.
+  //
+  // Spark-first shape: because validity intervals partition time,
+  // each event matches EXACTLY one version, so the as-of lookup is a
+  // plain INNER stream-static join on (key, interval-contains) —
+  // stateless, so it gates in true append mode with no watermark and
+  // holds no state store; the tiny dim broadcasts to every
+  // micro-batch. Contrast with the batch twin
+  // ([[graft.operators.Temporal.qAsofJoin]]) which needs the
+  // union+running-max window because its left side is unbounded per
+  // key. All boundary arithmetic is exact integer µs; the version
+  // cuts use integer div on non-negative spans (truncate ≡ floor).
+  def qStreamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // corpus span → three validity epochs: a 1-row metadata agg (at
+    // scale the dim store publishes its own validity boundaries)
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).first()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val c1 = lo + (hi - lo) / 3
+    val c2 = lo + 2 * ((hi - lo) / 3)
+    val versions = Seq((0L, lo, c1), (1L, c1, c2), (2L, c2, hi + 1))
+      .toDF("tier_version", "vfrom", "vto")
+    val dim = ev.select(col("user_id").as("d_uid")).distinct()
+      .crossJoin(versions)
+      .withColumn("tier", (col("d_uid") * 7 + col("tier_version") * 13) % 5)
+    runBounded(s, dir, "append") { stream =>
+      stream.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("event_ts_us"))
+        .join(broadcast(dim),
+          col("user_id") === col("d_uid") &&
+            col("event_ts_us") >= col("vfrom") && col("event_ts_us") < col("vto"))
+        .select(col("event_id"), col("user_id"), col("event_ts_us"),
+          col("tier_version"), col("tier"))
+    }
+      .orderBy(col("event_id"))
+  }
+
+  val qStreamAsofEnrichSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+      |cuts AS (SELECT lo, hi, lo + (hi - lo) // 3 AS c1, lo + 2 * ((hi - lo) // 3) AS c2 FROM b),
+      |vers AS (SELECT 0 AS tier_version, lo AS vfrom, c1 AS vto FROM cuts
+      |  UNION ALL SELECT 1, c1, c2 FROM cuts
+      |  UNION ALL SELECT 2, c2, hi + 1 FROM cuts),
+      |dim AS (SELECT u.user_id AS d_uid, v.tier_version, v.vfrom, v.vto,
+      |  (u.user_id * 7 + v.tier_version * 13) % 5 AS tier
+      |  FROM (SELECT DISTINCT user_id FROM events) u, vers v)
+      |SELECT e.event_id, e.user_id, CAST(e.ts_us AS BIGINT) AS event_ts_us,
+      |  CAST(d.tier_version AS BIGINT) AS tier_version, CAST(d.tier AS BIGINT) AS tier
+      |FROM ev e JOIN dim d ON e.user_id = d.d_uid
+      |  AND e.ts_us >= d.vfrom AND e.ts_us < d.vto
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_asof_enrich" -> (qStreamAsofEnrich _),
     "stream_exactly_once" -> (qStreamExactlyOnce _),
     "stream_pipeline" -> (qStreamPipeline _),
     "stream_window_agg" -> (qWindowAgg _),
@@ -442,6 +505,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_asof_enrich" -> qStreamAsofEnrichSql,
     "stream_exactly_once" -> qStreamExactlyOnceSql,
     "stream_pipeline" -> qStreamPipelineSql,
     "stream_window_agg" -> qWindowAggSql,

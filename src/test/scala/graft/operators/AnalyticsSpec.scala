@@ -311,6 +311,38 @@ class AnalyticsSpec extends SparkSpec {
       "histogram must prune every column but o_totalprice:\n" + plan)
   }
 
+  test("bpe merge step matches a naive JVM recount (before and after)") {
+    val rows = Text.qBpeMergeStep(spark, sfDir).collect()
+    val (beforeRows, afterRows) = rows.partition(_.getString(0) == "1_before")
+    // naive reference: tokenize every doc, count adjacent char pairs
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    def pairCounts(words: Seq[String]): Map[String, Long] =
+      words.filter(_.length >= 2)
+        .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val words = docs.toSeq.flatMap(
+      _.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq)
+    val naiveBefore = pairCounts(words)
+    def topK(m: Map[String, Long], k: Int): Seq[(String, Long)] =
+      m.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+    assert(beforeRows.map(r => (r.getString(2), r.getLong(3))).toSeq ==
+      topK(naiveBefore, beforeRows.length),
+      "before-merge pair stats must equal the naive recount")
+    // apply the winning merge naively: greedy left-to-right
+    // non-overlapping replace (String.replace semantics), then recount
+    val bp = beforeRows.minBy(_.getInt(1)).getString(2)
+    val marker = "\u0001"
+    val naiveAfter = pairCounts(words.map(_.replace(bp, marker)))
+    val rendered = topK(naiveAfter, afterRows.length)
+      .map { case (p, c) => (p.replace(marker, bp), c) }
+    assert(afterRows.map(r => (r.getString(2), r.getLong(3))).toSeq == rendered,
+      "post-merge pair stats must equal the naive merged recount")
+    // the merge did something: the winning pair is gone from the top
+    assert(!afterRows.exists(_.getString(2) == bp),
+      s"winning pair $bp must not survive its own merge unscathed")
+  }
+
   test("ivfpq stage-1 pair count is cell-bounded, not corpus-bounded") {
     val cand = Similarity.ivfPqCandidates(spark, sfDir)
     val pairs = cand.count()

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale harness (NOT part of the library surface, like
+  * [[Bench]]/[[Profile]]): synthesizes a ~10× enlarged copy of the
+  * `documents`/`embeddings`/`events` tables under /tmp by
+  * duplicating each row per copy index k and perturbing it so copies
+  * are NOT near-duplicates of each other:
+  *
+  *  - documents: copy k rotates the alphabet by k (a Caesar map).
+  *    A bijective char map preserves the near-dup structure WITHIN a
+  *    copy exactly (gram identity is invariant under bijection) while
+  *    every char/word gram differs ACROSS copies — corpus density
+  *    scales honestly. The first attempt (per-word `k3_` prefixes)
+  *    left most CHAR grams identical across copies, which built
+  *    10-way near-dup clusters and exploded the LSH candidate count
+  *    ~100× — a useful duplication-stress dataset (kept reachable via
+  *    the `prefix` perturbation arg) but not a density-preserving
+  *    scale-up.
+  *  - embeddings: ids shift by a multiple of lcm(50,40,30)=600 so the
+  *    probe/centroid/codebook strides keep the same relative density;
+  *    elements scale by (1 + k/1000) so copies are distinct vectors.
+  *  - events: ids and user_ids shift per copy (10× keys, 10× rows);
+  *    ts/props unchanged (ts rides as raw ns-longs, which
+  *    [[Tables.fixEventTs]] converts on read exactly like the
+  *    original TIMESTAMP(NANOS) files).
+  *
+  * Output tables are written as 8 parquet files each — a realistic
+  * multi-file table rather than the test corpus's single file.
+  *
+  * Usage: runMain graft.Scale10x [srcSfDir] [outDir] [copies] [prefix]
+  */
+object Scale10x {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf10x"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val dupStress = args.length > 3 && args(3) == "prefix"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-scale10x")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+
+    val ks = spark.range(copies).select(col("id").as("k"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docOffset = {
+      val m = docs.agg(max(col("doc_id"))).first().getLong(0)
+      math.pow(10, m.toString.length).toLong
+    }
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def perturbed(k: Int) =
+      if (dupStress)
+        regexp_replace(col("text"), lit("(\\S+)"), lit(s"k${k}_$$1"))
+      else translate(col("text"), alpha, alpha.drop(k % 26) + alpha.take(k % 26))
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k.toLong * docOffset)).as("doc_id"),
+        perturbed(k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOffset = {
+      val m = emb.agg(max(col("vec_id"))).first().getLong(0)
+      ((m / 600) + 1) * 600 // multiple of lcm(50,40,30): strides keep density
+    }
+    emb.crossJoin(broadcast(ks))
+      .select(
+        (col("vec_id") + col("k") * vecOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * (lit(1.0f) + col("k").cast("float") / lit(1000.0f))).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evOffset = {
+      val m = ev.agg(max(col("event_id"))).first().getLong(0)
+      math.pow(10, m.toString.length).toLong
+    }
+    ev.crossJoin(broadcast(ks))
+      .select(
+        (col("event_id") + col("k") * evOffset).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * 10000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Tables.names.filterNot(Seq("documents", "embeddings", "events").contains).foreach { t =>
+      val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+    }
+    println(s"wrote ${copies}x tables to $out")
+    spark.stop()
+  }
+}

@@ -127,7 +127,15 @@ object Similarity {
     val cents = e.filter(col("vec_id") % CentroidStride === 7)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val ccos = round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-    e.crossJoin(broadcast(cents))
+    // The K·N dot-product sweep below runs BEFORE the argmax exchange,
+    // i.e. on scan partitions — file-layout-bound (8 tasks on the 10×
+    // profile corpus, 24.5s CPU pinned at 3.9s wall). Per-row CPU is
+    // |centroids|·64 mults ≫ the ~0.5 KB shuffle write, so the
+    // explicit width pin pays (the q25 rule); measured 5.5→3.7s on
+    // the 10× profile corpus (the assign stage itself 3.9→1.6s wall
+    // at 8→32 tasks), neutral at gate SF.
+    e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"),
         struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
       .groupBy(col("vec_id"))

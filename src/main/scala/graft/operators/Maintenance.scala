@@ -468,6 +468,75 @@ object Maintenance {
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------
+  // VACUUM / orphan-file GC — the other standing maintenance job
+  // next to compaction: failed or zombie writers leave data files in
+  // the table directory that no committed snapshot references, and
+  // a plain directory listing would happily read them (duplicating
+  // or corrupting results). Table formats fix this with a manifest:
+  // the commit records exactly which files are the table, and VACUUM
+  // deletes everything else past a retention window. This query runs
+  // that lifecycle end-to-end: commit a snapshot (capturing its file
+  // manifest — the metadata a format's commit log holds), drop
+  // ORPHAN files of identical schema into the directory (the failed
+  // writer), prove the naive directory read now over-counts, vacuum
+  // by LISTING against the manifest (pure metadata, no data read —
+  // same O(files) profile as [[qRetentionExpire]]), and audit that
+  // the read-back equals the committed snapshot. The oracle states
+  // the committed world from the source table; `orphans_removed`
+  // and the over-count flag gate the GC itself.
+  private val VacuumSnapshotFiles = 4
+
+  def qVacuum(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/vacuum"
+    val tablePath = s"$base/orders_snap"
+    val scratch = s"$base/scratch"
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+
+    // 1. the committed snapshot + its manifest (file names at commit)
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    snap.repartition(VacuumSnapshotFiles).write.mode("overwrite").parquet(tablePath)
+    def dataFiles() = fs.listStatus(new Path(tablePath))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+    val manifest = dataFiles()
+
+    // 2. a failed writer's leftovers: same-schema orphan files the
+    //    manifest never recorded
+    snap.limit(500).coalesce(1).write.mode("overwrite").parquet(scratch)
+    val orphanSrcs = fs.listStatus(new Path(scratch))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    orphanSrcs.zipWithIndex.foreach { case (p, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(tablePath, s"part-orphan-$i.parquet"), false,
+        s.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(tablePath, s"part-orphan-${i + orphanSrcs.size}.parquet"), false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    val dirtyRows = s.read.parquet(tablePath).count() // the over-count a naive read sees
+
+    // 3. vacuum: directory listing vs manifest — metadata only
+    val orphans = (dataFiles() -- manifest).toSeq.sorted
+    orphans.foreach(f => fs.delete(new Path(tablePath, f), false))
+
+    // 4. audit: the table is the committed snapshot again
+    val audited = s.read.parquet(tablePath).agg(
+      count(lit(1)).as("n_rows"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    audited.select(
+      col("n_rows"), col("sum_cents"),
+      lit(orphans.size.toLong).as("orphans_removed"),
+      (lit(dirtyRows) > col("n_rows")).as("naive_read_overcounted"))
+  }
+
+  val qVacuumSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  2 AS orphans_removed, TRUE AS naive_read_overcounted
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------
   // TABLE STATS COLLECTION — the ANALYZE pass that feeds a
   // cost-based optimizer: per-column row count, exact NDV, min/max,
   // null count. Exact NDV on purpose (the oracle must match);
@@ -505,6 +574,7 @@ object Maintenance {
     "maint_retention" -> (qRetentionExpire _),
     "maint_analyze" -> (qAnalyze _),
     "maint_compact" -> (qCompact _),
+    "maint_vacuum" -> (qVacuum _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
     "maint_zorder" -> (qZOrder _),
@@ -516,6 +586,7 @@ object Maintenance {
     "maint_retention" -> qRetentionExpireSql,
     "maint_analyze" -> qAnalyzeSql,
     "maint_compact" -> qCompactSql,
+    "maint_vacuum" -> qVacuumSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
     "maint_zorder" -> qZOrderSql,

@@ -186,6 +186,35 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // IVF CELL-BALANCE AUDIT — the index-health statistic every IVF
+  // deployment monitors: per-cell membership plus its share of the
+  // corpus in exact parts-per-million (integer div on non-negative
+  // operands — no float division in the gated value). Skewed cells
+  // mean one probe touches half the corpus (latency) or empty cells
+  // waste nlist (recall); this per-cell table is the input to the
+  // re-train / re-shard decision, exactly like [[Maintenance
+  // .qAnalyze]]'s NDV table is the input to join planning. Shape:
+  // the shared assign stage, a count per cid (fixed-width exchange),
+  // and a 1-row total broadcast back — nothing corpus-sized moves.
+  def qIvfCellStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = assignToCentroids(s, dir)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val total = counts.agg(sum(col("n_members")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_members"),
+        expr("n_members * 1000000 div n_total").as("share_ppm"))
+      .orderBy(col("cid"))
+  }
+
+  val qIvfCellStatsSql: String =
+    s"""WITH $assignCteSql,
+       |cc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM asg GROUP BY cid),
+       |t AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_total FROM cc)
+       |SELECT cid, n_members,
+       |  CAST(n_members * 1000000 // n_total AS BIGINT) AS share_ppm
+       |FROM cc, t ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
   // K-MEANS LLOYD STEP — one full iteration of the centroid-training
   // loop that produces real IVF codebooks: assign every vector to its
   // nearest centroid (shared [[assignToCentroids]] stage), then emit
@@ -616,6 +645,7 @@ object Similarity {
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopk _),
+    "sim_ivf_cell_stats" -> (qIvfCellStats _),
     "sim_kmeans_step" -> (qKmeansStep _),
   )
 
@@ -627,6 +657,7 @@ object Similarity {
     "sim_pq_topk" -> qPqTopkSql,
     "sim_pq_rerank" -> qPqRerankSql,
     "sim_ivfpq_topk" -> qIvfPqTopkSql,
+    "sim_ivf_cell_stats" -> qIvfCellStatsSql,
     "sim_kmeans_step" -> qKmeansStepSql,
   )
 }

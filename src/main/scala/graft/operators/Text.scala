@@ -640,12 +640,16 @@ object Text {
   private val BpeTopK = 10
   private val BpeMarker = "\u0001"
 
-  def qBpeMergeStep(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.{Column, Encoders, Row}
+  /** Word types × frequencies — the vocabulary table a BPE trainer
+    * iterates on (the only corpus-proportional stage; the tokenize
+    * kernel + map-side-combined groupBy is the [[qVocab]] shape).
+    * 1-char types carry no pairs and no 2-symbol merge can touch
+    * them, so they are filtered once here. */
+  private def wordTypes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    import org.apache.spark.sql.expressions.Window
     val uniSchema = StructType(Seq(StructField("word", StringType)))
-    val wf = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // single-file corpus scans as ~3 partitions; pin the kernel width
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
@@ -655,12 +659,20 @@ object Text {
         }
       }(Encoders.row(uniSchema))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
-      .filter(length(col("word")) >= 2) // 1-char types carry no pairs
-    val pairsOf = (w: Column) =>
-      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))
-    def pairCounts(types: DataFrame) = types
-      .select(explode(pairsOf(col("word"))).as("pair"), col("f"))
-      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .filter(length(col("word")) >= 2)
+  }
+
+  private def bpePairsOf(w: Column): Column =
+    transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))
+
+  private def bpePairCounts(types: DataFrame): DataFrame = types
+    .select(explode(bpePairsOf(col("word"))).as("pair"), col("f"))
+    .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+
+  def qBpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = wordTypes(s, dir)
+    def pairCounts(types: DataFrame) = bpePairCounts(types)
     val before = pairCounts(wf)
     val best = before.orderBy(col("cnt").desc, col("pair")).limit(1)
       .select(col("pair").as("bp"))
@@ -704,7 +716,74 @@ object Text {
        |  UNION ALL SELECT * FROM at2 WHERE rank <= $BpeTopK) u
        |ORDER BY phase, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BPE TRAINER LOOP, 3 MERGES — [[qBpeMergeStep]] iterated the way a
+  // real trainer runs it: each round counts pairs over the CURRENT
+  // merged vocabulary, argmaxes (same count-DESC/pair-ASC
+  // determinism), applies the merge, and feeds the vocabulary to the
+  // next round. Each round's vocabulary is localCheckpoint'ed (the
+  // [[Dedup.resolveComponents]] iteration discipline: the plan must
+  // not re-grow — without it round 3 would re-run the tokenize kernel
+  // ~5×). Merged symbols are marker chars chr(1)/chr(2)/chr(3);
+  // later merges can therefore select pairs CONTAINING earlier merged
+  // symbols, and the output renders them back recursively (newest
+  // marker first), so the learned merge table reads as real strings.
+  // Output: (merge_idx, pair, cnt) — the first three rows of the
+  // merges.txt every BPE tokenizer ships.
+  private val BpeTrainMarkers = Seq("\u0001", "\u0002", "\u0003")
+
+  def qBpeTrain3(s: SparkSession, dir: String): DataFrame = {
+    def top1(counts: DataFrame) =
+      counts.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("bp"), col("cnt"))
+    val wf1 = wordTypes(s, dir).localCheckpoint()
+    val b1 = top1(bpePairCounts(wf1))
+    val wf2 = wf1.crossJoin(broadcast(b1.select(col("bp").as("m1"))))
+      .select(replace(col("word"), col("m1"), lit(BpeTrainMarkers(0))).as("word"), col("f"))
+      .localCheckpoint()
+    val b2 = top1(bpePairCounts(wf2))
+    val wf3 = wf2.crossJoin(broadcast(b2.select(col("bp").as("m2"))))
+      .select(replace(col("word"), col("m2"), lit(BpeTrainMarkers(1))).as("word"), col("f"))
+      .localCheckpoint()
+    val b3 = top1(bpePairCounts(wf3))
+    val refs = b1.select(col("bp").as("r1")).crossJoin(b2.select(col("bp").as("r2")))
+    b1.select(lit(1).as("merge_idx"), col("bp"), col("cnt"))
+      .unionAll(b2.select(lit(2).as("merge_idx"), col("bp"), col("cnt")))
+      .unionAll(b3.select(lit(3).as("merge_idx"), col("bp"), col("cnt")))
+      .crossJoin(broadcast(refs))
+      .select(col("merge_idx"),
+        replace(replace(col("bp"), lit(BpeTrainMarkers(1)), col("r2")),
+          lit(BpeTrainMarkers(0)), col("r1")).as("pair"),
+        col("cnt"))
+      .orderBy(col("merge_idx"))
+  }
+
+  val qBpeTrain3Sql: String = {
+    def pairs(src: String) =
+      s"""SELECT unnest(list_transform(range(length(word) - 1),
+         |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f
+         |  FROM $src WHERE length(word) >= 2""".stripMargin
+    s"""WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |wf1 AS (SELECT word, count(*) AS f FROM (SELECT unnest(ws) AS word FROM w) t
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |bc1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf1")}) GROUP BY pair),
+       |b1 AS (SELECT pair AS bp, cnt FROM bc1 ORDER BY cnt DESC, pair LIMIT 1),
+       |wf2 AS (SELECT replace(word, bp, chr(1)) AS word, f FROM wf1, b1),
+       |bc2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf2")}) GROUP BY pair),
+       |b2 AS (SELECT pair AS bp, cnt FROM bc2 ORDER BY cnt DESC, pair LIMIT 1),
+       |wf3 AS (SELECT replace(word, bp, chr(2)) AS word, f FROM wf2, b2),
+       |bc3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf3")}) GROUP BY pair),
+       |b3 AS (SELECT pair AS bp, cnt FROM bc3 ORDER BY cnt DESC, pair LIMIT 1)
+       |SELECT 1 AS merge_idx, bp AS pair, cnt FROM b1
+       |UNION ALL
+       |SELECT 2, replace(bp, chr(1), (SELECT bp FROM b1)), cnt FROM b2
+       |UNION ALL
+       |SELECT 3, replace(replace(bp, chr(2), (SELECT bp FROM b2)), chr(1), (SELECT bp FROM b1)), cnt FROM b3
+       |ORDER BY merge_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train3" -> (qBpeTrain3 _),
     "text_bpe_merge_step" -> (qBpeMergeStep _),
     "text_tfidf" -> (qTfIdf _),
     "text_token_stats" -> (qTokenStats _),
@@ -719,6 +798,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,
     "text_tfidf" -> qTfIdfSql,
     "text_token_stats" -> qTokenStatsSql,

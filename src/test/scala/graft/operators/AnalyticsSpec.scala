@@ -343,6 +343,21 @@ class AnalyticsSpec extends SparkSpec {
       s"winning pair $bp must not survive its own merge unscathed")
   }
 
+  test("bpe trainer loop: merge 1 equals the single step's winner; merges distinct") {
+    val merges = Text.qBpeTrain3(spark, sfDir).collect()
+    assert(merges.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val step = Text.qBpeMergeStep(spark, sfDir).collect()
+      .filter(r => r.getString(0) == "1_before" && r.getInt(1) == 1).head
+    assert(merges(0).getString(1) == step.getString(2) &&
+      merges(0).getLong(2) == step.getLong(3),
+      "round 1 of the trainer must be the single merge step's argmax")
+    // counts are non-increasing (a later merge can never beat an
+    // earlier round's maximum) and the learned merges are distinct
+    val cnts = merges.map(_.getLong(2))
+    assert(cnts(0) >= cnts(1) && cnts(1) >= cnts(2), cnts.toSeq.toString)
+    assert(merges.map(_.getString(1)).distinct.length == 3)
+  }
+
   test("ivfpq stage-1 pair count is cell-bounded, not corpus-bounded") {
     val cand = Similarity.ivfPqCandidates(spark, sfDir)
     val pairs = cand.count()

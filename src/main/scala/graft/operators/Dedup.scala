@@ -177,6 +177,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------
+  // MinHash LSH with a BUCKET-SIZE CAP — the production guard the
+  // round-6 10× duplication-stress profile motivates (PLANS.md):
+  // LSH pair count is Σ bucket², so one boilerplate/template cluster
+  // of b docs costs b² pairs regardless of banding — the
+  // prefix-perturbed 10× corpus measured a 1.46 GB pair exchange and
+  // a 29× slowdown from exactly this. Production near-dup pipelines
+  // (and every LSH library's `maxBucketSize`) skip buckets above a
+  // cap before pair generation: a bucket that large is evidence of
+  // boilerplate better handled by exact dedup upstream, and the pair
+  // loss is bounded — a TRUE near-dup pair colliding in a capped
+  // bucket usually also collides in another, smaller band bucket
+  // (that's why bands exist). Bucket sizes attach via
+  // count-over-Window on the band key so the sizing and the
+  // self-join share one exchange (the qSubstring rule), and the
+  // verify stage is [[qMinHashLsh]]'s broadcast shape unchanged.
+  private val LshBucketCap = 4
+
+  def qMinHashCapped(s: SparkSession, dir: String): DataFrame = {
+    val base = wordSignatures(s, dir).localCheckpoint()
+    val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
+    val kept = bands
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bsz") <= LshBucketCap)
+      .select(col("bk"), col("doc_id"))
+    val cand = kept.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = base.select(col("doc_id"), col("sset"))
+    val jac = size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
+      size(array_union(col("sset_a"), col("sset_b")))
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("sset").as("sset_a"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("sset").as("sset_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinHashCappedSql: String =
+    s"""WITH $shinglesSqlCte,
+       |hv AS (SELECT doc_id,
+       |  list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv,
+       |  list_distinct(shingles) AS sset
+       |  FROM sh),
+       |mh AS (SELECT doc_id, sset,
+       |  list_transform(range($NumHashes),
+       |    k -> list_aggregate(list_transform(hv, h -> ((1 + k * 2) * h + (17 + k)) % $MersenneP), 'min')) AS sig
+       |  FROM hv),
+       |bands AS (SELECT doc_id,
+       |  CAST(b AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 1] AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 2] AS VARCHAR) AS band_key
+       |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
+       |keptkeys AS (SELECT band_key FROM bands GROUP BY band_key
+       |  HAVING count(*) <= $LshBucketCap),
+       |kept AS (SELECT b.doc_id, b.band_key FROM bands b JOIN keptkeys USING (band_key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(list_distinct(sa.sset || sb.sset)) AS jac
+       |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+       |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
   val qMinHashLshSql: String =
     s"""WITH $shinglesSqlCte,
        |hv AS (SELECT doc_id,
@@ -1075,6 +1143,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
+    "dedup_minhash_capped" -> (qMinHashCapped _),
     "dedup_incremental" -> (qIncremental _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_simhash_pairs" -> (qSimHashPairs _),
@@ -1090,6 +1159,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,
+    "dedup_minhash_capped" -> qMinHashCappedSql,
     "dedup_incremental" -> qIncrementalSql,
     "dedup_simhash" -> qSimHashSql,
     "dedup_simhash_pairs" -> qSimHashPairsSql,

@@ -343,6 +343,15 @@ class AnalyticsSpec extends SparkSpec {
       s"winning pair $bp must not survive its own merge unscathed")
   }
 
+  test("bucket-capped LSH yields a subset of the uncapped pair list") {
+    val full = Dedup.qMinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.qMinHashCapped(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full),
+      s"the cap may only REMOVE candidate pairs: extra ${capped -- full}")
+  }
+
   test("bpe trainer loop: merge 1 equals the single step's winner; merges distinct") {
     val merges = Text.qBpeTrain3(spark, sfDir).collect()
     assert(merges.map(_.getInt(0)).toSeq == Seq(1, 2, 3))

@@ -933,6 +933,61 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // TRIANGLE / WEDGE COUNTS over the near-dup graph — the local-
+  // clustering ingredients (triangles per node, wedges = C(deg,2))
+  // that grade near-dup graph QUALITY: genuine duplicate families
+  // close their triangles (re-posts of re-posts match each other),
+  // while LSH false positives show as high-wedge/low-triangle nodes.
+  // Exact integer outputs only (counts and an integer-div wedge
+  // formula) — no float ratio to hang the gate on.
+  //
+  // Scale shape: the canonical-orientation trick — edges stored once
+  // as doc_a < doc_b, triangles enumerated as x<y<z via two equi-
+  // joins on fixed-width longs — counts each triangle exactly once
+  // with no 6-way symmetric blowup (the distributed node-iterator
+  // algorithm); per-node attribution explodes the 3 corners and
+  // partial-aggregates. Consumes the memoized [[lshPairs]] edge list
+  // like [[qClusters]]/[[qPagerankStep]].
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = lshPairs(s, dir) // (doc_a, doc_b), doc_a < doc_b, distinct
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = e.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .join(e.select(col("doc_a").as("y"), col("doc_b").as("z")), "y")
+      .join(e.select(col("doc_a").as("x"), col("doc_b").as("z")), Seq("x", "z"))
+      .select(col("x"), col("y"), col("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        expr("degree * (degree - 1) div 2").as("n_wedges"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTrianglesSql: String =
+    s"""WITH edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$qMinHashLshSql
+       |  ) p
+       |),
+       |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT doc_a AS doc_id FROM edges UNION ALL SELECT doc_b FROM edges)
+       |  GROUP BY doc_id),
+       |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+       |  FROM edges e1 JOIN edges e2 ON e1.doc_b = e2.doc_a
+       |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |tn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM (
+       |  SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY doc_id)
+       |SELECT d.doc_id, d.degree,
+       |  CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS n_wedges,
+       |  CAST(COALESCE(tn.nt, 0) AS BIGINT) AS n_triangles
+       |FROM deg d LEFT JOIN tn USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // PAGERANK STEP over the near-dup graph — the graph-analytics
   // primitive (one power-iteration of PR with damping 0.85, uniform
   // start) computed on the memoized LSH pair list: rank within a
@@ -1139,6 +1194,7 @@ object Dedup {
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
     "graph_pagerank_step" -> (qPagerankStep _),
+    "graph_triangles" -> (qTriangles _),
     "dedup_canonical" -> (qCanonical _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
@@ -1155,6 +1211,7 @@ object Dedup {
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
     "graph_pagerank_step" -> qPagerankStepSql,
+    "graph_triangles" -> qTrianglesSql,
     "dedup_canonical" -> qCanonicalSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,

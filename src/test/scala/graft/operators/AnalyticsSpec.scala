@@ -343,6 +343,26 @@ class AnalyticsSpec extends SparkSpec {
       s"winning pair $bp must not survive its own merge unscathed")
   }
 
+  test("triangle counts match a naive JVM recount over the pair list") {
+    val rows = Dedup.qTriangles(spark, sfDir).collect()
+    val edges = Dedup.qMinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naiveTri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b); if b < c) {
+      naiveTri(a) += 1; naiveTri(b) += 1; naiveTri(c) += 1
+    }
+    rows.foreach { r =>
+      val (id, d, w, t) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d == adj(id).size, s"node $id degree")
+      assert(w == d * (d - 1) / 2, s"node $id wedges")
+      assert(t == naiveTri(id), s"node $id triangles: $t vs ${naiveTri(id)}")
+      assert(t <= w, "triangles cannot exceed wedges")
+    }
+    assert(rows.length == adj.size, "every edge-touching node gets a row")
+  }
+
   test("bucket-capped LSH yields a subset of the uncapped pair list") {
     val full = Dedup.qMinHashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -732,7 +732,11 @@ object Text {
   // merges.txt every BPE tokenizer ships.
   private val BpeTrainMarkers = Seq("\u0001", "\u0002", "\u0003")
 
-  def qBpeTrain3(s: SparkSession, dir: String): DataFrame = {
+  /** The 3-round learned merge table: (b1, b2, b3), each a 1-row
+    * (bp, cnt) frame over the evolving vocabulary. Shared by the
+    * trainer output ([[qBpeTrain3]]) and the encoder
+    * ([[qBpeEncode]]). */
+  private def bpeMerges3(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     def top1(counts: DataFrame) =
       counts.orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(col("pair").as("bp"), col("cnt"))
@@ -746,6 +750,11 @@ object Text {
       .select(replace(col("word"), col("m2"), lit(BpeTrainMarkers(1))).as("word"), col("f"))
       .localCheckpoint()
     val b3 = top1(bpePairCounts(wf3))
+    (b1, b2, b3)
+  }
+
+  def qBpeTrain3(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2, b3) = bpeMerges3(s, dir)
     val refs = b1.select(col("bp").as("r1")).crossJoin(b2.select(col("bp").as("r2")))
     b1.select(lit(1).as("merge_idx"), col("bp"), col("cnt"))
       .unionAll(b2.select(lit(2).as("merge_idx"), col("bp"), col("cnt")))
@@ -782,7 +791,61 @@ object Text {
        |ORDER BY merge_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // BPE ENCODE — the APPLY side of the tokenizer loop: the 3 learned
+  // merges applied to every document in rank order, emitting exact
+  // per-doc symbol counts before/after and the saving in integer
+  // parts-per-million. This is the deployment step after
+  // [[qBpeTrain3]]: training is vocabulary-sized, encoding is the
+  // corpus-sized map-only pass (merge table broadcast, one
+  // projection per doc, no shuffle but the presentation sort) — the
+  // shape a 100 TB tokenize job must have. Merges apply to the
+  // whitespace-normalized text directly: pairs never contain a
+  // space, so `replace` cannot merge across word boundaries, and
+  // symbol counts are `length` minus spaces (markers are 1-char
+  // symbols by construction).
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2, b3) = bpeMerges3(s, dir)
+    val refs = b1.select(col("bp").as("bp1"))
+      .crossJoin(b2.select(col("bp").as("bp2")))
+      .crossJoin(b3.select(col("bp").as("bp3")))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val encoded = replace(replace(replace(norm,
+      col("bp1"), lit(BpeTrainMarkers(0))),
+      col("bp2"), lit(BpeTrainMarkers(1))),
+      col("bp3"), lit(BpeTrainMarkers(2)))
+    val nBefore = length(regexp_replace(norm, " ", ""))
+    val nAfter = length(regexp_replace(encoded, " ", ""))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(refs))
+      .select(col("doc_id"),
+        nBefore.cast("long").as("n_sym_before"),
+        nAfter.cast("long").as("n_sym_after"))
+      .withColumn("saved_ppm",
+        expr("(n_sym_before - n_sym_after) * 1000000 div n_sym_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBpeEncodeSql: String = {
+    val trainCtes = qBpeTrain3Sql.substring(0, qBpeTrain3Sql.indexOf("\nSELECT 1 AS merge_idx"))
+    s"""$trainCtes,
+       |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |enc AS (SELECT doc_id,
+       |  length(replace(t, ' ', '')) AS n_sym_before,
+       |  length(replace(replace(replace(replace(t,
+       |    (SELECT bp FROM b1), chr(1)),
+       |    (SELECT bp FROM b2), chr(2)),
+       |    (SELECT bp FROM b3), chr(3)), ' ', '')) AS n_sym_after
+       |  FROM norm)
+       |SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
+       |  CAST(n_sym_after AS BIGINT) AS n_sym_after,
+       |  CAST((n_sym_before - n_sym_after) * 1000000 // n_sym_before AS BIGINT) AS saved_ppm
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> (qBpeEncode _),
     "text_bpe_train3" -> (qBpeTrain3 _),
     "text_bpe_merge_step" -> (qBpeMergeStep _),
     "text_tfidf" -> (qTfIdf _),
@@ -798,6 +861,7 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_encode" -> qBpeEncodeSql,
     "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,
     "text_tfidf" -> qTfIdfSql,

@@ -438,19 +438,24 @@ object Pipeline {
   // |splits|·|langs| rows.
   private val SplitBuckets = Seq(("train", 80L), ("val", 90L)) // else "test"
 
-  def qSplit(s: SparkSession, dir: String): DataFrame = {
-    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+  /** Deterministic split assignment as a pure function of doc_id
+    * (md5 bucket % 100 against [[SplitBuckets]]) — shared by
+    * [[qSplit]] and [[qSplitClean]]. */
+  private def splitOf(id: Column): Column = {
+    val b = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % 100
-    val split = SplitBuckets.foldLeft(Option.empty[Column]) {
+    SplitBuckets.foldLeft(Option.empty[Column]) {
       case (acc, (name, hi)) => Some(acc.map(_.when(b < hi, name))
         .getOrElse(when(b < hi, name)))
     }.get.otherwise("test")
+  }
+
+  def qSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(split.as("split"), col("lang"))
+      .select(splitOf(col("doc_id")).as("split"), col("lang"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"), col("lang"))
-  }
 
   val qSplitSql: String = {
     val cases = SplitBuckets.map { case (n, hi) => s"WHEN b < $hi THEN '$n'" }
@@ -461,6 +466,71 @@ object Pipeline {
        |s AS (SELECT CASE $cases ELSE 'test' END AS split, lang FROM h)
        |SELECT split, lang, count(*) AS n_docs FROM s
        |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // DECONTAMINATED SPLIT — the composition every training-set build
+  // actually runs: assign train/val/test, then EXCLUDE from train any
+  // document sharing ≥ [[SplitCleanMinShared]] word-3-grams with a
+  // held-out (val/test) document — leakage from train into eval is
+  // the [[Text.qDecontaminate]] mechanic, but pointed at the split's
+  // OWN eval sets rather than an external benchmark. Per (split,
+  // lang): total docs, excluded docs (train only by construction),
+  // kept docs. Scale shape: split assignment is a pure doc_id
+  // function (no join to assign); the gram kernel runs once; the
+  // held-out gram table (≈20% of the corpus) is the broadcast build
+  // side and train grams stream — the decontaminate orientation
+  // unchanged.
+  private val SplitCleanMinShared = 2
+
+  def qSplitClean(s: SparkSession, dir: String): DataFrame = {
+    val g = Text.gramHashes(s, dir)
+      .withColumn("split", splitOf(col("doc_id")))
+    val ev = g.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("gram_h"))
+    val tr = g.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("gram_h"))
+    val contaminated = tr.join(broadcast(ev), "gram_h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SplitCleanMinShared)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("excluded", lit(1L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("excluded"), lit(0L))).as("n_excluded"))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_excluded"),
+        (col("n_docs") - col("n_excluded")).as("n_kept"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val qSplitCleanSql: String = {
+    val cases = SplitBuckets.map { case (n, hi) => s"WHEN b < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(len(ws) - 2),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |    ELSE [array_to_string(ws, ' ')] END) AS grams FROM w),
+       |sp AS (SELECT doc_id, lang, CASE $cases ELSE 'test' END AS split FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |  FROM documents)),
+       |ev AS (SELECT g.doc_id AS eval_id, unnest(grams) AS gram
+       |  FROM g JOIN sp ON g.doc_id = sp.doc_id WHERE sp.split <> 'train'),
+       |tr AS (SELECT g.doc_id AS train_id, unnest(grams) AS gram
+       |  FROM g JOIN sp ON g.doc_id = sp.doc_id WHERE sp.split = 'train'),
+       |cont AS (SELECT DISTINCT train_id FROM (
+       |  SELECT train_id, eval_id FROM tr JOIN ev USING (gram)
+       |  GROUP BY train_id, eval_id HAVING count(*) >= $SplitCleanMinShared))
+       |SELECT sp.split, sp.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cont.train_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+       |  CAST(count(*) - sum(CASE WHEN cont.train_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM sp LEFT JOIN cont ON sp.doc_id = cont.train_id
+       |GROUP BY sp.split, sp.lang ORDER BY sp.split, sp.lang""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -503,6 +573,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_split" -> (qSplit _),
+    "samp_split_clean" -> (qSplitClean _),
     "pii_redact" -> (qRedact _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
@@ -516,6 +587,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "samp_split" -> qSplitSql,
+    "samp_split_clean" -> qSplitCleanSql,
     "pii_redact" -> qRedactSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,

@@ -492,7 +492,50 @@ object Streams {
       |  AND e.ts_us >= d.vfrom AND e.ts_us < d.vto
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING HEAVY HITTERS — the live top-k monitor every ingest
+  // dashboard runs: per closed hour window, the 3 most frequent
+  // event types. The STREAMING stage is the watermarked windowed
+  // count (append mode — only watermark-closed windows emit, the
+  // stream_pipeline emission-boundary discipline); the top-k rank is
+  // batch post-processing on the emitted (window, type, count) rows,
+  // because Structured Streaming forbids a rank window after a
+  // streaming agg — exactly how production does it (the sink table
+  // is tiny: windows × types, not events). Deterministic rank:
+  // count DESC, event_type ASC.
+  def qStreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val agg = runBounded(s, dir, "append") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  val qStreamHeavyHittersSql: String =
+    """WITH allev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM allev),
+      |agg AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n_events
+      |  FROM allev GROUP BY 1, 2),
+      |closed AS (SELECT hr, event_type, CAST(n_events AS BIGINT) AS n_events
+      |  FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w),
+      |r AS (SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n_events,
+      |  ROW_NUMBER() OVER (PARTITION BY hr ORDER BY n_events DESC, event_type) AS rank
+      |  FROM closed)
+      |SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 3
+      |ORDER BY window_start, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "stream_asof_enrich" -> (qStreamAsofEnrich _),
     "stream_exactly_once" -> (qStreamExactlyOnce _),
     "stream_pipeline" -> (qStreamPipeline _),
@@ -505,6 +548,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_heavy_hitters" -> qStreamHeavyHittersSql,
     "stream_asof_enrich" -> qStreamAsofEnrichSql,
     "stream_exactly_once" -> qStreamExactlyOnceSql,
     "stream_pipeline" -> qStreamPipelineSql,

@@ -537,6 +537,63 @@ object Maintenance {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------
+  // REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a warehouse
+  // runs after every load: each child table's foreign key checked
+  // against its parent (orphan count must be zero), plus the
+  // cross-modal pairing a training pipeline adds (every document has
+  // an embedding and vice versa). Spark shape: one LEFT ANTI join
+  // per relation on the key — at 100 TB the parent side is a
+  // distinct-key projection (broadcast when it fits, else the bloom
+  // prefilter from q37 ahead of the shuffle anti join); only keys
+  // move, never payloads. The oracle states the same counts as NOT
+  // IN subqueries, so the audit itself is what's gated — a loader
+  // bug that orphans rows turns the row red on BOTH engines.
+  def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def check(rel: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+    }
+    check("1_lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionAll(check("2_orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionAll(check("3_customer_nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .unionAll(check("4_documents_embeddings", Tables.documents(s, dir), "doc_id",
+        Tables.embeddings(s, dir), "vec_id"))
+      .unionAll(check("5_embeddings_documents", Tables.embeddings(s, dir), "vec_id",
+        Tables.documents(s, dir), "doc_id"))
+      .orderBy(col("relation"))
+  }
+
+  val qRefIntegritySql: String =
+    """SELECT '1_lineitem_orders' AS relation, count(*) AS n_child,
+      |  CAST(sum(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |FROM lineitem
+      |UNION ALL
+      |SELECT '2_orders_customer', count(*),
+      |  CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT '3_customer_nation', count(*),
+      |  CAST(sum(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT '4_documents_embeddings', count(*),
+      |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT vec_id FROM embeddings) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM documents
+      |UNION ALL
+      |SELECT '5_embeddings_documents', count(*),
+      |  CAST(sum(CASE WHEN vec_id NOT IN (SELECT doc_id FROM documents) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM embeddings
+      |ORDER BY relation""".stripMargin
+
+  // ---------------------------------------------------------------
   // TABLE STATS COLLECTION — the ANALYZE pass that feeds a
   // cost-based optimizer: per-column row count, exact NDV, min/max,
   // null count. Exact NDV on purpose (the oracle must match);
@@ -575,6 +632,7 @@ object Maintenance {
     "maint_analyze" -> (qAnalyze _),
     "maint_compact" -> (qCompact _),
     "maint_vacuum" -> (qVacuum _),
+    "maint_ref_integrity" -> (qRefIntegrity _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
     "maint_zorder" -> (qZOrder _),
@@ -587,6 +645,7 @@ object Maintenance {
     "maint_analyze" -> qAnalyzeSql,
     "maint_compact" -> qCompactSql,
     "maint_vacuum" -> qVacuumSql,
+    "maint_ref_integrity" -> qRefIntegritySql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
     "maint_zorder" -> qZOrderSql,

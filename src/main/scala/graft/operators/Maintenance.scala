@@ -537,6 +537,66 @@ object Maintenance {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------
+  // MERGE-ON-READ — the other half of the CDC story:
+  // [[qMergeUpsert]] is copy-on-write (rewrite the snapshot per
+  // batch); MOR instead appends version-stamped deltas and the
+  // READER merges — base ∪ deltas, latest version wins per key,
+  // tombstones drop. That trade (cheap writes, merge cost at read)
+  // is how Hudi/Iceberg MOR tables and every LSM store work. The
+  // delta log here is three synthesized generations (v1 price
+  // update on keys %7, v2 priority update on %11, v3 tombstone on
+  // %13 — later versions override earlier ones where keys overlap,
+  // which the %7·%11·%13 intersections exercise). Spark shape: the
+  // version pick is one row_number window over the key — a single
+  // shuffle of fixed-width rows; at 100 TB the log is tiny next to
+  // the base and real readers scope this merge per file group. The
+  // gated value aggregates the merged view, so a wrong
+  // version-precedence or tombstone bug flips counts and cents.
+  def qMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("priority"),
+        lit(0L).as("version"), lit(false).as("tombstone"))
+    import org.apache.spark.sql.Column
+    def delta(keyPred: Column, version: Long, price: Column, priority: Column,
+        tomb: Boolean) = Tables.orders(s, dir).filter(keyPred)
+      .select(col("o_orderkey").as("key"), price.as("price"),
+        priority.as("priority"), lit(version).as("version"), lit(tomb).as("tombstone"))
+    val deltas =
+      delta(col("o_orderkey") % 7 === 0, 1L,
+          floor(col("o_totalprice") * 0.9 * 100) / 100, col("o_orderpriority"), tomb = false)
+        .unionAll(delta(col("o_orderkey") % 11 === 0, 2L,
+          col("o_totalprice"), lit("9-MOR"), tomb = false))
+        .unionAll(delta(col("o_orderkey") % 13 === 0, 3L,
+          col("o_totalprice"), col("o_orderpriority"), tomb = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("version").desc)
+    base.unionAll(deltas)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("tombstone"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("price") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val qMergeOnReadSql: String =
+    """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price,
+      |    o_orderpriority AS priority, 0 AS version, FALSE AS tombstone FROM orders),
+      |d1 AS (SELECT o_orderkey, floor(o_totalprice * 0.9 * 100) / 100 AS price,
+      |    o_orderpriority, 1 AS version, FALSE AS tombstone FROM orders WHERE o_orderkey % 7 = 0),
+      |d2 AS (SELECT o_orderkey, o_totalprice, '9-MOR', 2, FALSE FROM orders WHERE o_orderkey % 11 = 0),
+      |d3 AS (SELECT o_orderkey, o_totalprice, o_orderpriority, 3, TRUE FROM orders WHERE o_orderkey % 13 = 0),
+      |log AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+      |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3),
+      |merged AS (SELECT key, price, priority, tombstone,
+      |  ROW_NUMBER() OVER (PARTITION BY key ORDER BY version DESC) AS rn FROM log)
+      |SELECT priority, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM merged WHERE rn = 1 AND NOT tombstone
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
+  // ---------------------------------------------------------------
   // REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a warehouse
   // runs after every load: each child table's foreign key checked
   // against its parent (orphan count must be zero), plus the
@@ -633,6 +693,7 @@ object Maintenance {
     "maint_compact" -> (qCompact _),
     "maint_vacuum" -> (qVacuum _),
     "maint_ref_integrity" -> (qRefIntegrity _),
+    "maint_merge_on_read" -> (qMergeOnRead _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
     "maint_zorder" -> (qZOrder _),
@@ -646,6 +707,7 @@ object Maintenance {
     "maint_compact" -> qCompactSql,
     "maint_vacuum" -> qVacuumSql,
     "maint_ref_integrity" -> qRefIntegritySql,
+    "maint_merge_on_read" -> qMergeOnReadSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
     "maint_zorder" -> qZOrderSql,

@@ -537,6 +537,56 @@ object Maintenance {
       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------
+  // KEY-SKEW REPORT — the diagnostic that decides when a join needs
+  // salting (q36) or AQE skew handling: the per-key count
+  // distribution of a join key, as exact order statistics. Scale
+  // shape: the only corpus-sized stage is the per-key count (one
+  // map-side-combined exchange); quantiles then come from the
+  // COUNT-OF-COUNTS histogram — a table bounded by the number of
+  // DISTINCT count values, not by key cardinality — via a cumulative
+  // sum and rank thresholds, all exact integer arithmetic
+  // (order-statistic rank = (n_keys-1)·q div 100 + 1). No sampling,
+  // no float percentile — the same numbers on any engine.
+  def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      .withColumn("cum", sum(col("nk")).over(wCum))
+    def pct(q: Int) = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr(s"(n_keys - 1) * $q div 100 + 1"))
+      .agg(min(col("cnt")).as(s"p${q}_cnt"))
+    tot.crossJoin(pct(50)).crossJoin(pct(90)).crossJoin(pct(99))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("top1_share_ppm"))
+  }
+
+  val qSkewReportSql: String = {
+    def pctCte(q: Int) =
+      s"""p$q AS (SELECT CAST(min(cnt) AS BIGINT) AS p${q}_cnt FROM cum, t
+         |  WHERE cum >= (n_keys - 1) * $q // 100 + 1)""".stripMargin
+    s"""WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+       |cc AS (SELECT cnt, count(*) AS nk FROM c GROUP BY cnt),
+       |cum AS (SELECT cnt, sum(nk) OVER (ORDER BY cnt
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cc),
+       |${pctCte(50)},
+       |${pctCte(90)},
+       |${pctCte(99)}
+       |SELECT n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+       |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_ppm
+       |FROM t, p50, p90, p99""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // MERGE-ON-READ — the other half of the CDC story:
   // [[qMergeUpsert]] is copy-on-write (rewrite the snapshot per
   // batch); MOR instead appends version-stamped deltas and the
@@ -694,6 +744,7 @@ object Maintenance {
     "maint_vacuum" -> (qVacuum _),
     "maint_ref_integrity" -> (qRefIntegrity _),
     "maint_merge_on_read" -> (qMergeOnRead _),
+    "maint_skew_report" -> (qSkewReport _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
     "maint_zorder" -> (qZOrder _),
@@ -708,6 +759,7 @@ object Maintenance {
     "maint_vacuum" -> qVacuumSql,
     "maint_ref_integrity" -> qRefIntegritySql,
     "maint_merge_on_read" -> qMergeOnReadSql,
+    "maint_skew_report" -> qSkewReportSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
     "maint_zorder" -> qZOrderSql,

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   *    scale-up.
   *  - embeddings: ids shift by a multiple of lcm(50,40,30)=600 so the
   *    probe/centroid/codebook strides keep the same relative density;
-  *    elements scale by (1 + k/1000) so copies are distinct vectors.
+  *    copy k cyclically ROTATES the vector's elements by k positions —
+  *    the vector analog of the documents' Caesar map: applying the
+  *    same permutation to two vectors preserves their dot product
+  *    exactly (within-copy geometry identical to the original) while
+  *    a copy is angularly far from its source. A scalar rescale would
+  *    NOT do this — cosine is scale-invariant, so scaled copies were
+  *    cosine-identical to their originals and the corpus did not
+  *    densify.
   *  - events: ids and user_ids shift per copy (10× keys, 10× rows);
   *    ts/props unchanged (ts rides as raw ns-longs, which
   *    [[Tables.fixEventTs]] converts on read exactly like the
@@ -69,13 +76,15 @@ object Scale10x {
       val m = emb.agg(max(col("vec_id"))).first().getLong(0)
       ((m / 600) + 1) * 600 // multiple of lcm(50,40,30): strides keep density
     }
-    emb.crossJoin(broadcast(ks))
-      .select(
-        (col("vec_id") + col("k") * vecOffset).as("vec_id"),
-        transform(col("embedding"),
-          x => (x * (lit(1.0f) + col("k").cast("float") / lit(1000.0f))).cast("float"))
-          .as("embedding"),
+    (0 until copies).map { k =>
+      val rot =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, 10000), slice(col("embedding"), 1, k))
+      emb.select(
+        (col("vec_id") + lit(k.toLong * vecOffset)).as("vec_id"),
+        rot.as("embedding"),
         col("label"))
+    }.reduce(_ unionAll _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

@@ -659,10 +659,17 @@ object Maintenance {
   // IN subqueries, so the audit itself is what's gated — a loader
   // bug that orphans rows turns the row red on BOTH engines.
   def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // NULL keys excluded EXPLICITLY on both sides: a NULL child key
+    // never matches an anti join (counted as orphan) while the
+    // oracle's NOT IN would yield NULL (counted as 0) — and one NULL
+    // parent key makes NOT IN never-true for the whole relation. The
+    // audited semantics are "non-null foreign keys without a non-null
+    // parent match", stated identically in both engines.
     def check(rel: String, child: DataFrame, childKey: String,
         parent: DataFrame, parentKey: String): DataFrame = {
-      val orphans = child.select(col(childKey).as("k"))
-        .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      val orphans = child.select(col(childKey).as("k")).filter(col("k").isNotNull)
+        .join(parent.select(col(parentKey).as("k")).filter(col("k").isNotNull).distinct(),
+          Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
       child.agg(count(lit(1)).as("n_child"))
         .crossJoin(orphans)
@@ -683,23 +690,28 @@ object Maintenance {
 
   val qRefIntegritySql: String =
     """SELECT '1_lineitem_orders' AS relation, count(*) AS n_child,
-      |  CAST(sum(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+      |    (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
       |FROM lineitem
       |UNION ALL
       |SELECT '2_orders_customer', count(*),
-      |  CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
       |FROM orders
       |UNION ALL
       |SELECT '3_customer_nation', count(*),
-      |  CAST(sum(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN
+      |    (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
       |FROM customer
       |UNION ALL
       |SELECT '4_documents_embeddings', count(*),
-      |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT vec_id FROM embeddings) THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND doc_id NOT IN
+      |    (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
       |FROM documents
       |UNION ALL
       |SELECT '5_embeddings_documents', count(*),
-      |  CAST(sum(CASE WHEN vec_id NOT IN (SELECT doc_id FROM documents) THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN vec_id IS NOT NULL AND vec_id NOT IN
+      |    (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
       |FROM embeddings
       |ORDER BY relation""".stripMargin
 

@@ -196,15 +196,18 @@ object Similarity {
   // .qAnalyze]]'s NDV table is the input to join planning. Shape:
   // the shared assign stage, a count per cid (fixed-width exchange),
   // and a 1-row total broadcast back — nothing corpus-sized moves.
-  def qIvfCellStats(s: SparkSession, dir: String): DataFrame = {
-    val counts = assignToCentroids(s, dir)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-    val total = counts.agg(sum(col("n_members")).as("n_total"))
-    counts.crossJoin(broadcast(total))
+  /** Per-cell membership + exact ppm corpus share from a
+    * (vec_id, cid) assignment — shared by [[qIvfCellStats]] and both
+    * phases of [[qIvfRetrainStats]]. */
+  private def cellShare(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_members")).as("n_total"))))
       .select(col("cid"), col("n_members"),
         expr("n_members * 1000000 div n_total").as("share_ppm"))
-      .orderBy(col("cid"))
   }
+
+  def qIvfCellStats(s: SparkSession, dir: String): DataFrame =
+    cellShare(assignToCentroids(s, dir)).orderBy(col("cid"))
 
   val qIvfCellStatsSql: String =
     s"""WITH $assignCteSql,
@@ -233,14 +236,8 @@ object Similarity {
   // both engines) and broadcast for the second assign sweep.
   def qIvfRetrainStats(s: SparkSession, dir: String): DataFrame = {
     val asg = assignToCentroids(s, dir).localCheckpoint()
-    val upd = asg
-      .select(col("cid"), posexplode(col("v")).as(Seq("d", "value")))
-      .select(col("cid"), col("d").cast("long").as("d"),
-        round(col("value") * 1000000).cast("long").as("sv"))
-      .groupBy(col("cid"), col("d"))
-      .agg(count(lit(1)).as("nm"), sum(col("sv")).as("ssum"))
-      .select(col("cid"),  col("d"),
-        floor(col("ssum").cast("double") / col("nm")).cast("long").as("centroid_micro"))
+    val upd = lloydMicroUpdate(asg)
+      .select(col("cid"), col("d"), col("centroid_micro"))
     val cents2 = upd.groupBy(col("cid"))
       .agg(collect_list(struct(col("d"), col("centroid_micro"))).as("dm"))
       .select(col("cid").as("cid2"),
@@ -253,12 +250,9 @@ object Similarity {
       .select(col("vec_id"), struct(cc2.as("c"), (-col("cid2")).as("nc")).as("cand"))
       .groupBy(col("vec_id")).agg(max(col("cand")).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cid"))
-    def stats(a: DataFrame, phase: String) = {
-      val counts = a.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-      counts.crossJoin(broadcast(counts.agg(sum(col("n_members")).as("n_total"))))
-        .select(lit(phase).as("phase"), col("cid"), col("n_members"),
-          expr("n_members * 1000000 div n_total").as("share_ppm"))
-    }
+    def stats(a: DataFrame, phase: String) =
+      cellShare(a).select(lit(phase).as("phase"),
+        col("cid"), col("n_members"), col("share_ppm"))
     stats(asg.select(col("vec_id"), col("cid")), "0_seed")
       .unionAll(stats(asg2, "1_trained"))
       .orderBy(col("phase"), col("cid"))
@@ -266,12 +260,7 @@ object Similarity {
 
   val qIvfRetrainStatsSql: String =
     s"""WITH $assignCteSql,
-       |av AS (SELECT a.cid, n.v FROM asg a JOIN n ON a.vec_id = n.vec_id),
-       |ex AS (SELECT cid, d.d AS d, CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
-       |  FROM av, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
-       |up AS (SELECT cid, d,
-       |  CAST(floor(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS centroid_micro
-       |  FROM ex GROUP BY cid, d),
+       |$lloydUpdateCteSql,
        |c2 AS (SELECT cid, list_transform(list(centroid_micro ORDER BY d), m -> m / 1000000.0) AS cv2
        |  FROM up GROUP BY cid),
        |c2n AS (SELECT cid, cv2, ${Vectors.normSql("cv2")} AS cn2 FROM c2),
@@ -311,8 +300,13 @@ object Similarity {
   // exactly how a distributed k-means update must shuffle (a vector
   // sum-aggregator would shave the explode's row overhead but shuffle
   // the same bytes).
-  def qKmeansStep(s: SparkSession, dir: String): DataFrame =
-    assignToCentroids(s, dir)
+  /** The exact-integer Lloyd update from a (cid, v) assignment:
+    * per-(cid, dim) member count and floor'd micro-unit mean — shared
+    * by [[qKmeansStep]] (emit the update) and [[qIvfRetrainStats]]
+    * (feed it back into the index), so the half-boundary-safe
+    * arithmetic lives in ONE place. */
+  private def lloydMicroUpdate(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("d", "value")))
       .select(col("cid"), col("d").cast("long").as("d"),
         round(col("value") * 1000000).cast("long").as("sv"))
@@ -320,16 +314,26 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum(col("sv")).as("ssum"))
       .select(col("cid"), col("d"), col("n_members"),
         floor(col("ssum").cast("double") / col("n_members")).cast("long").as("centroid_micro"))
+
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame =
+    lloydMicroUpdate(assignToCentroids(s, dir))
       .orderBy(col("cid"), col("d"))
+
+  /** The av/ex/up CTE chain — the SQL twin of [[lloydMicroUpdate]],
+    * shared by the k-means and retrain oracles (lazy: the retrain
+    * oracle textually precedes this definition). */
+  private lazy val lloydUpdateCteSql: String =
+    s"""av AS (SELECT a.cid, n.v FROM asg a JOIN n ON a.vec_id = n.vec_id),
+       |ex AS (SELECT cid, d.d AS d, CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM av, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |up AS (SELECT cid, d, count(*) AS n_members,
+       |  CAST(floor(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS centroid_micro
+       |  FROM ex GROUP BY cid, d)""".stripMargin
 
   val qKmeansStepSql: String =
     s"""WITH $assignCteSql,
-       |av AS (SELECT a.cid, n.v FROM asg a JOIN n ON a.vec_id = n.vec_id),
-       |ex AS (SELECT cid, d.d AS d, CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
-       |  FROM av, (SELECT unnest(range(${Vectors.Dim})) AS d) d)
-       |SELECT cid, d, count(*) AS n_members,
-       |  CAST(floor(CAST(sum(sv) AS BIGINT)::DOUBLE / count(*)) AS BIGINT) AS centroid_micro
-       |FROM ex GROUP BY cid, d ORDER BY cid, d""".stripMargin
+       |$lloydUpdateCteSql
+       |SELECT cid, d, n_members, centroid_micro FROM up ORDER BY cid, d""".stripMargin
 
   // ---------------------------------------------------------------
   // Symmetric per-vector int8 quantization — the storage/bandwidth

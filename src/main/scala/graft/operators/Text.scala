@@ -665,7 +665,14 @@ object Text {
   private def bpePairsOf(w: Column): Column =
     transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))
 
+  /** Pair counts over a (word, f) vocabulary. The length >= 2 filter
+    * is load-bearing on MERGED vocabularies, not just the initial
+    * one: a word type equal to a winning pair collapses to the
+    * 1-char marker, where Spark's `sequence(1, 0)` yields the
+    * DESCENDING [1, 0] — two phantom marker "pairs" the oracle
+    * (empty `range(0)` + its own length filter) never produces. */
   private def bpePairCounts(types: DataFrame): DataFrame = types
+    .filter(length(col("word")) >= 2)
     .select(explode(bpePairsOf(col("word"))).as("pair"), col("f"))
     .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
 

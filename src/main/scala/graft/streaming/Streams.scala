@@ -355,10 +355,15 @@ object Streams {
       var curPath: Option[String] = None
       var applySeq = 0
       def applyBatch(partial: DataFrame, batchId: Long): Unit = {
+        // p_cents is NULL for a batch where the user's events all have
+        // NULL value (sum over an all-NULL group) — the oracle's
+        // whole-table sum SKIPS those, so the merge must treat the
+        // partial as 0, never poison the running total with NULL
         val next = curPath match {
           case None =>
             partial.select(col("p_uid").as("user_id"), col("p_n").as("n_events"),
-              col("p_cents").as("sum_cents"), lit(batchId).as("last_batch"))
+              coalesce(col("p_cents"), lit(0L)).as("sum_cents"),
+              lit(batchId).as("last_batch"))
           case Some(p) =>
             val fresh = col("p_uid").isNotNull &&
               (col("user_id").isNull || col("last_batch") < lit(batchId))
@@ -368,7 +373,8 @@ object Streams {
                 coalesce(col("user_id"), col("p_uid")).as("user_id"),
                 when(fresh, coalesce(col("n_events"), lit(0L)) + col("p_n"))
                   .otherwise(col("n_events")).as("n_events"),
-                when(fresh, coalesce(col("sum_cents"), lit(0L)) + col("p_cents"))
+                when(fresh, coalesce(col("sum_cents"), lit(0L)) +
+                    coalesce(col("p_cents"), lit(0L)))
                   .otherwise(col("sum_cents")).as("sum_cents"),
                 when(fresh, lit(batchId)).otherwise(col("last_batch")).as("last_batch"))
         }
@@ -426,7 +432,7 @@ object Streams {
 
   val qStreamExactlyOnceSql: String =
     """SELECT user_id, count(*) AS n_events,
-      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(COALESCE(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents,
       |  4 AS batches_applied, TRUE AS replay_noop
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 

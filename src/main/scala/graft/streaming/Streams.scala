@@ -540,7 +540,80 @@ object Streams {
       |SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 3
       |ORDER BY window_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SESSION CLOSURE via flatMapGroupsWithState — the ARBITRARY-state
+  // API with data-driven emission (mapGroupsWithState must emit
+  // exactly one row per group per batch; flatMap emits ZERO OR MORE,
+  // which is what session closure needs: nothing while a session is
+  // open, the completed session when its successor arrives). State
+  // per user is the open session (start, last, n); an incoming event
+  // either extends it (gap ≤ 30 min) or CLOSES it — emitting the
+  // finished session downstream in append mode — and opens the next.
+  // A user's final session stays in state forever (no successor), so
+  // the bounded gate states exactly that: every session except each
+  // user's last — honest emission semantics, like stream_pipeline's
+  // watermark boundary, not a complete-mode fake. Events inside a
+  // batch sort by (ts, event_id) in the function; state carries
+  // across micro-batches. Exact integer µs arithmetic throughout.
+  def qStreamSessionFlatmap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    runBounded(s, dir, "append", rawTs = true) { stream =>
+      import s.implicits._
+      // raw ts is ns-long; truncate to µs like Tables.fixEventTs
+      stream.select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+            var open = state.getOption // (start, last, n)
+            sorted.foreach { case (_, ts, _) =>
+              open match {
+                case Some((st, last, n)) if ts - last <= SessionGapUs =>
+                  open = Some((st, ts, n + 1))
+                case Some((st, last, n)) =>
+                  closed += ((user, st, n, last - st))
+                  open = Some((ts, ts, 1L))
+                case None =>
+                  open = Some((ts, ts, 1L))
+              }
+            }
+            open.foreach(state.update)
+            closed.iterator.map { case (u, st, n, dur) => (u, st, n, dur) }
+        }
+        .toDF("user_id", "start_us", "n_events", "duration_us")
+    }
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  private val SessionGapUs = 1800000000L // 30 min, matches Temporal.qSessionize
+
+  val qStreamSessionFlatmapSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts FROM events),
+       |g AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > $SessionGapUs
+       |       THEN 1 ELSE 0 END AS is_new
+       |  FROM ev),
+       |sx AS (SELECT user_id, ts,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM g),
+       |sess AS (SELECT user_id, session_idx,
+       |  CAST(min(ts) AS BIGINT) AS start_us,
+       |  count(*) AS n_events,
+       |  CAST(max(ts) - min(ts) AS BIGINT) AS duration_us
+       |  FROM sx GROUP BY user_id, session_idx),
+       |mx AS (SELECT user_id, max(session_idx) AS last_idx FROM sess GROUP BY user_id)
+       |SELECT s.user_id, s.start_us, s.n_events, s.duration_us
+       |FROM sess s JOIN mx ON s.user_id = mx.user_id
+       |WHERE s.session_idx < mx.last_idx
+       |ORDER BY s.user_id, s.start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_flatmap" -> (qStreamSessionFlatmap _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "stream_asof_enrich" -> (qStreamAsofEnrich _),
     "stream_exactly_once" -> (qStreamExactlyOnce _),
@@ -554,6 +627,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_session_flatmap" -> qStreamSessionFlatmapSql,
     "stream_heavy_hitters" -> qStreamHeavyHittersSql,
     "stream_asof_enrich" -> qStreamAsofEnrichSql,
     "stream_exactly_once" -> qStreamExactlyOnceSql,

@@ -611,6 +611,117 @@ object Text {
       |FROM ca JOIN wa ON ca.doc_id = wa.doc_id ORDER BY ca.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // WINNOWING FINGERPRINT — the rolling-hash document fingerprint
+  // (Schleimer/Wilkerson/Aiken's MOSS winnowing): Rabin-Karp rolling
+  // hashes over char 8-grams, then the minimum of each 4-hash window;
+  // the DISTINCT window minima are the fingerprint. Guarantees: any
+  // shared substring of length ≥ k+w-1 contributes a common
+  // fingerprint hash, so near-dup detection is robust to insertions
+  // in a way [[qFingerprint]]'s whole-doc md5 is not. The kernel runs
+  // the TRUE O(1)-per-char rolling recurrence
+  // (h·B + c − c_out·B^(k-1), all mod M) plus a monotonic-deque
+  // window minimum — O(n) per document; the oracle states the same
+  // values positionally (Σ c_j·B^(k-1-j) mod M and least() per
+  // window), which the recurrence equals exactly in modular
+  // arithmetic. Gated values are exact integers: gram count,
+  // fingerprint size, and the order-free XOR of the fingerprint set.
+  // Map-only over the corpus; nothing shuffles but the result.
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowB = 257L
+  private val WinnowM = 2147483647L // 2^31 - 1
+
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_grams", LongType),
+      StructField("n_fp", LongType),
+      StructField("fp_xor", LongType)))
+    val (k, w, b, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        // B^(k-1) mod M for the leading-term removal
+        var bk1 = 1L
+        (1 until k).foreach(_ => bk1 = bk1 * b % m)
+        it.map { r =>
+          val t = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ")
+          // codePOINTS, not UTF-16 units: the oracle's ord()/length()
+          // are codepoint-based (the qDiversity discipline)
+          val cps = t.codePoints().toArray
+          val n = cps.length
+          val hs: Array[Long] =
+            if (n < k) Array(n.toLong % m)
+            else {
+              val out = new Array[Long](n - k + 1)
+              var h = 0L
+              var i = 0
+              while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
+              out(0) = h
+              while (i < n) {
+                h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
+                out(i - k + 1) = h
+                i += 1
+              }
+              out
+            }
+          // sliding-window minimum via monotonic deque (indices of
+          // candidate minima, increasing hash value front to back)
+          val mins =
+            if (hs.length < w) Array(hs.min)
+            else {
+              val out = new Array[Long](hs.length - w + 1)
+              val dq = new java.util.ArrayDeque[Int]()
+              var i = 0
+              while (i < hs.length) {
+                while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+                dq.addLast(i)
+                if (dq.peekFirst <= i - w) dq.pollFirst()
+                if (i >= w - 1) out(i - w + 1) = hs(dq.peekFirst)
+                i += 1
+              }
+              out
+            }
+          val fp = mins.toSet
+          var x = 0L
+          fp.foreach(h => x ^= h)
+          Row(r.getLong(0), hs.length.toLong, fp.size.toLong, x)
+        }
+      }(Encoders.row(schema))
+      .orderBy(col("doc_id"))
+  }
+
+  val qWinnowFingerprintSql: String = {
+    val pows = {
+      var p = 1L
+      val ps = new Array[Long](WinnowK)
+      (0 until WinnowK).foreach { j => ps(WinnowK - 1 - j) = p; p = p * WinnowB % WinnowM }
+      ps
+    }
+    val terms = (0 until WinnowK).map(j =>
+      s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    val leastTerms = (1 to WinnowW).map(j => s"hv[p+$j]").mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  CASE WHEN length(t) >= $WinnowK
+       |    THEN list_transform(range(length(t) - $WinnowK + 1), i -> ($terms) % $WinnowM)
+       |    ELSE [length(t)::BIGINT % $WinnowM] END AS hv
+       |  FROM norm),
+       |mins AS (SELECT doc_id, len(hv) AS n_grams,
+       |  CASE WHEN len(hv) >= $WinnowW
+       |    THEN list_transform(range(len(hv) - $WinnowW + 1), p -> least($leastTerms))
+       |    ELSE [list_min(hv)] END AS mv
+       |  FROM hs),
+       |f AS (SELECT doc_id, n_grams, unnest(list_distinct(mv)) AS h FROM mins)
+       |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       |  count(*) AS n_fp, CAST(bit_xor(h) AS BIGINT) AS fp_xor
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // BPE PAIR-MERGE STEP — one full iteration of the byte-pair-
   // encoding trainer loop (the tokenizer-training primitive every
   // LLM data pipeline runs): count adjacent symbol pairs over the
@@ -853,6 +964,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_encode" -> (qBpeEncode _),
+    "text_winnow_fp" -> (qWinnowFingerprint _),
     "text_bpe_train3" -> (qBpeTrain3 _),
     "text_bpe_merge_step" -> (qBpeMergeStep _),
     "text_tfidf" -> (qTfIdf _),
@@ -869,6 +981,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_encode" -> qBpeEncodeSql,
+    "text_winnow_fp" -> qWinnowFingerprintSql,
     "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,
     "text_tfidf" -> qTfIdfSql,

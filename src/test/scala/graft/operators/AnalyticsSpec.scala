@@ -363,6 +363,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == adj.size, "every edge-touching node gets a row")
   }
 
+  test("winnowing fingerprint: rolling recurrence equals the positional polynomial") {
+    val (k, w, b, m) = (8, 4, 257L, 2147483647L)
+    val pows = Array.iterate(1L, k)(p => p * b % m).reverse // B^(k-1)..B^0
+    val rows = Text.qWinnowFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().foreach { d =>
+      val t = d.getString(1).trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      val cps = t.codePoints().toArray
+      val hs =
+        if (cps.length < k) Array(cps.length.toLong % m)
+        else (0 to cps.length - k).map(i =>
+          (0 until k).map(j => cps(i + j) * pows(j) % m).sum % m).toArray
+      val mins =
+        if (hs.length < w) Array(hs.min)
+        else (0 to hs.length - w).map(p => hs.slice(p, p + w).min).toArray
+      val fp = mins.toSet
+      val expected = (hs.length.toLong, fp.size.toLong, fp.foldLeft(0L)(_ ^ _))
+      assert(rows(d.getLong(0)) == expected, s"doc ${d.getLong(0)}")
+    }
+  }
+
   test("bucket-capped LSH yields a subset of the uncapped pair list") {
     val full = Dedup.qMinHashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -933,6 +933,52 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // WINNOW-FINGERPRINT NEAR-DUP PAIRS — the fifth member of the
+  // near-dup family (minhash, simhash, n-gram Jaccard, embedding
+  // cosine, winnowing), and the one tuned for SUBSTRING reuse: two
+  // docs share a winnowing hash iff they share a substring of
+  // length ≥ k+w-1, so CONTAINMENT (shared / smaller fingerprint,
+  // exact integer per-mille) is the natural score — it catches a
+  // short doc embedded in a long one, which symmetric Jaccard
+  // dilutes. Shape: the fingerprint sets come from one kernel pass
+  // ([[Text.winnowFp]]); candidates via the inverted-index self-join
+  // on the hash (fixed-width keys only); sizes attach by broadcast.
+  // The same bucket-cap guard as [[qMinHashCapped]] would apply at
+  // crawl-grade duplication; the raw form is gated here.
+  private val WinnowContainmentPm = 700 // shared/min(|A|,|B|) >= 0.7
+
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = Text.winnowFp(s, dir).localCheckpoint()
+    val f = fps.select(col("doc_id"), explode(col("fp")).as("h"))
+    val sizes = fps.select(col("doc_id"), size(col("fp")).cast("long").as("n"))
+    val shared = f.select(col("h"), col("doc_id").as("doc_a"))
+      .join(f.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("containment_pm", expr("n_shared * 1000 div least(na, nb)"))
+      .filter(col("containment_pm") >= WinnowContainmentPm)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment_pm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qWinnowPairsSql: String =
+    s"""WITH ${Text.winnowCteSql},
+       |sz AS (SELECT doc_id, len(fp) AS n FROM fps),
+       |f AS (SELECT doc_id, unnest(fp) AS h FROM fps),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |c AS (SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(n_shared * 1000 // least(sa.n, sb.n) AS BIGINT) AS containment_pm
+       |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_shared, containment_pm FROM c
+       |WHERE containment_pm >= $WinnowContainmentPm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
   // TRIANGLE / WEDGE COUNTS over the near-dup graph — the local-
   // clustering ingredients (triangles per node, wedges = C(deg,2))
   // that grade near-dup graph QUALITY: genuine duplicate families
@@ -1200,6 +1246,7 @@ object Dedup {
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
     "dedup_minhash_capped" -> (qMinHashCapped _),
+    "dedup_winnow_pairs" -> (qWinnowPairs _),
     "dedup_incremental" -> (qIncremental _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_simhash_pairs" -> (qSimHashPairs _),
@@ -1217,6 +1264,7 @@ object Dedup {
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,
     "dedup_minhash_capped" -> qMinHashCappedSql,
+    "dedup_winnow_pairs" -> qWinnowPairsSql,
     "dedup_incremental" -> qIncrementalSql,
     "dedup_simhash" -> qSimHashSql,
     "dedup_simhash_pairs" -> qSimHashPairsSql,

@@ -631,14 +631,16 @@ object Text {
   private val WinnowB = 257L
   private val WinnowM = 2147483647L // 2^31 - 1
 
-  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_grams, fp) — the winnowing fingerprint SET per doc,
+    * shared by [[qWinnowFingerprint]] (summary row) and
+    * [[Dedup.qWinnowPairs]] (inverted-index near-dup join). */
+  private[operators] def winnowFp(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_grams", LongType),
-      StructField("n_fp", LongType),
-      StructField("fp_xor", LongType)))
+      StructField("fp", ArrayType(LongType))))
     val (k, w, b, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .mapPartitions { it =>
@@ -684,16 +686,23 @@ object Text {
               }
               out
             }
-          val fp = mins.toSet
-          var x = 0L
-          fp.foreach(h => x ^= h)
-          Row(r.getLong(0), hs.length.toLong, fp.size.toLong, x)
+          Row(r.getLong(0), hs.length.toLong, mins.toSet.toArray.sorted)
         }
       }(Encoders.row(schema))
-      .orderBy(col("doc_id"))
   }
 
-  val qWinnowFingerprintSql: String = {
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowFp(s, dir)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fp")).cast("long").as("n_fp"),
+        // interpreted HOF, but over the ~100-element fingerprint set
+        // per doc — vocabulary-scale, not corpus-scale work
+        aggregate(col("fp"), lit(0L), (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
+      .orderBy(col("doc_id"))
+
+  /** CTE chain ending at `fps` (doc_id, n_grams, fp list) — the SQL
+    * twin of [[winnowFp]], shared with the near-dup pair oracle. */
+  private[operators] val winnowCteSql: String = {
     val pows = {
       var p = 1L
       val ps = new Array[Long](WinnowK)
@@ -704,22 +713,25 @@ object Text {
       s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
       .mkString(" + ")
     val leastTerms = (1 to WinnowW).map(j => s"hv[p+$j]").mkString(", ")
-    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+    s"""norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
        |hs AS (SELECT doc_id,
        |  CASE WHEN length(t) >= $WinnowK
        |    THEN list_transform(range(length(t) - $WinnowK + 1), i -> ($terms) % $WinnowM)
        |    ELSE [length(t)::BIGINT % $WinnowM] END AS hv
        |  FROM norm),
-       |mins AS (SELECT doc_id, len(hv) AS n_grams,
-       |  CASE WHEN len(hv) >= $WinnowW
+       |fps AS (SELECT doc_id, len(hv) AS n_grams,
+       |  list_distinct(CASE WHEN len(hv) >= $WinnowW
        |    THEN list_transform(range(len(hv) - $WinnowW + 1), p -> least($leastTerms))
-       |    ELSE [list_min(hv)] END AS mv
-       |  FROM hs),
-       |f AS (SELECT doc_id, n_grams, unnest(list_distinct(mv)) AS h FROM mins)
+       |    ELSE [list_min(hv)] END) AS fp
+       |  FROM hs)""".stripMargin
+  }
+
+  val qWinnowFingerprintSql: String =
+    s"""WITH $winnowCteSql,
+       |f AS (SELECT doc_id, n_grams, unnest(fp) AS h FROM fps)
        |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
        |  count(*) AS n_fp, CAST(bit_xor(h) AS BIGINT) AS fp_xor
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------
   // BPE PAIR-MERGE STEP — one full iteration of the byte-pair-

@@ -716,6 +716,40 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RECALL REPORT — the index-quality measurement run as a first-
+  // class query: per probe, how many of the exact top-5 neighbors
+  // ([[qTopkCosine]], the ground truth) the production two-stage
+  // retrieval ([[qIvfPqTopk]]) returned. Exact integer hits out of
+  // TopK — no float recall to gate — and the corpus-level number is
+  // the column mean. This is what the Scaladocs' quoted recall
+  // figures (0.04 raw ADC → 0.30 re-ranked, ~0.23 IVF) come from;
+  // gating the measurement makes index-quality regressions visible
+  // the same way [[Maintenance.qAnalyze]] makes stats drift visible.
+  // Shape: two k·|probes|-row results joined on (qid, neighbor) —
+  // metadata-scale regardless of corpus size.
+  def qRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = qTopkCosine(s, dir).select(col("qid"), col("neighbor"))
+    val approx = qIvfPqTopk(s, dir).select(col("qid").as("aqid"), col("neighbor").as("an"))
+    val hits = exact.join(approx,
+        col("qid") === col("aqid") && col("neighbor") === col("an"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  val qRecallReportSql: String =
+    s"""WITH exact AS ($qTopkCosineSql),
+       |approx AS ($qIvfPqTopkSql),
+       |hits AS (SELECT e.qid, count(*) AS n_hits
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.neighbor = a.neighbor
+       |  GROUP BY e.qid)
+       |SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
+       |ORDER BY q.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
@@ -726,6 +760,7 @@ object Similarity {
     "sim_ivfpq_topk" -> (qIvfPqTopk _),
     "sim_ivf_cell_stats" -> (qIvfCellStats _),
     "sim_ivf_retrain_stats" -> (qIvfRetrainStats _),
+    "sim_recall_report" -> (qRecallReport _),
     "sim_kmeans_step" -> (qKmeansStep _),
   )
 
@@ -739,6 +774,7 @@ object Similarity {
     "sim_ivfpq_topk" -> qIvfPqTopkSql,
     "sim_ivf_cell_stats" -> qIvfCellStatsSql,
     "sim_ivf_retrain_stats" -> qIvfRetrainStatsSql,
+    "sim_recall_report" -> qRecallReportSql,
     "sim_kmeans_step" -> qKmeansStepSql,
   )
 }

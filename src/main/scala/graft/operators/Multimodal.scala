@@ -143,12 +143,89 @@ object Multimodal {
       |  CAST(list_aggregate(list_transform(range(length(text)), i -> ord(substr(text, i + 1, 1))), 'sum') AS BIGINT) AS feature_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // AVERAGE-HASH (aHash) feature — the perceptual-hash SHAPE over the
+  // multimodal payload: split the decoded body into 64 windows (the
+  // 8×8 grid of the image version), set bit j when window j's mean
+  // exceeds the global mean, pack 64 bits. Near-dup media cluster by
+  // hamming distance on this hash exactly as documents do by simhash.
+  // The windowed-mean compare is EXACT cross-multiplied integers
+  // (wsum·n > total·window_len — window lengths differ when n % 64
+  // != 0, so no integer-mean rounding enters), and the hash ships as
+  // two 32-bit halves because bit 63 would overflow a signed BIGINT
+  // literal sum in the oracle. Same honest stub boundary as
+  // [[qDecodeBatched]]: header parsing and batch shape are real, the
+  // "pixels" are the body's codepoints (byte-identical for the ASCII
+  // corpus; a codec plugs in at the same seam).
+  private val PHashWindows = 64
+
+  def qPHash(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash_lo", LongType),
+      StructField("phash_hi", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nw = PHashWindows
+    payloads(s, dir).select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val body = new String(bytes, HeaderLen, bytes.length - HeaderLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val cps = body.codePoints().toArray
+          val n = cps.length
+          var total = 0L
+          cps.foreach(total += _)
+          var lo = 0L
+          var hi = 0L
+          var j = 0
+          while (j < nw) {
+            val a = j * n / nw
+            val b = (j + 1) * n / nw
+            var wsum = 0L
+            var i = a
+            while (i < b) { wsum += cps(i); i += 1 }
+            if (wsum * n > total * (b - a)) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          Row(r.getLong(0), lo, hi)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  val qPHashSql: String =
+    s"""WITH cp AS (SELECT doc_id, length(text) AS n,
+       |  list_transform(range(length(text)),
+       |    i -> CAST(ord(substring(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT)) AS cps
+       |  FROM documents),
+       |tot AS (SELECT doc_id, n, cps, list_aggregate(cps, 'sum') AS total FROM cp),
+       |ws AS (SELECT doc_id, n, total,
+       |  list_transform(range($PHashWindows), j ->
+       |    CASE WHEN ((j+1)*n)//$PHashWindows > (j*n)//$PHashWindows
+       |      THEN list_aggregate(cps[CAST((j*n)//$PHashWindows + 1 AS INTEGER):CAST(((j+1)*n)//$PHashWindows AS INTEGER)], 'sum')
+       |      ELSE 0 END) AS wsums
+       |  FROM tot),
+       |bits AS (SELECT doc_id,
+       |  list_transform(range($PHashWindows), j ->
+       |    CASE WHEN wsums[j+1] * n > total * (((j+1)*n)//$PHashWindows - (j*n)//$PHashWindows)
+       |      THEN 1 ELSE 0 END) AS b
+       |  FROM ws)
+       |SELECT doc_id,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+1] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_lo,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_hi
+       |FROM bits ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
+    "mm_phash" -> (qPHash _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_header" -> qDecodeHeaderSql,
-    "mm_decode_batched" -> qDecodeBatchedSql)
+    "mm_decode_batched" -> qDecodeBatchedSql,
+    "mm_phash" -> qPHashSql)
 }

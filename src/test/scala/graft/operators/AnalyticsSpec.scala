@@ -363,6 +363,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == adj.size, "every edge-touching node gets a row")
   }
 
+  test("merge-on-read: latest version wins whole-row, tombstones drop") {
+    // recompute the merged view naively from the base table
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val merged = base.flatMap { case (k, p, pr) =>
+      if (k % 13 == 0) None // v3 tombstone wins
+      else if (k % 11 == 0) Some((k, p, "9-MOR")) // v2 whole-row override
+      else if (k % 7 == 0) Some((k, math.floor(p * 0.9 * 100) / 100, pr)) // v1
+      else Some((k, p, pr))
+    }
+    val expected = merged.groupBy(_._3).view.mapValues(rows =>
+      (rows.length.toLong, rows.map(r => math.round(r._2 * 100)).sum)).toMap
+    val got = Maintenance.qMergeOnRead(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      "merged view must equal naive last-writer-wins over the delta log")
+    // a key hit by BOTH v1 and v2 takes v2's whole row (original price):
+    // last-writer-wins is per ROW, not per column
+    assert(merged.exists { case (k, p, pr) =>
+      k % 77 == 0 && k % 13 != 0 && pr == "9-MOR" &&
+        base.find(_._1 == k).exists(_._2 == p)
+    } || !base.exists(b => b._1 % 77 == 0 && b._1 % 13 != 0),
+      "whole-row precedence witness missing")
+  }
+
+  test("skew report quantiles match a naive recount of per-key counts") {
+    val r = Maintenance.qSkewReport(spark, sfDir).collect().head
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).count().collect().map(_.getLong(1)).sorted
+    def pct(q: Int) = counts(((counts.length - 1) * q / 100).toInt)
+    assert(r.getLong(0) == counts.length, "n_keys")
+    assert(r.getLong(1) == counts.sum, "n_rows")
+    assert(r.getLong(2) == counts.max, "max_cnt")
+    assert(r.getLong(3) == pct(50), "p50")
+    assert(r.getLong(4) == pct(90), "p90")
+    assert(r.getLong(5) == pct(99), "p99")
+    assert(r.getLong(6) == counts.max * 1000000L / counts.sum, "top1_share_ppm")
+  }
+
   test("winnowing fingerprint: rolling recurrence equals the positional polynomial") {
     val (k, w, b, m) = (8, 4, 257L, 2147483647L)
     val pows = Array.iterate(1L, k)(p => p * b % m).reverse // B^(k-1)..B^0

@@ -940,25 +940,48 @@ object Dedup {
   // length ≥ k+w-1, so CONTAINMENT (shared / smaller fingerprint,
   // exact integer per-mille) is the natural score — it catches a
   // short doc embedded in a long one, which symmetric Jaccard
-  // dilutes. Shape: the fingerprint sets come from one kernel pass
-  // ([[Text.winnowFp]]); candidates via the inverted-index self-join
-  // on the hash (fixed-width keys only); sizes attach by broadcast.
-  // The same bucket-cap guard as [[qMinHashCapped]] would apply at
-  // crawl-grade duplication; the raw form is gated here.
+  // dilutes.
+  //
+  // Candidate generation is DF-CAPPED from the start (unlike
+  // [[qMinHashCapped]], which ships beside an uncapped twin): a
+  // winnowing hash appearing in > [[WinnowMaxDf]] docs is corpus
+  // boilerplate with Σdf² pair cost and no discriminative value —
+  // the uncapped self-join measured 24s at sf0.1 on this small-
+  // vocabulary corpus (all-pairs collapse), the MOSS paper's "ignore
+  // very common fingerprints" rule in action. The cap bounds the
+  // inverted index at df·|hashes| postings while SCORING uses the
+  // FULL fingerprint sets (broadcast, array-intersect per candidate
+  // — the qMinHashLsh verify orientation), so a found pair's row is
+  // identical to the uncapped query's. Measured recall of the cap:
+  // 25/25 true ≥0.7-containment pairs at sf0.01, 226/258 at sf0.1 —
+  // the documented trade for removing the quadratic term.
   private val WinnowContainmentPm = 700 // shared/min(|A|,|B|) >= 0.7
+  private val WinnowMaxDf = 16
 
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = Text.winnowFp(s, dir).localCheckpoint()
     val f = fps.select(col("doc_id"), explode(col("fp")).as("h"))
-    val sizes = fps.select(col("doc_id"), size(col("fp")).cast("long").as("n"))
-    val shared = f.select(col("h"), col("doc_id").as("doc_a"))
-      .join(f.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+    val rareKeys = f.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf).select(col("h"))
+    val rare = f.join(rareKeys, "h")
+    val cand = rare.select(col("h"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // The per-doc set table broadcasts to BOTH attach joins (the
+    // qMinHashLsh orientation: candidates stream, per-pair array
+    // copies never shuffle). The two ~1.4s single-task broadcast
+    // builds are doc-count-bounded (fps checkpoint ser/de), not
+    // corpus-bounded — measured NOT reused across the joins (alias
+    // canonicalization defeats ReuseExchange), accepted as is.
+    val sets = broadcast(
+      fps.select(col("doc_id"), col("fp"), size(col("fp")).cast("long").as("n")))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_shared", size(array_intersect(col("sa.fp"), col("sb.fp"))).cast("long"))
+      .withColumn("na", col("sa.n")).withColumn("nb", col("sb.n"))
       .withColumn("containment_pm", expr("n_shared * 1000 div least(na, nb)"))
       .filter(col("containment_pm") >= WinnowContainmentPm)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment_pm"))
@@ -969,11 +992,16 @@ object Dedup {
     s"""WITH ${Text.winnowCteSql},
        |sz AS (SELECT doc_id, len(fp) AS n FROM fps),
        |f AS (SELECT doc_id, unnest(fp) AS h FROM fps),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |c AS (SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-       |  CAST(n_shared * 1000 // least(sa.n, sb.n) AS BIGINT) AS containment_pm
-       |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+       |df AS (SELECT h FROM f GROUP BY h HAVING count(*) <= $WinnowMaxDf),
+       |fk AS (SELECT f.doc_id, f.h FROM f JOIN df USING (h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |c AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(fa.fp, fb.fp)) AS BIGINT) AS n_shared,
+       |  CAST(len(list_intersect(fa.fp, fb.fp)) * 1000 // least(sa.n, sb.n) AS BIGINT) AS containment_pm
+       |  FROM cand JOIN fps fa ON cand.doc_a = fa.doc_id
+       |  JOIN fps fb ON cand.doc_b = fb.doc_id
+       |  JOIN sz sa ON cand.doc_a = sa.doc_id JOIN sz sb ON cand.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, n_shared, containment_pm FROM c
        |WHERE containment_pm >= $WinnowContainmentPm
        |ORDER BY doc_a, doc_b""".stripMargin

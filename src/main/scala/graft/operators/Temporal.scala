@@ -400,6 +400,43 @@ object Temporal {
       |ORDER BY event_type, grid_ts""".stripMargin
 
   // ---------------------------------------------------------------
+  // SILENT-GAP DETECTOR — the pipeline-health monitor over event
+  // streams: per event type, the largest gap between consecutive
+  // events and when it started (a data outage, an upstream stall, a
+  // source decommission). One lag window per type (single shuffle on
+  // the type key), exact integer µs, earliest-start tiebreak on
+  // equal gaps so both engines pick the same row.
+  def qGapDetector(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"),
+        unix_micros(col("prev_ts")).as("gap_start_us"))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us").desc, col("gap_start_us"))
+    gaps.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("gap_us"), col("gap_start_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val qGapDetectorSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |g AS (SELECT event_type,
+      |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us,
+      |  epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_start_us
+      |  FROM ev),
+      |r AS (SELECT event_type, gap_us, gap_start_us,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us DESC, gap_start_us) AS rn
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us,
+      |  CAST(gap_start_us AS BIGINT) AS gap_start_us
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // CHURN LABEL GENERATION — supervised-label derivation, the step
   // between raw events and any retention model's training set: a
   // user churns if their last activity precedes the observation
@@ -436,6 +473,7 @@ object Temporal {
     "asof_join" -> (qAsofJoin _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
+    "temporal_gap_detector" -> (qGapDetector _),
     "sessionize" -> (qSessionize _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
@@ -449,6 +487,7 @@ object Temporal {
     "asof_join" -> qAsofJoinSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
+    "temporal_gap_detector" -> qGapDetectorSql,
     "sessionize" -> qSessionizeSql,
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,

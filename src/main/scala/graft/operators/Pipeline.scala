@@ -534,6 +534,60 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------
+  // LENGTH-CURRICULUM BINNING — the shortest-first training schedule:
+  // assign every document a curriculum phase by where its length
+  // falls among the corpus deciles. The scalable shape is the
+  // [[Maintenance.qSkewReport]] technique pointed at assignment
+  // instead of reporting: decile thresholds come from the LENGTH
+  // HISTOGRAM (count-of-counts — bounded by distinct lengths, not
+  // corpus size) via a cumulative sum, broadcast back, and the phase
+  // is a 9-term integer compare per doc — map-side, no global sort,
+  // no single-partition window over the corpus (the rank-based ntile
+  // formulation would need exactly that). Ties at a threshold get
+  // the same phase BY CONSTRUCTION (assignment compares values, not
+  // ranks), which is also what makes the two engines agree exactly.
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = lens.groupBy(col("n_chars")).agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum(col("k")).over(wCum))
+    val tot = lens.agg(count(lit(1)).as("n_total"))
+    val thresholds = (1 to 9).map { q =>
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr(s"n_total * $q div 10"))
+        .agg(min(col("n_chars")).as(s"t$q"))
+    }.reduce(_ crossJoin _)
+    val phase = (1 to 9).map(q => when(col("n_chars") > col(s"t$q"), 1).otherwise(0))
+      .reduce(_ + _)
+    lens.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_chars"), phase.cast("long").as("phase"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"))
+      .orderBy(col("phase"))
+  }
+
+  val qCurriculumSql: String = {
+    val tCtes = (1 to 9).map(q =>
+      s"t$q AS (SELECT min(n_chars) AS t$q FROM cum, tot WHERE cum >= n_total * $q // 10)")
+      .mkString(",\n")
+    val phaseExpr = (1 to 9).map(q =>
+      s"CASE WHEN n_chars > (SELECT t$q FROM t$q) THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH lens AS (SELECT doc_id, n_chars FROM documents),
+       |h AS (SELECT n_chars, count(*) AS k FROM lens GROUP BY n_chars),
+       |cum AS (SELECT n_chars, sum(k) OVER (ORDER BY n_chars
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+       |tot AS (SELECT count(*) AS n_total FROM lens),
+       |$tCtes
+       |SELECT CAST($phaseExpr AS BIGINT) AS phase,
+       |  count(*) AS n_docs,
+       |  CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len
+       |FROM lens GROUP BY phase ORDER BY phase""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // PARTIAL-AGGREGATE MERGE — the incremental-rollup contract: daily
   // partial aggregates (what a nightly job materializes per
   // partition) merge into the all-time answer without touching raw
@@ -574,6 +628,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_split" -> (qSplit _),
     "samp_split_clean" -> (qSplitClean _),
+    "pipe_curriculum" -> (qCurriculum _),
     "pii_redact" -> (qRedact _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
@@ -588,6 +643,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "samp_split" -> qSplitSql,
     "samp_split_clean" -> qSplitCleanSql,
+    "pipe_curriculum" -> qCurriculumSql,
     "pii_redact" -> qRedactSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,

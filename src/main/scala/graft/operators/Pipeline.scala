@@ -534,6 +534,37 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------
+  // QUALITY-WEIGHTED SAMPLING — rejection sampling where a document's
+  // keep probability IS its quality: score in integer quarters
+  // (0..4, [[Text.qualityQuarters]]) against a deterministic md5
+  // bucket % 4, so a full-score doc always survives, a zero-score
+  // doc never does, and the middle keeps proportionally — the
+  // soft-filter alternative to a hard quality cutoff (which throws
+  // away every mid-quality doc and over-concentrates the survivors).
+  // Same row-local md5-threshold mechanic as [[qStratified]]
+  // (map-only, zero corpus shuffles, reproducible under re-runs);
+  // the gate reports per-score totals and kept counts, so both the
+  // rubric and the acceptance arithmetic are value-checked.
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("wq_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 4
+    Tables.documents(s, dir)
+      .select(Text.qualityQuarters.cast("long").as("quarters"), bucket.as("b"))
+      .groupBy(col("quarters"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("b") < col("quarters"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("quarters"))
+  }
+
+  val qWeightedSampleSql: String =
+    s"""WITH t AS (SELECT ${Text.qualityQuartersSql("text")} AS q,
+       |  ('0x' || substr(md5('wq_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS b
+       |  FROM documents)
+       |SELECT CAST(q AS BIGINT) AS quarters, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN b < q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM t GROUP BY q ORDER BY quarters""".stripMargin
+
+  // ---------------------------------------------------------------
   // LENGTH-CURRICULUM BINNING — the shortest-first training schedule:
   // assign every document a curriculum phase by where its length
   // falls among the corpus deciles. The scalable shape is the
@@ -629,6 +660,7 @@ object Pipeline {
     "samp_split" -> (qSplit _),
     "samp_split_clean" -> (qSplitClean _),
     "pipe_curriculum" -> (qCurriculum _),
+    "samp_weighted" -> (qWeightedSample _),
     "pii_redact" -> (qRedact _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
@@ -644,6 +676,7 @@ object Pipeline {
     "samp_split" -> qSplitSql,
     "samp_split_clean" -> qSplitCleanSql,
     "pipe_curriculum" -> qCurriculumSql,
+    "samp_weighted" -> qWeightedSampleSql,
     "pii_redact" -> qRedactSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,

@@ -57,6 +57,35 @@ object Text {
   // mean word length, combined into a 0..1 rubric score. The ratio
   // arithmetic is identical on both engines (bit-equal doubles), so
   // the rubric thresholds compare identically too.
+  /** The rubric score in integer QUARTERS (0..4: one point per
+    * passed check) over the `text` column — shared by [[qQuality]]
+    * and the quality-weighted sampler
+    * ([[Pipeline.qWeightedSample]]). Integer so the sampler's
+    * threshold compare is exact on both engines. */
+  private[operators] def qualityQuarters: Column = {
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / nWords
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(col("text"))
+    val meanWordLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+      .cast("double") / nWords
+    when(length(col("text")).between(100, 2000), lit(1)).otherwise(lit(0)) +
+      when(stopRatio.between(0.05, 0.6), lit(1)).otherwise(lit(0)) +
+      when(punctRatio < 0.1, lit(1)).otherwise(lit(0)) +
+      when(meanWordLen.between(3.0, 12.0), lit(1)).otherwise(lit(0))
+  }
+
+  /** SQL twin of [[qualityQuarters]] as an inline scalar over a
+    * `text` column (no CTE dependencies). */
+  private[operators] def qualityQuartersSql(text: String): String = {
+    val ws = s"regexp_split_to_array(lower(trim($text)), '\\s+')"
+    s"""(CASE WHEN length($text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END +
+       | CASE WHEN CAST(len(list_filter($ws, w -> w IN ${sqlList(stopwords)})) AS DOUBLE) / len($ws) BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END +
+       | CASE WHEN CAST(length($text) - length(regexp_replace($text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length($text) < 0.1 THEN 1 ELSE 0 END +
+       | CASE WHEN CAST(list_aggregate(list_transform($ws, w -> length(w)), 'sum') AS DOUBLE) / len($ws) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)""".stripMargin
+  }
+
   def qQuality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val ws = words(col("text"))
@@ -66,11 +95,7 @@ object Text {
       length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(col("text"))
     val meanWordLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
       .cast("double") / nWords
-    val score =
-      when(length(col("text")).between(100, 2000), lit(0.25)).otherwise(lit(0.0)) +
-        when(stopRatio.between(0.05, 0.6), lit(0.25)).otherwise(lit(0.0)) +
-        when(punctRatio < 0.1, lit(0.25)).otherwise(lit(0.0)) +
-        when(meanWordLen.between(3.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    val score = qualityQuarters.cast("double") * 0.25
     d.select(
       col("doc_id"),
       col("n_chars"),

@@ -961,9 +961,16 @@ object Dedup {
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = Text.winnowFp(s, dir).localCheckpoint()
     val f = fps.select(col("doc_id"), explode(col("fp")).as("h"))
-    val rareKeys = f.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= WinnowMaxDf).select(col("h"))
-    val rare = f.join(rareKeys, "h")
+    // df attaches via count-over-Window on the hash, not groupBy+join:
+    // the join form plans the exploded postings under BOTH children
+    // (no auto-broadcast on a stats-less checkpointed frame) — one
+    // window exchange on h, shared with the self-join below (the
+    // qSubstring rule)
+    val rare = f
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= WinnowMaxDf)
+      .select(col("doc_id"), col("h"))
     val cand = rare.select(col("h"), col("doc_id").as("doc_a"))
       .join(rare.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))

@@ -585,11 +585,13 @@ object Pipeline {
     val cum = lens.groupBy(col("n_chars")).agg(count(lit(1)).as("k"))
       .withColumn("cum", sum(col("k")).over(wCum))
     val tot = lens.agg(count(lit(1)).as("n_total"))
-    val thresholds = (1 to 9).map { q =>
-      cum.crossJoin(broadcast(tot))
-        .filter(col("cum") >= expr(s"n_total * $q div 10"))
-        .agg(min(col("n_chars")).as(s"t$q"))
-    }.reduce(_ crossJoin _)
+    // all 9 thresholds in ONE aggregation pass over the (tiny) cum
+    // frame — nine filter+agg subtrees would each replan the
+    // scan→histogram→window chain (identical subtrees are not
+    // reliably reused; see the dedup_winnow_pairs measurement)
+    val tExprs = (1 to 9).map(q =>
+      min(when(col("cum") >= expr(s"n_total * $q div 10"), col("n_chars"))).as(s"t$q"))
+    val thresholds = cum.crossJoin(broadcast(tot)).agg(tExprs.head, tExprs.tail: _*)
     val phase = (1 to 9).map(q => when(col("n_chars") > col(s"t$q"), 1).otherwise(0))
       .reduce(_ + _)
     lens.crossJoin(broadcast(thresholds))

@@ -668,13 +668,23 @@ object Text {
       StructField("fp", ArrayType(LongType))))
     val (k, w, b, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         // B^(k-1) mod M for the leading-term removal
         var bk1 = 1L
         (1 until k).foreach(_ => bk1 = bk1 * b % m)
         it.map { r =>
-          val t = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ")
+          // EXACTLY the oracle's normalization, not String.trim:
+          // DuckDB trim() strips SPACES only (Java trim strips every
+          // char <= U+0020 — a doc with a leading tab/newline would
+          // gram differently), and its regex \s is RE2's
+          // [ \t\n\f\r] (no vertical tab, unlike Java's \s). No current doc has edge
+          // whitespace, but the kernel must not depend on that.
+          val t = r.getString(1)
+            .replaceAll("^ +| +$", "")
+            .replaceAll("[ \\t\\n\\f\\r]+", " ")
+            .toLowerCase(java.util.Locale.ROOT)
           // codePOINTS, not UTF-16 units: the oracle's ord()/length()
           // are codepoint-based (the qDiversity discipline)
           val cps = t.codePoints().toArray

@@ -581,7 +581,7 @@ object Streams {
               }
             }
             open.foreach(state.update)
-            closed.iterator.map { case (u, st, n, dur) => (u, st, n, dur) }
+            closed.iterator
         }
         .toDF("user_id", "start_us", "n_events", "duration_us")
     }

@@ -114,7 +114,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val id = r.getLong(0)
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = Text.duckWords(r.getString(1))
           val sset: Array[String] =
             if (ws.length >= 3)
               (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct.toArray
@@ -398,7 +398,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val id = r.getLong(0)
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = Text.duckWords(r.getString(1))
           val votes = new Array[Int](nBits)
           ws.foreach { w =>
             md.reset()
@@ -649,7 +649,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val id = r.getLong(0)
-          val t = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          val t = Text.duckCollapse(r.getString(1))
           val grams: Array[String] =
             if (t.length <= gramLen) Array(t)
             else (0 to t.length - gramLen).map(i => t.substring(i, i + gramLen)).distinct.toArray

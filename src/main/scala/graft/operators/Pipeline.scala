@@ -269,7 +269,7 @@ object Pipeline {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
           val id = r.getLong(0)
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = Text.duckWords(r.getString(1))
           val starts = 0 until math.max(ws.length, 1) by stride
           starts.map { start =>
             val n = math.min(size, ws.length - start)

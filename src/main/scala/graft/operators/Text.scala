@@ -24,6 +24,39 @@ object Text {
   /** Words of the lowercased, whitespace-collapsed text. */
   private def words(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  // DuckDB-EXACT JVM text primitives for the per-partition kernels.
+  // Every kernel tokenizer must match its oracle's
+  // `regexp_split_to_array(lower(trim(text)), '\s+')` (or the
+  // `regexp_replace(..., '\s+', ' ', 'g')` collapse) on EVERY input:
+  // Java `String.trim` strips all chars <= U+0020 while DuckDB
+  // trim() strips only spaces; Java's regex \s includes vertical tab
+  // while RE2's does not; and DuckDB's split keeps leading/trailing
+  // empty tokens (Java's default split drops trailing ones). The
+  // corpora contain no edge-whitespace documents, so the old forms
+  // were value-identical here — these exist so correctness does not
+  // depend on that accident. Verified against DuckDB on edge cases
+  // in AnalyticsSpec.
+
+  /** DuckDB `trim(x)`: strip leading/trailing SPACES only. */
+  private[operators] def duckTrimSpaces(raw: String): String = {
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    raw.substring(b, e)
+  }
+
+  /** JVM twin of `regexp_split_to_array(lower(trim(raw)), '\s+')`:
+    * RE2 whitespace class, edge empties kept. */
+  private[operators] def duckWords(raw: String): Array[String] =
+    duckTrimSpaces(raw).toLowerCase(java.util.Locale.ROOT)
+      .split("[ \t\n\f\r]+", -1)
+
+  /** JVM twin of `lower(regexp_replace(trim(raw), '\s+', ' ', 'g'))`. */
+  private[operators] def duckCollapse(raw: String): String =
+    duckTrimSpaces(raw).replaceAll("[ \t\n\f\r]+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
+
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
   private def sqlList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -169,7 +202,7 @@ object Text {
             ci += 1
           }
           val counts = new Array[Int](nLangs)
-          text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+          duckWords(text).foreach { w =>
             langOf.get(w) match {
               case Some(is) =>
                 var k = 0
@@ -331,7 +364,7 @@ object Text {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = duckWords(r.getString(1))
           val grams =
             if (ws.length >= n)
               (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
@@ -402,7 +435,7 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         it.map { r =>
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = duckWords(r.getString(1))
           val seen = new java.util.HashSet[String]()
           var i = 0
           while (i < ws.length - 1) { seen.add(ws(i) + " " + ws(i + 1)); i += 1 }
@@ -465,7 +498,7 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = duckWords(r.getString(1))
           (0 until ws.length - 1).iterator.map(i => Row(ws(i) + " " + ws(i + 1)))
         }
       }(Encoders.row(schema))
@@ -510,14 +543,14 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val ucnt = docs.mapPartitions { it =>
         it.flatMap { r =>
-          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          duckWords(r.getString(1))
             .iterator.map(Row(_))
         }
       }(Encoders.row(uniSchema))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val bcnt = docs.mapPartitions { it =>
         it.flatMap { r =>
-          val ws = r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = duckWords(r.getString(1))
           (0 until ws.length - 1).iterator.map(i => Row(ws(i), ws(i + 1)))
         }
       }(Encoders.row(biSchema))
@@ -596,7 +629,7 @@ object Text {
           var ssc = 0L
           cc.values.forEach(k => ssc += k * k)
           val wc = new java.util.HashMap[String, Long]()
-          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          duckWords(r.getString(1))
             .foreach(w => wc.merge(w, 1L, (a, b) => a + b))
           var nw = 0L
           var ssw = 0L
@@ -675,16 +708,7 @@ object Text {
         var bk1 = 1L
         (1 until k).foreach(_ => bk1 = bk1 * b % m)
         it.map { r =>
-          // EXACTLY the oracle's normalization, not String.trim:
-          // DuckDB trim() strips SPACES only (Java trim strips every
-          // char <= U+0020 — a doc with a leading tab/newline would
-          // gram differently), and its regex \s is RE2's
-          // [ \t\n\f\r] (no vertical tab, unlike Java's \s). No current doc has edge
-          // whitespace, but the kernel must not depend on that.
-          val t = r.getString(1)
-            .replaceAll("^ +| +$", "")
-            .replaceAll("[ \\t\\n\\f\\r]+", " ")
-            .toLowerCase(java.util.Locale.ROOT)
+          val t = duckCollapse(r.getString(1))
           // codePOINTS, not UTF-16 units: the oracle's ord()/length()
           // are codepoint-based (the qDiversity discipline)
           val cps = t.codePoints().toArray
@@ -812,7 +836,7 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          r.getString(1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          duckWords(r.getString(1))
             .iterator.map(Row(_))
         }
       }(Encoders.row(uniSchema))

@@ -402,6 +402,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(6) == counts.max * 1000000L / counts.sum, "top1_share_ppm")
   }
 
+  test("kernel tokenizer primitives match DuckDB edge semantics exactly") {
+    // expected values verified against DuckDB's
+    // regexp_split_to_array(lower(trim(x)), '\s+') and
+    // lower(regexp_replace(trim(x), '\s+', ' ', 'g')): trim strips
+    // spaces only, RE2 \s lacks vertical tab, edge empties are kept
+    val cases = Seq(
+      ("\tHello world ", Seq("", "hello", "world"), " hello world"),
+      (" hello  world ", Seq("hello", "world"), "hello world"),
+      ("a\nb", Seq("a", "b"), "a b"),
+      ("", Seq(""), ""),
+      ("  ", Seq(""), ""),
+      // vertical tab is NOT RE2 whitespace: stays inside the token
+      ("\u000bv", Seq("\u000bv"), "\u000bv"),
+      ("end\n", Seq("end", ""), "end "),
+      ("\r\nlead", Seq("", "lead"), " lead"))
+    cases.foreach { case (in, ws, collapsed) =>
+      assert(Text.duckWords(in).toSeq == ws, s"duckWords(${in.replace("\n", "\\n")})")
+      assert(Text.duckCollapse(in) == collapsed, s"duckCollapse(${in.replace("\n", "\\n")})")
+    }
+  }
+
   test("winnowing fingerprint: rolling recurrence equals the positional polynomial") {
     val (k, w, b, m) = (8, 4, 257L, 2147483647L)
     val pows = Array.iterate(1L, k)(p => p * b % m).reverse // B^(k-1)..B^0

@@ -161,7 +161,7 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select(col("doc_id"), (col("doc_id") % shardCount).as("shard"),
-        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
         floor(col("offset") / SeqBudget).cast("long").as("seq_first"),
@@ -211,7 +211,7 @@ object Pipeline {
     val surv = qual.join(rep, "doc_id").join(keep, "doc_id")
     Tables.documents(s, dir)
       .select(col("doc_id"), (col("doc_id") % DefaultShardCount).as("shard"),
-        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tokens"))
       .join(surv, "doc_id")
       .groupBy(col("shard"))
       .agg(

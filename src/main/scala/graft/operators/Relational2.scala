@@ -159,7 +159,7 @@ object Relational2 {
   // (word, partial count) shuffles.
   def q24ExplodeWords(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .select(explode(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))

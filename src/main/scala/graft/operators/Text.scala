@@ -21,8 +21,14 @@ import graft.Tables
   */
 object Text {
 
-  /** Words of the lowercased, whitespace-collapsed text. */
-  private def words(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** Words of the lowercased, whitespace-collapsed text. RE2's `\s`
+    * class spelled out ([ \t\n\f\r]) — Java's `\s` adds U+000B, so a
+    * vertical-tab document would split differently from every
+    * `regexp_split_to_array(..., '\s+')` oracle. */
+  private def words(c: Column): Column = split(lower(trim(c)), "[ \t\n\f\r]+")
+
+  /** RE2 `\s` for use inside Catalyst (Java-regex) char classes. */
+  private[operators] val Re2Ws = " \t\n\f\r"
 
   // DuckDB-EXACT JVM text primitives for the per-partition kernels.
   // Every kernel tokenizer must match its oracle's
@@ -70,7 +76,7 @@ object Text {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         size(words(col("text"))).as("n_ws_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_re_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(s"[a-z0-9]+|[^a-z0-9$Re2Ws]"), lit(0))).as("n_re_tokens"),
         round(
           aggregate(transform(words(col("text")), w => length(w)), lit(0), (acc, x) => acc + x)
             .cast("double") / size(words(col("text"))), 4).as("avg_token_len"))
@@ -100,7 +106,7 @@ object Text {
     val nWords = size(ws)
     val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / nWords
     val punctRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(col("text"))
+      length(regexp_replace(col("text"), s"[^a-zA-Z0-9$Re2Ws]", ""))).cast("double") / length(col("text"))
     val meanWordLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
       .cast("double") / nWords
     when(length(col("text")).between(100, 2000), lit(1)).otherwise(lit(0)) +
@@ -125,7 +131,7 @@ object Text {
     val nWords = size(ws)
     val stopRatio = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / nWords
     val punctRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(col("text"))
+      length(regexp_replace(col("text"), s"[^a-zA-Z0-9$Re2Ws]", ""))).cast("double") / length(col("text"))
     val meanWordLen = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
       .cast("double") / nWords
     val score = qualityQuarters.cast("double") * 0.25
@@ -253,7 +259,7 @@ object Text {
   // whitespace-normalized text + a head fingerprint over the first 5
   // words (a cheap fuzzy key for prefix-clustering at scale).
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val norm = lower(regexp_replace(trim(col("text")), s"[$Re2Ws]+", " "))
     val head = concat_ws(" ", slice(words(col("text")), 1, 5))
     Tables.documents(s, dir)
       .select(
@@ -760,7 +766,14 @@ object Text {
       .orderBy(col("doc_id"))
 
   /** CTE chain ending at `fps` (doc_id, n_grams, fp list) — the SQL
-    * twin of [[winnowFp]], shared with the near-dup pair oracle. */
+    * twin of [[winnowFp]], shared with the near-dup pair oracle.
+    *
+    * INT64 safety of the emitted gram sum: the coefficients are the
+    * MOD-REDUCED powers B^j % M (< 2^31, see the `% WinnowM` in the
+    * pows loop below), so the worst term is max-codepoint 0x10FFFF ×
+    * (M−1) ≈ 2.4e15 and the 8-term sum < 2e16 ≪ 2^63 — verified in
+    * DuckDB with codepoints ≥ 125 (incl. U+1F600). Raw powers (257^7
+    * ≈ 7.4e16) WOULD overflow at ord ≥ 125; they are never emitted. */
   private[operators] val winnowCteSql: String = {
     val pows = {
       var p = 1L
@@ -998,7 +1011,7 @@ object Text {
     val refs = b1.select(col("bp").as("bp1"))
       .crossJoin(b2.select(col("bp").as("bp2")))
       .crossJoin(b3.select(col("bp").as("bp3")))
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val norm = regexp_replace(lower(trim(col("text"))), s"[$Re2Ws]+", " ")
     val encoded = replace(replace(replace(norm,
       col("bp1"), lit(BpeTrainMarkers(0))),
       col("bp2"), lit(BpeTrainMarkers(1))),

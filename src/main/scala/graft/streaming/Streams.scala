@@ -331,9 +331,12 @@ object Streams {
   // at 100 TB the target is a bucketed/partitioned table and the
   // batch partial is tiny (pre-aggregated map-side before the sink);
   // versioned-path writes stand in for a table format's atomic
-  // commit. Driver-side materialization is the per-batch PARTIAL
-  // (≤ |users| rows, metadata-scale — needed to re-deliver the exact
-  // batch for the replay gate), never the event stream.
+  // commit. The per-batch partial is PERSISTED as parquet and merged
+  // distributed (the [[graft.operators.Maintenance.qMergeUpsert]]
+  // full-outer-join shape); the driver holds only PATHS and the
+  // batch-id watermark — nothing key-cardinality-sized — so the sink
+  // scales to real user cardinality. The persisted final partial is
+  // also what the replay gate re-delivers verbatim.
   def qStreamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
@@ -384,29 +387,26 @@ object Streams {
         curPath = Some(out)
       }
 
-      // the last delivered batch, kept verbatim for the replay gate
-      var lastPartial: Array[org.apache.spark.sql.Row] = Array.empty
+      // per-batch partials persist as parquet (a distributed write —
+      // never a driver collect); only their PATHS live on the driver
+      var lastPartialPath: Option[String] = None
       var lastBatchId = -1L
       var batchesApplied = 0
-      val partialSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("p_uid", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("p_n", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("p_cents", org.apache.spark.sql.types.LongType)))
-      def localPartial(rows: Array[org.apache.spark.sql.Row]): DataFrame =
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), partialSchema)
 
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-          val rows = batchDf
+          val pPath = s"$base/partial_b$batchId"
+          batchDf
             .groupBy(col("user_id").as("p_uid"))
             .agg(count(lit(1)).as("p_n"),
               sum(floor(col("value") * 100).cast("long")).as("p_cents"))
-            .collect()
-          if (rows.nonEmpty) {
-            applyBatch(localPartial(rows), batchId)
-            lastPartial = rows
+            .write.mode("overwrite").parquet(pPath)
+          val partial = s.read.parquet(pPath)
+          if (!partial.isEmpty) {
+            applyBatch(partial, batchId)
+            lastPartialPath = Some(pPath)
             lastBatchId = batchId
             batchesApplied += 1
           }
@@ -416,17 +416,37 @@ object Streams {
       try q.processAllAvailable()
       finally q.stop()
 
-      // failure simulation: re-deliver the final batch verbatim; the
-      // per-key last_batch guard must make the merge a no-op
-      val preReplay = curPath.get
-      applyBatch(localPartial(lastPartial), lastBatchId)
-      val pre = s.read.parquet(preReplay)
-      val post = s.read.parquet(curPath.get)
-      val noop = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      // the accumulation gate depends on repartition(4) having yielded
+      // 4 non-empty source files; state that dependence explicitly
+      // rather than letting a shortfall surface as a bare hash mismatch
+      val srcFiles = fs.listStatus(new Path(srcDir))
+        .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
+      require(batchesApplied == srcFiles,
+        s"exactly-once gate: $srcFiles source files but $batchesApplied batches applied")
 
-      post.select(col("user_id"), col("n_events"), col("sum_cents"),
-          lit(batchesApplied).as("batches_applied"), lit(noop).as("replay_noop"))
-        .orderBy(col("user_id"))
+      curPath match {
+        case None =>
+          // all micro-batches empty: an empty gated frame, not an NPE
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sum_cents", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("batches_applied", org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("replay_noop", org.apache.spark.sql.types.BooleanType, nullable = false))))
+        case Some(preReplay) =>
+          // failure simulation: re-deliver the final batch verbatim from
+          // its persisted parquet; the per-key last_batch guard must
+          // make the merge a no-op
+          applyBatch(s.read.parquet(lastPartialPath.get), lastBatchId)
+          val pre = s.read.parquet(preReplay)
+          val post = s.read.parquet(curPath.get)
+          val noop = pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+
+          post.select(col("user_id"), col("n_events"), col("sum_cents"),
+              lit(batchesApplied).as("batches_applied"), lit(noop).as("replay_noop"))
+            .orderBy(col("user_id"))
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
   }
 

@@ -960,38 +960,62 @@ object Dedup {
 
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = Text.winnowFp(s, dir).localCheckpoint()
-    val f = fps.select(col("doc_id"), explode(col("fp")).as("h"))
-    // df attaches via count-over-Window on the hash, not groupBy+join:
-    // the join form plans the exploded postings under BOTH children
-    // (no auto-broadcast on a stats-less checkpointed frame) — one
-    // window exchange on h, shared with the self-join below (the
-    // qSubstring rule)
-    val rare = f
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= WinnowMaxDf)
-      .select(col("doc_id"), col("h"))
-    val cand = rare.select(col("h"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // Candidates come from the inverted index GROUPED by hash: df is
+    // just the group size (no window pass), the DF cap drops
+    // boilerplate groups, and pairs expand per group from the ≤
+    // WinnowMaxDf sorted doc list — an interpreted HOF over ≤16
+    // elements, vocabulary-scale. This replaces the earlier postings
+    // SELF-join on h, which planned the whole window+filter subtree
+    // under BOTH join children (the stats-less checkpoint defeats
+    // auto-broadcast reuse) and paid it once more as a single-task
+    // broadcast build — two ~2.7s stages at sf0.1 for a query whose
+    // real work is ~1s. One exchange on h total.
+    val cand = fps
+      .select(col("doc_id"), explode(col("fp")).as("h"))
+      .groupBy(col("h")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, WinnowMaxDf))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      // the pair exchange is ~1 MB but the scoring chain it feeds is
+      // CPU-bound: an explicit width (not AQE-coalescible) keeps the
+      // dedup + melt + attach + intersect stage 32-wide (measured
+      // 2.7s single-task → parallel); dropDuplicates shares this
+      // exchange (same keys)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // The per-doc set table broadcasts to BOTH attach joins (the
-    // qMinHashLsh orientation: candidates stream, per-pair array
-    // copies never shuffle). The two ~1.4s single-task broadcast
-    // builds are doc-count-bounded (fps checkpoint ser/de), not
-    // corpus-bounded — measured NOT reused across the joins (alias
-    // canonicalization defeats ReuseExchange), accepted as is.
+    // The per-doc set table broadcasts ONCE: each pair melts into two
+    // (pair, doc_id) rows, the one broadcast join attaches that side's
+    // full fingerprint set (candidates stream — the qMinHashLsh
+    // orientation; the arrays ride the post-shuffle stage, never a
+    // shuffle), and min_by/max_by on doc_id re-pivots the sides
+    // (doc_a < doc_b, so side selection is doc_id order — an
+    // ObjectHashAggregate comparing LONGS, where a max-over-array
+    // re-pivot measured as a SortAggregate pushing 212k ~900-byte
+    // array rows through the unsafe sorter). Two aliased attach joins
+    // previously paid the single-task broadcast build twice (~1.4s
+    // each — alias canonicalization defeats ReuseExchange).
     val sets = broadcast(
       fps.select(col("doc_id"), col("fp"), size(col("fp")).cast("long").as("n")))
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("n_shared", size(array_intersect(col("sa.fp"), col("sb.fp"))).cast("long"))
-      .withColumn("na", col("sa.n")).withColumn("nb", col("sb.n"))
-      .withColumn("containment_pm", expr("n_shared * 1000 div least(na, nb)"))
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        min_by(col("fp"), col("doc_id")).as("fp_a"),
+        max_by(col("fp"), col("doc_id")).as("fp_b"),
+        min(col("n")).as("n_min"))
+      .withColumn("n_shared", size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
+      .withColumn("containment_pm", expr("n_shared * 1000 div n_min"))
       .filter(col("containment_pm") >= WinnowContainmentPm)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment_pm"))
+      // materialize the ~|survivors| rows before the sort: the range
+      // exchange SAMPLES its child and then runs it again — without
+      // this the whole scoring chain executes twice (measured ~2s ×2)
+      .localCheckpoint()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1295,7 +1295,111 @@ object Dedup {
        |FROM e JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // ENSEMBLE DEDUP — the resolution a production pipeline actually
+  // runs: no single near-dup family is trusted alone; the five pair
+  // lists (MinHash word-shingle LSH, SimHash hamming, char-n-gram
+  // Jaccard LSH, winnowing containment, embedding cosine — vec_id and
+  // doc_id share one id space in the corpus) UNION into one evidence
+  // graph, each edge carrying a provenance BITMASK of the families
+  // that found it, and connected components resolve ONCE over the
+  // union. The gated table is per-cluster provenance: how many
+  // clusters rest on a single family's word (mask with one bit) vs
+  // corroborated by independent signals — the quality measure that
+  // decides whether a dedup sweep can be trusted to DELETE data.
+  //
+  // Scale shape: each family is its own banded/capped pipeline (no
+  // all-pairs anywhere); the union is pair-count-bounded fixed-width
+  // rows; the resolution reuses [[resolveComponents]] (O(log d)
+  // rounds of long-key joins). Cold cost is inherently the sum of the
+  // five family pipelines — the composite-query class of
+  // pipeline_e2e, not a plan defect. All gated values are exact
+  // integers (masks, counts, bit_count).
+  private val EnsembleFams: Seq[(String, Long, (SparkSession, String) => DataFrame)] = Seq(
+    ("minhash", 1L, (s: SparkSession, d: String) =>
+      qMinHashLsh(s, d).select(col("doc_a"), col("doc_b"))),
+    ("simhash", 2L, (s: SparkSession, d: String) =>
+      qSimHashPairs(s, d).select(col("doc_a"), col("doc_b"))),
+    ("ngram", 4L, (s: SparkSession, d: String) =>
+      qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))),
+    ("winnow", 8L, (s: SparkSession, d: String) =>
+      qWinnowPairs(s, d).select(col("doc_a"), col("doc_b"))),
+    ("embed", 16L, (s: SparkSession, d: String) =>
+      qEmbedCosine(s, d).select(col("ia").as("doc_a"), col("ib").as("doc_b"))))
+
+  /** Union evidence graph: one row per pair with the provenance
+    * bitmask of the families that found it. */
+  private[graft] def ensembleEdges(s: SparkSession, dir: String): DataFrame =
+    EnsembleFams.map { case (_, bit, fn) =>
+      fn(s, dir).select(col("doc_a"), col("doc_b"), lit(bit).as("fam"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(bit_or(col("fam")).as("mask"))
+
+  def qDedupEnsemble(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the edge list feeds the component resolution
+    // (many iterations) AND the per-cluster stats join
+    val edges = ensembleEdges(s, dir).localCheckpoint()
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val (labels, _) = resolveComponents(sym)
+    val edgeCl = edges
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")), "doc_a")
+    val perCluster = edgeCl.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        bit_or(col("mask")).as("families_mask"),
+        sum(when(bit_count(col("mask")) >= 2, 1L).otherwise(0L)).as("n_corroborated"))
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      .join(perCluster, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("families_mask"),
+        bit_count(col("families_mask")).cast("long").as("n_families"),
+        col("n_corroborated"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val qDedupEnsembleSql: String = {
+    val union = EnsembleFams.map { case (name, bit, _) =>
+      val sql = name match {
+        case "minhash" => qMinHashLshSql
+        case "simhash" => qSimHashPairsSql
+        case "ngram"   => qNgramJaccardSql
+        case "winnow"  => qWinnowPairsSql
+        case "embed"   => qEmbedCosineSql.replace("SELECT ia, ib,", "SELECT ia AS doc_a, ib AS doc_b,")
+      }
+      s"SELECT doc_a, doc_b, $bit AS fam FROM (\n$sql\n)"
+    }.mkString("\nUNION ALL ")
+    // NO stripMargin on the wrapper: the embedded family SQL has
+    // continuation lines beginning with `||`, whose first pipe an
+    // outer stripMargin would eat
+    s"""WITH fam AS (
+$union
+),
+edges AS (SELECT doc_a, doc_b, CAST(bit_or(fam) AS BIGINT) AS mask FROM fam GROUP BY 1, 2),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.dst, r.root FROM r JOIN sym s ON s.src = r.node
+  ) SELECT node, root FROM r
+),
+labels AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+ec AS (SELECT l.cluster_id, e.mask FROM edges e JOIN labels l ON e.doc_a = l.doc_id),
+pc AS (SELECT cluster_id, count(*) AS n_edges,
+    CAST(bit_or(mask) AS BIGINT) AS families_mask,
+    CAST(sum(CASE WHEN bit_count(mask) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_corroborated
+  FROM ec GROUP BY cluster_id),
+sz AS (SELECT cluster_id, count(*) AS n_docs FROM labels GROUP BY cluster_id)
+SELECT sz.cluster_id, CAST(sz.n_docs AS BIGINT) AS n_docs,
+  CAST(pc.n_edges AS BIGINT) AS n_edges, pc.families_mask,
+  CAST(bit_count(pc.families_mask) AS BIGINT) AS n_families, pc.n_corroborated
+FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
     "graph_pagerank_step" -> (qPagerankStep _),
@@ -1314,6 +1418,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
     "graph_pagerank_step" -> qPagerankStepSql,

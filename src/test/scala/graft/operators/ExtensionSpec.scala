@@ -244,6 +244,56 @@ class ExtensionSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), "all chain nodes must label to the min node")
   }
 
+  test("ensemble dedup matches an in-test union-find and per-family resolutions") {
+    // independent recheck of the whole ensemble contract: collect the
+    // provenance edge list (metadata-scale at sf0.001), re-resolve
+    // components with a plain union-find, and compare every gated
+    // per-cluster stat; then for each SINGLE-family cluster assert the
+    // family's own edge subgraph yields the identical doc set
+    val edges = Dedup.ensembleEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.nonEmpty, "ensemble edge list is empty at sf0.001")
+
+    def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    val labels = components(edges.map(e => (e._1, e._2)).toSeq)
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val expected = byCluster.map { case (cid, docs) =>
+      val ce = edges.filter(e => labels(e._1) == cid)
+      cid -> ((docs.size.toLong, ce.length.toLong,
+        ce.map(_._3).reduce(_ | _),
+        ce.count(e => java.lang.Long.bitCount(e._3) >= 2).toLong))
+    }
+    val got = Dedup.qDedupEnsemble(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    }.toMap
+    assert(got == expected, "per-cluster stats differ from the in-test union-find")
+
+    // single-family clusters must be exactly a component of that family
+    val single = Dedup.qDedupEnsemble(spark, sfDir).collect()
+      .filter(r => java.lang.Long.bitCount(r.getLong(3)) == 1)
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(single.nonEmpty, "no single-family cluster to cross-check at sf0.001")
+    single.foreach { case (cid, mask) =>
+      val famLabels = components(
+        edges.filter(e => (e._3 & mask) != 0).map(e => (e._1, e._2)).toSeq)
+      val famDocs = famLabels.collect { case (d, r) if r == famLabels(cid) => d }.toSet
+      assert(famDocs == byCluster(cid),
+        s"cluster $cid (mask $mask) differs from its family-only resolution")
+    }
+  }
+
   test("no query leaves cached relations behind (library contract)") {
     spark.catalog.clearCache()
     // every non-streaming query end-to-end (streaming queries tear

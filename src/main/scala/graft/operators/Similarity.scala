@@ -561,9 +561,9 @@ object Similarity {
   // on both engines ([[Vectors.dotJvm]] ≡ [[Vectors.dotSql]]).
   private val IvfNProbe = 2
 
-  /** Probe → its `IvfNProbe` nearest coarse cells (qid, qcid, qv, qn).
+  /** Probe → its `nprobe` nearest coarse cells (qid, qcid, qv, qn).
     * Tiny (|probes|·nprobe rows): broadcasts to the candidate join. */
-  private[operators] def probeCells(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def probeCellsN(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -577,9 +577,12 @@ object Similarity {
     probes.crossJoin(broadcast(cents))
       .withColumn("ccos", ccos)
       .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= IvfNProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qcid"), col("qv"), col("qn"))
   }
+
+  private[operators] def probeCells(s: SparkSession, dir: String): DataFrame =
+    probeCellsN(s, dir, IvfNProbe)
 
   /** Cell-bounded ADC candidates (qid, vec_id, adot): only vectors
     * whose coarse cell is among the probe's nprobe nearest are
@@ -717,37 +720,108 @@ object Similarity {
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // MULTI-PROBE IVF — the recall/latency dial turned: each probe
+  // scores the members of its `IvfNProbeMulti` nearest coarse cells
+  // (full precision, top-5) instead of one cell. nprobe is THE
+  // production recall knob — on the uniform synthetic corpus nprobe=1
+  // measures ~0.23 recall ([[qIvfTopk]]'s Scaladoc) because the true
+  // neighbors of a query scatter across cells; probing 4 of the ~13
+  // cells recovers most of them while still touching ~4/13 of the
+  // corpus per probe. Shape is [[qIvfPqTopk]]'s stage-1: the
+  // probe→cells table broadcasts, candidates come from a hash join on
+  // the cell id (plan-asserted in the spec), and the per-probe rank
+  // window orders a cell-bounded candidate list.
+  private val IvfNProbeMulti = 4
+
+  /** Full-precision IVF top-`TopK` over the `nprobe` nearest cells —
+    * shared by [[qIvfTopkNprobe]] (nprobe=4) and the recall report's
+    * nprobe=1 baseline. Package-visible for the cell-bounded spec. */
+  private[operators] def ivfTopkN(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val assign = assignToCentroids(s, dir)
+    val pc = probeCellsN(s, dir, nprobe)
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assign.join(broadcast(pc),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+  }
+
+  def qIvfTopkNprobe(s: SparkSession, dir: String): DataFrame =
+    ivfTopkN(s, dir, IvfNProbeMulti).orderBy(col("qid"), col("rank"))
+
+  /** SQL twin of [[ivfTopkN]] at a given nprobe. */
+  private def ivfTopkNSql(nprobe: Int): String =
+    s"""WITH $assignCteSql,
+       |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0),
+       |pcells AS (SELECT qid, qcid FROM (
+       |  SELECT p.qid, c.cid AS qcid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY round((${Vectors.dotSql("p.qv", "c.cv")}) / (p.qn * c.cn), 6) DESC, c.cid) AS rn
+       |  FROM probes p, c) t WHERE rn <= $nprobe),
+       |cand AS (SELECT p.qid, nn.vec_id,
+       |  round((${Vectors.dotSql("nn.v", "p.qv")}) / (nn.nrm * p.qn), 6) AS cos
+       |  FROM asg a JOIN n nn ON a.vec_id = nn.vec_id
+       |  JOIN pcells pc ON a.cid = pc.qcid
+       |  JOIN probes p ON p.qid = pc.qid AND nn.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
+       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  val qIvfTopkNprobeSql: String = ivfTopkNSql(IvfNProbeMulti)
+
+  // ---------------------------------------------------------------
   // RECALL REPORT — the index-quality measurement run as a first-
   // class query: per probe, how many of the exact top-5 neighbors
-  // ([[qTopkCosine]], the ground truth) the production two-stage
-  // retrieval ([[qIvfPqTopk]]) returned. Exact integer hits out of
+  // ([[qTopkCosine]], the ground truth) each retrieval configuration
+  // returned: the production two-stage [[qIvfPqTopk]], and the
+  // full-precision IVF at nprobe=1 vs nprobe=4 — so the nprobe
+  // recall LIFT is itself a gated value. Exact integer hits out of
   // TopK — no float recall to gate — and the corpus-level number is
   // the column mean. This is what the Scaladocs' quoted recall
   // figures (0.04 raw ADC → 0.30 re-ranked, ~0.23 IVF) come from;
   // gating the measurement makes index-quality regressions visible
   // the same way [[Maintenance.qAnalyze]] makes stats drift visible.
-  // Shape: two k·|probes|-row results joined on (qid, neighbor) —
+  // Shape: k·|probes|-row results joined on (qid, neighbor) —
   // metadata-scale regardless of corpus size.
   def qRecallReport(s: SparkSession, dir: String): DataFrame = {
     val exact = qTopkCosine(s, dir).select(col("qid"), col("neighbor"))
-    val approx = qIvfPqTopk(s, dir).select(col("qid").as("aqid"), col("neighbor").as("an"))
-    val hits = exact.join(approx,
-        col("qid") === col("aqid") && col("neighbor") === col("an"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    def hitsOf(approx: DataFrame, out: String): DataFrame =
+      exact.join(
+          approx.select(col("qid").as("aqid"), col("neighbor").as("an")),
+          col("qid") === col("aqid") && col("neighbor") === col("an"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(out))
     exact.select(col("qid")).distinct()
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .join(hitsOf(qIvfPqTopk(s, dir), "h_pq"), Seq("qid"), "left")
+      .join(hitsOf(ivfTopkN(s, dir, 1), "h_np1"), Seq("qid"), "left")
+      .join(hitsOf(ivfTopkN(s, dir, IvfNProbeMulti), "h_np4"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h_pq"), lit(0L)).as("n_hits"),
+        coalesce(col("h_np1"), lit(0L)).as("n_hits_np1"),
+        coalesce(col("h_np4"), lit(0L)).as("n_hits_np4"))
       .orderBy(col("qid"))
   }
 
   val qRecallReportSql: String =
     s"""WITH exact AS ($qTopkCosineSql),
-       |approx AS ($qIvfPqTopkSql),
-       |hits AS (SELECT e.qid, count(*) AS n_hits
-       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.neighbor = a.neighbor
-       |  GROUP BY e.qid)
-       |SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
-       |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
+       |apq AS ($qIvfPqTopkSql),
+       |anp1 AS (${ivfTopkNSql(1)}),
+       |anp4 AS (${ivfTopkNSql(IvfNProbeMulti)}),
+       |hpq AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN apq a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
+       |h1 AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN anp1 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
+       |h4 AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN anp4 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
+       |SELECT q.qid, CAST(COALESCE(hpq.h, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h1.h, 0) AS BIGINT) AS n_hits_np1,
+       |  CAST(COALESCE(h4.h, 0) AS BIGINT) AS n_hits_np4
+       |FROM (SELECT DISTINCT qid FROM exact) q
+       |LEFT JOIN hpq ON q.qid = hpq.qid
+       |LEFT JOIN h1 ON q.qid = h1.qid
+       |LEFT JOIN h4 ON q.qid = h4.qid
        |ORDER BY q.qid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -758,6 +832,7 @@ object Similarity {
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopk _),
+    "sim_ivf_topk_nprobe" -> (qIvfTopkNprobe _),
     "sim_ivf_cell_stats" -> (qIvfCellStats _),
     "sim_ivf_retrain_stats" -> (qIvfRetrainStats _),
     "sim_recall_report" -> (qRecallReport _),
@@ -772,6 +847,7 @@ object Similarity {
     "sim_pq_topk" -> qPqTopkSql,
     "sim_pq_rerank" -> qPqRerankSql,
     "sim_ivfpq_topk" -> qIvfPqTopkSql,
+    "sim_ivf_topk_nprobe" -> qIvfTopkNprobeSql,
     "sim_ivf_cell_stats" -> qIvfCellStatsSql,
     "sim_ivf_retrain_stats" -> qIvfRetrainStatsSql,
     "sim_recall_report" -> qRecallReportSql,

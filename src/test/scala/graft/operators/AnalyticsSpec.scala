@@ -469,6 +469,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(merges.map(_.getString(1)).distinct.length == 3)
   }
 
+  test("multi-probe IVF is cell-bounded, hash-joined, and lifts recall over nprobe=1") {
+    val np = 4
+    val topk = Similarity.ivfTopkN(spark, sfDir, np)
+    // candidate join hashes on the cell id (the probe→cells table is
+    // the broadcast side); no nested-loop join pairs probes with the
+    // corpus
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cid"),
+      "nprobe candidate join must hash on the cell id:\n" + plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("qid")),
+      "no nested-loop join may pair probes with the corpus:\n" + plan)
+    // candidates = sum over (probe, one of its np nearest cells) of
+    // that cell's membership, minus self — cell-bounded by construction
+    val asg = Similarity.assignToCentroids(spark, sfDir).select(col("vec_id"), col("cid"))
+    val pcells = Similarity.probeCellsN(spark, sfDir, np).select(col("qid"), col("qcid"))
+    val expected = pcells.join(asg, col("qcid") === col("cid"))
+      .filter(col("vec_id") =!= col("qid")).count()
+    val cand = Similarity.assignToCentroids(spark, sfDir)
+      .join(Similarity.probeCellsN(spark, sfDir, np),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid")).count()
+    assert(cand == expected, s"candidates $cand != cell-membership sum $expected")
+    // widening the probe set can only add candidates; corpus-level
+    // hits vs the exact top-5 must not drop (the gated lift at sf0.01
+    // is 7 -> 22 of 50)
+    def hits(nprobe: Int): Long = {
+      val exact = Similarity.qTopkCosine(spark, sfDir)
+        .select(col("qid"), col("neighbor"))
+      exact.join(
+        Similarity.ivfTopkN(spark, sfDir, nprobe)
+          .select(col("qid").as("aq"), col("neighbor").as("an")),
+        col("qid") === col("aq") && col("neighbor") === col("an")).count()
+    }
+    assert(hits(np) >= hits(1), "nprobe=4 lost corpus-level recall vs nprobe=1")
+  }
+
   test("ivfpq stage-1 pair count is cell-bounded, not corpus-bounded") {
     val cand = Similarity.ivfPqCandidates(spark, sfDir)
     val pairs = cand.count()

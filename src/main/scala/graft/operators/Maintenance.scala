@@ -587,6 +587,76 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------
+  // STATS → SALT COMPOSITION — the skew-report numbers DOING their
+  // job: [[qSkewReport]] computes the per-key count distribution that
+  // decides salting, and q36_salted_join demonstrates salting with a
+  // HARDCODED factor; this query closes the loop the way the ANALYZE
+  // → CBO broadcast flip (maint_analyze) did for join strategy. The
+  // fact key is synthesized skewed (even order keys collapse to one
+  // hot key holding ~50% of rows); the salt factor is DERIVED from
+  // the exact order statistics — max_cnt div p50 (clamped to [1,64]),
+  // all integer arithmetic from the count-of-counts histogram — and
+  // flows through the plan as a 1-row broadcast, never a driver
+  // action: the fact side salts by o_orderkey % salt_factor, the dim
+  // replicates per salt via explode(sequence(0, salt_factor-1)), and
+  // the join exchanges on (hk, salt) — salt_factor reducers share
+  // each hot key. Salting is correctness-neutral, so the oracle is
+  // the UNSALTED join plus the independently derived salt_factor —
+  // a wrong derivation or a salt-mismatch row loss flips the gate.
+  // The spec asserts the salted exchange shape.
+  def qSaltedFromStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact0 = Tables.orders(s, dir).select(
+      when(col("o_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("o_orderkey") % 10).as("hk"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val counts = fact0.groupBy(col("hk")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val p50 = counts.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      .withColumn("cum", sum(col("nk")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n_keys - 1) * 50 div 100 + 1"))
+      .agg(min(col("cnt")).as("p50_cnt"))
+    val saltRow = tot.crossJoin(p50)
+      .select(least(greatest(expr("max_cnt div greatest(p50_cnt, 1)"), lit(1L)), lit(64L))
+        .as("salt_factor"))
+    val fact = fact0.crossJoin(broadcast(saltRow))
+      .select(col("hk"), col("cents"), col("salt_factor"),
+        (col("o_orderkey") % col("salt_factor")).as("salt"))
+    val dim = (0L until 10L).map(hk => (hk, s"seg_$hk")).toDF("hk", "segment")
+      .crossJoin(broadcast(saltRow))
+      .withColumn("salt", explode(sequence(lit(0L), col("salt_factor") - 1)))
+      .select(col("hk"), col("segment"), col("salt"))
+    fact.join(dim.hint("shuffle_hash"), Seq("hk", "salt"))
+      .groupBy(col("hk"), col("segment"), col("salt_factor"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("hk"), col("segment"), col("n"), col("sum_cents"), col("salt_factor"))
+      .orderBy(col("hk"))
+  }
+
+  val qSaltedFromStatsSql: String =
+    """WITH f AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE o_orderkey % 10 END AS hk,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |c AS (SELECT hk, count(*) AS cnt FROM f GROUP BY hk),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+      |cc AS (SELECT cnt, count(*) AS nk FROM c GROUP BY cnt),
+      |cum AS (SELECT cnt, sum(nk) OVER (ORDER BY cnt
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cc),
+      |p50 AS (SELECT CAST(min(cnt) AS BIGINT) AS p50_cnt FROM cum, t
+      |  WHERE cum >= (n_keys - 1) * 50 // 100 + 1),
+      |salt AS (SELECT CAST(least(greatest(max_cnt // greatest(p50_cnt, 1), 1), 64) AS BIGINT) AS salt_factor
+      |  FROM t, p50),
+      |dim AS (SELECT unnest(range(10)) AS hk),
+      |j AS (SELECT f.hk, 'seg_' || f.hk AS segment, cents FROM f JOIN dim d ON f.hk = d.hk)
+      |SELECT hk, segment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  (SELECT salt_factor FROM salt) AS salt_factor
+      |FROM j GROUP BY hk, segment ORDER BY hk""".stripMargin
+
+  // ---------------------------------------------------------------
   // MERGE-ON-READ — the other half of the CDC story:
   // [[qMergeUpsert]] is copy-on-write (rewrite the snapshot per
   // batch); MOR instead appends version-stamped deltas and the
@@ -757,6 +827,7 @@ object Maintenance {
     "maint_ref_integrity" -> (qRefIntegrity _),
     "maint_merge_on_read" -> (qMergeOnRead _),
     "maint_skew_report" -> (qSkewReport _),
+    "maint_salted_from_stats" -> (qSaltedFromStats _),
     "maint_merge_upsert" -> (qMergeUpsert _),
     "maint_snapshot_diff" -> (qSnapshotDiff _),
     "maint_zorder" -> (qZOrder _),
@@ -772,6 +843,7 @@ object Maintenance {
     "maint_ref_integrity" -> qRefIntegritySql,
     "maint_merge_on_read" -> qMergeOnReadSql,
     "maint_skew_report" -> qSkewReportSql,
+    "maint_salted_from_stats" -> qSaltedFromStatsSql,
     "maint_merge_upsert" -> qMergeUpsertSql,
     "maint_snapshot_diff" -> qSnapshotDiffSql,
     "maint_zorder" -> qZOrderSql,

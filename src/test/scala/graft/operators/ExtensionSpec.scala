@@ -294,6 +294,24 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("stats-derived salt factor plants a salted exchange") {
+    val df = Maintenance.qSaltedFromStats(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact/dim join must key on (hk, salt) — the salted exchange —
+    // with the hint-pinned shuffled hash join, not a broadcast that
+    // would hide the demonstrated shape
+    assert(plan.contains("ShuffledHashJoin [hk"),
+      "fact-dim join must be a shuffled hash join on (hk, salt):\n" + plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning(hk") && l.contains("salt")),
+      "expected an exchange partitioned by (hk, salt):\n" + plan)
+    // the factor itself is derived, not hardcoded: one distinct value,
+    // > 1 on the synthesized hot key (~half the rows on one key)
+    val saltVals = df.collect().map(_.getLong(4)).distinct
+    assert(saltVals.length == 1 && saltVals(0) > 1,
+      s"expected one derived salt factor > 1, got ${saltVals.toSeq}")
+  }
+
   test("no query leaves cached relations behind (library contract)") {
     spark.catalog.clearCache()
     // every non-streaming query end-to-end (streaming queries tear

@@ -72,6 +72,62 @@ object Streams {
     }
   }
 
+  /** Bounded-state EVIDENCE harness (spec-only): streams `events` as
+    * `nFiles` TIME-CONTIGUOUS parquet files (ntile over ts, written in
+    * order — so watermarks see in-order arrival and nothing is dropped
+    * as late), one file per micro-batch through a noop sink, and
+    * returns the per-micro-batch state-store row totals from the
+    * query's progress events. This turns the Scaladoc claim
+    * "watermark-bounded state" into a measured number: a watermarked
+    * aggregation's total plateaus at the horizon while unbounded exact
+    * dedup grows with every distinct key — asserted in the spec,
+    * tabulated in PLANS.md. */
+  private[graft] def stateRowsPerBatch(
+      s: SparkSession, dir: String, nFiles: Int, mode: String = "append")(
+      build: DataFrame => DataFrame): Seq[Long] = {
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val base = java.nio.file.Files.createTempDirectory("graft_staged_")
+    val watch = base.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.fixEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+      val staged = ev.withColumn("bucket", ntile(nFiles).over(w))
+      (1 to nFiles).foreach { b =>
+        val outDir = base.resolve(s"stage_$b").toString
+        staged.filter(col("bucket") === b).drop("bucket")
+          .coalesce(1).write.parquet(outDir)
+        val part = new java.io.File(outDir).listFiles()
+          .find(f => f.getName.startsWith("part-")).get
+        val target = watch.resolve(f"ev_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, target)
+        // FileStreamSource orders by modification time: pin strictly
+        // increasing mtimes so batch order is the time order
+        target.toFile.setLastModified(1000000000000L + b * 60000L)
+      }
+      val schema = s.read.parquet(watch.toString).schema
+      val q = build(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(watch.toString))
+        .writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---------------------------------------------------------------
   // Tumbling 1-hour windows per event_type, streamed end-to-end.
   def qWindowAgg(s: SparkSession, dir: String): DataFrame =

@@ -469,6 +469,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(merges.map(_.getString(1)).distinct.length == 3)
   }
 
+  test("watermark bounds streaming aggregation state; exact dedup state grows") {
+    import graft.streaming.Streams
+    val ev = graft.Tables.events(spark, sfDir)
+    // unbounded exact dedup: the state store accumulates every
+    // distinct key ever seen — per-batch totals are non-decreasing
+    // and end at the corpus distinct count
+    val dedupState = Streams.stateRowsPerBatch(spark, sfDir, 4) { st =>
+      st.select(md5(col("props")).as("h")).dropDuplicates("h")
+    }
+    assert(dedupState.size >= 4, s"expected >=4 data batches: $dedupState")
+    assert(dedupState == dedupState.sorted,
+      s"unbounded dedup state must be non-decreasing: $dedupState")
+    assert(dedupState.last == ev.select(md5(col("props"))).distinct().count(),
+      s"final dedup state must hold every distinct key: $dedupState")
+    // the same hourly aggregation with and without a watermark: the
+    // unwatermarked (update-mode) state grows to every (window, type)
+    // group; the 1-hour watermark evicts closed windows so state stays
+    // at the in-flight horizon — the 100 TB difference between a state
+    // store that grows with the corpus and one bounded by the delay
+    def hourlyAgg(withWm: Boolean)(st: org.apache.spark.sql.DataFrame) = {
+      val s0 = if (withWm) st.withWatermark("ts", "1 hour") else st
+      s0.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val unbounded = Streams.stateRowsPerBatch(spark, sfDir, 4, "update")(hourlyAgg(false))
+    val bounded = Streams.stateRowsPerBatch(spark, sfDir, 4)(hourlyAgg(true))
+    val totalGroups = ev
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(unbounded == unbounded.sorted && unbounded.last == totalGroups,
+      s"unwatermarked agg state must grow to all $totalGroups groups: $unbounded")
+    assert(bounded.last * 2 < totalGroups,
+      s"watermarked agg state must stay at the horizon, got $bounded vs $totalGroups groups")
+    assert(bounded.max < unbounded.last,
+      s"watermarked state $bounded must stay below the unbounded total ${unbounded.last}")
+  }
+
   test("multi-probe IVF is cell-bounded, hash-joined, and lifts recall over nprobe=1") {
     val np = 4
     val topk = Similarity.ivfTopkN(spark, sfDir, np)

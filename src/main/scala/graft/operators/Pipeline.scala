@@ -490,7 +490,9 @@ object Pipeline {
       .select(col("doc_id").as("eval_id"), col("gram_h"))
     val tr = g.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("gram_h"))
-    val contaminated = tr.join(broadcast(ev), "gram_h")
+    // eval-side broadcast behind the shared size guard (falls back to
+    // a shuffled hash join on a large held-out set)
+    val contaminated = Text.contaminationJoin(tr, ev)
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SplitCleanMinShared)

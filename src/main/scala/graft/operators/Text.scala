@@ -383,13 +383,36 @@ object Text {
       .select(col("doc_id"), explode(col("gram_hs")).as("gram_h"))
   }
 
+  /** Eval-gram rows above which the contamination join abandons the
+    * broadcast: ~2M exploded (id, gram_h) longs ≈ 30 MB hashed —
+    * the edge of comfortable per-executor broadcast. */
+  private[operators] val DecontamBroadcastMaxGrams = 2000000L
+
+  /** Train-grams ⋈ eval-grams with an explicit SIZE GUARD on the
+    * broadcast: the eval side broadcasts only while its exploded gram
+    * count fits [[DecontamBroadcastMaxGrams]] (benchmarks are KBs
+    * against a 100 TB corpus — the documented normal case); pointed at
+    * a LARGE eval suite the join falls back to a shuffled hash join
+    * with the eval side still pinned as the build side (a broadcast
+    * that size would OOM the driver before correctness even enters).
+    * The sizing pass is one count over the eval subtree — the
+    * skew-report discipline: measure, then pick the plan. */
+  private[operators] def contaminationJoin(
+      tr: DataFrame, ev: DataFrame,
+      maxBroadcastGrams: Long = DecontamBroadcastMaxGrams): DataFrame = {
+    val evSized =
+      if (ev.count() <= maxBroadcastGrams) broadcast(ev)
+      else ev.hint("shuffle_hash")
+    tr.join(evSized, "gram_h")
+  }
+
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val g = gramHashes(s, dir)
     val ev = g.filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
       .select(col("doc_id").as("eval_id"), col("gram_h"))
     val tr = g.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
       .select(col("doc_id").as("train_id"), col("gram_h"))
-    tr.join(broadcast(ev), "gram_h")
+    contaminationJoin(tr, ev)
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= DecontamMinShared)

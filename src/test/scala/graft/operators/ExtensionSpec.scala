@@ -294,6 +294,33 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("contamination join falls back to a shuffle join above the broadcast guard") {
+    val g = Text.gramHashes(spark, sfDir)
+    val ev = g.filter(col("doc_id") % 50 === 3)
+      .select(col("doc_id").as("eval_id"), col("gram_h"))
+    val tr = g.filter(col("doc_id") % 50 =!= 3)
+      .select(col("doc_id").as("train_id"), col("gram_h"))
+    def pairs(maxGrams: Long) =
+      Text.contaminationJoin(tr, ev, maxGrams)
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    // under the guard: eval side broadcasts
+    val bPlan = pairs(Long.MaxValue).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin [gram_h"),
+      "small eval side must broadcast:\n" + bPlan)
+    // over the guard (forced with a zero threshold): shuffled hash
+    // join, eval still the build side, and identical results
+    val sDf = pairs(0L)
+    val sPlan = sDf.queryExecution.executedPlan.toString
+    assert(sPlan.contains("ShuffledHashJoin [gram_h"),
+      "oversized eval side must fall back to a shuffled hash join:\n" + sPlan)
+    assert(!sPlan.contains("BroadcastHashJoin [gram_h"),
+      "fallback path must not broadcast the eval grams:\n" + sPlan)
+    val a = pairs(Long.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = sDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "broadcast and fallback paths must agree")
+  }
+
   test("stats-derived salt factor plants a salted exchange") {
     val df = Maintenance.qSaltedFromStats(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -58,6 +58,7 @@ object Bench {
         // is ~30x that). The memo is the right library design; the
         // bench's job is the honest cold number.
         graft.operators.Dedup.resetMemos()
+        graft.operators.Text.resetMemos()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -1017,32 +1017,148 @@ object Text {
   }
 
   // ---------------------------------------------------------------
-  // BPE ENCODE — the APPLY side of the tokenizer loop: the 3 learned
-  // merges applied to every document in rank order, emitting exact
-  // per-doc symbol counts before/after and the saving in integer
-  // parts-per-million. This is the deployment step after
-  // [[qBpeTrain3]]: training is vocabulary-sized, encoding is the
-  // corpus-sized map-only pass (merge table broadcast, one
-  // projection per doc, no shuffle but the presentation sort) — the
-  // shape a 100 TB tokenize job must have. Merges apply to the
-  // whitespace-normalized text directly: pairs never contain a
-  // space, so `replace` cannot merge across word boundaries, and
-  // symbol counts are `length` minus spaces (markers are 1-char
-  // symbols by construction).
+  // BPE TRAINER TO A REAL VOCABULARY — [[qBpeTrain3]]'s loop run to
+  // rank k=16 with a data-driven STOP: each round counts pairs over
+  // the current vocabulary, argmaxes (count DESC, pair ASC), applies
+  // the merge, and stops early once the best pair's count falls below
+  // [[BpeMinPairCount]] (counts are non-increasing across rounds — a
+  // new pair's count is bounded by the merged symbol's — so the
+  // per-round check is a true fixpoint test, and the oracle's
+  // independent per-row cnt filter selects exactly the same rows).
+  // The learned table itself is DRIVER-HELD vocabulary metadata (16
+  // (pair, count) rows — the PQ-codebook class of materialization);
+  // the corpus-proportional work stays in the per-round distributed
+  // aggregates, each over a localCheckpoint'ed vocabulary so the plan
+  // does not re-grow with the iteration (the resolveComponents
+  // discipline — per-round cost is vocabulary-sized and measured in
+  // PLANS.md). Memoized per (session, dir): the encoder replays the
+  // same table; [[resetMemos]] restores bench honesty.
+  // Output: (merge_idx, pair, cnt, vocab_size) — merges.txt plus the
+  // vocabulary-size trajectory |alphabet| + rank.
+  private val BpeTrainK = 16
+  private val BpeMinPairCount = 2L
+  private val BpeKMarkers: Seq[String] = (1 to BpeTrainK).map(i => i.toChar.toString)
+
+  @volatile private var bpeKFor: (SparkSession, String) = null
+  private var bpeKCache: Seq[(String, String, Long)] = null
+
+  /** The learned rank-k merge table: (raw pair incl. marker symbols,
+    * rendered pair, count), in rank order. */
+  private[operators] def bpeMergesK(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    synchronized {
+      if (bpeKFor == ((s, dir)) && bpeKCache != null) return bpeKCache
+      var wf = wordTypes(s, dir).localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var go = true
+      while (go && out.length < BpeTrainK) {
+        val top = bpePairCounts(wf).orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty || top(0).getLong(1) < BpeMinPairCount) go = false
+        else {
+          val (bp, cnt) = (top(0).getString(0), top(0).getLong(1))
+          // render markers back to strings (rendered forms are
+          // marker-free, so replacement order is immaterial)
+          val rendered = out.indices.foldRight(bp)((j, acc) =>
+            acc.replace(BpeKMarkers(j), out(j)._2))
+          out += ((bp, rendered, cnt))
+          wf = wf.select(
+              replace(col("word"), lit(bp), lit(BpeKMarkers(out.length - 1))).as("word"),
+              col("f"))
+            .localCheckpoint()
+        }
+      }
+      bpeKCache = out.toSeq
+      bpeKFor = (s, dir)
+      bpeKCache
+    }
+
+  /** Bench/test hook — see [[Dedup.resetMemos]]. */
+  def resetMemos(): Unit = synchronized {
+    bpeKCache = null
+    bpeKFor = null
+  }
+
+  def qBpeTrainK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesK(s, dir)
+    val alpha = wordTypes(s, dir)
+      .select(explode(transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("ch"))
+      .agg(countDistinct(col("ch")).as("a"))
+    merges.zipWithIndex
+      .map { case ((_, rendered, cnt), i) => (i + 1, rendered, cnt) }
+      .toDF("merge_idx", "pair", "cnt")
+      .crossJoin(broadcast(alpha))
+      .select(col("merge_idx"), col("pair"), col("cnt"),
+        (col("a") + col("merge_idx")).as("vocab_size"))
+      .orderBy(col("merge_idx"))
+  }
+
+  /** CTE chain wf1, bc1..bcK, b1..bK (+ rendered r1..rK) — the
+    * unrolled SQL twin of [[bpeMergesK]]. The wf(i+1) CASE guard
+    * mirrors the trainer's stop: a sub-threshold best pair is never
+    * applied, so the oracle's vocabulary evolution tracks the
+    * trainer's exactly even past the stop point. */
+  private lazy val bpeKCtesSql: String = {
+    def pairsOf(src: String) =
+      s"""SELECT unnest(list_transform(range(length(word) - 1),
+         |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f
+         |  FROM $src WHERE length(word) >= 2""".stripMargin
+    val sb = new StringBuilder
+    sb.append("w AS MATERIALIZED (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),\n")
+    sb.append("wf1 AS MATERIALIZED (SELECT word, count(*) AS f FROM (SELECT unnest(ws) AS word FROM w) t\n")
+    sb.append("  WHERE length(word) >= 2 GROUP BY word)")
+    for (i <- 1 to BpeTrainK) {
+      sb.append(s",\nbc$i AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairsOf(s"wf$i")}) GROUP BY pair)")
+      sb.append(s",\nb$i AS MATERIALIZED (SELECT pair AS bp, cnt FROM bc$i ORDER BY cnt DESC, pair LIMIT 1)")
+      if (i < BpeTrainK)
+        sb.append(s",\nwf${i + 1} AS MATERIALIZED (SELECT CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
+          s" THEN replace(word, (SELECT bp FROM b$i), chr($i)) ELSE word END AS word, f FROM wf$i)")
+    }
+    for (i <- 1 to BpeTrainK) {
+      val rep = (1 until i).foldLeft("bp")((acc, j) =>
+        s"replace($acc, chr($j), (SELECT p FROM r$j))")
+      sb.append(s",\nr$i AS MATERIALIZED (SELECT $rep AS p, cnt FROM b$i)")
+    }
+    sb.toString
+  }
+
+  val qBpeTrainKSql: String = {
+    val union = (1 to BpeTrainK)
+      .map(i => s"SELECT $i AS merge_idx, p AS pair, cnt FROM r$i WHERE cnt >= $BpeMinPairCount")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeKCtesSql,
+alpha AS (SELECT CAST(count(DISTINCT ch) AS BIGINT) AS a FROM (
+  SELECT unnest(list_transform(range(length(word)),
+    i -> substring(word, CAST(i+1 AS INTEGER), 1))) AS ch FROM wf1)),
+u AS (
+$union
+)
+SELECT merge_idx, pair, cnt, CAST(a + merge_idx AS BIGINT) AS vocab_size
+FROM u, alpha ORDER BY merge_idx"""
+  }
+
+  // ---------------------------------------------------------------
+  // BPE ENCODE — the APPLY side of the tokenizer loop: the FULL
+  // rank-k learned table ([[bpeMergesK]]) applied to every document
+  // in rank order, emitting exact per-doc symbol counts before/after
+  // and the saving in integer parts-per-million. Training is
+  // vocabulary-sized, encoding is the corpus-sized map-only pass
+  // (the k merges are literals in one projection, no shuffle but the
+  // presentation sort) — the shape a 100 TB tokenize job must have.
+  // Merges apply to the whitespace-normalized text directly: pairs
+  // never contain a space, so `replace` cannot merge across word
+  // boundaries, and symbol counts are `length` minus spaces (markers
+  // are 1-char symbols by construction).
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val (b1, b2, b3) = bpeMerges3(s, dir)
-    val refs = b1.select(col("bp").as("bp1"))
-      .crossJoin(b2.select(col("bp").as("bp2")))
-      .crossJoin(b3.select(col("bp").as("bp3")))
+    val merges = bpeMergesK(s, dir)
     val norm = regexp_replace(lower(trim(col("text"))), s"[$Re2Ws]+", " ")
-    val encoded = replace(replace(replace(norm,
-      col("bp1"), lit(BpeTrainMarkers(0))),
-      col("bp2"), lit(BpeTrainMarkers(1))),
-      col("bp3"), lit(BpeTrainMarkers(2)))
+    val encoded = merges.zipWithIndex.foldLeft(norm) {
+      case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit(BpeKMarkers(i)))
+    }
     val nBefore = length(regexp_replace(norm, " ", ""))
     val nAfter = length(regexp_replace(encoded, " ", ""))
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .crossJoin(broadcast(refs))
       .select(col("doc_id"),
         nBefore.cast("long").as("n_sym_before"),
         nAfter.cast("long").as("n_sym_after"))
@@ -1052,25 +1168,30 @@ object Text {
   }
 
   val qBpeEncodeSql: String = {
-    val trainCtes = qBpeTrain3Sql.substring(0, qBpeTrain3Sql.indexOf("\nSELECT 1 AS merge_idx"))
-    s"""$trainCtes,
-       |norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-       |  FROM documents),
-       |enc AS (SELECT doc_id,
-       |  length(replace(t, ' ', '')) AS n_sym_before,
-       |  length(replace(replace(replace(replace(t,
-       |    (SELECT bp FROM b1), chr(1)),
-       |    (SELECT bp FROM b2), chr(2)),
-       |    (SELECT bp FROM b3), chr(3)), ' ', '')) AS n_sym_after
-       |  FROM norm)
-       |SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
-       |  CAST(n_sym_after AS BIGINT) AS n_sym_after,
-       |  CAST((n_sym_before - n_sym_after) * 1000000 // n_sym_before AS BIGINT) AS saved_ppm
-       |FROM enc ORDER BY doc_id""".stripMargin
+    // one CTE per merge, NOT a nested CASE chain: nesting duplicates
+    // the accumulated expression twice per level (2^k planner blowup —
+    // measured as a 22 GB DuckDB runaway at k=16); a chained CTE's `t`
+    // is a column reference, so each level stays flat
+    val encChain = (1 to BpeTrainK).map { i =>
+      s"enc$i AS MATERIALIZED (SELECT doc_id, n_sym_before," +
+        s" CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
+        s" THEN replace(t, (SELECT bp FROM b$i), chr($i)) ELSE t END AS t" +
+        s" FROM enc${i - 1})"
+    }.mkString(",\n")
+    s"""WITH $bpeKCtesSql,
+norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+enc0 AS (SELECT doc_id, length(replace(t, ' ', '')) AS n_sym_before, t FROM norm),
+$encChain
+SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
+  CAST(length(replace(t, ' ', '')) AS BIGINT) AS n_sym_after,
+  CAST((n_sym_before - length(replace(t, ' ', ''))) * 1000000 // n_sym_before AS BIGINT) AS saved_ppm
+FROM enc$BpeTrainK ORDER BY doc_id"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_encode" -> (qBpeEncode _),
+    "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
     "text_bpe_train3" -> (qBpeTrain3 _),
     "text_bpe_merge_step" -> (qBpeMergeStep _),
@@ -1088,6 +1209,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_encode" -> qBpeEncodeSql,
+    "text_bpe_train_k" -> qBpeTrainKSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,
     "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,

@@ -469,6 +469,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(merges.map(_.getString(1)).distinct.length == 3)
   }
 
+  test("rank-k BPE trainer extends the 3-round table and counts stay monotone") {
+    Text.resetMemos()
+    val k = Text.qBpeTrainK(spark, sfDir).collect()
+    assert(k.length >= 3 && k.length <= 16, s"got ${k.length} merges")
+    // same algorithm, same tiebreaks: the first three learned merges
+    // must equal the 3-round trainer's table exactly
+    val three = Text.qBpeTrain3(spark, sfDir).collect()
+    (0 until 3).foreach { i =>
+      assert(k(i).getString(1) == three(i).getString(1) &&
+        k(i).getLong(2) == three(i).getLong(2),
+        s"round ${i + 1}: k-table ${k(i)} != 3-round ${three(i)}")
+    }
+    // counts non-increasing over the whole run; every count clears the
+    // stop threshold; merges distinct; vocab size walks |alphabet|+idx
+    val cs = k.map(_.getLong(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.toSeq.toString)
+    assert(cs.forall(_ >= 2L))
+    assert(k.map(_.getString(1)).distinct.length == k.length)
+    val vs = k.map(_.getLong(3))
+    assert(vs.zip(vs.tail).forall { case (a, b) => b == a + 1 }, vs.toSeq.toString)
+    // the encoder applies the full table: symbol savings must be
+    // strictly better than what the first 3 merges alone achieved
+    val saved = Text.qBpeEncode(spark, sfDir).collect().map(_.getLong(2)).sum
+    val before = Text.qBpeEncode(spark, sfDir).collect().map(_.getLong(1)).sum
+    assert(saved < before, "k merges must shrink the corpus symbol count")
+  }
+
   test("watermark bounds streaming aggregation state; exact dedup state grows") {
     import graft.streaming.Streams
     val ev = graft.Tables.events(spark, sfDir)

@@ -855,6 +855,24 @@ object Dedup {
     * synthetic-chain convergence property test. */
   private[graft] def resolveComponents(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // The iteration frames are edge-node-sized (a tiny fraction of the
+    // corpus on a near-dup graph) but each round runs ~5 jobs; at the
+    // session's 32 shuffle partitions the per-task scheduling overhead
+    // dominates those tiny shuffles (the streaming StreamPartitions
+    // measurement). Pin the loop to 8 and restore after — partition
+    // count cannot change the min-label fixpoint. At true scale the
+    // label table is large and the session width is the right one;
+    // this mirrors how an iterative job sizes its own stages.
+    val s = edges.sparkSession
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    val pinned = math.min(8, prevPartitions.toInt).toString
+    s.conf.set("spark.sql.shuffle.partitions", pinned)
+    try resolveComponentsLoop(edges, maxRounds)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
+  private def resolveComponentsLoop(
+      edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()

@@ -220,6 +220,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------
+  // CAP-RECALL AUDIT — the bucket-size cap's pair loss MEASURED as a
+  // gated value (the sim_recall_report discipline pointed at dedup):
+  // the capped pair list vs the uncapped ground truth, as exact
+  // integer counts and per-mille recall. This is the number that
+  // justifies (or vetoes) running the capped variant in production —
+  // Scaladoc recall claims become regression-visible. Costs two
+  // banded pipelines (both Σbucket²-bounded); the uncapped twin is
+  // safe to use as truth HERE because word-shingle buckets are small
+  // at this corpus shape — unlike winnow's df-capped index, whose
+  // uncapped form is the measured 24s quadratic and stays unmeasured.
+  def qCapRecall(s: SparkSession, dir: String): DataFrame = {
+    val un = qMinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val cap = qMinHashCapped(s, dir)
+      .select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    val nUn = un.agg(count(lit(1)).as("n_uncapped"))
+    val nCap = cap.agg(count(lit(1)).as("n_capped"))
+    val nCommon = un
+      .join(cap, col("doc_a") === col("ca") && col("doc_b") === col("cb"))
+      .agg(count(lit(1)).as("n_common"))
+    nUn.crossJoin(nCap).crossJoin(nCommon)
+      .select(col("n_uncapped"), col("n_capped"), col("n_common"),
+        expr("n_common * 1000 div n_uncapped").as("recall_pm"))
+  }
+
+  lazy val qCapRecallSql: String =
+    // composed without stripMargin: the embedded SQL carries `||`
+    // continuation lines an outer margin strip would corrupt
+    s"""WITH un AS (
+SELECT doc_a, doc_b FROM (
+$qMinHashLshSql
+)),
+cap AS (
+SELECT doc_a, doc_b FROM (
+$qMinHashCappedSql
+)),
+com AS (SELECT count(*) AS n_common FROM un JOIN cap USING (doc_a, doc_b))
+SELECT (SELECT count(*) FROM un) AS n_uncapped,
+  (SELECT count(*) FROM cap) AS n_capped,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(n_common * 1000 // (SELECT count(*) FROM un) AS BIGINT) AS recall_pm
+FROM com"""
+
   val qMinHashCappedSql: String =
     s"""WITH $shinglesSqlCte,
        |hv AS (SELECT doc_id,
@@ -1418,6 +1461,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ensemble" -> (qDedupEnsemble _),
+    "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
     "graph_pagerank_step" -> (qPagerankStep _),
@@ -1437,6 +1481,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
 
   val oracles: Map[String, String] = Map(
     "dedup_ensemble" -> qDedupEnsembleSql,
+    "dedup_cap_recall" -> qCapRecallSql,
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
     "graph_pagerank_step" -> qPagerankStepSql,

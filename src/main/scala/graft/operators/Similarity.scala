@@ -736,9 +736,13 @@ object Similarity {
   /** Full-precision IVF top-`TopK` over the `nprobe` nearest cells —
     * shared by [[qIvfTopkNprobe]] (nprobe=4) and the recall report's
     * nprobe=1 baseline. Package-visible for the cell-bounded spec. */
-  private[operators] def ivfTopkN(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val assign = assignToCentroids(s, dir)
-    val pc = probeCellsN(s, dir, nprobe)
+  private[operators] def ivfTopkN(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfTopkFromAssign(assignToCentroids(s, dir), probeCellsN(s, dir, nprobe))
+
+  /** Candidate scoring given a shared assignment — the recall report
+    * feeds ONE checkpointed assign to every nprobe configuration (the
+    * qIvfRetrainStats one-assign discipline). */
+  private def ivfTopkFromAssign(assign: DataFrame, pc: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     assign.join(broadcast(pc),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
@@ -793,10 +797,13 @@ object Similarity {
           approx.select(col("qid").as("aqid"), col("neighbor").as("an")),
           col("qid") === col("aqid") && col("neighbor") === col("an"))
         .groupBy(col("qid")).agg(count(lit(1)).as(out))
+    // one assignment sweep feeds both nprobe configurations (the
+    // probe-cell tables are K-row metadata; the K-N assign is the cost)
+    val assign = assignToCentroids(s, dir).localCheckpoint()
     exact.select(col("qid")).distinct()
       .join(hitsOf(qIvfPqTopk(s, dir), "h_pq"), Seq("qid"), "left")
-      .join(hitsOf(ivfTopkN(s, dir, 1), "h_np1"), Seq("qid"), "left")
-      .join(hitsOf(ivfTopkN(s, dir, IvfNProbeMulti), "h_np4"), Seq("qid"), "left")
+      .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, 1)), "h_np1"), Seq("qid"), "left")
+      .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, IvfNProbeMulti)), "h_np4"), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("h_pq"), lit(0L)).as("n_hits"),
         coalesce(col("h_np1"), lit(0L)).as("n_hits_np1"),

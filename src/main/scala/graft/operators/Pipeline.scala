@@ -536,6 +536,58 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------
+  // DOMAIN-MIXTURE CONSTRUCTION — the pretraining mixing step: given
+  // a per-SOURCE target weight (here md5-derived 1..4, standing in
+  // for the curated DoReMi-style mixture config) and a global budget
+  // (¾ of the corpus), compute each source's quota with exact integer
+  // arithmetic, select rows by the deterministic md5-threshold
+  // mechanic ([[qStratified]]), and — the part naive mixing gets
+  // wrong — FLAG sources too small to fill their quota (keep rate
+  // clamps at 1, the mixture silently shifts): `undersupplied` is the
+  // signal to re-weight or up-sample. Scale shape: one column-pruned
+  // count per source, a |sources|-row quota table broadcast back onto
+  // the scan as a row-local predicate, and a map-side-combined
+  // rollup — zero corpus shuffles.
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        conv(substring(md5(concat(lit("dmw_"), col("source"))), 1, 15), 16, 10)
+          .cast("long") % 4 + 1)
+    val tot = w.agg(sum(col("n_docs")).as("n_total"), sum(col("weight")).as("sum_w"))
+    val rate = w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr("n_total * 3 div 4 * weight div sum_w").as("quota"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr("quota * 1000000 div n_docs")))
+    val bucket = conv(substring(md5(concat(lit("dm_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    d.withColumn("b", bucket)
+      .join(broadcast(rate.select(col("source"), col("keep_ppm"))), "source")
+      .groupBy(col("source"))
+      .agg(sum(when(col("b") < col("keep_ppm"), 1L).otherwise(0L)).as("n_kept"))
+      .join(rate.select(col("source"), col("n_docs"), col("weight"), col("quota")), "source")
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"), col("n_kept"),
+        when(col("quota") > col("n_docs"), lit(1)).otherwise(lit(0)).as("undersupplied"))
+      .orderBy(col("source"))
+  }
+
+  val qDomainMixSql: String =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+      |w AS (SELECT source, n_docs, ('0x' || substr(md5('dmw_' || source), 1, 15))::BIGINT % 4 + 1 AS weight FROM c),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, CAST(sum(weight) AS BIGINT) AS sum_w FROM w),
+      |q AS (SELECT source, n_docs, weight, n_total * 3 // 4 * weight // sum_w AS quota FROM w, t),
+      |r AS (SELECT source, n_docs, weight, quota,
+      |  least(1000000, quota * 1000000 // n_docs) AS keep_ppm FROM q),
+      |k AS (SELECT d.source, sum(CASE WHEN ('0x' || substr(md5('dm_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.keep_ppm THEN 1 ELSE 0 END) AS n_kept
+      |  FROM d JOIN r ON d.source = r.source GROUP BY d.source)
+      |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, CAST(r.weight AS BIGINT) AS weight,
+      |  CAST(r.quota AS BIGINT) AS quota, CAST(k.n_kept AS BIGINT) AS n_kept,
+      |  CASE WHEN r.quota > r.n_docs THEN 1 ELSE 0 END AS undersupplied
+      |FROM r JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // QUALITY-WEIGHTED SAMPLING — rejection sampling where a document's
   // keep probability IS its quality: score in integer quarters
   // (0..4, [[Text.qualityQuarters]]) against a deterministic md5
@@ -668,6 +720,7 @@ object Pipeline {
     "pii_redact" -> (qRedact _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
+    "samp_domain_mix" -> (qDomainMix _),
     "samp_balanced" -> (qBalanced _),
     "samp_temperature" -> (qTemperature _),
     "pii_pseudonymize" -> (qPseudonymize _),
@@ -684,6 +737,7 @@ object Pipeline {
     "pii_redact" -> qRedactSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,
+    "samp_domain_mix" -> qDomainMixSql,
     "samp_balanced" -> qBalancedSql,
     "samp_temperature" -> qTemperatureSql,
     "pii_pseudonymize" -> qPseudonymizeSql,

@@ -562,11 +562,14 @@ object Pipeline {
         least(lit(1000000L), expr("quota * 1000000 div n_docs")))
     val bucket = conv(substring(md5(concat(lit("dm_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000000L
+    // ONE broadcast of the full quota table, its columns carried
+    // through the rollup keys — a second join would replan the
+    // per-source count subtree under both children (the CLAUDE.md
+    // groupBy+join rule)
     d.withColumn("b", bucket)
-      .join(broadcast(rate.select(col("source"), col("keep_ppm"))), "source")
-      .groupBy(col("source"))
+      .join(broadcast(rate), "source")
+      .groupBy(col("source"), col("n_docs"), col("weight"), col("quota"))
       .agg(sum(when(col("b") < col("keep_ppm"), 1L).otherwise(0L)).as("n_kept"))
-      .join(rate.select(col("source"), col("n_docs"), col("weight"), col("quota")), "source")
       .select(col("source"), col("n_docs"), col("weight"), col("quota"), col("n_kept"),
         when(col("quota") > col("n_docs"), lit(1)).otherwise(lit(0)).as("undersupplied"))
       .orderBy(col("source"))

@@ -791,7 +791,10 @@ object Similarity {
   // Shape: k·|probes|-row results joined on (qid, neighbor) —
   // metadata-scale regardless of corpus size.
   def qRecallReport(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: four consumers (the qid base + three hit joins)
+    // would otherwise each replan the all-pairs exact top-k subtree
     val exact = qTopkCosine(s, dir).select(col("qid"), col("neighbor"))
+      .localCheckpoint()
     def hitsOf(approx: DataFrame, out: String): DataFrame =
       exact.join(
           approx.select(col("qid").as("aqid"), col("neighbor").as("an")),

@@ -94,7 +94,9 @@ object Streams {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.fixEventTs(s.read.parquet(s"$dir/events.parquet"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
-      val staged = ev.withColumn("bucket", ntile(nFiles).over(w))
+      // checkpoint: the global ntile sort would otherwise re-run once
+      // per staged file below
+      val staged = ev.withColumn("bucket", ntile(nFiles).over(w)).localCheckpoint()
       (1 to nFiles).foreach { b =>
         val outDir = base.resolve(s"stage_$b").toString
         staged.filter(col("bucket") === b).drop("bucket")
@@ -123,8 +125,10 @@ object Streams {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      val walked = java.nio.file.Files.walk(base)
+      try walked.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
     }
   }
 
@@ -474,11 +478,14 @@ object Streams {
 
       // the accumulation gate depends on repartition(4) having yielded
       // 4 non-empty source files; state that dependence explicitly
-      // rather than letting a shortfall surface as a bare hash mismatch
-      val srcFiles = fs.listStatus(new Path(srcDir))
-        .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
-      require(batchesApplied == srcFiles,
-        s"exactly-once gate: $srcFiles source files but $batchesApplied batches applied")
+      // rather than letting a shortfall surface as a bare hash
+      // mismatch. Count files WITH ROWS (a 0-row part file still has
+      // a parquet footer, so file length cannot distinguish them)
+      val srcFilesWithRows = s.read.parquet(srcDir)
+        .select(input_file_name()).distinct().count()
+      require(batchesApplied == srcFilesWithRows,
+        s"exactly-once gate: $srcFilesWithRows non-empty source files " +
+          s"but $batchesApplied batches applied")
 
       curPath match {
         case None =>

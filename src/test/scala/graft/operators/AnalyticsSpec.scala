@@ -489,11 +489,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(k.map(_.getString(1)).distinct.length == k.length)
     val vs = k.map(_.getLong(3))
     assert(vs.zip(vs.tail).forall { case (a, b) => b == a + 1 }, vs.toSeq.toString)
-    // the encoder applies the full table: symbol savings must be
-    // strictly better than what the first 3 merges alone achieved
-    val saved = Text.qBpeEncode(spark, sfDir).collect().map(_.getLong(2)).sum
-    val before = Text.qBpeEncode(spark, sfDir).collect().map(_.getLong(1)).sum
-    assert(saved < before, "k merges must shrink the corpus symbol count")
+    // the encoder applies the FULL table: its corpus-wide after-sum
+    // must beat an encode using only the first 3 merges (computed
+    // here from the same learned table with the same normalization)
+    val enc = Text.qBpeEncode(spark, sfDir).collect()
+    val (beforeSum, afterSum) = (enc.map(_.getLong(1)).sum, enc.map(_.getLong(2)).sum)
+    assert(afterSum < beforeSum, "k merges must shrink the corpus symbol count")
+    def afterWithMerges(n: Int): Long = {
+      val merges = Text.bpeMergesK(spark, sfDir).take(n)
+      val norm = regexp_replace(lower(trim(col("text"))), "[ \t\n\f\r]+", " ")
+      val encd = merges.zipWithIndex.foldLeft(norm) {
+        case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit((i + 1).toChar.toString))
+      }
+      graft.Tables.documents(spark, sfDir)
+        .agg(sum(length(regexp_replace(encd, " ", ""))).cast("long")).first().getLong(0)
+    }
+    assert(afterWithMerges(k.length) == afterSum,
+      "encoder must match an independent re-application of the learned table")
+    if (k.length > 3)
+      assert(afterSum < afterWithMerges(3),
+        s"the full table must out-compress the first 3 merges")
   }
 
   test("watermark bounds streaming aggregation state; exact dedup state grows") {

@@ -240,19 +240,26 @@ object Dedup {
     val nCommon = un
       .join(cap, col("doc_a") === col("ca") && col("doc_b") === col("cb"))
       .agg(count(lit(1)).as("n_common"))
+    // greatest(..., 1): a zero uncapped pair list (possible at other
+    // corpus shapes) must yield recall 0, not NULL here / a DuckDB
+    // division error in the oracle — guarded identically both sides
     nUn.crossJoin(nCap).crossJoin(nCommon)
       .select(col("n_uncapped"), col("n_capped"), col("n_common"),
-        expr("n_common * 1000 div n_uncapped").as("recall_pm"))
+        expr("n_common * 1000 div greatest(n_uncapped, 1)").as("recall_pm"))
   }
 
   lazy val qCapRecallSql: String =
     // composed without stripMargin: the embedded SQL carries `||`
-    // continuation lines an outer margin strip would corrupt
-    s"""WITH un AS (
+    // continuation lines an outer margin strip would corrupt.
+    // un/cap are MATERIALIZED: each is referenced twice (count +
+    // join), and DuckDB inlines plain CTEs — re-running both full
+    // MinHash pipelines ~3x. greatest(..., 1) mirrors the Spark
+    // side's zero-pair guard (plain // errors on a zero denominator).
+    s"""WITH un AS MATERIALIZED (
 SELECT doc_a, doc_b FROM (
 $qMinHashLshSql
 )),
-cap AS (
+cap AS MATERIALIZED (
 SELECT doc_a, doc_b FROM (
 $qMinHashCappedSql
 )),
@@ -260,7 +267,7 @@ com AS (SELECT count(*) AS n_common FROM un JOIN cap USING (doc_a, doc_b))
 SELECT (SELECT count(*) FROM un) AS n_uncapped,
   (SELECT count(*) FROM cap) AS n_capped,
   CAST(n_common AS BIGINT) AS n_common,
-  CAST(n_common * 1000 // (SELECT count(*) FROM un) AS BIGINT) AS recall_pm
+  CAST(n_common * 1000 // greatest((SELECT count(*) FROM un), 1) AS BIGINT) AS recall_pm
 FROM com"""
 
   val qMinHashCappedSql: String =
@@ -902,28 +909,42 @@ FROM com"""
     // corpus on a near-dup graph) but each round runs ~5 jobs; at the
     // session's 32 shuffle partitions the per-task scheduling overhead
     // dominates those tiny shuffles (the streaming StreamPartitions
-    // measurement). Pin the loop to 8 and restore after — partition
+    // measurement). The width is pinned to 8 PER PLAN via explicit
+    // repartition(CcPartitions, key) placed where the loop's own
+    // exchanges already sit — never by mutating the session-global
+    // shuffle.partitions conf, which a concurrent query being built on
+    // the same session (the library-contract surface) could observe.
+    // localCheckpoint preserves the physical partitioning in its
+    // LogicalRDD and projections are alias-aware, so each round's
+    // co-partitioned joins plan ZERO additional exchanges. Partition
     // count cannot change the min-label fixpoint. At true scale the
     // label table is large and the session width is the right one;
     // this mirrors how an iterative job sizes its own stages.
-    val s = edges.sparkSession
-    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    val pinned = math.min(8, prevPartitions.toInt).toString
-    s.conf.set("spark.sql.shuffle.partitions", pinned)
-    try resolveComponentsLoop(edges, maxRounds)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    resolveComponentsLoop(edges, maxRounds)
   }
 
+  private val CcPartitions = 8
+
   private def resolveComponentsLoop(
-      edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      edges0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val p = CcPartitions
+    // loop-invariant edge list: partitioned ONCE on dst (the join key
+    // of every round's neighbor lookup) and materialized
+    val edges = edges0.repartition(p, col("dst")).localCheckpoint()
+    // the p-wide repartition ahead of the same-key dropDuplicates
+    // shares one exchange (the CLAUDE.md dropDuplicates rule)
+    var labels = edges.select(col("src").as("doc_id"))
+      .repartition(p, col("doc_id")).dropDuplicates("doc_id")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // labels is doc_id-partitioned; the alias to dst carries the
+      // partitioning, so this join zips with edges' dst partitioning
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
+        .repartition(p, col("src"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
       // hop: take the min over self + neighbors (labels only decrease)
@@ -932,11 +953,14 @@ FROM com"""
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // jump: l(u) <- min(l(u), l(l(u))) — label values are node ids,
       // so every label row resolves against the labels frame itself
-      val next = prop
+      val next = prop.repartition(p, col("cluster_id"))
         .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("pl")),
           Seq("cluster_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("pl"), col("cluster_id"))).as("cluster_id"))
+        // back to doc_id partitioning: the changed-count join below
+        // and ALL of next round's label joins then zip exchange-free
+        .repartition(p, col("doc_id"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") < col("old")).count()
@@ -1427,7 +1451,10 @@ FROM com"""
         case "simhash" => qSimHashPairsSql
         case "ngram"   => qNgramJaccardSql
         case "winnow"  => qWinnowPairsSql
-        case "embed"   => qEmbedCosineSql.replace("SELECT ia, ib,", "SELECT ia AS doc_a, ib AS doc_b,")
+        // wrap, don't string-rewrite: a literal replace on the embed
+        // family's SELECT list silently no-ops if that query is ever
+        // reformatted, leaving doc_a/doc_b unbound at oracle run time
+        case "embed"   => s"SELECT ia AS doc_a, ib AS doc_b FROM (\n$qEmbedCosineSql\n)"
       }
       s"SELECT doc_a, doc_b, $bit AS fam FROM (\n$sql\n)"
     }.mkString("\nUNION ALL ")

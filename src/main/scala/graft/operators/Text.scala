@@ -852,11 +852,16 @@ object Text {
   // counts throughout; the merge is `replace()` — greedy
   // left-to-right non-overlapping in BOTH engines, so "aaa" under
   // merge "aa" yields [aa][a] identically. The merged symbol is a
-  // marker char (chr(1), absent from the corpus alphabet); rank ties
+  // marker char from the Unicode PRIVATE-USE plane (U+E001+, chosen
+  // over \x01.. control chars: corpus control bytes are plausible,
+  // private-use codepoints are author-assigned by definition -- a
+  // corpus collision would silently diverge the trainer's foldRight
+  // rendering from the oracle's ascending CTE folds). BMP single
+  // chars on both engines, so length()/replace() agree. Rank ties
   // break on the RAW pair (binary collation both sides) before the
   // marker is rendered back for display.
   private val BpeTopK = 10
-  private val BpeMarker = "\u0001"
+  private val BpeMarker = "\uE001"
 
   /** Word types × frequencies — the vocabulary table a BPE trainer
     * iterates on (the only corpus-proportional stage; the tokenize
@@ -926,7 +931,7 @@ object Text {
        |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f FROM wf),
        |bc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pb GROUP BY pair),
        |best AS (SELECT pair AS bp FROM bc ORDER BY cnt DESC, pair LIMIT 1),
-       |wf2 AS (SELECT replace(word, bp, chr(1)) AS word, f FROM wf, best),
+       |wf2 AS (SELECT replace(word, bp, chr(57345)) AS word, f FROM wf, best),
        |pa AS (SELECT unnest(list_transform(range(length(word) - 1),
        |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f
        |  FROM wf2 WHERE length(word) >= 2),
@@ -935,7 +940,7 @@ object Text {
        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt FROM bc),
        |at2 AS (SELECT '2_after' AS phase,
        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank,
-       |  replace(pair, chr(1), (SELECT bp FROM best)) AS pair, cnt FROM ac)
+       |  replace(pair, chr(57345), (SELECT bp FROM best)) AS pair, cnt FROM ac)
        |SELECT phase, rank, pair, cnt FROM (
        |  SELECT * FROM bt WHERE rank <= $BpeTopK
        |  UNION ALL SELECT * FROM at2 WHERE rank <= $BpeTopK) u
@@ -949,13 +954,13 @@ object Text {
   // next round. Each round's vocabulary is localCheckpoint'ed (the
   // [[Dedup.resolveComponents]] iteration discipline: the plan must
   // not re-grow — without it round 3 would re-run the tokenize kernel
-  // ~5×). Merged symbols are marker chars chr(1)/chr(2)/chr(3);
+  // ~5×). Merged symbols are private-use markers U+E001/E002/E003;
   // later merges can therefore select pairs CONTAINING earlier merged
   // symbols, and the output renders them back recursively (newest
   // marker first), so the learned merge table reads as real strings.
   // Output: (merge_idx, pair, cnt) — the first three rows of the
   // merges.txt every BPE tokenizer ships.
-  private val BpeTrainMarkers = Seq("\u0001", "\u0002", "\u0003")
+  private val BpeTrainMarkers = Seq("\uE001", "\uE002", "\uE003")
 
   /** The 3-round learned merge table: (b1, b2, b3), each a 1-row
     * (bp, cnt) frame over the evolving vocabulary. Shared by the
@@ -1002,17 +1007,17 @@ object Text {
        |  WHERE length(word) >= 2 GROUP BY word),
        |bc1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf1")}) GROUP BY pair),
        |b1 AS (SELECT pair AS bp, cnt FROM bc1 ORDER BY cnt DESC, pair LIMIT 1),
-       |wf2 AS (SELECT replace(word, bp, chr(1)) AS word, f FROM wf1, b1),
+       |wf2 AS (SELECT replace(word, bp, chr(57345)) AS word, f FROM wf1, b1),
        |bc2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf2")}) GROUP BY pair),
        |b2 AS (SELECT pair AS bp, cnt FROM bc2 ORDER BY cnt DESC, pair LIMIT 1),
-       |wf3 AS (SELECT replace(word, bp, chr(2)) AS word, f FROM wf2, b2),
+       |wf3 AS (SELECT replace(word, bp, chr(57346)) AS word, f FROM wf2, b2),
        |bc3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (${pairs("wf3")}) GROUP BY pair),
        |b3 AS (SELECT pair AS bp, cnt FROM bc3 ORDER BY cnt DESC, pair LIMIT 1)
        |SELECT 1 AS merge_idx, bp AS pair, cnt FROM b1
        |UNION ALL
-       |SELECT 2, replace(bp, chr(1), (SELECT bp FROM b1)), cnt FROM b2
+       |SELECT 2, replace(bp, chr(57345), (SELECT bp FROM b1)), cnt FROM b2
        |UNION ALL
-       |SELECT 3, replace(replace(bp, chr(2), (SELECT bp FROM b2)), chr(1), (SELECT bp FROM b1)), cnt FROM b3
+       |SELECT 3, replace(replace(bp, chr(57346), (SELECT bp FROM b2)), chr(57345), (SELECT bp FROM b1)), cnt FROM b3
        |ORDER BY merge_idx""".stripMargin
   }
 
@@ -1037,7 +1042,7 @@ object Text {
   // vocabulary-size trajectory |alphabet| + rank.
   private val BpeTrainK = 16
   private val BpeMinPairCount = 2L
-  private val BpeKMarkers: Seq[String] = (1 to BpeTrainK).map(i => i.toChar.toString)
+  private val BpeKMarkers: Seq[String] = (1 to BpeTrainK).map(i => (0xE000 + i).toChar.toString)
 
   @volatile private var bpeKFor: (SparkSession, String) = null
   private var bpeKCache: Seq[(String, String, Long)] = null
@@ -1113,11 +1118,11 @@ object Text {
       sb.append(s",\nb$i AS MATERIALIZED (SELECT pair AS bp, cnt FROM bc$i ORDER BY cnt DESC, pair LIMIT 1)")
       if (i < BpeTrainK)
         sb.append(s",\nwf${i + 1} AS MATERIALIZED (SELECT CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
-          s" THEN replace(word, (SELECT bp FROM b$i), chr($i)) ELSE word END AS word, f FROM wf$i)")
+          s" THEN replace(word, (SELECT bp FROM b$i), chr(${0xE000 + i})) ELSE word END AS word, f FROM wf$i)")
     }
     for (i <- 1 to BpeTrainK) {
       val rep = (1 until i).foldLeft("bp")((acc, j) =>
-        s"replace($acc, chr($j), (SELECT p FROM r$j))")
+        s"replace($acc, chr(${0xE000 + j}), (SELECT p FROM r$j))")
       sb.append(s",\nr$i AS MATERIALIZED (SELECT $rep AS p, cnt FROM b$i)")
     }
     sb.toString
@@ -1175,7 +1180,7 @@ FROM u, alpha ORDER BY merge_idx"""
     val encChain = (1 to BpeTrainK).map { i =>
       s"enc$i AS MATERIALIZED (SELECT doc_id, n_sym_before," +
         s" CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
-        s" THEN replace(t, (SELECT bp FROM b$i), chr($i)) ELSE t END AS t" +
+        s" THEN replace(t, (SELECT bp FROM b$i), chr(${0xE000 + i})) ELSE t END AS t" +
         s" FROM enc${i - 1})"
     }.mkString(",\n")
     s"""WITH $bpeKCtesSql,

@@ -499,7 +499,7 @@ class AnalyticsSpec extends SparkSpec {
       val merges = Text.bpeMergesK(spark, sfDir).take(n)
       val norm = regexp_replace(lower(trim(col("text"))), "[ \t\n\f\r]+", " ")
       val encd = merges.zipWithIndex.foldLeft(norm) {
-        case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit((i + 1).toChar.toString))
+        case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit((0xE000 + i + 1).toChar.toString))
       }
       graft.Tables.documents(spark, sfDir)
         .agg(sum(length(regexp_replace(encd, " ", ""))).cast("long")).first().getLong(0)

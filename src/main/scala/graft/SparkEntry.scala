@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EtlQueries, Maintenance, Multimodal, Pipeline, Relational, Relational2, Similarity, Temporal, Text, Typed}
+import graft.operators.{Dedup, EtlQueries, Maintenance, Models, Multimodal, Pipeline, Relational, Relational2, Similarity, Sketches, Temporal, Text, Typed}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ EtlQueries.queries ++
       Text.queries ++ Dedup.queries ++ Similarity.queries ++
       Temporal.queries ++ Multimodal.queries ++ Streams.queries ++ Typed.queries ++
-      Maintenance.queries ++ Pipeline.queries
+      Maintenance.queries ++ Pipeline.queries ++ Sketches.queries ++ Models.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ EtlQueries.oracles ++
       Text.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Temporal.oracles ++ Multimodal.oracles ++ Streams.oracles ++ Typed.oracles ++
-      Maintenance.oracles ++ Pipeline.oracles
+      Maintenance.oracles ++ Pipeline.oracles ++ Sketches.oracles ++ Models.oracles
 }

@@ -715,7 +715,93 @@ object Pipeline {
       |  min(mn) AS min_cents, max(mx) AS max_cents
       |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // FILTER-DECISION ENSEMBLE — the per-document keep/drop record a
+  // production corpus pipeline materializes before sampling: every
+  // filter contributes one bit to a reasons mask (1 = too short,
+  // 2 = average word length outside [3.0, 9.0], 4 = one word above
+  // 20% of the doc, 8 = exact-duplicate non-canonical), so audits
+  // can ask "what did we drop and WHY" per document. Per-doc
+  // metrics come from ONE map-only JVM kernel pass (word count,
+  // character mass, top word frequency — the [[Text]] duckWords
+  // primitives, no per-doc explode+groupBy shuffle); the only
+  // exchange is the md5 window that elects exact-dup canonicals.
+  // All thresholds compare scaled integers — no rounding anywhere.
+  def qFilterDecisions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_words", LongType),
+      StructField("cl", LongType),
+      StructField("mfc", LongType),
+      StructField("th", StringType)))
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val text = r.getString(1)
+          val ws = Text.duckWords(text)
+          var cl = 0L
+          val hm = new java.util.HashMap[String, Int]()
+          var mf = 0
+          var i = 0
+          while (i < ws.length) {
+            cl += ws(i).length
+            val c = hm.merge(ws(i), 1, Integer.sum)
+            if (c > mf) mf = c
+            i += 1
+          }
+          md.reset()
+          val th = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          Row(r.getLong(0), ws.length.toLong, cl, mf.toLong, th)
+        }
+      }(Encoders.row(schema))
+    val w = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+    base
+      .withColumn("is_dup", when(row_number().over(w) > 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_words"),
+        expr("cl * 1000 div greatest(n_words, 1)").as("awl_x1000"),
+        expr("mfc * 1000 div greatest(n_words, 1)").as("maxfreq_x1000"),
+        col("is_dup"))
+      .select(col("doc_id"), col("n_words"), col("awl_x1000"), col("maxfreq_x1000"),
+        expr("CASE WHEN n_words < 20 THEN 1 ELSE 0 END" +
+          " + CASE WHEN awl_x1000 < 3000 OR awl_x1000 > 9000 THEN 2 ELSE 0 END" +
+          " + CASE WHEN maxfreq_x1000 > 200 THEN 4 ELSE 0 END" +
+          " + 8 * is_dup").as("reasons_mask"))
+      .withColumn("keep",
+        when(col("reasons_mask") === 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFilterDecisionsSql: String =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+      |  length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) AS cl FROM documents),
+      |nw AS (SELECT doc_id, text, len(ws) AS n_words, cl FROM t),
+      |mf AS (SELECT doc_id, max(c) AS mfc FROM (
+      |  SELECT doc_id, word, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(ws) AS word FROM t) GROUP BY doc_id, word) GROUP BY doc_id),
+      |dup AS (SELECT doc_id,
+      |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+      |  FROM documents),
+      |j AS (SELECT n.doc_id, n.n_words, n.cl * 1000 // greatest(n.n_words, 1) AS awl_x1000,
+      |  m.mfc * 1000 // greatest(n.n_words, 1) AS maxfreq_x1000, d.is_dup
+      |  FROM nw n JOIN mf m USING (doc_id) JOIN dup d USING (doc_id)),
+      |o AS (SELECT doc_id, n_words, awl_x1000, maxfreq_x1000,
+      |  CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+      |    + CASE WHEN awl_x1000 < 3000 OR awl_x1000 > 9000 THEN 2 ELSE 0 END
+      |    + CASE WHEN maxfreq_x1000 > 200 THEN 4 ELSE 0 END
+      |    + 8 * is_dup AS reasons_mask FROM j)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(awl_x1000 AS BIGINT) AS awl_x1000,
+      |  CAST(maxfreq_x1000 AS BIGINT) AS maxfreq_x1000, CAST(reasons_mask AS BIGINT) AS reasons_mask,
+      |  CAST(CASE WHEN reasons_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_filter_decisions" -> (qFilterDecisions _),
     "samp_split" -> (qSplit _),
     "samp_split_clean" -> (qSplitClean _),
     "pipe_curriculum" -> (qCurriculum _),
@@ -733,6 +819,7 @@ object Pipeline {
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_filter_decisions" -> qFilterDecisionsSql,
     "samp_split" -> qSplitSql,
     "samp_split_clean" -> qSplitCleanSql,
     "pipe_curriculum" -> qCurriculumSql,

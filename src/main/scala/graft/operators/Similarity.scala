@@ -834,7 +834,55 @@ object Similarity {
        |LEFT JOIN h4 ON q.qid = h4.qid
        |ORDER BY q.qid""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RANK FUSION — Borda-count fusion of two retrieval configurations
+  // (exact brute-force cosine and the PQ/ADC index), the ensemble
+  // step production retrieval stacks run over heterogeneous indexes.
+  // Each list contributes (TopK+1 − rank) points per candidate;
+  // candidates in only one list score from that list alone
+  // (reciprocal-rank fusion needs 1/(k+r) rationals with unequal
+  // denominators — Borda keeps fusion in exact integers, which is
+  // why it is the gateable variant). in_both flags corroborated
+  // neighbors, the fusion analogue of dedup_ensemble's
+  // n_corroborated. Both inputs are k·|probes|-row metadata, so the
+  // fusion join is metadata-scale regardless of corpus size.
+  private val FusionTopK = 3
+
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val a = qTopkCosine(s, dir).select(col("qid"), col("neighbor"), col("rank").as("ra"))
+    val b = qPqTopk(s, dir).select(col("qid"), col("neighbor"), col("rank").as("rb"))
+    val f = a.join(b, Seq("qid", "neighbor"), "full")
+      .select(col("qid"), col("neighbor"),
+        (coalesce(lit(TopK + 1) - col("ra"), lit(0))
+          + coalesce(lit(PqTopK + 1) - col("rb"), lit(0))).cast("long").as("borda"),
+        when(col("ra").isNotNull && col("rb").isNotNull, 1L).otherwise(0L).as("in_both"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("borda").desc, col("neighbor"))
+    f.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FusionTopK)
+      .select(col("qid"), col("rank"), col("neighbor"), col("borda"), col("in_both"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qRankFusionSql: String =
+    // composed without stripMargin: the embedded list SQLs are
+    // already margin-stripped (the CLAUDE.md composition rule)
+    s"""WITH a AS MATERIALIZED (SELECT qid, neighbor, rank FROM (
+$qTopkCosineSql
+)),
+b AS MATERIALIZED (SELECT qid, neighbor, rank FROM (
+$qPqTopkSql
+)),
+f AS (SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.neighbor, b.neighbor) AS neighbor,
+  coalesce(${TopK + 1} - a.rank, 0) + coalesce(${PqTopK + 1} - b.rank, 0) AS borda,
+  CASE WHEN a.rank IS NOT NULL AND b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_both
+  FROM a FULL JOIN b ON a.qid = b.qid AND a.neighbor = b.neighbor),
+r AS (SELECT qid, neighbor, borda, in_both,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY borda DESC, neighbor) AS rank FROM f)
+SELECT qid, rank, neighbor, CAST(borda AS BIGINT) AS borda, CAST(in_both AS BIGINT) AS in_both
+FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rank_fusion" -> (qRankFusion _),
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
@@ -850,6 +898,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_rank_fusion" -> qRankFusionSql,
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic mergeable sketches over the `documents` corpus —
+  * KMV distinct-count, HyperLogLog registers + estimate, and a
+  * count-min frequency sketch. The reference has no sketch operators
+  * (SURVEY.md §2.3); these are the driver-mandated scale extensions:
+  * at 100 TB, sub-linear distinct/frequency summaries are how a
+  * pipeline sizes dedup, shuffles, and vocabulary budgets without an
+  * exact pass.
+  *
+  * Unlike `q25_sketches` (Spark's builtin HLL/KLL, gated on a
+  * tolerance boolean because its internals legitimately differ from
+  * DuckDB's), every sketch here is built FROM SCRATCH on md5-derived
+  * integer hashes, so registers, k-th minima, and cell counters are
+  * bit-identical on both engines and the gate compares them EXACTLY.
+  * No libm anywhere: the HLL harmonic sum is emitted as a dyadic
+  * rational scaled to integers, alpha_64 is the published rational
+  * 709/1000, and error columns are integer per-mille.
+  *
+  * Item domain: word 3-shingles (the [[Dedup]] LSH convention,
+  * including its len<3 whole-text fallback) hashed to 48 bits — the
+  * first 12 hex chars of md5, extracted in the JVM kernel as the top
+  * 48 of [[Dedup.md5Mod]]'s 60-bit value (`>> 12` of hex[0:15] ==
+  * hex[0:12]) and in DuckDB as `substr(md5(s), 1, 12)`. ~16k distinct
+  * at sf0.01 (the word vocabulary itself is only 31 strong — too
+  * small to exercise any estimator).
+  *
+  * Scale shapes: one map-only kernel pass per query; the only
+  * shuffles move 8-byte hashes (distinct / count partial-aggs), the
+  * k-minima ride Spark's TakeOrderedAndProject (per-partition
+  * partial top-k, k-bounded merge — exactly a KMV sketch merge), and
+  * register/cell tables are bucket-bounded (64 / 3×256 rows). The
+  * exact `n_exact` comparison column is itself the expensive pass
+  * the sketch replaces — it is the measurement these queries exist
+  * to gate (the sim_recall_report discipline), not a dependency of
+  * the sketch itself.
+  */
+object Sketches {
+
+  private val HashSpace = 281474976710656L // 2^48
+  private val KmvK = 64
+  private val HllM = 64 // 2^6 buckets; h>>6 leaves 42 bits, rho in [1,43]
+  private val MersenneP = 2147483647L
+  private val CmsW = 256
+  private val CmsD = 3
+  private val CmsTopK = 10
+
+  /** One 48-bit hash per shingle OCCURRENCE (multiset semantics, for
+    * the frequency sketch; distinct-cardinality queries dedup after).
+    * Map-only kernel, pinned wide before the CPU-bound md5 loop. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("h", LongType)))
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val ws = Text.duckWords(r.getString(1))
+          val sh =
+            if (ws.length >= 3)
+              (0 to ws.length - 3).iterator
+                .map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+            else Iterator(ws.mkString(" "))
+          sh.map(x => Row(Dedup.md5Mod(md, x, Long.MaxValue) >> 12))
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Distinct 48-bit shingle hashes, materialized once per query so
+    * the estimate and the exact comparison count share one kernel
+    * pass (checkpoint erases stats — downstream tiny crossJoins are
+    * 1-row × 1-row, so no broadcast pin is needed). */
+  private def distinctHashes(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(s, dir).dropDuplicates("h").localCheckpoint()
+
+  /** Shared oracle CTE chain: shingles (Dedup convention) → 48-bit
+    * occurrence hashes `occ` → distinct `d` (MATERIALIZED: referenced
+    * by both the estimator and the exact count). */
+  private val hashCtesSql: String =
+    """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |       THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |       ELSE [array_to_string(ws, ' ')] END AS shingles
+      |  FROM w),
+      |occ AS (SELECT ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+      |  FROM (SELECT unnest(shingles) AS s FROM sh)),
+      |d AS MATERIALIZED (SELECT DISTINCT h FROM occ)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values) distinct estimator: keep the k smallest
+  // distinct hashes; the k-th minimum h_k estimates cardinality as
+  // (k-1)·H/h_k (uniform order statistics). With fewer than k
+  // distinct values the sketch IS the exact set — the estimator
+  // returns its size. orderBy+limit plans TakeOrderedAndProject:
+  // per-partition partial top-k then a k-bounded merge, which is
+  // precisely how KMV sketches merge across a 1000-executor corpus.
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val d0 = distinctHashes(s, dir)
+    val kk = d0.orderBy(col("h")).limit(KmvK)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("kc"))
+    val ex = d0.agg(count(lit(1)).as("n_exact"))
+    kk.crossJoin(ex)
+      .select(col("kth_hash"), col("kc"), col("n_exact"),
+        expr(s"CASE WHEN kc < $KmvK THEN kc" +
+          s" ELSE ${KmvK - 1} * $HashSpace div kth_hash END").as("kmv_est"))
+      .select(lit(KmvK.toLong).as("k"), col("kth_hash"), col("n_exact"),
+        col("kmv_est"),
+        expr("abs(kmv_est - n_exact) * 1000 div greatest(n_exact, 1)").as("err_pm"))
+  }
+
+  val qKmvDistinctSql: String =
+    s"""WITH $hashCtesSql,
+       |k AS (SELECT h FROM d ORDER BY h LIMIT $KmvK),
+       |kk AS (SELECT max(h) AS kth_hash, count(*) AS kc FROM k),
+       |ex AS (SELECT count(*) AS n_exact FROM d)
+       |SELECT CAST($KmvK AS BIGINT) AS k, kth_hash, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(CASE WHEN kc < $KmvK THEN kc ELSE ${KmvK - 1} * $HashSpace // kth_hash END AS BIGINT) AS kmv_est,
+       |  CAST(abs(CASE WHEN kc < $KmvK THEN kc ELSE ${KmvK - 1} * $HashSpace // kth_hash END - n_exact) * 1000
+       |       // greatest(n_exact, 1) AS BIGINT) AS err_pm
+       |FROM kk, ex""".stripMargin
+
+  // ---------------------------------------------------------------
+  // HyperLogLog registers: bucket = h mod 64, and rho = position of
+  // the highest set bit measured from the 42-bit width of the
+  // remaining value (43 - bitlength, all-zero → 43). bitlength comes
+  // from length(bin(x)) — Long.toBinaryString and DuckDB bin() both
+  // render positive integers without leading zeros and '0' for zero,
+  // so the CASE is the only zero handling needed. The register table
+  // is the sketch's wire format: 64 rows, exactly comparable, and
+  // mergeable across corpus shards by per-bucket max.
+  private def hllRegistersFrom(s: SparkSession, d0: DataFrame): DataFrame = {
+    val rr = d0
+      .select((col("h") % HllM).as("bucket"), expr("h div 64").as("wv"))
+      .select(col("bucket"),
+        expr("CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END").cast("long").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+    s.range(HllM).toDF("bucket").join(rr, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+  }
+
+  def qHllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllRegistersFrom(s, distinctHashes(s, dir)).orderBy(col("bucket"))
+
+  private val hllRegistersCtesSql: String =
+    s"""r AS (SELECT h % $HllM AS bucket, h // $HllM AS wv FROM d),
+       |rr AS (SELECT bucket, max(CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END) AS register
+       |  FROM r GROUP BY bucket),
+       |b AS (SELECT unnest(range($HllM)) AS bucket),
+       |f AS (SELECT b.bucket, coalesce(rr.register, 0) AS register
+       |  FROM b LEFT JOIN rr USING (bucket))""".stripMargin
+
+  val qHllRegistersSql: String =
+    s"""WITH $hashCtesSql,
+       |$hllRegistersCtesSql
+       |SELECT bucket, CAST(register AS BIGINT) AS register FROM f ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // HLL estimate from the registers, libm-free: the harmonic sum
+  // Σ 2^-register is a dyadic rational, emitted scaled by 2^30
+  // (registers capped at 30 for the sum — cardinalities at that
+  // depth exceed the 48-bit hash space anyway); the estimate is
+  // alpha_64 · m² / Z with the PUBLISHED rational alpha_64 = 0.709
+  // = 709/1000, all in exact BIGINT arithmetic:
+  // (709·4096·2^30) div (1000·Z_scaled) ≈ 3.1e15 — no overflow.
+  // The small-range regime (HLL would switch to linear counting
+  // m·ln(m/V)) needs a log, so the DECISION is emitted instead —
+  // v_zero > 0 and raw estimate ≤ 5m/2 — as the gated
+  // linear_regime flag; the raw estimate stays the gated value.
+  def qHllEstimate(s: SparkSession, dir: String): DataFrame = {
+    // ONE kernel + distinct pass feeds both the registers and the
+    // exact comparison count (d0 is checkpointed by distinctHashes)
+    val d0 = distinctHashes(s, dir)
+    val z = hllRegistersFrom(s, d0).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - least(register, 30) AS INT))")).as("denom_scaled"),
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val ex = d0.agg(count(lit(1)).as("n_exact"))
+    z.crossJoin(ex)
+      .select(col("v_zero"), col("denom_scaled"), col("n_exact"),
+        expr("CAST(2904064 AS BIGINT) * CAST(1073741824 AS BIGINT) div (1000 * denom_scaled)").as("hll_est"))
+      .select(lit(HllM.toLong).as("m"), col("v_zero"), col("denom_scaled"),
+        col("hll_est"), col("n_exact"),
+        expr("abs(hll_est - n_exact) * 1000 div greatest(n_exact, 1)").as("err_pm"),
+        expr(s"CAST(CASE WHEN v_zero > 0 AND hll_est <= ${5 * HllM / 2} THEN 1 ELSE 0 END AS BIGINT)")
+          .as("linear_regime"))
+  }
+
+  val qHllEstimateSql: String =
+    s"""WITH $hashCtesSql,
+       |$hllRegistersCtesSql,
+       |z AS (SELECT CAST(sum(1::BIGINT << (30 - least(register, 30))) AS BIGINT) AS denom_scaled,
+       |  CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero FROM f),
+       |ex AS (SELECT count(*) AS n_exact FROM d)
+       |SELECT CAST($HllM AS BIGINT) AS m, v_zero, denom_scaled,
+       |  CAST(2904064::BIGINT * 1073741824 // (1000 * denom_scaled) AS BIGINT) AS hll_est,
+       |  CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(abs(2904064::BIGINT * 1073741824 // (1000 * denom_scaled) - n_exact) * 1000
+       |       // greatest(n_exact, 1) AS BIGINT) AS err_pm,
+       |  CAST(CASE WHEN v_zero > 0 AND 2904064::BIGINT * 1073741824 // (1000 * denom_scaled) <= ${5 * HllM / 2}
+       |       THEN 1 ELSE 0 END AS BIGINT) AS linear_regime
+       |FROM z, ex""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Count-min sketch: d=3 rows × w=256 cells, row hashes from the
+  // [[Dedup]] minhash mix family ((1+2k)·h + (17+k) mod P) over the
+  // 48-bit item hash reduced mod P first (keeps every product far
+  // below 2^63). The query gates the sketch against ground truth on
+  // the items where it matters — the true top-10 heaviest shingles
+  // (repeated n-grams: the memorization-risk signal) — emitting the
+  // exact count, the sketch's min-over-rows estimate, and the
+  // overcount. CMS never undercounts, so over_cnt ≥ 0 is also a
+  // structural invariant the spec asserts. Cell table is 768 rows
+  // (broadcast); counts aggregate map-side per partition exactly as
+  // a sharded CMS merges (cell-wise sum).
+  def qCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val wf = shingleHashes(s, dir)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cells = wf.crossJoin(broadcast(s.range(CmsD).toDF("k")))
+      .select(col("k"),
+        expr(s"((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $CmsW").as("cell"),
+        col("cnt"))
+      .groupBy(col("k"), col("cell")).agg(sum(col("cnt")).as("tot"))
+    val top = wf.orderBy(col("cnt").desc, col("h")).limit(CmsTopK)
+    top.join(broadcast(cells),
+        expr(s"cell = ((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $CmsW"))
+      .groupBy(col("h"), col("cnt"))
+      .agg(min(col("tot")).as("cms_est"))
+      .select(col("h").as("item_hash"), col("cnt").as("true_cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("over_cnt"))
+      .orderBy(col("true_cnt").desc, col("item_hash"))
+  }
+
+  val qCmsHeavySql: String =
+    s"""WITH $hashCtesSql,
+       |wf AS MATERIALIZED (SELECT h, count(*) AS cnt FROM occ GROUP BY h),
+       |cs AS MATERIALIZED (SELECT k, ((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $CmsW AS cell,
+       |  CAST(sum(cnt) AS BIGINT) AS tot
+       |  FROM wf, (SELECT unnest(range($CmsD)) AS k) GROUP BY k, cell),
+       |top AS (SELECT h, cnt FROM wf ORDER BY cnt DESC, h LIMIT $CmsTopK)
+       |SELECT t.h AS item_hash, CAST(t.cnt AS BIGINT) AS true_cnt,
+       |  CAST(min(cs.tot) AS BIGINT) AS cms_est,
+       |  CAST(min(cs.tot) - t.cnt AS BIGINT) AS over_cnt
+       |FROM top t JOIN cs ON cs.cell = ((1 + 2*cs.k) * (t.h % $MersenneP) + (17 + cs.k)) % $MersenneP % $CmsW
+       |GROUP BY t.h, t.cnt ORDER BY true_cnt DESC, item_hash""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (qKmvDistinct _),
+    "sketch_hll_registers" -> (qHllRegisters _),
+    "sketch_hll_estimate" -> (qHllEstimate _),
+    "sketch_cms_heavy" -> (qCmsHeavy _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> qKmvDistinctSql,
+    "sketch_hll_registers" -> qHllRegistersSql,
+    "sketch_hll_estimate" -> qHllEstimateSql,
+    "sketch_cms_heavy" -> qCmsHeavySql,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural invariants of the from-scratch sketches, the exact
+  * model fits, and the fusion/filter ensembles — the properties that
+  * hold at ANY corpus shape, complementing the oracle gate's exact
+  * value equality at the test SFs. */
+class SketchesSpec extends SparkSpec {
+
+  test("KMV: estimate positive, exact path when |S| < k, err_pm self-consistent") {
+    val r = Sketches.qKmvDistinct(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (k, kth, nExact, est, errPm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(k == 64 && kth > 0 && est > 0)
+    if (nExact < k) assert(est == nExact, "under k distinct values KMV is exact")
+    else assert(est == 63L * 281474976710656L / kth)
+    assert(errPm == math.abs(est - nExact) * 1000 / math.max(nExact, 1L))
+  }
+
+  test("HLL: 64 registers in range; estimate row derives from the registers") {
+    val regs = Sketches.qHllRegisters(spark, sfDir).collect()
+    assert(regs.length == 64)
+    assert(regs.map(_.getLong(0)).toSeq == (0L until 64L))
+    assert(regs.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 43))
+    val est = Sketches.qHllEstimate(spark, sfDir).collect().head
+    val denom = regs.map(r => 1L << (30 - math.min(r.getLong(1), 30L)).toInt).sum
+    val vZero = regs.count(_.getLong(1) == 0)
+    assert(est.getLong(1) == vZero, "v_zero")
+    assert(est.getLong(2) == denom, "denom_scaled")
+    assert(est.getLong(3) == 2904064L * 1073741824L / (1000L * denom), "hll_est")
+    val linear = if (vZero > 0 && est.getLong(3) <= 160) 1L else 0L
+    assert(est.getLong(6) == linear, "linear_regime flag")
+  }
+
+  test("CMS never undercounts and ranks the true heavy hitters") {
+    val r = Sketches.qCmsHeavy(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1)), "cms_est >= true_cnt")
+    assert(r.forall(x => x.getLong(3) == x.getLong(2) - x.getLong(1)))
+    val cnts = r.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "true_cnt descending")
+  }
+
+  test("per-source OLS moments match a driver-side exact recomputation") {
+    val fits = Models.qLinregSources(spark, sfDir).collect()
+    assert(fits.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"), col("n_chars")).collect()
+    val src = fits.head.getString(0)
+    val xs = docs.filter(_.getString(0) == src)
+      .map(d => (Text.duckWords(d.getString(1)).length.toLong, d.getLong(2)))
+    val n = xs.length.toLong
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+    assert(fits.head.getLong(1) == n)
+    assert(fits.head.getLong(2) == num, "slope numerator")
+    assert(fits.head.getLong(3) == den, "slope denominator")
+    val slope = if (num >= 0) 1000 * num / math.max(den, 1L)
+                else -(1000 * -num / math.max(den, 1L))
+    assert(fits.head.getLong(4) == slope)
+  }
+
+  test("NB trainer: ranks are 1..10 per class, smoothing self-consistent") {
+    val m = Models.qNbTrain(spark, sfDir).collect()
+    val byLang = m.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to rows.length))
+      val cs = rows.sortBy(_.getInt(2)).map(_.getLong(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cnt desc by rank")
+    }
+    // recompute one conditional: ppm = (cnt+1)*1e6 / (tokens_lang + |V|)
+    val t = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).as("w"))
+    val lang0 = m.head.getString(0)
+    val tokens = t.filter(col("lang") === lang0).count()
+    val vocab = t.select(col("w")).distinct().count()
+    assert(m.head.getLong(5) == (m.head.getLong(4) + 1) * 1000000L / (tokens + vocab))
+  }
+
+  test("filter decisions: keep iff mask 0; masks within the 4 defined bits") {
+    val r = Pipeline.qFilterDecisions(spark, sfDir).collect()
+    assert(r.length == graft.Tables.documents(spark, sfDir).count())
+    assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) <= 15))
+    assert(r.forall(x => (x.getLong(5) == 1L) == (x.getLong(4) == 0L)))
+    // recompute one doc's mask from its raw text
+    val d0 = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).first()
+    val ws = Text.duckWords(d0.getString(1))
+    val nw = ws.length.toLong
+    val awl = ws.map(_.length.toLong).sum * 1000 / math.max(nw, 1L)
+    val mf = ws.groupBy(identity).values.map(_.length).max.toLong * 1000 / math.max(nw, 1L)
+    val row = r.find(_.getLong(0) == d0.getLong(0)).get
+    assert(row.getLong(1) == nw && row.getLong(2) == awl && row.getLong(3) == mf)
+  }
+
+  test("rank fusion: Borda scores decompose into the two source ranks") {
+    val a = Similarity.qTopkCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val b = Similarity.qPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = Similarity.qRankFusion(spark, sfDir).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expected = a.get(key).map(6 - _).getOrElse(0) + b.get(key).map(6 - _).getOrElse(0)
+      assert(r.getLong(3) == expected.toLong, s"borda for $key")
+      assert(r.getLong(4) == (if (a.contains(key) && b.contains(key)) 1L else 0L))
+    }
+    val ranks = fused.groupBy(_.getLong(0))
+    ranks.values.foreach(rs => assert(rs.map(_.getInt(1)).toSeq.sorted == (1 to rs.length)))
+  }
+}

@@ -1178,6 +1178,77 @@ FROM com"""
        |FROM deg d LEFT JOIN tn USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // LABEL-PROPAGATION COMMUNITIES — two synchronous LPA rounds over
+  // the near-dup graph: each node adopts the most frequent label
+  // among its neighbors AND itself, ties broken by smallest label
+  // (fully deterministic, unlike textbook random-order LPA). LPA
+  // finds DENSITY communities where connected components find mere
+  // reachability — on a dedup graph that separates "hub template +
+  // orbiting variants" inside one large weakly-connected blob.
+  // The per-round argmax is the [[qCanonical]] pattern: max over
+  // (count, -label) structs — a map-side-combinable partial
+  // aggregate, no per-node sort window. Per round: one join on dst +
+  // two vote aggregates, all on fixed-width (node, label) longs —
+  // the resolveComponents cost shape. Output is community-level:
+  // size and internal-edge count (n_internal = edges whose endpoints
+  // agree — the LPA quality signal), zero-restored via left join.
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    def round(labels: DataFrame): DataFrame = {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+        .unionAll(labels) // self vote
+      votes.groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .select(col("node"), struct(col("c"), (-col("lbl")).as("nl")).as("cand"))
+        .groupBy(col("node")).agg(max(col("cand")).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    val init = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val l2 = round(round(init)).localCheckpoint() // feeds sizes AND edge agreement
+    val agree = pairs
+      .join(l2.select(col("node").as("doc_a"), col("lbl").as("la")), "doc_a")
+      .join(l2.select(col("node").as("doc_b"), col("lbl").as("lb")), "doc_b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("ni"))
+    l2.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
+      .join(agree, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("ni"), lit(0L)).as("n_internal"))
+      .orderBy(col("community"))
+  }
+
+  val qLabelPropSql: String = {
+    def roundSql(i: Int, prev: String): String =
+      s"""v$i AS (SELECT e.src AS node, l.lbl FROM edges e JOIN $prev l ON l.node = e.dst
+         |  UNION ALL SELECT node, lbl FROM $prev),
+         |c$i AS (SELECT node, lbl, count(*) AS c FROM v$i GROUP BY node, lbl),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |$qMinHashLshSql
+       |  ) q
+       |),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${roundSql(1, "l0")},
+       |${roundSql(2, "l1")},
+       |agree AS (SELECT la.lbl AS community, count(*) AS ni
+       |  FROM p JOIN l2 la ON la.node = p.doc_a JOIN l2 lb ON lb.node = p.doc_b
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |sz AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members FROM l2 GROUP BY lbl)
+       |SELECT sz.community, sz.n_members, CAST(coalesce(agree.ni, 0) AS BIGINT) AS n_internal
+       |FROM sz LEFT JOIN agree USING (community) ORDER BY community""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // PAGERANK STEP over the near-dup graph — the graph-analytics
   // primitive (one power-iteration of PR with damping 0.85, uniform
   // start) computed on the memoized LSH pair list: rank within a
@@ -1493,6 +1564,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
     "dedup_clusters" -> (qClusters _),
     "graph_pagerank_step" -> (qPagerankStep _),
     "graph_triangles" -> (qTriangles _),
+    "graph_label_prop" -> (qLabelProp _),
     "dedup_canonical" -> (qCanonical _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
@@ -1513,6 +1585,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
     "dedup_clusters" -> qClustersSql,
     "graph_pagerank_step" -> qPagerankStepSql,
     "graph_triangles" -> qTrianglesSql,
+    "graph_label_prop" -> qLabelPropSql,
     "dedup_canonical" -> qCanonicalSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,

@@ -94,6 +94,94 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // KNN-GRAPH CONSTRUCTION — the bulk step every graph-based ANN
+  // index (HNSW/NSG family) starts from: per vector, its top-k
+  // nearest neighbors among candidates sharing the SAME hyperplane
+  // bucket ([[qLshBuckets]]' signature), so candidate generation is
+  // Σ bucket² (density-bounded), never all-pairs. One shuffle on the
+  // 256-value bucket key; scoring is the codegen'd DotF64 chain, so
+  // graph edges carry cosines bit-identical to qTopkCosine's. At
+  // 100 TB the within-bucket join would carry PQ codes instead of
+  // raw vectors (the [[qPqTopk]] machinery composes directly); at
+  // gate scale the arrays ride the one bucket exchange. Vectors in
+  // singleton buckets contribute no edges — the honest LSH recall
+  // trade the bucket histogram (qLshBuckets) makes visible.
+  //
+  // The per-vector top-k is a k-BOUNDED TYPED AGGREGATE
+  // ([[graft.functions.TopKLongAggregator]]), not a row_number
+  // window: the aggregator's partial buffers ship ≤k longs per
+  // vector per partition where a window would shuffle and sort the
+  // whole Σ bucket² candidate stream on vec_id. On the 10× profile
+  // corpus the dominant cost was actually the SCORING stage's width
+  // (see the repartition note below); with the width pinned, the
+  // 10× run lands at 5.6s vs 2.6s at sf0.1 — ~2× for 10× data,
+  // density-bound like dedup_embed_cosine. The
+  // ranking key packs (cosine, neighbor) into ONE long —
+  // round(cos·1e6)·2^40 − neighbor, neighbor < 2^40 — whose
+  // descending order is exactly "cosine desc, neighbor asc"; the
+  // decode (pmod for the neighbor, exact div for the cosine) loses
+  // nothing because cos_int/1e6 is the correctly-rounded double of
+  // the same 6-dp decimal the oracle's round() produces.
+  private val KnnK = 3
+  private val KnnPackB = 1099511627776L // 2^40
+
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DotF64.register(s)
+    val bucket = planes.zipWithIndex.map { case (signs, p) =>
+      when(Vectors.signedProjection(col("v"), signs) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+      .withColumn("bucket", bucket)
+    val nb = e.select(col("bucket"), col("vec_id").as("neighbor"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val cosInt = round(
+      round(DotF64.dot(col("v"), col("nv")) / (col("nrm") * col("nn")), 6) * 1e6, 0)
+      .cast("long")
+    val topk = new graft.functions.TopKLongAggregator(KnnK).toColumn
+    // width pin (the q25/assignToCentroids rule): Catalyst broadcasts
+    // nb and streams e at FILE width (8 tasks on the 10× profile
+    // corpus, 133s CPU pinned at 19s wall); per-row CPU here is
+    // |bucket|·64 mults ≫ the fixed-width shuffle write, so the
+    // explicit repartition pays (21.4→5.6s measured at 10×)
+    e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(nb, "bucket")
+      .filter(col("vec_id") =!= col("neighbor"))
+      .select(col("vec_id"),
+        (cosInt * KnnPackB - col("neighbor")).as("key"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("keys"))
+      .toDF("vec_id", "keys")
+      .select(col("vec_id"), posexplode(col("keys")).as(Seq("pos", "key")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        pmod(-col("key"), lit(KnnPackB)).as("neighbor"),
+        (expr(s"(key + pmod(-key, $KnnPackB)) div $KnnPackB") / 1e6).as("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val qKnnGraphSql: String = {
+    val planeTerms = planes.zipWithIndex.map { case (signs, p) =>
+      s"CASE WHEN ${Vectors.signedProjectionSql("v", signs)} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" +\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
+       |b AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |  $planeTerms AS bucket
+       |  FROM n),
+       |p AS (SELECT a.vec_id, b2.vec_id AS neighbor,
+       |  round((${Vectors.dotSql("a.v", "b2.v")}) / (a.nrm * b2.nrm), 6) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT vec_id, neighbor, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank FROM p)
+       |SELECT vec_id, rank, neighbor, cos AS cosine FROM r
+       |WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // IVF (inverted-file) ANN: coarse-quantize every vector to its
   // nearest centroid (the "codebook" is a deterministic 1-in-40
   // subset standing in for trained k-means centroids), then answer
@@ -883,6 +971,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rank_fusion" -> (qRankFusion _),
+    "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
@@ -899,6 +988,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
   val oracles: Map[String, String] = Map(
     "sim_rank_fusion" -> qRankFusionSql,
+    "sim_knn_graph" -> qKnnGraphSql,
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,

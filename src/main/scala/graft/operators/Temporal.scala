@@ -84,6 +84,83 @@ object Temporal {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // ---------------------------------------------------------------
+  // INTERVAL JOIN via BIN EXPANSION — the range-only join Spark has
+  // no native operator for (no equi key: "how many OTHER users'
+  // events landed inside my session's [start, end]?"). The naive
+  // form is a cartesian with a range filter; the scale pattern is:
+  // expand each interval to the fixed-width time bins it covers
+  // (duration/1h + 1 rows — bounded by the 30-min-gap session
+  // construction), map each event to its ONE bin, and equi-join on
+  // the bin before the exact containment filter. Every event has
+  // exactly one bin, so no post-join dedup is needed; the shuffle
+  // moves fixed-width (bin, µs, cents) rows, never payloads. A
+  // hot-hour bin is the documented skew point — the
+  // maint_salted_from_stats machinery applies unchanged if one bin
+  // dominates. Sessions with zero concurrent events are restored by
+  // the final session-table-sized left join. Money flows as integer
+  // cents (per-group sums are small, cents keep them
+  // order-independent anyway); the oracle is DuckDB's plain
+  // theta-join form of the same query.
+  private val HourUs = 3600000000L
+
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val isNew = when(gapUs.isNull || gapUs > SessionGapUs, 1).otherwise(0)
+    val sess = Tables.events(s, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .localCheckpoint() // feeds bin expansion AND the zero-restore join
+    val bins = sess.select(col("user_id").as("s_user"), col("session_idx"),
+      col("start_us"), col("end_us"),
+      explode(sequence(expr(s"start_us div $HourUs"), expr(s"end_us div $HourUs"))).as("bin"))
+    val ev = Tables.events(s, dir).select(col("user_id").as("e_user"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("bin", expr(s"t_us div $HourUs"))
+    val hits = ev.join(bins,
+        ev("bin") === bins("bin") && col("t_us") >= col("start_us")
+          && col("t_us") <= col("end_us") && col("e_user") =!= col("s_user"))
+      .groupBy(col("s_user").as("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("cents"))
+    sess.join(hits, Seq("user_id", "session_idx"), "left")
+      .select(col("user_id"), col("session_idx"),
+        date_format(timestamp_micros(col("start_us")), tsFmt).as("session_start"),
+        coalesce(col("n"), lit(0L)).as("n_concurrent"),
+        coalesce(col("cents"), lit(0L)).as("cents_concurrent"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val qIntervalJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |g AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > $SessionGapUs
+       |       THEN 1 ELSE 0 END AS is_new
+       |  FROM ev),
+       |sx AS (SELECT user_id, ts,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM g),
+       |sess AS MATERIALIZED (SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+       |  FROM sx GROUP BY user_id, session_idx),
+       |hits AS (SELECT se.user_id, se.session_idx, count(*) AS n, sum(e.vc) AS cents
+       |  FROM sess se JOIN ev e
+       |    ON e.ts BETWEEN se.start_ts AND se.end_ts AND e.user_id <> se.user_id
+       |  GROUP BY se.user_id, se.session_idx)
+       |SELECT se.user_id, se.session_idx,
+       |  strftime(se.start_ts, '$duckFmt') AS session_start,
+       |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_concurrent,
+       |  CAST(coalesce(h.cents, 0) AS BIGINT) AS cents_concurrent
+       |FROM sess se LEFT JOIN hits h USING (user_id, session_idx)
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val qSessionizeSql: String =
     s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
        |g AS (SELECT user_id, event_id, ts,
@@ -475,6 +552,7 @@ object Temporal {
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
     "sessionize" -> (qSessionize _),
+    "temporal_interval_join" -> (qIntervalJoin _),
     "session_window" -> (qSessionWindow _),
     "temporal_rolling" -> (qRolling _),
     "temporal_hopping" -> (qHopping _),
@@ -489,6 +567,7 @@ object Temporal {
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,
     "sessionize" -> qSessionizeSql,
+    "temporal_interval_join" -> qIntervalJoinSql,
     "session_window" -> qSessionWindowSql,
     "temporal_rolling" -> qRollingSql,
     "temporal_hopping" -> qHoppingSql,

@@ -100,6 +100,76 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(1) == nw && row.getLong(2) == awl && row.getLong(3) == mf)
   }
 
+  test("label propagation: members partition the touched nodes, internal <= edges") {
+    val lp = Dedup.qLabelProp(spark, sfDir).collect()
+    val pairs = Dedup.qMinHashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+    val nodes = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(lp.map(_.getLong(1)).sum == nodes.length.toLong,
+      "community sizes partition the edge-touched node set")
+    assert(lp.map(_.getLong(2)).sum <= pairs.length.toLong,
+      "internal edges cannot exceed the pair list")
+    assert(lp.forall(r => r.getLong(1) >= 1 && r.getLong(2) >= 0))
+  }
+
+  test("knn graph edges carry brute-force-identical cosines, ranked per vector") {
+    val g = Similarity.qKnnGraph(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).toSeq.sorted == (1 to rs.length), "dense ranks")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length, "distinct neighbors")
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cosine desc by rank")
+    }
+    // spot-check one edge's cosine against a driver-side dot product
+    val ids = Set(g.head.getLong(0), g.head.getLong(2))
+    val vs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (a, b) = (vs(g.head.getLong(0)), vs(g.head.getLong(2)))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+    val cos = BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(g.head.getDouble(3) - cos) < 1e-9)
+  }
+
+  test("novelty attributes every distinct shingle exactly once") {
+    val nov = Sketches.qNoveltySources(spark, sfDir).collect()
+    // Σ n_novel over sources must equal the corpus-wide distinct
+    // shingle count — the same 48-bit hash domain KMV gates exactly
+    val nExact = Sketches.qKmvDistinct(spark, sfDir).collect().head.getLong(2)
+    assert(nov.map(_.getLong(3)).sum == nExact, "first occurrences partition the shingle set")
+    assert(nov.forall(r => r.getLong(3) <= r.getLong(2)), "novel <= total per source")
+    assert(nov.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000))
+  }
+
+  test("interval join equals a brute-force theta join; zero sessions kept") {
+    import graft.Tables
+    val out = Temporal.qIntervalJoin(spark, sfDir).collect()
+    val sessions = Temporal.qSessionize(spark, sfDir).count()
+    assert(out.length == sessions, "every session appears, incl. zero-concurrency ones")
+    // brute-force recount for the densest session via a raw theta join
+    val top = out.maxBy(_.getLong(3))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc")).collect()
+    val sameUser = ev.filter(_.getLong(0) == top.getLong(0)).map(_.getLong(1)).sorted
+    // reconstruct that user's session bounds: split at >30 min gaps
+    val gaps = sameUser.zip(sameUser.tail)
+    var bounds = List((sameUser.head, sameUser.head))
+    gaps.foreach { case (a, b) =>
+      if (b - a > 1800000000L) bounds = (b, b) :: bounds
+      else bounds = (bounds.head._1, b) :: bounds.tail
+    }
+    val (lo, hi) = bounds.reverse(top.getLong(1).toInt - 1)
+    val brute = ev.filter(r => r.getLong(0) != top.getLong(0)
+      && r.getLong(1) >= lo && r.getLong(1) <= hi)
+    assert(top.getLong(3) == brute.length.toLong, "n_concurrent")
+    assert(top.getLong(4) == brute.map(_.getLong(2)).sum, "cents_concurrent")
+  }
+
   test("rank fusion: Borda scores decompose into the two source ranks") {
     val a = Similarity.qTopkCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap

@@ -218,14 +218,78 @@ object Multimodal {
        |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_hi
        |FROM bits ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // AUDIO-STYLE WINDOWING — the frame/hop feature extraction an
+  // audio pipeline runs (energy + peak per overlapping sample
+  // window), treating the payload BODY as the raw sample stream:
+  // 256-byte windows at 128-byte hop, per-window exact integer
+  // energy (Σ unsigned bytes) and peak. The kernel walks the binary
+  // payload directly (one map-only pass, payloads never shuffle —
+  // where an actual PCM decoder would plug in); the oracle recomputes
+  // the SAME bytes from hex(encode(text)) two-hex-chars at a time, so
+  // the gate is byte-exact for ANY input, not just ASCII (the
+  // qDecodeBatched lesson). Output rows are windows: the schema a
+  // downstream feature store ingests.
+  private val AudioWin = 256
+  private val AudioHop = 128
+
+  def qAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("win_idx", LongType),
+      StructField("n_bytes", LongType),
+      StructField("energy", LongType),
+      StructField("peak", LongType))))
+    payloads(s, dir).select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val n = p.length - HeaderLen
+          (0 until (n + AudioHop - 1) / AudioHop).iterator.map { w =>
+            val lo = w * AudioHop
+            val hi = math.min(lo + AudioWin, n)
+            var e = 0L
+            var pk = 0L
+            var i = lo
+            while (i < hi) {
+              val v = (p(HeaderLen + i) & 0xff).toLong
+              e += v
+              if (v > pk) pk = v
+              i += 1
+            }
+            Row(id, w.toLong, (hi - lo).toLong, e, pk)
+          }
+        }
+      }(enc)
+      .orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  val qAudioWindowsSql: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |wn AS (SELECT doc_id, hx, n, unnest(range((n + ${AudioHop - 1}) // $AudioHop)) AS w FROM b),
+       |sl AS (SELECT doc_id, w, CAST(w * $AudioHop AS BIGINT) AS lo,
+       |  least(w * $AudioHop + $AudioWin, n) AS hi, hx FROM wn),
+       |vals AS (SELECT doc_id, w, lo, hi,
+       |  list_transform(range(lo, hi), i -> ('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))::BIGINT) AS vs
+       |  FROM sl)
+       |SELECT doc_id, CAST(w AS BIGINT) AS win_idx, CAST(hi - lo AS BIGINT) AS n_bytes,
+       |  CAST(list_aggregate(vs, 'sum') AS BIGINT) AS energy,
+       |  CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
+       |FROM vals ORDER BY doc_id, win_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
+    "mm_audio_windows" -> (qAudioWindows _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
-    "mm_phash" -> qPHashSql)
+    "mm_phash" -> qPHashSql,
+    "mm_audio_windows" -> qAudioWindowsSql)
 }

@@ -328,7 +328,79 @@ object Sketches {
       |  CAST(sum(n_novel) * 1000 // greatest(sum(n_sh), 1) AS BIGINT) AS novelty_pm
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BLOOM FILTER + MEASURED FALSE-POSITIVE RATE — the fourth
+  // canonical sketch, built from scratch like the others (the
+  // engine's BloomLong expression covers the semi-join USE; this
+  // gates the STRUCTURE): insert the even-doc shingle set, probe
+  // with shingles appearing ONLY in odd docs (ground-truth
+  // negatives by construction — the anti-join is the guarantee),
+  // and gate the exact occupancy and false-positive counts. Bit
+  // positions come from the CMS mix family; the "bit array" is the
+  // distinct-position set, which broadcasts (≤m rows) exactly like
+  // a real bloom bitmap ships to executors. The theoretical rate
+  // (1−e^{−kn/m})^k needs libm, so the MEASURED rate is the gated
+  // value — which is the more honest number anyway.
+  private val BloomM = 65536L
+  private val BloomK = 3
+
+  def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    def posOf(kCol: String, hCol: String) =
+      expr(s"((1 + 2*$kCol) * ($hCol % $MersenneP) + (17 + $kCol)) % $MersenneP % $BloomM")
+    val ds = docShingleHashes(s, dir).select(col("doc_id"), col("h"))
+      .localCheckpoint() // one kernel pass; even/odd splits both read it
+    val ev = ds.filter(col("doc_id") % 2 === 0).select(col("h"))
+      .dropDuplicates("h").localCheckpoint()
+    val pr = ds.filter(col("doc_id") % 2 === 1).select(col("h"))
+      .dropDuplicates("h")
+      .join(ev, Seq("h"), "left_anti").localCheckpoint()
+    val ks = broadcast(s.range(BloomK).toDF("k"))
+    val bits = ev.crossJoin(ks).select(posOf("k", "h").as("pos"))
+      .dropDuplicates("pos").localCheckpoint()
+    val nFp = pr.crossJoin(ks).select(col("h"), posOf("k", "h").as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy(col("h")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomK)
+      .agg(count(lit(1)).as("n_fp"))
+    ev.agg(count(lit(1)).as("n_inserted"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(pr.agg(count(lit(1)).as("n_probes")))
+      .crossJoin(nFp)
+      .select(lit(BloomM).as("m"), lit(BloomK.toLong).as("k"),
+        col("n_inserted"), col("n_bits_set"), col("n_probes"),
+        col("n_fp").as("n_false_pos"),
+        expr("n_fp * 1000 div greatest(n_probes, 1)").as("fpr_pm"))
+  }
+
+  val qBloomFprSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= 3
+       |       THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |       ELSE [array_to_string(ws, ' ')] END AS shingles
+       |  FROM w),
+       |ds AS MATERIALIZED (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |ev AS MATERIALIZED (SELECT DISTINCT h FROM ds WHERE doc_id % 2 = 0),
+       |pr AS MATERIALIZED (SELECT DISTINCT h FROM ds WHERE doc_id % 2 = 1
+       |  AND h NOT IN (SELECT h FROM ev)),
+       |bits AS MATERIALIZED (SELECT DISTINCT ((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $BloomM AS pos
+       |  FROM ev, (SELECT unnest(range($BloomK)) AS k)),
+       |hits AS (SELECT p.h, count(*) AS nhit
+       |  FROM pr p, (SELECT unnest(range($BloomK)) AS k) kk
+       |  JOIN bits b ON b.pos = ((1 + 2*kk.k) * (p.h % $MersenneP) + (17 + kk.k)) % $MersenneP % $BloomM
+       |  GROUP BY p.h),
+       |fp AS (SELECT count(*) AS n_fp FROM hits WHERE nhit = $BloomK)
+       |SELECT CAST($BloomM AS BIGINT) AS m, CAST($BloomK AS BIGINT) AS k,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_inserted,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes,
+       |  CAST(n_fp AS BIGINT) AS n_false_pos,
+       |  CAST(n_fp * 1000 // greatest((SELECT count(*) FROM pr), 1) AS BIGINT) AS fpr_pm
+       |FROM fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fpr" -> (qBloomFpr _),
     "text_novelty" -> (qNoveltySources _),
     "sketch_kmv_distinct" -> (qKmvDistinct _),
     "sketch_hll_registers" -> (qHllRegisters _),
@@ -337,6 +409,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_bloom_fpr" -> qBloomFprSql,
     "text_novelty" -> qNoveltySourcesSql,
     "sketch_kmv_distinct" -> qKmvDistinctSql,
     "sketch_hll_registers" -> qHllRegistersSql,

@@ -100,6 +100,37 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(1) == nw && row.getLong(2) == awl && row.getLong(3) == mf)
   }
 
+  test("bloom filter: occupancy bounded, no false negatives possible by construction") {
+    val r = Sketches.qBloomFpr(spark, sfDir).collect().head
+    val (m, k, nIns, nBits, nProbes, nFp, fprPm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    assert(m == 65536L && k == 3L)
+    assert(nBits <= math.min(m, k * nIns), "occupied bits bounded by k*n and m")
+    assert(nBits >= (k * nIns + m - 1) / m, "at least one bit per ceil(kn/m) collisions")
+    assert(nFp >= 0 && nFp <= nProbes)
+    assert(fprPm == nFp * 1000 / math.max(nProbes, 1L))
+  }
+
+  test("audio windows tile every payload body with the fixed hop") {
+    val w = Multimodal.qAudioWindows(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(encode(col("text"), "utf-8")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = w.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (id, rows) =>
+      val n = docs(id)
+      assert(rows.length == ((n + 127) / 128).toInt, s"window count for doc $id")
+      assert(rows.map(_.getLong(1)).toSeq.sorted == (0L until rows.length))
+      // every full-coverage invariant: bytes covered once at hop level
+      rows.foreach { r =>
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= 256)
+        assert(r.getLong(4) <= 255 && r.getLong(3) <= 255L * r.getLong(2))
+      }
+    }
+  }
+
   test("label propagation: members partition the touched nodes, internal <= edges") {
     val lp = Dedup.qLabelProp(spark, sfDir).collect()
     val pairs = Dedup.qMinHashLsh(spark, sfDir)

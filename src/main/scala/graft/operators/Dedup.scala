@@ -36,7 +36,15 @@ object Dedup {
   private val JaccardThreshold = 0.1
   private val CosineThreshold = 0.45
 
-  private val shinglesSqlCte =
+  /** Word 3-shingles with the len<3 whole-text fallback — THE
+    * shingle convention every LSH/sketch/novelty consumer mirrors
+    * (JVM twin of [[shinglesSqlCte]]; keep the two in lockstep). */
+  private[operators] def shinglesOf(ws: Array[String]): Iterator[String] =
+    if (ws.length >= 3)
+      (0 to ws.length - 3).iterator.map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+    else Iterator(ws.mkString(" "))
+
+  private[operators] val shinglesSqlCte =
     """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(ws) >= 3
@@ -115,10 +123,7 @@ object Dedup {
         it.map { r =>
           val id = r.getLong(0)
           val ws = Text.duckWords(r.getString(1))
-          val sset: Array[String] =
-            if (ws.length >= 3)
-              (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct.toArray
-            else Array(ws.mkString(" "))
+          val sset: Array[String] = shinglesOf(ws).toArray.distinct
           val sig = Array.fill(nHashes)(Long.MaxValue)
           sset.foreach { sh =>
             val h = md5Mod(md, sh, p)

@@ -749,7 +749,10 @@ object Pipeline {
           var mf = 0
           var i = 0
           while (i < ws.length) {
-            cl += ws(i).length
+            // codepoints, not UTF-16 units: the oracle's length() is
+            // codepoint-based, and a supplementary-plane char would
+            // otherwise skew awl_x1000 on the Spark side only
+            cl += ws(i).codePointCount(0, ws(i).length)
             val c = hm.merge(ws(i), 1, Integer.sum)
             if (c > mf) mf = c
             i += 1

@@ -63,12 +63,7 @@ object Sketches {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
           val ws = Text.duckWords(r.getString(1))
-          val sh =
-            if (ws.length >= 3)
-              (0 to ws.length - 3).iterator
-                .map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
-            else Iterator(ws.mkString(" "))
-          sh.map(x => Row(Dedup.md5Mod(md, x, Long.MaxValue) >> 12))
+          Dedup.shinglesOf(ws).map(x => Row(Dedup.md5Mod(md, x, Long.MaxValue) >> 12))
         }
       }(Encoders.row(schema))
   }
@@ -84,12 +79,7 @@ object Sketches {
     * occurrence hashes `occ` → distinct `d` (MATERIALIZED: referenced
     * by both the estimator and the exact count). */
   private val hashCtesSql: String =
-    """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(ws) >= 3
-      |       THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
-      |       ELSE [array_to_string(ws, ' ')] END AS shingles
-      |  FROM w),
+    s"""${Dedup.shinglesSqlCte},
       |occ AS (SELECT ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
       |  FROM (SELECT unnest(shingles) AS s FROM sh)),
       |d AS MATERIALIZED (SELECT DISTINCT h FROM occ)""".stripMargin
@@ -138,7 +128,7 @@ object Sketches {
   // mergeable across corpus shards by per-bucket max.
   private def hllRegistersFrom(s: SparkSession, d0: DataFrame): DataFrame = {
     val rr = d0
-      .select((col("h") % HllM).as("bucket"), expr("h div 64").as("wv"))
+      .select((col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("wv"))
       .select(col("bucket"),
         expr("CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END").cast("long").as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
@@ -276,13 +266,8 @@ object Sketches {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
           val ws = Text.duckWords(r.getString(2))
-          val sh =
-            if (ws.length >= 3)
-              (0 to ws.length - 3).iterator
-                .map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
-            else Iterator(ws.mkString(" "))
           val seen = new java.util.HashSet[Long]()
-          sh.flatMap { x =>
+          Dedup.shinglesOf(ws).flatMap { x =>
             val h = Dedup.md5Mod(md, x, Long.MaxValue) >> 12
             if (seen.add(h)) Some(Row(r.getLong(0), r.getString(1), h)) else None
           }
@@ -373,12 +358,7 @@ object Sketches {
   }
 
   val qBloomFprSql: String =
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
-       |sh AS (SELECT doc_id,
-       |  CASE WHEN len(ws) >= 3
-       |       THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
-       |       ELSE [array_to_string(ws, ' ')] END AS shingles
-       |  FROM w),
+    s"""WITH ${Dedup.shinglesSqlCte},
        |ds AS MATERIALIZED (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
        |ev AS MATERIALIZED (SELECT DISTINCT h FROM ds WHERE doc_id % 2 = 0),

@@ -332,7 +332,7 @@ class AnalyticsSpec extends SparkSpec {
     // apply the winning merge naively: greedy left-to-right
     // non-overlapping replace (String.replace semantics), then recount
     val bp = beforeRows.minBy(_.getInt(1)).getString(2)
-    val marker = "\u0001"
+    val marker = "\uE001" // the production private-use marker plane
     val naiveAfter = pairCounts(words.map(_.replace(bp, marker)))
     val rendered = topK(naiveAfter, afterRows.length)
       .map { case (p, c) => (p.replace(marker, bp), c) }

@@ -891,14 +891,21 @@ object Similarity {
     // one assignment sweep feeds both nprobe configurations (the
     // probe-cell tables are K-row metadata; the K-N assign is the cost)
     val assign = assignToCentroids(s, dir).localCheckpoint()
+    // the kNN graph covers every vector; its probe rows measure how
+    // well single-bucket hyperplane candidates recall the exact list
+    val knnProbes = qKnnGraph(s, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("neighbor"))
     exact.select(col("qid")).distinct()
       .join(hitsOf(qIvfPqTopk(s, dir), "h_pq"), Seq("qid"), "left")
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, 1)), "h_np1"), Seq("qid"), "left")
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, IvfNProbeMulti)), "h_np4"), Seq("qid"), "left")
+      .join(hitsOf(knnProbes, "h_knn"), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("h_pq"), lit(0L)).as("n_hits"),
         coalesce(col("h_np1"), lit(0L)).as("n_hits_np1"),
-        coalesce(col("h_np4"), lit(0L)).as("n_hits_np4"))
+        coalesce(col("h_np4"), lit(0L)).as("n_hits_np4"),
+        coalesce(col("h_knn"), lit(0L)).as("n_hits_knn"))
       .orderBy(col("qid"))
   }
 
@@ -907,19 +914,25 @@ object Similarity {
        |apq AS ($qIvfPqTopkSql),
        |anp1 AS (${ivfTopkNSql(1)}),
        |anp4 AS (${ivfTopkNSql(IvfNProbeMulti)}),
+       |aknn AS (SELECT vec_id AS qid, neighbor FROM ($qKnnGraphSql)
+       |  WHERE vec_id % $QueryStride = 0),
        |hpq AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN apq a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |h1 AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN anp1 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |h4 AS (SELECT e.qid, count(*) AS h FROM exact e
-       |  JOIN anp4 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
+       |  JOIN anp4 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
+       |hk AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN aknn a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
        |SELECT q.qid, CAST(COALESCE(hpq.h, 0) AS BIGINT) AS n_hits,
        |  CAST(COALESCE(h1.h, 0) AS BIGINT) AS n_hits_np1,
-       |  CAST(COALESCE(h4.h, 0) AS BIGINT) AS n_hits_np4
+       |  CAST(COALESCE(h4.h, 0) AS BIGINT) AS n_hits_np4,
+       |  CAST(COALESCE(hk.h, 0) AS BIGINT) AS n_hits_knn
        |FROM (SELECT DISTINCT qid FROM exact) q
        |LEFT JOIN hpq ON q.qid = hpq.qid
        |LEFT JOIN h1 ON q.qid = h1.qid
        |LEFT JOIN h4 ON q.qid = h4.qid
+       |LEFT JOIN hk ON q.qid = hk.qid
        |ORDER BY q.qid""".stripMargin
 
   // ---------------------------------------------------------------

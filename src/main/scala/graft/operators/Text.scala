@@ -868,11 +868,17 @@ object Text {
     * kernel + map-side-combined groupBy is the [[qVocab]] shape).
     * 1-char types carry no pairs and no 2-symbol merge can touch
     * them, so they are filtered once here. */
-  private def wordTypes(s: SparkSession, dir: String): DataFrame = {
+  private def wordTypes(s: SparkSession, dir: String): DataFrame =
+    wordTypesWhere(s, dir, lit(true))
+
+  /** [[wordTypes]] over a document subset — the holdout trainer's
+    * corpus split (the filter reaches the parquet scan). */
+  private def wordTypesWhere(s: SparkSession, dir: String, docPred: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val uniSchema = StructType(Seq(StructField("word", StringType)))
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(docPred)
       // single-file corpus scans as ~3 partitions; pin the kernel width
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
@@ -1052,29 +1058,36 @@ object Text {
   private[operators] def bpeMergesK(s: SparkSession, dir: String): Seq[(String, String, Long)] =
     synchronized {
       if (bpeKFor == ((s, dir)) && bpeKCache != null) return bpeKCache
-      var wf = wordTypes(s, dir).localCheckpoint()
-      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-      var go = true
-      while (go && out.length < BpeTrainK) {
-        val top = bpePairCounts(wf).orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-        if (top.isEmpty || top(0).getLong(1) < BpeMinPairCount) go = false
-        else {
-          val (bp, cnt) = (top(0).getString(0), top(0).getLong(1))
-          // render markers back to strings (rendered forms are
-          // marker-free, so replacement order is immaterial)
-          val rendered = out.indices.foldRight(bp)((j, acc) =>
-            acc.replace(BpeKMarkers(j), out(j)._2))
-          out += ((bp, rendered, cnt))
-          wf = wf.select(
-              replace(col("word"), lit(bp), lit(BpeKMarkers(out.length - 1))).as("word"),
-              col("f"))
-            .localCheckpoint()
-        }
-      }
-      bpeKCache = out.toSeq
+      bpeKCache = trainMergesLoop(wordTypes(s, dir).localCheckpoint())
       bpeKFor = (s, dir)
       bpeKCache
     }
+
+  /** The rank-k trainer loop over an arbitrary starting vocabulary —
+    * shared by the full-corpus (memoized) table and the holdout
+    * trainer's split vocabulary. */
+  private def trainMergesLoop(wf0: DataFrame): Seq[(String, String, Long)] = {
+    var wf = wf0
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var go = true
+    while (go && out.length < BpeTrainK) {
+      val top = bpePairCounts(wf).orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < BpeMinPairCount) go = false
+      else {
+        val (bp, cnt) = (top(0).getString(0), top(0).getLong(1))
+        // render markers back to strings (rendered forms are
+        // marker-free, so replacement order is immaterial)
+        val rendered = out.indices.foldRight(bp)((j, acc) =>
+          acc.replace(BpeKMarkers(j), out(j)._2))
+        out += ((bp, rendered, cnt))
+        wf = wf.select(
+            replace(col("word"), lit(bp), lit(BpeKMarkers(out.length - 1))).as("word"),
+            col("f"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
 
   /** Bench/test hook — see [[Dedup.resetMemos]]. */
   def resetMemos(): Unit = synchronized {
@@ -1104,13 +1117,18 @@ object Text {
     * mirrors the trainer's stop: a sub-threshold best pair is never
     * applied, so the oracle's vocabulary evolution tracks the
     * trainer's exactly even past the stop point. */
-  private lazy val bpeKCtesSql: String = {
+  private lazy val bpeKCtesSql: String = bpeKCtesSqlWhere("")
+
+  /** The same unrolled trainer chain over a document subset (the
+    * holdout split's training corpus). */
+  private def bpeKCtesSqlWhere(where: String): String = {
     def pairsOf(src: String) =
       s"""SELECT unnest(list_transform(range(length(word) - 1),
          |    i -> substring(word, CAST(i+1 AS INTEGER), 2))) AS pair, f
          |  FROM $src WHERE length(word) >= 2""".stripMargin
     val sb = new StringBuilder
-    sb.append("w AS MATERIALIZED (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),\n")
+    sb.append("w AS MATERIALIZED (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws" +
+      s" FROM documents$where),\n")
     sb.append("wf1 AS MATERIALIZED (SELECT word, count(*) AS f FROM (SELECT unnest(ws) AS word FROM w) t\n")
     sb.append("  WHERE length(word) >= 2 GROUP BY word)")
     for (i <- 1 to BpeTrainK) {
@@ -1172,17 +1190,20 @@ FROM u, alpha ORDER BY merge_idx"""
       .orderBy(col("doc_id"))
   }
 
+  // one CTE per merge, NOT a nested CASE chain: nesting duplicates
+  // the accumulated expression twice per level (2^k planner blowup —
+  // measured as a 22 GB DuckDB runaway at k=16); a chained CTE's `t`
+  // is a column reference, so each level stays flat. Shared by the
+  // full-corpus encode and the holdout split encode.
+  private lazy val bpeEncChainSql: String = (1 to BpeTrainK).map { i =>
+    s"enc$i AS MATERIALIZED (SELECT doc_id, n_sym_before," +
+      s" CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
+      s" THEN replace(t, (SELECT bp FROM b$i), chr(${0xE000 + i})) ELSE t END AS t" +
+      s" FROM enc${i - 1})"
+  }.mkString(",\n")
+
   val qBpeEncodeSql: String = {
-    // one CTE per merge, NOT a nested CASE chain: nesting duplicates
-    // the accumulated expression twice per level (2^k planner blowup —
-    // measured as a 22 GB DuckDB runaway at k=16); a chained CTE's `t`
-    // is a column reference, so each level stays flat
-    val encChain = (1 to BpeTrainK).map { i =>
-      s"enc$i AS MATERIALIZED (SELECT doc_id, n_sym_before," +
-        s" CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
-        s" THEN replace(t, (SELECT bp FROM b$i), chr(${0xE000 + i})) ELSE t END AS t" +
-        s" FROM enc${i - 1})"
-    }.mkString(",\n")
+    val encChain = bpeEncChainSql
     s"""WITH $bpeKCtesSql,
 norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
   FROM documents),
@@ -1194,8 +1215,53 @@ SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
 FROM enc$BpeTrainK ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------
+  // BPE HOLDOUT — the tokenizer-generalization measurement a real
+  // pipeline makes before shipping a vocabulary: train the rank-k
+  // table on HALF the corpus (even doc_ids), apply it to BOTH
+  // splits, and gate the compression each split achieves. The
+  // holdout row's saved_ppm minus the train row's is the
+  // generalization gap; on a domain-shifted corpus it collapses,
+  // and gating both numbers makes that regression-visible. The
+  // trainer reuses [[trainMergesLoop]] on the filtered vocabulary
+  // (the doc-parity filter reaches the parquet scan); the encode is
+  // the same corpus-sized map-only projection as [[qBpeEncode]].
+  def qBpeHoldout(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainMergesLoop(
+      wordTypesWhere(s, dir, col("doc_id") % 2 === 0).localCheckpoint())
+    val norm = regexp_replace(lower(trim(col("text"))), s"[$Re2Ws]+", " ")
+    val encoded = merges.zipWithIndex.foldLeft(norm) {
+      case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit(BpeKMarkers(i)))
+    }
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .select(
+        when(col("doc_id") % 2 === 0, "1_train").otherwise("2_holdout").as("split"),
+        length(regexp_replace(norm, " ", "")).cast("long").as("nb"),
+        length(regexp_replace(encoded, " ", "")).cast("long").as("na"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("sym_before"), sum(col("na")).as("sym_after"))
+      .select(col("split"), col("n_docs"), col("sym_before"), col("sym_after"),
+        expr("(sym_before - sym_after) * 1000000 div sym_before").as("saved_ppm"))
+      .orderBy(col("split"))
+  }
+
+  val qBpeHoldoutSql: String =
+    s"""WITH ${bpeKCtesSqlWhere(" WHERE doc_id % 2 = 0")},
+norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+enc0 AS (SELECT doc_id, length(replace(t, ' ', '')) AS n_sym_before, t FROM norm),
+$bpeEncChainSql,
+f AS (SELECT CASE WHEN doc_id % 2 = 0 THEN '1_train' ELSE '2_holdout' END AS split,
+  n_sym_before AS nb, length(replace(t, ' ', '')) AS na FROM enc$BpeTrainK)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nb) AS BIGINT) AS sym_before, CAST(sum(na) AS BIGINT) AS sym_after,
+  CAST((sum(nb) - sum(na)) * 1000000 // sum(nb) AS BIGINT) AS saved_ppm
+FROM f GROUP BY split ORDER BY split"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_encode" -> (qBpeEncode _),
+    "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
     "text_bpe_train3" -> (qBpeTrain3 _),
@@ -1215,6 +1281,7 @@ FROM enc$BpeTrainK ORDER BY doc_id"""
   val oracles: Map[String, String] = Map(
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
+    "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,
     "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,

@@ -100,6 +100,18 @@ class SketchesSpec extends SparkSpec {
     assert(row.getLong(1) == nw && row.getLong(2) == awl && row.getLong(3) == mf)
   }
 
+  test("BPE holdout: splits partition the corpus, compression consistent") {
+    val r = Text.queries("text_bpe_holdout")(spark, sfDir).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("1_train", "2_holdout"))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(r.map(_.getLong(1)).sum == n, "splits partition the corpus")
+    r.foreach { row =>
+      val (nb, na, ppm) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(na <= nb, "merges can only shrink the symbol count")
+      assert(ppm == (nb - na) * 1000000L / nb)
+    }
+  }
+
   test("bloom filter: occupancy bounded, no false negatives possible by construction") {
     val r = Sketches.qBloomFpr(spark, sfDir).collect().head
     val (m, k, nIns, nBits, nProbes, nFp, fprPm) =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). Each call is a plain parquet scan: Catalyst
@@ -29,20 +29,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision in the parquet, which Spark's
-    * reader rejects; read it as a long and truncate to microseconds
-    * (matching a DuckDB `CAST(ts AS TIMESTAMP)`). */
+  /** `events.ts` arrives in whatever physical form the generator
+    * chose for the round — TIMESTAMP(NANOS) (which Spark's reader
+    * rejects unless read as a long) or plain µs TIMESTAMP_NTZ — so
+    * the loader normalizes to session-local TimestampType here,
+    * matching a DuckDB `CAST(ts AS TIMESTAMP)`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fixEventTs(load(s, d, "events"))
   }
 
-  /** ts-as-nanos long -> TimestampType µs (integer division, so
-    * truncation semantics match DuckDB's ns->µs cast). */
+  /** ts physical form -> TimestampType µs: ns-as-long truncates via
+    * integer division (DuckDB's ns->µs cast semantics); TIMESTAMP_NTZ
+    * casts losslessly (the session timezone is pinned to UTC in
+    * [[GraftSession]], so the µs value is unchanged). */
   def fixEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

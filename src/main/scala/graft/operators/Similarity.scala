@@ -474,6 +474,81 @@ object Similarity {
       |FROM qq ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // BINARY (sign-bit) QUANTIZATION + HAMMING TOP-K — the 1-bit tier
+  // below [[qQuantizeInt8]]/PQ: 64 doubles become 64 sign bits and
+  // candidate ranking is bit_count(xor), the cheapest 100 TB
+  // prefilter there is (512× smaller than raw vectors; XOR+popcount
+  // per candidate, no float math). The bits pack into TWO 32-bit
+  // halves so neither engine's arithmetic touches the BIGINT sign
+  // bit; packing is a mapPartitions kernel (a 64-term when-chain
+  // falls out of whole-stage codegen — the measured q23 lesson), and
+  // the probe side broadcasts exactly like [[qTopkCosine]], so the
+  // corpus streams map-side. The per-probe top-k rides
+  // [[graft.functions.TopKLongAggregator]] with (128−hamm)·2^40 −
+  // neighbor packed keys (descending == hamming asc, neighbor asc):
+  // partials ship ≤k longs per probe per partition, never the
+  // probe×corpus candidate stream a row_number window would sort.
+  private val HammK = 5
+
+  private def packSignBits(v: Array[Double]): (Long, Long) = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < 32) { if (v(i) > 0) h1 |= (1L << i); i += 1 }
+    while (i < 64) { if (v(i) > 0) h2 |= (1L << (i - 32)); i += 1 }
+    (h1, h2)
+  }
+
+  def qHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("h1", LongType),
+      StructField("h2", LongType)))
+    val packed = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val (h1, h2) = packSignBits(r.getSeq[Double](1).toArray)
+          Row(r.getLong(0), h1, h2)
+        }
+      }(Encoders.row(schema))
+    val q = packed.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+    val hamm = (bit_count(expr("h1 ^ q1")) + bit_count(expr("h2 ^ q2"))).cast("long")
+    val topk = new graft.functions.TopKLongAggregator(HammK).toColumn
+    packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), ((lit(128L) - hamm) * KnnPackB - col("vec_id")).as("key"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("keys"))
+      .toDF("qid", "keys")
+      .select(col("qid"), posexplode(col("keys")).as(Seq("pos", "key")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        pmod(-col("key"), lit(KnnPackB)).as("neighbor"),
+        (lit(128L) - expr(s"(key + pmod(-key, $KnnPackB)) div $KnnPackB")).as("hamm"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qHammingTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(32), i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h1,
+       |  CAST(list_sum(list_transform(range(32), i -> CASE WHEN v[i+33] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h2
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM b WHERE vec_id % $QueryStride = 0),
+       |sc AS (SELECT q.qid, b.vec_id,
+       |  CAST(bit_count(xor(b.h1, q.q1)) + bit_count(xor(b.h2, q.q2)) AS BIGINT) AS hamm
+       |  FROM b JOIN q ON b.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, hamm,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamm, vec_id) AS rank FROM sc)
+       |SELECT qid, rank, vec_id AS neighbor, hamm FROM r
+       |WHERE rank <= $HammK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // PRODUCT QUANTIZATION + asymmetric distance (ADC) — the memory
   // tier of the ANN ladder (brute force -> LSH buckets -> IVF -> PQ):
   // each vector is coded per 8-dim subspace by its nearest codebook
@@ -989,6 +1064,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
+    "sim_hamming_topk" -> (qHammingTopk _),
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopk _),
@@ -1006,6 +1082,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
+    "sim_hamming_topk" -> qHammingTopkSql,
     "sim_pq_topk" -> qPqTopkSql,
     "sim_pq_rerank" -> qPqRerankSql,
     "sim_ivfpq_topk" -> qIvfPqTopkSql,

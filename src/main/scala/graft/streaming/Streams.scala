@@ -640,10 +640,10 @@ object Streams {
   // across micro-batches. Exact integer µs arithmetic throughout.
   def qStreamSessionFlatmap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    runBounded(s, dir, "append", rawTs = true) { stream =>
+    runBounded(s, dir, "append") { stream =>
       import s.implicits._
-      // raw ts is ns-long; truncate to µs like Tables.fixEventTs
-      stream.select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      // event time as exact integer µs (fixEventTs ran; UTC session)
+      stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
         .as[(Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -1562,7 +1562,64 @@ SELECT sz.cluster_id, CAST(sz.n_docs AS BIGINT) AS n_docs,
 FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
   }
 
+  // ---------------------------------------------------------------
+  // HITS ON THE CUSTOMER→PART CO-PURCHASE GRAPH — the hubs-and-
+  // authorities twin of [[qPagerankStep]], on a graph where the
+  // directed structure is real: customers (hubs) point at the parts
+  // they order (authorities) through orders×lineitem. Two synchronous
+  // half-steps from hub=1 with NO normalization — the classical
+  // power iteration normalizes by the L2 norm (libm), so the gated
+  // values are the exact INTEGER unnormalized scores (auth¹ = part
+  // in-degree; hub² = Σ auth¹ over a customer's parts; auth² = Σ
+  // hub² over a part's customers), whose ranking is identical to the
+  // normalized iterate's. Scale shape: the edge list deduplicates to
+  // (c, p) once (one shuffle), each half-step is a groupBy partial
+  // agg plus a fixed-width join — the same shape GraphX's Pregel
+  // would run, expressed relationally so Catalyst handles it; top-10
+  // per side rides TakeOrderedAndProject.
+  private val HitsTopN = 10
+
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p")).distinct()
+      .localCheckpoint() // one edge materialization for the three half-step consumers
+    val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).cast("long").as("a1"))
+    val hub2 = edges.join(auth1, "p")
+      .groupBy(col("c")).agg(sum(col("a1")).cast("long").as("h2"))
+    val auth2 = edges.join(hub2, "c")
+      .groupBy(col("p")).agg(sum(col("h2")).cast("long").as("a2"))
+    val topParts = auth2
+      .orderBy(col("a2").desc, col("p")).limit(HitsTopN)
+      .select(lit("part").as("side"), col("p").as("node"), col("a2").as("score"))
+    val topCusts = hub2
+      .orderBy(col("h2").desc, col("c")).limit(HitsTopN)
+      .select(lit("cust").as("side"), col("c").as("node"), col("h2").as("score"))
+    topCusts.unionAll(topParts)
+      .orderBy(col("side"), col("score").desc, col("node"))
+  }
+
+  val qHitsSql: String =
+    s"""WITH g AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |auth1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1 FROM g GROUP BY p),
+       |hub2 AS (SELECT c, CAST(sum(a1) AS BIGINT) AS h2
+       |  FROM g JOIN auth1 USING (p) GROUP BY c),
+       |auth2 AS (SELECT p, CAST(sum(h2) AS BIGINT) AS a2
+       |  FROM g JOIN hub2 USING (c) GROUP BY p),
+       |tp AS (SELECT 'part' AS side, p AS node, a2 AS score,
+       |  ROW_NUMBER() OVER (ORDER BY a2 DESC, p) AS rn FROM auth2),
+       |tc AS (SELECT 'cust' AS side, c AS node, h2 AS score,
+       |  ROW_NUMBER() OVER (ORDER BY h2 DESC, c) AS rn FROM hub2)
+       |SELECT side, node, score FROM (
+       |  SELECT side, node, score FROM tc WHERE rn <= $HitsTopN
+       |  UNION ALL
+       |  SELECT side, node, score FROM tp WHERE rn <= $HitsTopN)
+       |ORDER BY side, score DESC, node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (qHits _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
@@ -1584,6 +1641,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_hits" -> qHitsSql,
     "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_cap_recall" -> qCapRecallSql,
     "dedup_fuzzy_names" -> qFuzzyNamesSql,

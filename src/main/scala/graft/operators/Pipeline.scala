@@ -803,7 +803,89 @@ object Pipeline {
       |  CAST(CASE WHEN reasons_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSIR-STYLE IMPORTANCE WEIGHTS — data selection by importance
+  // resampling (Xie et al. 2023): score every raw document by how
+  // much its hashed n-gram feature distribution looks like a TARGET
+  // distribution (here the `lang = 'en'` slice standing in for "the
+  // high-quality reference corpus"), so a 100 TB raw crawl can be
+  // resampled toward the target domain without a trained classifier.
+  // Features are word unigrams hashed to 64 buckets (the shared md5
+  // digest convention); each bucket's importance is the Laplace-
+  // smoothed frequency ratio lift_ppm = 1e6·(c_target·T_raw) /
+  // (c_raw·T_target), and a document's score is the SUM of its
+  // tokens' bucket lifts — the published estimator's log-likelihood
+  // ratio replaced by the rational lift sum (no libm in gated
+  // values; same monotone ranking on the smoothed ratios). Gated
+  // per-source: total/mean lift and how many of the source's docs
+  // score above parity (mean lift > 1e6) — the resampling decision.
+  // Scale shape: one tokenize kernel (checkpointed, fixed-width
+  // rows), a 64-row lift table broadcast back onto the token stream,
+  // per-doc then per-source partial aggregation — no corpus shuffle.
+  private val DsirBuckets = 64L
+
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val lang = r.getString(1)
+          val src = r.getString(2)
+          graft.operators.Text.duckWords(r.getString(3)).iterator
+            .map(w => (id, lang, src, Dedup.md5Mod(md, w, DsirBuckets)))
+        }
+      }.toDF("doc_id", "lang", "source", "b")
+      .localCheckpoint() // one kernel pass for the count and score consumers
+    val cnt = tok.groupBy(col("b")).agg(
+      (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 1L).cast("long").as("c_t"),
+      (count(lit(1)) + 1L).cast("long").as("c_r"))
+    val tot = cnt.agg(sum(col("c_t")).cast("long").as("t_t"), sum(col("c_r")).cast("long").as("t_r"))
+    val lift = cnt.crossJoin(broadcast(tot))
+      .select(col("b"), expr("(1000000 * c_t * t_r) div (c_r * t_t)").as("lift_ppm"))
+    tok.join(broadcast(lift), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lift_ppm")).cast("long").as("sum_lift"), count(lit(1)).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("sum_lift")).cast("long").as("tot_lift"),
+        sum(col("n_tok")).cast("long").as("n_tok"),
+        sum(when(col("sum_lift") > col("n_tok") * 1000000L, 1L).otherwise(0L))
+          .cast("long").as("n_above_parity"))
+      .withColumn("mean_lift_ppm", expr("tot_lift div n_tok"))
+      .orderBy(col("source"))
+  }
+
+  val qDsirSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, source,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, source,
+       |    ('0x' || substr(md5(word),1,15))::BIGINT % $DsirBuckets AS b FROM w),
+       |cnt AS (SELECT b,
+       |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) + 1 AS c_t,
+       |    CAST(count(*) AS BIGINT) + 1 AS c_r
+       |  FROM f GROUP BY b),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_t, CAST(sum(c_r) AS BIGINT) AS t_r FROM cnt),
+       |lift AS (SELECT b, (1000000 * c_t * t_r) // (c_r * t_t) AS lift_ppm
+       |  FROM cnt CROSS JOIN tot),
+       |ds AS (SELECT f.doc_id, f.source, CAST(sum(lift_ppm) AS BIGINT) AS sum_lift,
+       |    CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM f JOIN lift USING (b) GROUP BY 1, 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(sum_lift) AS BIGINT) AS tot_lift,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(count(*) FILTER (WHERE sum_lift > n_tok * 1000000) AS BIGINT) AS n_above_parity,
+       |  CAST(sum(sum_lift) // sum(n_tok) AS BIGINT) AS mean_lift_ppm
+       |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_dsir" -> (qDsir _),
     "pipe_filter_decisions" -> (qFilterDecisions _),
     "samp_split" -> (qSplit _),
     "samp_split_clean" -> (qSplitClean _),
@@ -822,6 +904,7 @@ object Pipeline {
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "samp_dsir" -> qDsirSql,
     "pipe_filter_decisions" -> qFilterDecisionsSql,
     "samp_split" -> qSplitSql,
     "samp_split_clean" -> qSplitCleanSql,

@@ -1259,7 +1259,87 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
   CAST((sum(nb) - sum(na)) * 1000000 // sum(nb) AS BIGINT) AS saved_ppm
 FROM f GROUP BY split ORDER BY split"""
 
+  // ---------------------------------------------------------------
+  // BM25 RELEVANCE SCORING — the ranking function behind keyword
+  // retrieval (and the "quality by query affinity" signal training
+  // pipelines use for targeted corpus selection). Scores are the
+  // k1=1.2 / b=0.75 Robertson formula re-expressed as pure integer
+  // arithmetic so both engines agree exactly: with N docs, L total
+  // tokens, per-doc length dl and term frequency tf, the per-term
+  // score is
+  //   44e6·tf·(2N−2df+1) / [((20tf+6) + floor(18·dl·N / L))·(2df+1)]
+  // floored to ppm — k1/b cleared to the rationals 6/5 and 3/4, the
+  // idf as the rational (N−df+½)/(df+½) cross-multiplied (no libm:
+  // the float BM25's ln(idf) would differ in the last ulp across
+  // engines), and the dl/avgdl length normalization floored INSIDE
+  // the denominator so every intermediate stays in BIGINT at any SF.
+  // Scale shape: one tokenize kernel emits 3 fixed-width rows per
+  // doc (localCheckpointed so corpus/df stats and scoring share the
+  // single kernel pass); df and the corpus totals are broadcast
+  // 1-to-3-row frames; the top-20 rides TakeOrderedAndProject
+  // (per-partition partial top-k), so nothing corpus-sized shuffles.
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25TopN = 20
+
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Bm25Terms.toArray
+    val tf = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus scans as ~3 partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val ws = duckWords(r.getString(1))
+          val counts = new Array[Long](terms.length)
+          var i = 0
+          while (i < ws.length) {
+            var t = 0
+            while (t < terms.length) { if (ws(i) == terms(t)) counts(t) += 1; t += 1 }
+            i += 1
+          }
+          val id = r.getLong(0)
+          val dl = ws.length.toLong
+          terms.indices.iterator.map(t => (id, dl, terms(t), counts(t)))
+        }
+      }.toDF("doc_id", "dl", "term", "tf")
+      .localCheckpoint() // 3 fixed-width rows/doc; one kernel pass for 3 consumers
+    val corpus = tf.filter(col("term") === lit(terms.head))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).cast("long").as("l"))
+    val dft = tf.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("s_micro", when(col("tf") > 0,
+        expr("(44000000 * tf * (2*n - 2*df + 1)) div (((20*tf + 6) + (18*dl*n) div l) * (2*df + 1))"))
+        .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_micro")).cast("long").as("bm25_micro"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("long").as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(Bm25TopN)
+  }
+
+  val qBm25Sql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM d),
+       |t AS (SELECT unnest(${Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS term),
+       |tf AS (SELECT doc_id, dl, term, CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf
+       |  FROM d CROSS JOIN t),
+       |df AS (SELECT term, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |  CASE WHEN tf.tf > 0 THEN
+       |    (44000000 * tf.tf * (2*c.n - 2*df.df + 1)) // (((20*tf.tf + 6) + (18*tf.dl*c.n) // c.l) * (2*df.df + 1))
+       |  ELSE 0 END AS s_micro,
+       |  CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END AS hit
+       |  FROM tf JOIN df USING (term) CROSS JOIN c)
+       |SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+       |  CAST(sum(hit) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25_micro DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (qBm25 _),
     "text_bpe_encode" -> (qBpeEncode _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
@@ -1279,6 +1359,7 @@ FROM f GROUP BY split ORDER BY split"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> qBm25Sql,
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,

@@ -612,4 +612,98 @@ class AnalyticsSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin") && l.contains("qid")),
       "no nested-loop join may pair probes with the corpus:\n" + plan)
   }
+
+  test("hamming top-k distances match a naive sign-bit recount") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def naiveHamm(a: Array[Double], b: Array[Double]): Long =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0)).toLong
+    val rows = Similarity.qHammingTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, neighbor, hamm) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(hamm == naiveHamm(emb(qid), emb(neighbor)),
+        s"qid=$qid neighbor=$neighbor: packed hamming $hamm != naive recount")
+    }
+    // per qid: ranks are 1..k and (hamm, neighbor) strictly ascending —
+    // the packed-long aggregator preserved the composite order
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"qid=$qid ranks not dense")
+      val keys = sorted.map(r => (r.getLong(3), r.getLong(2))).toSeq
+      assert(keys == keys.sorted, s"qid=$qid not ordered by (hamm, neighbor): $keys")
+    }
+  }
+
+  test("bm25 scores match a naive JVM recount of the rational formula") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Text.duckWords(r.getString(1))).toMap
+    val terms = Seq("spark", "merge", "window")
+    val n = docs.size.toLong
+    val l = docs.values.map(_.length.toLong).sum
+    val df = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    def score(ws: Array[String]): (Long, Long) = {
+      val dl = ws.length.toLong
+      terms.foldLeft((0L, 0L)) { case ((s, hits), t) =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) (s, hits)
+        else {
+          val num = 44000000L * tf * (2 * n - 2 * df(t) + 1)
+          val den = ((20 * tf + 6) + (18 * dl * n) / l) * (2 * df(t) + 1)
+          (s + num / den, hits + 1)
+        }
+      }
+    }
+    val rows = Text.qBm25(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (expected, hits) = score(docs(r.getLong(0)))
+      assert(r.getLong(1) == expected && r.getLong(2) == hits,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), naive ($expected, $hits)")
+    }
+    // the emitted list is the global top by (score desc, doc_id)
+    val allScores = docs.toSeq.map { case (id, ws) => (score(ws)._1, id) }
+      .sortBy { case (s, id) => (-s, id) }.take(rows.length)
+    assert(rows.map(r => (r.getLong(1), r.getLong(0))).toSeq == allScores,
+      "top-N selection diverges from the naive global ranking")
+  }
+
+  test("dsir lift accounting: token totals and parity split are consistent") {
+    val rows = Pipeline.qDsir(spark, sfDir).collect()
+    val corpusTokens = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .map(r => Text.duckWords(r.getString(0)).length.toLong).sum
+    assert(rows.map(_.getLong(3)).sum == corpusTokens,
+      "per-source token counts must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "parity winners cannot exceed doc count")
+      assert(r.getLong(5) == r.getLong(2) / r.getLong(3),
+        s"source ${r.getString(0)}: mean_lift_ppm must be tot div n_tok")
+    }
+    // the en-target lift must actually separate: some docs above
+    // parity, some below (the corpus is multilingual by construction)
+    val above = rows.map(_.getLong(4)).sum
+    assert(above > 0 && above < rows.map(_.getLong(1)).sum,
+      s"parity split degenerate: $above docs above out of ${rows.map(_.getLong(1)).sum}")
+  }
+
+  test("hits half-steps equal a naive recount on the distinct edge list") {
+    val edges = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (edges(r.getLong(0)), r.getLong(1))).distinct
+    val auth1 = pairs.groupBy(_._2).map { case (p, es) => p -> es.length.toLong }
+    val hub2 = pairs.groupBy(_._1).map { case (c, es) => c -> es.map(e => auth1(e._2)).sum }
+    val auth2 = pairs.groupBy(_._2).map { case (p, es) => p -> es.map(e => hub2(e._1)).sum }
+    Dedup.qHits(spark, sfDir).collect().foreach { r =>
+      val expected = if (r.getString(0) == "cust") hub2(r.getLong(1)) else auth2(r.getLong(1))
+      assert(r.getLong(2) == expected,
+        s"${r.getString(0)} ${r.getLong(1)}: score ${r.getLong(2)} != naive $expected")
+    }
+  }
 }

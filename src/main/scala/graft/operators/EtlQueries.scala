@@ -218,11 +218,46 @@ object EtlQueries {
     "etl_normalize" -> (qNormalize _),
     "etl_quarantine" -> (qQuarantine _),
     "src_json_roundtrip" -> (qJsonRoundtrip _),
-    "src_orc_roundtrip" -> (qOrcRoundtrip _))
+    "src_orc_roundtrip" -> (qOrcRoundtrip _),
+    "src_range_pushdown" -> (qRangePushdown _))
+
+  // ---------------------------------------------------------------
+  // CUSTOM DATASOURCE V2 gate — reads the from-scratch
+  // [[graft.sources.RangeTableProvider]] (filter pushdown, slice-grid
+  // partition pruning, column pruning; see its Scaladoc) through an
+  // id-range filter and aggregates. The filter prunes 8 of 16 input
+  // partitions at PLANNING time (plan-asserted in ExtensionSpec); the
+  // oracle regenerates the same rows from DuckDB's range() — exact
+  // integer arithmetic on both engines, so the gate checks the whole
+  // pushdown → prune → generate loop value-for-value. The `dir`
+  // parameter is unused: the source is synthetic by design.
+  private val RangeLo = 250000L
+  private val RangeHi = 750000L
+
+  def qRangePushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "1000000").option("slices", "16")
+      .load()
+      .filter(col("id") >= RangeLo && col("id") < RangeHi)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  private val rangePushdownOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range($RangeLo, $RangeHi) t(i)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
     "src_json_roundtrip" -> roundtripOracle,
-    "src_orc_roundtrip" -> roundtripOracle)
+    "src_orc_roundtrip" -> roundtripOracle,
+    "src_range_pushdown" -> rangePushdownOracle)
 }

@@ -957,7 +957,10 @@ FROM com"""
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // jump: l(u) <- min(l(u), l(l(u))) — label values are node ids,
-      // so every label row resolves against the labels frame itself
+      // so every label row resolves against the labels frame itself.
+      // (A second jump per round — log₄ convergence — was measured
+      // SLOWER here: the self-join's duplicated subtree recomputes
+      // the whole round twice, costing more than the saved rounds.)
       val next = prop.repartition(p, col("cluster_id"))
         .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("pl")),
           Seq("cluster_id"), "left")
@@ -1489,13 +1492,33 @@ FROM com"""
       qEmbedCosine(s, d).select(col("ia").as("doc_a"), col("ib").as("doc_b"))))
 
   /** Union evidence graph: one row per pair with the provenance
-    * bitmask of the families that found it. */
-  private[graft] def ensembleEdges(s: SparkSession, dir: String): DataFrame =
-    EnsembleFams.map { case (_, bit, fn) =>
-      fn(s, dir).select(col("doc_a"), col("doc_b"), lit(bit).as("fam"))
-    }.reduce(_ unionAll _)
+    * bitmask of the families that found it.
+    *
+    * The five family pipelines are independent DAGs, and each one
+    * under-fills the executor on its own (banded joins over a small
+    * pair stream leave most cores parked — the profiler shows the
+    * composite's dominant frame is idle waits, not compute). So the
+    * whole family pipelines — construction AND materialization — run
+    * on five concurrent threads (each builder materializes its own
+    * signature base via eager localCheckpoint at construction time,
+    * so only full-pipeline concurrency overlaps the real work; the
+    * r7 advisory pass removed the one session-global conf mutation,
+    * making concurrent construction on a shared session safe, and the
+    * memo registry is synchronized). Spark's scheduler interleaves
+    * the five job streams across the executor. The checkpointed edge
+    * lists are pair-count-bounded fixed-width rows. */
+  private[graft] def ensembleEdges(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fams = EnsembleFams.map { case (_, bit, fn) =>
+      Future(fn(s, dir).select(col("doc_a"), col("doc_b"), lit(bit).as("fam")).localCheckpoint())
+    }
+    Await.result(Future.sequence(fams), Duration.Inf)
+      .reduce(_ unionAll _)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(bit_or(col("fam")).as("mask"))
+  }
 
   def qDedupEnsemble(s: SparkSession, dir: String): DataFrame = {
     // materialized once: the edge list feeds the component resolution

@@ -976,11 +976,15 @@ object Similarity {
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, 1)), "h_np1"), Seq("qid"), "left")
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, IvfNProbeMulti)), "h_np4"), Seq("qid"), "left")
       .join(hitsOf(knnProbes, "h_knn"), Seq("qid"), "left")
+      // the 1-bit tier: how much of the exact list sign-bit hamming
+      // alone recovers — the floor every cheaper rerank starts from
+      .join(hitsOf(qHammingTopk(s, dir), "h_hamm"), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("h_pq"), lit(0L)).as("n_hits"),
         coalesce(col("h_np1"), lit(0L)).as("n_hits_np1"),
         coalesce(col("h_np4"), lit(0L)).as("n_hits_np4"),
-        coalesce(col("h_knn"), lit(0L)).as("n_hits_knn"))
+        coalesce(col("h_knn"), lit(0L)).as("n_hits_knn"),
+        coalesce(col("h_hamm"), lit(0L)).as("n_hits_hamm"))
       .orderBy(col("qid"))
   }
 
@@ -991,6 +995,7 @@ object Similarity {
        |anp4 AS (${ivfTopkNSql(IvfNProbeMulti)}),
        |aknn AS (SELECT vec_id AS qid, neighbor FROM ($qKnnGraphSql)
        |  WHERE vec_id % $QueryStride = 0),
+       |ahamm AS ($qHammingTopkSql),
        |hpq AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN apq a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |h1 AS (SELECT e.qid, count(*) AS h FROM exact e
@@ -998,16 +1003,20 @@ object Similarity {
        |h4 AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN anp4 a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |hk AS (SELECT e.qid, count(*) AS h FROM exact e
-       |  JOIN aknn a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
+       |  JOIN aknn a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
+       |hh AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN ahamm a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
        |SELECT q.qid, CAST(COALESCE(hpq.h, 0) AS BIGINT) AS n_hits,
        |  CAST(COALESCE(h1.h, 0) AS BIGINT) AS n_hits_np1,
        |  CAST(COALESCE(h4.h, 0) AS BIGINT) AS n_hits_np4,
-       |  CAST(COALESCE(hk.h, 0) AS BIGINT) AS n_hits_knn
+       |  CAST(COALESCE(hk.h, 0) AS BIGINT) AS n_hits_knn,
+       |  CAST(COALESCE(hh.h, 0) AS BIGINT) AS n_hits_hamm
        |FROM (SELECT DISTINCT qid FROM exact) q
        |LEFT JOIN hpq ON q.qid = hpq.qid
        |LEFT JOIN h1 ON q.qid = h1.qid
        |LEFT JOIN h4 ON q.qid = h4.qid
        |LEFT JOIN hk ON q.qid = hk.qid
+       |LEFT JOIN hh ON q.qid = hh.qid
        |ORDER BY q.qid""".stripMargin
 
   // ---------------------------------------------------------------

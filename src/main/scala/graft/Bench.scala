@@ -49,7 +49,14 @@ object Bench {
     // throughput the library actually delivers. If the two passes
     // disagree >3x, a load spike likely hit one of them — a third
     // pass keeps the min honest.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2): bench single
+    // queries under the exact harness (warmup + memo reset + min-of-2)
+    // the per-round record uses, so A/B numbers are comparable. The
+    // driver never sets it, so round benches are always the full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def pass(): Double = {
         // drop object-level memos (LSH pair list, cluster labels) so
         // every pass pays the COLD pipeline: without this the second

@@ -150,14 +150,14 @@ object Dedup {
   }: _*)
 
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Eager localCheckpoint, not persist: materializes the signature
-    // pass once for all downstream consumers (both band sides + the
-    // verification attach) AND leaves nothing registered in the
-    // session's catalog cache — the library contract is that queries
-    // do not accrue cached relations a caller must clearCache()
-    // (checkpointed RDDs are released by the ContextCleaner when the
-    // returned frame is garbage-collected).
-    val base = wordSignatures(s, dir).localCheckpoint()
+    // Eager localCheckpoint via the per-family base memo:
+    // materializes the signature pass once for all downstream
+    // consumers (both band sides + the verification attach) AND
+    // leaves nothing registered in the session's catalog cache — the
+    // library contract is that queries do not accrue cached relations
+    // a caller must clearCache() (checkpoint blocks are freed on memo
+    // replacement or resetMemos()).
+    val base = memoBase("word", s, dir)(wordSignatures(s, dir))
     val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
     val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
       .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
@@ -201,7 +201,7 @@ object Dedup {
   private val LshBucketCap = 4
 
   def qMinHashCapped(s: SparkSession, dir: String): DataFrame = {
-    val base = wordSignatures(s, dir).localCheckpoint()
+    val base = memoBase("word", s, dir)(wordSignatures(s, dir))
     val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
     val kept = bands
       .withColumn("bsz", count(lit(1)).over(
@@ -350,9 +350,9 @@ FROM com"""
 
   def qIncremental(s: SparkSession, dir: String): DataFrame = {
     val isBatch = col("doc_id") % IncrBatchMod === IncrBatchRem
-    // localCheckpoint: one signature pass feeds bands + both set
+    // memoized base: one signature pass feeds bands + both set
     // attaches (library cache contract, see [[qMinHashLsh]])
-    val base = wordSignatures(s, dir).localCheckpoint()
+    val base = memoBase("word", s, dir)(wordSignatures(s, dir))
 
     val dig = Tables.documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
     val exact = dig.filter(!isBatch)
@@ -524,31 +524,45 @@ FROM com"""
 
   private val EmbedCentroids = 16 // vec_id < K stands in for a trained codebook
 
-  def qEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Normalized vectors + rank-based 16-vector codebook (the K
+    * smallest vec_ids via TakeOrdered, not `vec_id < K`: an id space
+    * that doesn't start at 0 would make the predicate form silently
+    * return an empty codebook — and with it an empty assign frame and
+    * zero output pairs while the all-pairs oracle still finds
+    * matches). Both are lazy frame definitions, cheap to rebuild. */
+  private def embedVecsAndCents(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
-    // Rank-based codebook (the K smallest vec_ids via TakeOrdered),
-    // not `vec_id < K`: an id space that doesn't start at 0 would make
-    // the predicate form silently return an empty codebook — and with
-    // it an empty assign frame and zero output pairs while the
-    // all-pairs oracle still finds matches.
     val cents = e.orderBy(col("vec_id")).limit(EmbedCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // 1. assign: broadcast the K-row codebook; map-side partial agg
-    //    collapses the K candidates per vector before the one shuffle.
+    (e, cents)
+  }
+
+  /** The embed family's memoized base: every vector assigned to its
+    * nearest codebook centroid (broadcast K-row codebook; map-side
+    * partial agg collapses the K candidates per vector before the one
+    * shuffle), eagerly checkpointed — not persist, see
+    * [[qMinHashLsh]]. */
+  private[operators] def embedAssigned(s: SparkSession, dir: String): DataFrame = {
+    val (e, cents) = embedVecsAndCents(s, dir)
     val ccos = DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(col("cand")).as("m"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("m.nc")).as("cl"),
-        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist"))
-      .localCheckpoint() // not persist: see [[qMinHashLsh]]
+    memoBase("embed_assigned", s, dir)(
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          max(col("cand")).as("m"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (-col("m.nc")).as("cl"),
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist")))
+  }
+
+  def qEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = embedVecsAndCents(s, dir)
+    val assigned = embedAssigned(s, dir)
     // 2. per-ball radii (K rows)
     val radii = assigned.groupBy(col("cl")).agg(max(col("cdist")).as("r"))
     // 3. ball-overlap candidate cluster pairs (K x K metadata join);
@@ -603,8 +617,8 @@ FROM com"""
   private val SimBandBits = SimHashBits / SimBands
 
   def qSimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not persist: see [[qMinHashLsh]].
-    val sh = simhashSignatures(s, dir).localCheckpoint()
+    // memoized base: see [[qMinHashLsh]].
+    val sh = memoBase("simhash", s, dir)(simhashSignatures(s, dir))
     val bandCols = array((0 until SimBands).map { b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("simhash"), SimBandBits * b)
@@ -729,10 +743,10 @@ FROM com"""
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.plans.SetExprs.register(s)
-    // Eager localCheckpoint (not persist): one materialization of the
-    // signature pass, nothing left in the catalog cache — see
-    // [[qMinHashLsh]] for the library-contract rationale.
-    val base = ngramSignatures(s, dir).localCheckpoint()
+    // Memoized eager base: one materialization of the signature pass,
+    // nothing left in the catalog cache — see [[qMinHashLsh]] for the
+    // library-contract rationale.
+    val base = memoBase("ngram", s, dir)(ngramSignatures(s, dir))
     // Band keys as (band_id, h1, h2) int structs, not concat'd strings:
     // the self-join shuffles 20 fixed-width band rows per doc and the
     // candidate set is identical to the string-key form, so the oracle
@@ -893,6 +907,8 @@ FROM com"""
     pairsFor = null
     labelsCache = null
     labelsFor = null
+    baseCache.forEach((_, v) => freeLocalCheckpoint(v._2))
+    baseCache.clear()
   }
 
   /** Unpersists the block-backed RDD behind a localCheckpoint'ed
@@ -903,6 +919,32 @@ FROM com"""
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Per-family signature bases (word shingles, simhash, char n-gram,
+    * winnow fingerprints, embed assignment), memoized per (session,
+    * sfDir) behind one eager localCheckpoint each — the [[lshPairs]]
+    * library rationale applied one level down: the base kernel is the
+    * CPU-heavy part of every family, and each family query was
+    * re-materializing its own copy. Keyed by kind in a
+    * ConcurrentHashMap (per-key compute lock) so [[ensembleEdges]]
+    * can warm all bases CONCURRENTLY: the base kernels are
+    * scan→repartition→mapPartitions jobs with no broadcast joins, so
+    * concurrent materialization fills the cores without the KeyLock
+    * contention that sank full-pipeline concurrency (A/B in
+    * PLANS.md). [[resetMemos]] drops these too, so the bench still
+    * measures the cold pipeline. */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((SparkSession, String), DataFrame)]
+
+  private[graft] def memoBase(kind: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    baseCache.compute(kind, (_, prev) => {
+      if (prev != null && prev._1 == ((s, dir))) prev
+      else {
+        if (prev != null) freeLocalCheckpoint(prev._2)
+        ((s, dir), build.localCheckpoint())
+      }
+    })._2
 
   /** Connected components over a symmetric (src, dst) edge list via
     * min-label propagation + pointer jumping. Returns (labels for
@@ -952,9 +994,11 @@ FROM com"""
         .repartition(p, col("src"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      // hop: take the min over self + neighbors (labels only decrease)
+      // hop: take the min over self + neighbors (labels only
+      // decrease); the OLD label rides along so the convergence check
+      // below needs no extra join
       val prop = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // jump: l(u) <- min(l(u), l(l(u))) — label values are node ids,
       // so every label row resolves against the labels frame itself.
@@ -964,16 +1008,21 @@ FROM com"""
       val next = prop.repartition(p, col("cluster_id"))
         .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("pl")),
           Seq("cluster_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("cluster_id"), coalesce(col("pl"), col("cluster_id"))).as("cluster_id"))
-        // back to doc_id partitioning: the changed-count join below
-        // and ALL of next round's label joins then zip exchange-free
+        // back to doc_id partitioning: ALL of next round's label joins
+        // then zip exchange-free
         .repartition(p, col("doc_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("old")).cast("long").as("ch"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
+      // the changed count is a map-only sum over the checkpointed
+      // partitions — the previous form re-joined next against labels
+      // (one extra ~5-stage job per round on a loop that is pure
+      // per-job fixed overhead at test SF)
+      val changed = next.agg(coalesce(sum(col("ch")), lit(0L)).as("c")).first().getLong(0)
       converged = changed == 0
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     (labels, rounds)
@@ -1051,8 +1100,13 @@ FROM com"""
   private val WinnowContainmentPm = 700 // shared/min(|A|,|B|) >= 0.7
   private val WinnowMaxDf = 16
 
-  def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val fps = Text.winnowFp(s, dir).localCheckpoint()
+  /** Scored winnow pair list WITHOUT the final sort or its guarding
+    * checkpoint — [[qWinnowPairs]] adds both (the range exchange
+    * would re-run the scoring chain); [[ensembleEdges]] consumes this
+    * form directly so the scoring chain stays lazy and joins the
+    * union job instead of materializing serially at construction. */
+  private def winnowPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+    val fps = memoBase("winnow", s, dir)(Text.winnowFp(s, dir))
     // Candidates come from the inverted index GROUPED by hash: df is
     // just the group size (no window pass), the DF cap drops
     // boilerplate groups, and pairs expand per group from the ≤
@@ -1101,16 +1155,24 @@ FROM com"""
         min_by(col("fp"), col("doc_id")).as("fp_a"),
         max_by(col("fp"), col("doc_id")).as("fp_b"),
         min(col("n")).as("n_min"))
-      .withColumn("n_shared", size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
+      // codegen'd linear merge over the sorted-distinct fingerprint
+      // arrays — size(array_intersect(...)) built a hash set AND the
+      // result array per pair just to take its length (34s CPU at
+      // sf0.1; the merge count is ~4s)
+      .withColumn("n_shared",
+        graft.plans.SetExprs.intersectCountSorted(col("fp_a"), col("fp_b")).cast("long"))
       .withColumn("containment_pm", expr("n_shared * 1000 div n_min"))
       .filter(col("containment_pm") >= WinnowContainmentPm)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment_pm"))
+  }
+
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsUnsorted(s, dir)
       // materialize the ~|survivors| rows before the sort: the range
       // exchange SAMPLES its child and then runs it again — without
       // this the whole scoring chain executes twice (measured ~2s ×2)
       .localCheckpoint()
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val qWinnowPairsSql: String =
     s"""WITH ${Text.winnowCteSql},
@@ -1487,35 +1549,42 @@ FROM com"""
     ("ngram", 4L, (s: SparkSession, d: String) =>
       qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))),
     ("winnow", 8L, (s: SparkSession, d: String) =>
-      qWinnowPairs(s, d).select(col("doc_a"), col("doc_b"))),
+      winnowPairsUnsorted(s, d).select(col("doc_a"), col("doc_b"))),
     ("embed", 16L, (s: SparkSession, d: String) =>
       qEmbedCosine(s, d).select(col("ia").as("doc_a"), col("ib").as("doc_b"))))
 
   /** Union evidence graph: one row per pair with the provenance
     * bitmask of the families that found it.
     *
-    * The five family pipelines are independent DAGs, and each one
-    * under-fills the executor on its own (banded joins over a small
-    * pair stream leave most cores parked — the profiler shows the
-    * composite's dominant frame is idle waits, not compute). So the
-    * whole family pipelines — construction AND materialization — run
-    * on five concurrent threads (each builder materializes its own
-    * signature base via eager localCheckpoint at construction time,
-    * so only full-pipeline concurrency overlaps the real work; the
-    * r7 advisory pass removed the one session-global conf mutation,
-    * making concurrent construction on a shared session safe, and the
-    * memo registry is synchronized). Spark's scheduler interleaves
-    * the five job streams across the executor. The checkpointed edge
-    * lists are pair-count-bounded fixed-width rows. */
+    * Concurrency here is BASE-ONLY — measured, not guessed (r9 A/B
+    * table in PLANS.md, Bench harness min-of-2 at sf0.1): running the
+    * five FULL family pipelines on five concurrent threads regressed
+    * 7.75s → 18.6s (each family's kernels are width-pinned to the
+    * full machine, so cross-family pipeline concurrency
+    * oversubscribes the executor — the sampler showed `Unsafe.park`,
+    * broadcast-build `KeyLock` contention and tiny-shuffle
+    * `DiskBlockObjectWriter` churn, not compute; two-at-a-time still
+    * read 11.9s). The per-family signature BASES are different: they
+    * are scan→repartition→kernel jobs with no banded joins, so
+    * warming the five [[memoBase]] checkpoints concurrently overlaps
+    * the serialized CPU-heavy prefix without the join-machinery
+    * contention. Family pipelines then build sequentially on the
+    * warmed bases, and the lazy union evaluates as one job whose
+    * independent banded subtrees Spark's DAG scheduler interleaves at
+    * the stage level. Edge rows are pair-count-bounded fixed width. */
   private[graft] def ensembleEdges(s: SparkSession, dir: String): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fams = EnsembleFams.map { case (_, bit, fn) =>
-      Future(fn(s, dir).select(col("doc_a"), col("doc_b"), lit(bit).as("fam")).localCheckpoint())
-    }
-    Await.result(Future.sequence(fams), Duration.Inf)
-      .reduce(_ unionAll _)
+    Await.result(Future.sequence(Seq(
+      Future(memoBase("word", s, dir)(wordSignatures(s, dir))),
+      Future(memoBase("simhash", s, dir)(simhashSignatures(s, dir))),
+      Future(memoBase("ngram", s, dir)(ngramSignatures(s, dir))),
+      Future(memoBase("winnow", s, dir)(Text.winnowFp(s, dir))),
+      Future(embedAssigned(s, dir)))), Duration.Inf)
+    EnsembleFams.map { case (_, bit, fn) =>
+      fn(s, dir).select(col("doc_a"), col("doc_b"), lit(bit).as("fam"))
+    }.reduce(_ unionAll _)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(bit_or(col("fam")).as("mask"))
   }

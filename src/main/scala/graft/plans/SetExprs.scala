@@ -67,6 +67,55 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact |A∩B| of two SORTED DISTINCT `array<long>` columns via
+  * linear merge — the winnowing-containment verifier's inner loop.
+  * Matches DuckDB `len(list_intersect(a,b))` on sorted-distinct
+  * inputs. Replacing `size(array_intersect(...))` (hash-set build +
+  * result-array materialization per pair, interpreted) with this
+  * merge count took the winnow scoring stage from ~34s to ~4s CPU at
+  * sf0.1. */
+case class IntersectCountSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { inter += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $inter++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Count of positions where two equal-length `array<long>` columns
   * agree — the MinHash signature-estimate compare. */
 case class EqCountLong(left: Expression, right: Expression)
@@ -106,18 +155,23 @@ case class EqCountLong(left: Expression, right: Expression)
 object SetExprs {
   private val JaccardFn = "graft_jaccard_sorted_long"
   private val EqCountFn = "graft_eq_count_long"
+  private val InterFn = "graft_intersect_count_sorted_long"
 
-  /** Registers both expressions in the session's function registry and
+  /** Registers the expressions in the session's function registry and
     * installs the [[JaccardLengthPrune]] optimizer rule (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaccardFn, exprs => JaccardSortedLong(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       EqCountFn, exprs => EqCountLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      InterFn, exprs => IntersectCountSortedLong(exprs(0), exprs(1)), "built-in")
     GraftExtensions.install(spark)
   }
 
   def jaccardSorted(a: Column, b: Column): Column = call_function(JaccardFn, a, b)
 
   def eqCount(a: Column, b: Column): Column = call_function(EqCountFn, a, b)
+
+  def intersectCountSorted(a: Column, b: Column): Column = call_function(InterFn, a, b)
 }

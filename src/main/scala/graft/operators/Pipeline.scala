@@ -845,8 +845,17 @@ object Pipeline {
       (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 1L).cast("long").as("c_t"),
       (count(lit(1)) + 1L).cast("long").as("c_r"))
     val tot = cnt.agg(sum(col("c_t")).cast("long").as("t_t"), sum(col("c_r")).cast("long").as("t_r"))
+    // the numerator is 1e6·c_t·t_r — three BIGINT factors whose
+    // product exceeds Long range at roughly sf1 token counts, where
+    // Spark wraps silently while DuckDB raises (the moneySum overflow
+    // rule applied to a product): both engines compute it in wide
+    // exact arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle —
+    // products cap at ~1e31, far under both limits) and the integral
+    // divide of positive operands is truncation on both.
     val lift = cnt.crossJoin(broadcast(tot))
-      .select(col("b"), expr("(1000000 * c_t * t_r) div (c_r * t_t)").as("lift_ppm"))
+      .select(col("b"), expr(
+        "(cast(1000000 as decimal(38,0)) * c_t * t_r) div (cast(c_r as decimal(38,0)) * t_t)")
+        .as("lift_ppm"))
     tok.join(broadcast(lift), "b")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("lift_ppm")).cast("long").as("sum_lift"), count(lit(1)).cast("long").as("n_tok"))
@@ -872,7 +881,7 @@ object Pipeline {
        |    CAST(count(*) AS BIGINT) + 1 AS c_r
        |  FROM f GROUP BY b),
        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_t, CAST(sum(c_r) AS BIGINT) AS t_r FROM cnt),
-       |lift AS (SELECT b, (1000000 * c_t * t_r) // (c_r * t_t) AS lift_ppm
+       |lift AS (SELECT b, CAST((1000000::HUGEINT * c_t * t_r) // (c_r::HUGEINT * t_t) AS BIGINT) AS lift_ppm
        |  FROM cnt CROSS JOIN tot),
        |ds AS (SELECT f.doc_id, f.source, CAST(sum(lift_ppm) AS BIGINT) AS sum_lift,
        |    CAST(count(*) AS BIGINT) AS n_tok

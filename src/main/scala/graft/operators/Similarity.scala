@@ -958,11 +958,19 @@ object Similarity {
     // would otherwise each replan the all-pairs exact top-k subtree
     val exact = qTopkCosine(s, dir).select(col("qid"), col("neighbor"))
       .localCheckpoint()
+    // each config's hit counts materialize eagerly here: five
+    // unmaterialized retrieval subtrees joined under the final
+    // orderBy made this the board's contention amplifier (the range
+    // exchange samples and re-runs its child, and six concurrent-ish
+    // pipelines compete for memory — 5.6s idle read 33.3s on a loaded
+    // box). The hit frames are ≤|probes| rows each, so the
+    // checkpoint is metadata-sized and the final join+sort is trivial.
     def hitsOf(approx: DataFrame, out: String): DataFrame =
       exact.join(
           approx.select(col("qid").as("aqid"), col("neighbor").as("an")),
           col("qid") === col("aqid") && col("neighbor") === col("an"))
         .groupBy(col("qid")).agg(count(lit(1)).as(out))
+        .localCheckpoint()
     // one assignment sweep feeds both nprobe configurations (the
     // probe-cell tables are K-row metadata; the K-N assign is the cost)
     val assign = assignToCentroids(s, dir).localCheckpoint()

@@ -1305,8 +1305,15 @@ FROM f GROUP BY split ORDER BY split"""
       .localCheckpoint() // 3 fixed-width rows/doc; one kernel pass for 3 consumers
     val corpus = tf.filter(col("term") === lit(terms.head))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).cast("long").as("l"))
-    val dft = tf.filter(col("tf") > 0)
-      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    // df seeded from the query-term literal, not derived from the
+    // tf>0 slice alone: a term absent corpus-wide has df=0 — deriving
+    // df by grouping the tf>0 rows would drop that term from the
+    // inner join below entirely (empty result), while the oracle's
+    // count-FILTER df keeps the row and scores every doc 0 for it.
+    val dft = terms.toSeq.toDF("term")
+      .join(tf.filter(col("tf") > 0)
+        .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfc")), Seq("term"), "left")
+      .select(col("term"), coalesce(col("dfc"), lit(0L)).as("df"))
     tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(corpus))
       .withColumn("s_micro", when(col("tf") > 0,

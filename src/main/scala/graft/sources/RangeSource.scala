@@ -40,11 +40,15 @@ class RangeTableProvider extends TableProvider {
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new RangeTable(
-      properties.get("start").toLong,
-      properties.get("end").toLong,
+      properties: util.Map[String, String]): Table = {
+    def req(key: String): Long = Option(properties.get(key)) match {
+      case Some(v) => v.toLong
+      case None => throw new IllegalArgumentException(
+        s"graft_range source requires option '$key' (got: start/end)")
+    }
+    new RangeTable(req("start"), req("end"),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+  }
 }
 
 object RangeTable {
@@ -83,18 +87,27 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
     case _ => None
   }
 
+  // Saturating +1: `GreaterThan("id", Long.MaxValue)` /
+  // `LessThanOrEqual("id", Long.MaxValue)` would otherwise wrap to
+  // Long.MinValue — an empty scan for an accept-everything predicate,
+  // and SILENTLY wrong because the filter was reported accepted (so
+  // Spark drops its own re-filter). Saturation over-includes by at
+  // most the one unrepresentable bound, which the exact reader range
+  // [start, end) can never contain anyway.
+  private def incSat(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rest = filters.filter {
       case GreaterThan("id", v) if longOf(v).isDefined =>
-        lo = math.max(lo, longOf(v).get + 1); false
+        lo = math.max(lo, incSat(longOf(v).get)); false
       case GreaterThanOrEqual("id", v) if longOf(v).isDefined =>
         lo = math.max(lo, longOf(v).get); false
       case LessThan("id", v) if longOf(v).isDefined =>
         hi = math.min(hi, longOf(v).get); false
       case LessThanOrEqual("id", v) if longOf(v).isDefined =>
-        hi = math.min(hi, longOf(v).get + 1); false
+        hi = math.min(hi, incSat(longOf(v).get)); false
       case EqualTo("id", v) if longOf(v).isDefined =>
-        lo = math.max(lo, longOf(v).get); hi = math.min(hi, longOf(v).get + 1); false
+        lo = math.max(lo, longOf(v).get); hi = math.min(hi, incSat(longOf(v).get)); false
       case _ => true // not handled here; Spark keeps its own Filter for these
     }
     accepted = filters.diff(rest)

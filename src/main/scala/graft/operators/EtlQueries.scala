@@ -219,7 +219,8 @@ object EtlQueries {
     "etl_quarantine" -> (qQuarantine _),
     "src_json_roundtrip" -> (qJsonRoundtrip _),
     "src_orc_roundtrip" -> (qOrcRoundtrip _),
-    "src_range_pushdown" -> (qRangePushdown _))
+    "src_range_pushdown" -> (qRangePushdown _),
+    "src_range_join" -> (qRangeJoin _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -254,10 +255,50 @@ object EtlQueries {
        |FROM range($RangeLo, $RangeHi) t(i)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSv2 SOURCE JOINED TO A PARQUET FACT — the scan-prune gate
+  // composed into real work: the range table plays a key manifest
+  // (id, bucket, val) enriching the orders fact on o_orderkey, with
+  // the id bound pushed INTO the custom scan so only 4 of 16 planned
+  // slices exist before the join (the DPP analogue for a DSv2
+  // source; `slices=4/16` is plan-asserted in ExtensionSpec). The
+  // pruned manifest side (bound rows, fixed width) BROADCASTS and the
+  // fact streams map-side — at 100 TB the fact never shuffles for a
+  // manifest-bounded enrich. The oracle regenerates the manifest from
+  // range() and joins the same parquet fact, gating pushdown → prune
+  // → generate → join end-to-end.
+  private val RangeJoinEnd = 60000L
+  private val RangeJoinBound = 15000L
+
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val manifest = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", RangeJoinEnd.toString).option("slices", "16")
+      .load()
+      .filter(col("id") < RangeJoinBound)
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"))
+    broadcast(manifest).join(orders, col("id") === col("o_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeJoinOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range(0, $RangeJoinBound) t(i)
+       |JOIN orders o ON o.o_orderkey = i
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
     "src_json_roundtrip" -> roundtripOracle,
     "src_orc_roundtrip" -> roundtripOracle,
-    "src_range_pushdown" -> rangePushdownOracle)
+    "src_range_pushdown" -> rangePushdownOracle,
+    "src_range_join" -> rangeJoinOracle)
 }

@@ -1001,6 +1001,19 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 range source joined to the fact: pruned scan + broadcast orientation") {
+    val df = EtlQueries.qRangeJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the id < 15000 bound reached the scan builder: 4 of the 16
+    // 3750-wide slices of [0, 60000) survive to planning
+    assert(plan.contains("GraftRangeScan[0,15000) slices=4/16"),
+      "pushed join-side id bound must prune the DSv2 slice grid:\n" + plan)
+    // the pruned manifest is the broadcast build side; the parquet
+    // fact streams (no exchange on the fact for a manifest enrich)
+    assert(plan.contains("BroadcastHashJoin"),
+      "manifest enrich must broadcast the pruned scan:\n" + plan)
+  }
+
   test("DSv2 range source: Long.MaxValue bounds saturate instead of wrapping") {
     def tbl = spark.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", "100").option("slices", "4").load()

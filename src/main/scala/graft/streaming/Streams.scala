@@ -539,7 +539,11 @@ object Streams {
   // union+running-max window because its left side is unbounded per
   // key. All boundary arithmetic is exact integer µs; the version
   // cuts use integer div on non-negative spans (truncate ≡ floor).
-  def qStreamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+  /** The as-of enrich transform over an event stream — exposed to the
+    * spec so [[stateRowsPerBatch]] can assert the stream-static join
+    * holds ZERO state-store rows (the bounded-state claim, measured). */
+  private[graft] def asofEnrichTransform(s: SparkSession, dir: String)(
+      stream: DataFrame): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     // corpus span → three validity epochs: a 1-row metadata agg (at
@@ -554,16 +558,17 @@ object Streams {
     val dim = ev.select(col("user_id").as("d_uid")).distinct()
       .crossJoin(versions)
       .withColumn("tier", (col("d_uid") * 7 + col("tier_version") * 13) % 5)
-    runBounded(s, dir, "append") { stream =>
-      stream.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("event_ts_us"))
-        .join(broadcast(dim),
-          col("user_id") === col("d_uid") &&
-            col("event_ts_us") >= col("vfrom") && col("event_ts_us") < col("vto"))
-        .select(col("event_id"), col("user_id"), col("event_ts_us"),
-          col("tier_version"), col("tier"))
-    }
-      .orderBy(col("event_id"))
+    stream.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("event_ts_us"))
+      .join(broadcast(dim),
+        col("user_id") === col("d_uid") &&
+          col("event_ts_us") >= col("vfrom") && col("event_ts_us") < col("vto"))
+      .select(col("event_id"), col("user_id"), col("event_ts_us"),
+        col("tier_version"), col("tier"))
   }
+
+  def qStreamAsofEnrich(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append")(asofEnrichTransform(s, dir))
+      .orderBy(col("event_id"))
 
   val qStreamAsofEnrichSql: String =
     """WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -638,38 +643,43 @@ object Streams {
   // watermark boundary, not a complete-mode fake. Events inside a
   // batch sort by (ts, event_id) in the function; state carries
   // across micro-batches. Exact integer µs arithmetic throughout.
-  def qStreamSessionFlatmap(s: SparkSession, dir: String): DataFrame = {
+  /** The session-closure state machine — exposed to the spec so
+    * [[stateRowsPerBatch]] can assert state is USER-bounded (exactly
+    * one open session per user ever seen, never event-bounded). */
+  private[graft] def sessionFlatmapTransform(s: SparkSession)(
+      stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    runBounded(s, dir, "append") { stream =>
-      import s.implicits._
-      // event time as exact integer µs (fixEventTs ran; UTC session)
-      stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, Long, Long)],
-           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
-            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-            var open = state.getOption // (start, last, n)
-            sorted.foreach { case (_, ts, _) =>
-              open match {
-                case Some((st, last, n)) if ts - last <= SessionGapUs =>
-                  open = Some((st, ts, n + 1))
-                case Some((st, last, n)) =>
-                  closed += ((user, st, n, last - st))
-                  open = Some((ts, ts, 1L))
-                case None =>
-                  open = Some((ts, ts, 1L))
-              }
+    import s.implicits._
+    // event time as exact integer µs (fixEventTs ran; UTC session)
+    stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          var open = state.getOption // (start, last, n)
+          sorted.foreach { case (_, ts, _) =>
+            open match {
+              case Some((st, last, n)) if ts - last <= SessionGapUs =>
+                open = Some((st, ts, n + 1))
+              case Some((st, last, n)) =>
+                closed += ((user, st, n, last - st))
+                open = Some((ts, ts, 1L))
+              case None =>
+                open = Some((ts, ts, 1L))
             }
-            open.foreach(state.update)
-            closed.iterator
-        }
-        .toDF("user_id", "start_us", "n_events", "duration_us")
-    }
-      .orderBy(col("user_id"), col("start_us"))
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+      .toDF("user_id", "start_us", "n_events", "duration_us")
   }
+
+  def qStreamSessionFlatmap(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append")(sessionFlatmapTransform(s))
+      .orderBy(col("user_id"), col("start_us"))
 
   private val SessionGapUs = 1800000000L // 30 min, matches Temporal.qSessionize
 

@@ -547,6 +547,32 @@ class AnalyticsSpec extends SparkSpec {
       s"watermarked state $bounded must stay below the unbounded total ${unbounded.last}")
   }
 
+  test("session flatMap state is user-bounded; stream-static as-of join holds no state") {
+    import graft.streaming.Streams
+    val ev = graft.Tables.events(spark, sfDir)
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nEvents = ev.count()
+    // flatMapGroupsWithState session closure: the store holds exactly
+    // ONE open session per user ever seen — it grows with the user
+    // population (non-decreasing) and plateaus there, never with the
+    // event volume (the 100 TB difference between per-key and
+    // per-record state)
+    val st = Streams.stateRowsPerBatch(spark, sfDir, 4)(Streams.sessionFlatmapTransform(spark))
+    assert(st.size >= 4, s"expected >=4 data batches: $st")
+    assert(st == st.sorted, s"open-session state must be non-decreasing: $st")
+    assert(st.last == nUsers,
+      s"state must hold exactly one open session per seen user: $st vs $nUsers users")
+    assert(st.last * 10 < nEvents,
+      s"state must be user-bounded, not event-bounded: ${st.last} vs $nEvents events")
+    // the as-of enrich is a stream-static broadcast join — stateless
+    // by construction, and the progress events prove it: zero
+    // state-store rows in every micro-batch
+    val asof = Streams.stateRowsPerBatch(spark, sfDir, 4)(
+      Streams.asofEnrichTransform(spark, sfDir))
+    assert(asof.nonEmpty && asof.forall(_ == 0L),
+      s"stream-static as-of join must hold no state rows: $asof")
+  }
+
   test("multi-probe IVF is cell-bounded, hash-joined, and lifts recall over nprobe=1") {
     val np = 4
     val topk = Similarity.ivfTopkN(spark, sfDir, np)

@@ -68,6 +68,66 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MATRYOSHKA (prefix-dimension) RETRIEVAL — MRL-style embeddings
+  // are trained so a PREFIX of the vector is itself a usable
+  // embedding; serving stacks exploit that by retrieving with the
+  // first 16 of 64 dims (4× less memory bandwidth and dot-product
+  // work) and reserving full precision for re-ranks. This gates that
+  // trade directly: the ranking is by prefix cosine, and each emitted
+  // row carries the FULL cosine of the same pair — the per-row
+  // agreement between cheap and exact scoring, regression-visible.
+  // Same plan class as [[qTopkCosine]] (broadcast probes, corpus
+  // streams, fixed-width rows into the rank window); the prefix
+  // slice/norms ride the same scan. On this corpus (uniform random,
+  // prefix uncorrelated with the tail — the adversarial case) the
+  // prefix ranking recovers ~22% of the exact top-5; on true MRL
+  // embeddings the prefix carries most of the signal by construction.
+  private val MrlDim = 16
+
+  def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    def withPrefix(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("pv", slice(col("v"), 1, MrlDim))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+      .withColumn("pn", sqrt(DotF64.dot(col("pv"), col("pv"))))
+    val queries = withPrefix(Tables.embeddings(s, dir))
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("pv").as("qpv"),
+        col("nrm").as("qn"), col("pn").as("qpn"))
+    val scored = withPrefix(Tables.embeddings(s, dir))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("pcos",
+        round(DotF64.dot(col("pv"), col("qpv")) / (col("pn") * col("qpn")), 6))
+      .withColumn("full_cos",
+        round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        col("pcos"), col("full_cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qMatryoshkaSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, v[1:$MrlDim] AS pv,
+       |  ${Vectors.normSql("v")} AS nrm FROM e),
+       |n2 AS (SELECT vec_id, v, pv, nrm, ${Vectors.normSql("pv", MrlDim)} AS pn FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, pv AS qpv, nrm AS qn, pn AS qpn
+       |  FROM n2 WHERE vec_id % $QueryStride = 0),
+       |scored AS (SELECT q.qid, n2.vec_id,
+       |  round((${Vectors.dotSql("n2.pv", "q.qpv", MrlDim)}) / (n2.pn * q.qpn), 6) AS pcos,
+       |  round((${Vectors.dotSql("n2.v", "q.qv")}) / (n2.nrm * q.qn), 6) AS full_cos
+       |  FROM n2 JOIN q ON n2.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, pcos, full_cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id AS neighbor, pcos, full_cos FROM r
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   /** Hyperplane ±1 components, computed once on the driver (md5 nibble
     * parity — see [[Vectors.planeSigns]]) and baked into both the
     * Spark plan and the generated oracle SQL as literals. */
@@ -1283,6 +1343,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rank_fusion" -> (qRankFusion _),
     "sim_bm25_fusion" -> (qBm25Fusion _),
+    "sim_matryoshka" -> (qMatryoshka _),
     "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_lsh_buckets" -> (qLshBuckets _),
@@ -1303,6 +1364,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   val oracles: Map[String, String] = Map(
     "sim_cascade_topk" -> qCascadeTopkSql,
     "sim_bm25_fusion" -> qBm25FusionSql,
+    "sim_matryoshka" -> qMatryoshkaSql,
     "sim_rank_fusion" -> qRankFusionSql,
     "sim_knn_graph" -> qKnnGraphSql,
     "sim_topk_cosine" -> qTopkCosineSql,

@@ -546,7 +546,79 @@ object Temporal {
        |  CAST(CASE WHEN epoch_us(lt) < epoch_us(m) - $ChurnHorizonUs THEN 1 ELSE 0 END AS BIGINT) AS churn_label
        |FROM u, mx ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DISTRIBUTION DRIFT between two time halves of the event stream —
+  // the monitoring query every production ingest runs: has the
+  // event-type mix shifted between the reference window and the live
+  // window? The statistic is the per-type chi-square contribution,
+  // kept EXACT: with Laplace-smoothed counts r (reference half) and
+  // o (live half) and totals R, L, the per-type term
+  // (o − r·L/R)²/(r·L/R) equals (o·R − r·L)² / (R·r·L) — emitted as
+  // an integer ppm via wide arithmetic (DECIMAL(38,0)/HUGEINT: the
+  // squared cross term passes Long already at ~1e5-row windows; the
+  // wide form is exact to |o·R − r·L| < 1e16, i.e. ~1e8-event
+  // windows — a deployment beyond that pre-scales counts to
+  // per-million rates before the chi-square, the standard practice
+  // for the statistic itself). No libm
+  // anywhere: chi-square IS rational, which is why it gates where
+  // PSI (needs ln) cannot. A type is flagged when its contribution
+  // exceeds [[DriftThresholdPpm]] (2.0, ≈ the χ²(1df) 85th
+  // percentile — the scale where a shift stops being count noise).
+  //
+  // Scale shape: one scan → two partial-agg count tables keyed by
+  // the low-cardinality event_type; totals are 1-row broadcasts; the
+  // full-corpus work is one groupBy. The midpoint split is a 1-row
+  // metadata agg (at scale the window boundaries come from the
+  // scheduler, not the data).
+  // contribution > 2.0 — roughly the χ²(1df) 85th percentile, the
+  // per-type scale where a shift stops being count noise (the sf0.01
+  // corpus puts one type at 2.16 and the rest ≤0.72)
+  private val DriftThresholdPpm = 2000000L
+
+  def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val b = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).first()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val cnt = ev
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(when(col("ts_us") < mid, 1L).otherwise(0L)) + 1L).cast("long").as("r_cnt"),
+        (sum(when(col("ts_us") >= mid, 1L).otherwise(0L)) + 1L).cast("long").as("o_cnt"))
+    val tot = cnt.agg(sum(col("r_cnt")).cast("long").as("rt"),
+      sum(col("o_cnt")).cast("long").as("lt"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("d", expr(
+        "cast(o_cnt as decimal(38,0)) * rt - cast(r_cnt as decimal(38,0)) * lt"))
+      .select(col("event_type"), col("r_cnt"), col("o_cnt"),
+        expr("(cast(1000000 as decimal(38,0)) * d * d) div " +
+          "(cast(rt as decimal(38,0)) * r_cnt * lt)").as("contrib_ppm"))
+      .withColumn("drifted",
+        when(col("contrib_ppm") > DriftThresholdPpm, 1L).otherwise(0L))
+      .orderBy(col("event_type"))
+  }
+
+  val qDriftSql: String =
+    s"""WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+       |m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+       |cnt AS (SELECT event_type,
+       |    CAST(count(*) FILTER (WHERE ts_us < mid) AS BIGINT) + 1 AS r_cnt,
+       |    CAST(count(*) FILTER (WHERE ts_us >= mid) AS BIGINT) + 1 AS o_cnt
+       |  FROM ev CROSS JOIN m GROUP BY event_type),
+       |tot AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS rt, CAST(sum(o_cnt) AS BIGINT) AS lt FROM cnt),
+       |sc AS (SELECT event_type, r_cnt, o_cnt,
+       |    o_cnt::HUGEINT * rt - r_cnt::HUGEINT * lt AS d,
+       |    rt, lt
+       |  FROM cnt CROSS JOIN tot)
+       |SELECT event_type, r_cnt, o_cnt,
+       |  CAST((1000000::HUGEINT * d * d) // (rt::HUGEINT * r_cnt * lt) AS BIGINT) AS contrib_ppm,
+       |  CASE WHEN (1000000::HUGEINT * d * d) // (rt::HUGEINT * r_cnt * lt) > $DriftThresholdPpm
+       |       THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
+       |FROM sc ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_drift" -> (qDrift _),
     "asof_join" -> (qAsofJoin _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
@@ -562,6 +634,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_drift" -> qDriftSql,
     "asof_join" -> qAsofJoinSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,

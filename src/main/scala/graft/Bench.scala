@@ -66,6 +66,7 @@ object Bench {
         // bench's job is the honest cold number.
         graft.operators.Dedup.resetMemos()
         graft.operators.Text.resetMemos()
+        graft.operators.Similarity.resetMemos()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -292,8 +292,39 @@ object Similarity {
       .select(col("vec_id"), (-col("m.nc")).as("cid"), col("v"), col("nrm"))
   }
 
+  /** [[assignToCentroids]] memoized per (session, sfDir) behind one
+    * eager localCheckpoint — the Dedup.memoBase rationale: the K·N
+    * assignment sweep is the shared CPU prefix of SIX consumers
+    * (qIvfTopk, qIvfPqTopk's encode, both nprobe configs, k-means,
+    * cell stats), and the recall report was paying it twice in one
+    * query (its own `assign` plus qIvfPqTopk's internal copy).
+    * [[resetMemos]] drops it so the bench still measures cold. */
+  @volatile private var assignFor: (SparkSession, String) = null
+  private var assignCache: DataFrame = null
+
+  private[operators] def assignMemo(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (assignFor == ((s, dir)) && assignCache != null) return assignCache
+    if (assignCache != null) freeLocalCheckpoint(assignCache)
+    assignCache = assignToCentroids(s, dir).localCheckpoint()
+    assignFor = (s, dir)
+    assignCache
+  }
+
+  /** Bench/test hook — the [[graft.operators.Dedup.resetMemos]]
+    * honesty contract applied here. */
+  def resetMemos(): Unit = synchronized {
+    if (assignCache != null) freeLocalCheckpoint(assignCache)
+    assignCache = null
+    assignFor = null
+  }
+
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val assign = assignToCentroids(s, dir)
+    val assign = assignMemo(s, dir)
     val probes = assign.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -355,7 +386,7 @@ object Similarity {
   }
 
   def qIvfCellStats(s: SparkSession, dir: String): DataFrame =
-    cellShare(assignToCentroids(s, dir)).orderBy(col("cid"))
+    cellShare(assignMemo(s, dir)).orderBy(col("cid"))
 
   val qIvfCellStatsSql: String =
     s"""WITH $assignCteSql,
@@ -383,7 +414,7 @@ object Similarity {
   // centroids rebuild as micro/1e6 doubles (IEEE-identical division
   // both engines) and broadcast for the second assign sweep.
   def qIvfRetrainStats(s: SparkSession, dir: String): DataFrame = {
-    val asg = assignToCentroids(s, dir).localCheckpoint()
+    val asg = assignMemo(s, dir)
     val upd = lloydMicroUpdate(asg)
       .select(col("cid"), col("d"), col("centroid_micro"))
     val cents2 = upd.groupBy(col("cid"))
@@ -464,7 +495,7 @@ object Similarity {
         floor(col("ssum").cast("double") / col("n_members")).cast("long").as("centroid_micro"))
 
   def qKmeansStep(s: SparkSession, dir: String): DataFrame =
-    lloydMicroUpdate(assignToCentroids(s, dir))
+    lloydMicroUpdate(assignMemo(s, dir))
       .orderBy(col("cid"), col("d"))
 
   /** The av/ex/up CTE chain — the SQL twin of [[lloydMicroUpdate]],
@@ -828,7 +859,7 @@ object Similarity {
       StructField("r", ArrayType(DoubleType))))
     // one kernel pass emits (vec_id, cid, reconstruction): the coarse
     // assignment's groupBy already left the frame 32-wide on vec_id
-    val rec = assignToCentroids(s, dir)
+    val rec = assignMemo(s, dir)
       .select(col("vec_id"), col("cid"), col("v"))
       .mapPartitions { it =>
         it.map(row => Row(row.getLong(0), row.getLong(1),
@@ -1103,7 +1134,7 @@ object Similarity {
     * shared by [[qIvfTopkNprobe]] (nprobe=4) and the recall report's
     * nprobe=1 baseline. Package-visible for the cell-bounded spec. */
   private[operators] def ivfTopkN(s: SparkSession, dir: String, nprobe: Int): DataFrame =
-    ivfTopkFromAssign(assignToCentroids(s, dir), probeCellsN(s, dir, nprobe))
+    ivfTopkFromAssign(assignMemo(s, dir), probeCellsN(s, dir, nprobe))
 
   /** Candidate scoring given a shared assignment — the recall report
     * feeds ONE checkpointed assign to every nprobe configuration (the
@@ -1176,7 +1207,7 @@ object Similarity {
         .localCheckpoint()
     // one assignment sweep feeds both nprobe configurations (the
     // probe-cell tables are K-row metadata; the K-N assign is the cost)
-    val assign = assignToCentroids(s, dir).localCheckpoint()
+    val assign = assignMemo(s, dir)
     // the kNN graph covers every vector; its probe rows measure how
     // well single-bucket hyperplane candidates recall the exact list
     val knnProbes = qKnnGraph(s, dir)

@@ -64,9 +64,10 @@ object Bench {
         // memo hit (dedup_clusters read 0.07s in r5 when its cold cost
         // is ~30x that). The memo is the right library design; the
         // bench's job is the honest cold number.
+        // Dedup.resetMemos also clears the shared keyed base registry
+        // (Similarity's assign memo lives there)
         graft.operators.Dedup.resetMemos()
         graft.operators.Text.resetMemos()
-        graft.operators.Similarity.resetMemos()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -935,16 +935,30 @@ FROM com"""
     * measures the cold pipeline. */
   private val baseCache =
     new java.util.concurrent.ConcurrentHashMap[String, ((SparkSession, String), DataFrame)]
+  // Dedicated per-KIND lock objects: running the multi-second
+  // build.localCheckpoint() job inside ConcurrentHashMap.compute
+  // would hold that hash BIN's lock, silently serializing concurrent
+  // warms of different kinds that collide in a bin ("ngram" and
+  // "embed_assigned" do, in the initial 16-bin table) — defeating
+  // ensembleEdges' concurrent base warm. computeIfAbsent here only
+  // allocates an Object, so it never blocks on Spark work.
+  private val baseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   private[graft] def memoBase(kind: String, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame =
-    baseCache.compute(kind, (_, prev) => {
-      if (prev != null && prev._1 == ((s, dir))) prev
+      build: => DataFrame): DataFrame = {
+    val lock = baseLocks.computeIfAbsent(kind, _ => new Object)
+    lock.synchronized {
+      val prev = baseCache.get(kind)
+      if (prev != null && prev._1 == ((s, dir))) prev._2
       else {
         if (prev != null) freeLocalCheckpoint(prev._2)
-        ((s, dir), build.localCheckpoint())
+        val df = build.localCheckpoint()
+        baseCache.put(kind, ((s, dir), df))
+        df
       }
-    })._2
+    }
+  }
 
   /** Connected components over a symmetric (src, dst) edge list via
     * min-label propagation + pointer jumping. Returns (labels for

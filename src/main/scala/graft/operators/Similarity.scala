@@ -293,35 +293,15 @@ object Similarity {
   }
 
   /** [[assignToCentroids]] memoized per (session, sfDir) behind one
-    * eager localCheckpoint — the Dedup.memoBase rationale: the K·N
-    * assignment sweep is the shared CPU prefix of SIX consumers
+    * eager localCheckpoint, via the shared [[Dedup.memoBase]] keyed
+    * registry (one memo/reset mechanism for the whole library): the
+    * K·N assignment sweep is the shared CPU prefix of SIX consumers
     * (qIvfTopk, qIvfPqTopk's encode, both nprobe configs, k-means,
     * cell stats), and the recall report was paying it twice in one
     * query (its own `assign` plus qIvfPqTopk's internal copy).
-    * [[resetMemos]] drops it so the bench still measures cold. */
-  @volatile private var assignFor: (SparkSession, String) = null
-  private var assignCache: DataFrame = null
-
-  private[operators] def assignMemo(s: SparkSession, dir: String): DataFrame = synchronized {
-    if (assignFor == ((s, dir)) && assignCache != null) return assignCache
-    if (assignCache != null) freeLocalCheckpoint(assignCache)
-    assignCache = assignToCentroids(s, dir).localCheckpoint()
-    assignFor = (s, dir)
-    assignCache
-  }
-
-  /** Bench/test hook — the [[graft.operators.Dedup.resetMemos]]
-    * honesty contract applied here. */
-  def resetMemos(): Unit = synchronized {
-    if (assignCache != null) freeLocalCheckpoint(assignCache)
-    assignCache = null
-    assignFor = null
-  }
-
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    * [[Dedup.resetMemos]] drops it so the bench still measures cold. */
+  private[operators] def assignMemo(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoBase("sim_assign", s, dir)(assignToCentroids(s, dir))
 
   def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val assign = assignMemo(s, dir)
@@ -1344,7 +1324,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     val f = a.join(b, Seq("qid", "neighbor"), "full")
       .select(col("qid"), col("neighbor"),
         (coalesce(lit(TopK + 1) - col("ra"), lit(0))
-          + coalesce(lit(6) - col("rb"), lit(0))).cast("long").as("borda"),
+          + coalesce(lit(Text.MltTopK + 1) - col("rb"), lit(0))).cast("long").as("borda"),
         when(col("ra").isNotNull && col("rb").isNotNull, 1L).otherwise(0L).as("in_both"))
     val w = Window.partitionBy(col("qid")).orderBy(col("borda").desc, col("neighbor"))
     f.withColumn("rank", row_number().over(w))
@@ -1363,7 +1343,7 @@ b AS MATERIALIZED (SELECT qid, doc_id AS neighbor, rank FROM (
 ${Text.qBm25MltSql}
 )),
 f AS (SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.neighbor, b.neighbor) AS neighbor,
-  coalesce(${TopK + 1} - a.rank, 0) + coalesce(6 - b.rank, 0) AS borda,
+  coalesce(${TopK + 1} - a.rank, 0) + coalesce(${Text.MltTopK + 1} - b.rank, 0) AS borda,
   CASE WHEN a.rank IS NOT NULL AND b.rank IS NOT NULL THEN 1 ELSE 0 END AS in_both
   FROM a FULL JOIN b ON a.qid = b.qid AND a.neighbor = b.neighbor),
 r AS (SELECT qid, neighbor, borda, in_both,

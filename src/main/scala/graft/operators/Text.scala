@@ -1372,7 +1372,10 @@ FROM f GROUP BY split ORDER BY split"""
   // counts — the qDsir lesson applied proactively).
   private val MltStride = 50
   private val MltQTerms = 5
-  private val MltTopK = 5
+  // package-visible: qBm25Fusion's Borda weight is MltTopK + 1 on
+  // both engines — a literal there would silently diverge from the
+  // ranking depth if this is retuned
+  private[operators] val MltTopK = 5
 
   def qBm25Mlt(s: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(s, dir)

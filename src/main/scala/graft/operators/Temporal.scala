@@ -572,8 +572,9 @@ object Temporal {
   // scheduler, not the data).
   // contribution > 2.0 — roughly the χ²(1df) 85th percentile, the
   // per-type scale where a shift stops being count noise (the sf0.01
-  // corpus puts one type at 2.16 and the rest ≤0.72)
-  private val DriftThresholdPpm = 2000000L
+  // corpus puts one type at 2.16 and the rest ≤0.72). Shared with
+  // [[graft.streaming.Streams.qStreamDrift]].
+  private[graft] val DriftThresholdPpm = 2000000L
 
   def qDrift(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -705,7 +705,85 @@ object Streams {
        |WHERE s.session_idx < mx.last_idx
        |ORDER BY s.user_id, s.start_us""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING DRIFT MONITOR — [[graft.operators.Temporal.qDrift]]'s
+  // chi-square statistic composed into the streaming surface, per
+  // CLOSED hour window: the watermarked windowed count (append mode —
+  // only watermark-closed windows emit, the stream_pipeline boundary
+  // discipline) produces the live (hour, type) counts; the batch
+  // post-stage grids them against the closed-set global mix
+  // (reference = all closed hours pooled) and emits each hour×type's
+  // exact integer chi-square contribution. An hour missing a type
+  // contributes through the Laplace-smoothed zero (the full grid is
+  // closed_hours × types — the emitted rows alone would silently skip
+  // exactly the strongest drift signal, a type vanishing). Wide
+  // arithmetic as in qDrift; drift flag at the same 2.0 threshold.
+  // The post-stage is hours×types metadata — the stream stage touches
+  // the events.
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val closed = runBounded(s, dir, "append") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+    }.localCheckpoint()
+    val grid = closed.select(col("window_start")).distinct()
+      .crossJoin(closed.select(col("event_type")).distinct())
+    val cells = grid.join(closed, Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + 1L).cast("long").as("o_cnt"))
+    val hourTot = cells.groupBy(col("window_start"))
+      .agg(sum(col("o_cnt")).cast("long").as("lt"))
+    val typeTot = cells.groupBy(col("event_type"))
+      .agg(sum(col("o_cnt")).cast("long").as("r_cnt"))
+    val allTot = cells.agg(sum(col("o_cnt")).cast("long").as("rt"))
+    cells
+      .join(broadcast(hourTot), "window_start")
+      .join(broadcast(typeTot), "event_type")
+      .crossJoin(broadcast(allTot))
+      .withColumn("d", expr(
+        "cast(o_cnt as decimal(38,0)) * rt - cast(r_cnt as decimal(38,0)) * lt"))
+      .select(col("window_start"), col("event_type"), col("o_cnt"),
+        expr("(cast(1000000 as decimal(38,0)) * d * d) div " +
+          "(cast(rt as decimal(38,0)) * r_cnt * lt)").as("contrib_ppm"))
+      .withColumn("drifted",
+        when(col("contrib_ppm") > graft.operators.Temporal.DriftThresholdPpm, 1L)
+          .otherwise(0L))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val qStreamDriftSql: String =
+    s"""WITH allev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM allev),
+      |agg AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+      |  FROM allev GROUP BY 1, 2),
+      |closed AS (SELECT hr, event_type, CAST(n AS BIGINT) AS n
+      |  FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w),
+      |grid AS (SELECT h.hr, t.event_type
+      |  FROM (SELECT DISTINCT hr FROM closed) h
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM closed) t),
+      |cells AS (SELECT g.hr, g.event_type,
+      |  CAST(coalesce(c.n, 0) + 1 AS BIGINT) AS o_cnt
+      |  FROM grid g LEFT JOIN closed c ON g.hr = c.hr AND g.event_type = c.event_type),
+      |ht AS (SELECT hr, CAST(sum(o_cnt) AS BIGINT) AS lt FROM cells GROUP BY hr),
+      |tt AS (SELECT event_type, CAST(sum(o_cnt) AS BIGINT) AS r_cnt FROM cells GROUP BY event_type),
+      |at2 AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS rt FROM cells),
+      |sc AS (SELECT c.hr, c.event_type, c.o_cnt,
+      |  c.o_cnt::HUGEINT * at2.rt - tt.r_cnt::HUGEINT * ht.lt AS d,
+      |  tt.r_cnt, ht.lt, at2.rt
+      |  FROM cells c JOIN ht ON c.hr = ht.hr JOIN tt ON c.event_type = tt.event_type
+      |  CROSS JOIN at2)
+      |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, o_cnt,
+      |  CAST((1000000::HUGEINT * d * d) // (rt::HUGEINT * r_cnt * lt) AS BIGINT) AS contrib_ppm,
+      |  CASE WHEN (1000000::HUGEINT * d * d) // (rt::HUGEINT * r_cnt * lt) > ${graft.operators.Temporal.DriftThresholdPpm}
+      |       THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
+      |FROM sc ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift" -> (qStreamDrift _),
     "stream_session_flatmap" -> (qStreamSessionFlatmap _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "stream_asof_enrich" -> (qStreamAsofEnrich _),
@@ -720,6 +798,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_drift" -> qStreamDriftSql,
     "stream_session_flatmap" -> qStreamSessionFlatmapSql,
     "stream_heavy_hitters" -> qStreamHeavyHittersSql,
     "stream_asof_enrich" -> qStreamAsofEnrichSql,

@@ -280,16 +280,104 @@ object Multimodal {
        |  CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
        |FROM vals ORDER BY doc_id, win_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // VIDEO-STYLE FRAME SAMPLING — the strided frame-sample + scene-cut
+  // pass a video pipeline runs before any expensive per-frame model:
+  // the payload body is treated as fixed 64-byte FRAMES, every 4th
+  // frame is sampled (the "1 fps of a 4 fps stream" shape — the
+  // kernel never touches skipped frames' bytes beyond the stride
+  // arithmetic), and each sampled frame emits exact integer features
+  // (checksum = Σ unsigned bytes, min, max). A scene CUT is flagged
+  // when the checksum jumps by more than [[CutThreshold]] against the
+  // previous SAMPLED frame (lag over (doc, frame) — the first frame
+  // is never a cut), which is precisely how cheap keyframe detectors
+  // gate real decoders. Same byte-exact oracle convention as
+  // [[qAudioWindows]]: DuckDB re-derives the identical bytes from
+  // hex(encode(text)). Scale shape: one map-only kernel pass
+  // (payloads never shuffle), then a lag window over fixed-width
+  // rows; frames per doc is payload-bounded.
+  private val FrameBytes = 64
+  private val FrameStride = 4
+  private val CutThreshold = 1500L
+
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_bytes", LongType),
+      StructField("checksum", LongType),
+      StructField("b_min", LongType),
+      StructField("b_max", LongType))))
+    val frames = payloads(s, dir).select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val n = p.length - HeaderLen
+          val nFrames = (n + FrameBytes - 1) / FrameBytes
+          (0 until nFrames by FrameStride).iterator.map { f =>
+            val lo = f * FrameBytes
+            val hi = math.min(lo + FrameBytes, n)
+            var sum = 0L
+            var mn = 255L
+            var mx = 0L
+            var i = lo
+            while (i < hi) {
+              val v = (p(HeaderLen + i) & 0xff).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(id, f.toLong, (hi - lo).toLong, sum, mn, mx)
+          }
+        }
+      }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("delta",
+        coalesce(abs(col("checksum") - lag(col("checksum"), 1).over(w)), lit(0L)))
+      .withColumn("cut", when(col("delta") > CutThreshold, 1L).otherwise(0L))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val qFrameSampleSql: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |fr AS (SELECT doc_id, hx, n,
+       |  unnest(range(0, (n + ${FrameBytes - 1}) // $FrameBytes, $FrameStride)) AS f FROM b),
+       |sl AS (SELECT doc_id, f, CAST(f * $FrameBytes AS BIGINT) AS lo,
+       |  least(f * $FrameBytes + $FrameBytes, n) AS hi, hx FROM fr),
+       |vals AS (SELECT doc_id, f, lo, hi,
+       |  list_transform(range(lo, hi), i -> ('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))::BIGINT) AS vs
+       |  FROM sl),
+       |feat AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(hi - lo AS BIGINT) AS n_bytes,
+       |  CAST(list_aggregate(vs, 'sum') AS BIGINT) AS checksum,
+       |  CAST(list_aggregate(vs, 'min') AS BIGINT) AS b_min,
+       |  CAST(list_aggregate(vs, 'max') AS BIGINT) AS b_max
+       |  FROM vals),
+       |d AS (SELECT doc_id, frame_idx, n_bytes, checksum, b_min, b_max,
+       |  CAST(coalesce(abs(checksum - lag(checksum) OVER (PARTITION BY doc_id ORDER BY frame_idx)), 0) AS BIGINT) AS delta
+       |  FROM feat)
+       |SELECT doc_id, frame_idx, n_bytes, checksum, b_min, b_max, delta,
+       |  CASE WHEN delta > $CutThreshold THEN 1::BIGINT ELSE 0::BIGINT END AS cut
+       |FROM d ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
     "mm_audio_windows" -> (qAudioWindows _),
+    "mm_frame_sample" -> (qFrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,
-    "mm_audio_windows" -> qAudioWindowsSql)
+    "mm_audio_windows" -> qAudioWindowsSql,
+    "mm_frame_sample" -> qFrameSampleSql)
 }

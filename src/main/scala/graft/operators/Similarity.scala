@@ -1351,7 +1351,83 @@ r AS (SELECT qid, neighbor, borda, in_both,
 SELECT qid, rank, neighbor, CAST(borda AS BIGINT) AS borda, CAST(in_both AS BIGINT) AS in_both
 FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
+  // ---------------------------------------------------------------
+  // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+  // cluster the embedding space, then prune near-duplicate pairs
+  // WITHIN each cluster only — the trick that makes embedding-level
+  // dedup tractable at web scale (within-cluster pairwise is
+  // Σ|cell|², linear in the corpus when K grows with n, vs the
+  // corpus-quadratic all-pairs sweep). The keep rule is the paper's:
+  // of a near-dup pair, keep the member FARTHEST from its cluster
+  // centroid (lowest centroid cosine — the "outlier" carries the
+  // information; the redundant near-centroid copy is dropped), with
+  // vec_id as the deterministic tiebreak. Relational form: x is
+  // dropped iff SOME same-cell y has pair-cosine ≥ τ and dominates x
+  // (strictly lower centroid cosine, or equal and lower vec_id) — an
+  // order-independent EXISTS, not the paper's sequential greedy scan,
+  // so both engines agree exactly.
+  //
+  // Scale shape: reuses the memoized [[assignMemo]] coarse
+  // assignment (the IVF cell structure IS the SemDeDup clustering);
+  // the pairwise sweep co-partitions by cell id and never leaves the
+  // cell, parallelism = #cells (∝ corpus / fixed cell size). All
+  // gated values are exact: 6-dp-rounded cosines compared as the
+  // established cosInt discipline, ppm integers out.
+  private val SemTau = 0.45 // matches Dedup.CosineThreshold: planted near-dups sit far above, random uniform pairs far below
+
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    val cents = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .filter(col("vec_id") % CentroidStride === 7)
+      .select(col("vec_id").as("cid"), col("cv"),
+        sqrt(DotF64.dot(col("cv"), col("cv"))).as("cn"))
+    // per-vector centroid cosine re-derived off the checkpointed
+    // assignment via one K-row broadcast (assignMemo deliberately
+    // carries no ccos — its five other consumers don't need it);
+    // checkpointed because BOTH sides of the in-cell self-join below
+    // read it, and a localCheckpoint'd frame loses auto-broadcast
+    // anyway (the CLAUDE.md rule) — the join is an explicit co-
+    // partitioned shuffle join on cid, the shape that survives scale.
+    val m = assignMemo(s, dir).join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"),
+        round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
+      .localCheckpoint()
+    val nb = m.select(col("cid"), col("vec_id").as("nb_id"),
+      col("v").as("nv"), col("nrm").as("nn"), col("ccos").as("nb_ccos"))
+    val dropped = m.join(nb, "cid")
+      .filter(col("vec_id") =!= col("nb_id"))
+      // dominance first (cheap long/double compares), the 64-mult dot
+      // only on surviving half-pairs
+      .filter(col("nb_ccos") < col("ccos") ||
+        (col("nb_ccos") === col("ccos") && col("nb_id") < col("vec_id")))
+      .filter(round(DotF64.dot(col("v"), col("nv")) / (col("nrm") * col("nn")), 6) >= SemTau)
+      .select(col("vec_id")).distinct()
+    m.join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        round(col("ccos") * 1e6, 0).cast("long").as("ccos_ppm"),
+        when(col("d").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemanticDedupSql: String =
+    s"""WITH $assignCteSql,
+       |cc AS (SELECT a.vec_id, a.cid, sc.ccos
+       |  FROM asg a JOIN sc ON a.vec_id = sc.vec_id AND a.cid = sc.cid),
+       |m AS MATERIALIZED (SELECT cc.vec_id, cc.cid, cc.ccos, n.v, n.nrm
+       |  FROM cc JOIN n USING (vec_id)),
+       |dropped AS (SELECT DISTINCT x.vec_id FROM m x JOIN m y
+       |  ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |  AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+       |  AND round((${Vectors.dotSql("x.v", "y.v")}) / (x.nrm * y.nrm), 6) >= $SemTau)
+       |SELECT m.vec_id, m.cid,
+       |  CAST(round(m.ccos * 1000000, 0) AS BIGINT) AS ccos_ppm,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (qSemanticDedup _),
     "sim_rank_fusion" -> (qRankFusion _),
     "sim_bm25_fusion" -> (qBm25Fusion _),
     "sim_matryoshka" -> (qMatryoshka _),
@@ -1373,6 +1449,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> qSemanticDedupSql,
     "sim_cascade_topk" -> qCascadeTopkSql,
     "sim_bm25_fusion" -> qBm25FusionSql,
     "sim_matryoshka" -> qMatryoshkaSql,

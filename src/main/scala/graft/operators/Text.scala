@@ -829,6 +829,137 @@ object Text {
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // CONTENT-DEFINED CHUNKING DEDUP — the storage-level span dedup
+  // primitive (Rabin-fingerprint CDC, as in LBFS/Venti and the
+  // FastCDC line of work): cut each document where the rolling
+  // k-gram hash ≡ 0 mod D, so chunk boundaries are CONTENT-anchored
+  // — an insertion shifts only the chunks it touches, unlike
+  // fixed-size blocks where one byte shifts every boundary. Identical
+  // spans across documents then hash to identical chunks, and the
+  // gated table is the per-document dedup accounting a 100 TB store
+  // actually bills by: chunk counts and how many characters live in
+  // chunks shared with ANOTHER document.
+  //
+  // Differences from production FastCDC, by construction: the
+  // min/max-size bounds are sequential (a cut's eligibility depends
+  // on the previous cut), so the cut set here is the PURE content
+  // condition — order-independent, hence expressible identically in
+  // both engines — and the min-size rule moves to the ACCOUNTING:
+  // chunks shorter than [[CdcMinLen]] are never dedup candidates
+  // (real stores inline sub-minimum chunks rather than index them).
+  // Mean chunk length is the divisor D = 64 chars.
+  //
+  // Scale shape: the kernel is the [[winnowFp]] O(1)-per-char rolling
+  // recurrence (same k/B/M constants), map-only over the corpus;
+  // chunk instances are fixed-width (doc_id, idx, clen, h64) rows —
+  // text never shuffles, only 60-bit md5-derived chunk ids do. The
+  // chunk-population rollup shuffles once on h64 and the per-doc
+  // rollup once on doc_id. Exact integers throughout.
+  private val CdcDivisor = 64L
+  private val CdcMinLen = 16L
+
+  /** Chunk instances: (doc_id, idx, clen, h64) — h64 is the first 15
+    * md5 hex chars of the chunk text as a 60-bit long, the
+    * [[Dedup.md5Mod]] digest with no modular reduction. */
+  private[operators] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("idx", LongType),
+      StructField("clen", LongType),
+      StructField("h64", LongType)))
+    val (k, b, m, d) = (WinnowK, WinnowB, WinnowM, CdcDivisor)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // single-file corpus -> ~3 scan partitions; pin the kernel width
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var bk1 = 1L
+        (1 until k).foreach(_ => bk1 = bk1 * b % m)
+        it.flatMap { r =>
+          val t = duckCollapse(r.getString(1))
+          val cps = t.codePoints().toArray
+          val n = cps.length
+          // cut AFTER codepoint j+k-1 when the gram hash at j ≡ 0 mod
+          // D (never at n: no empty tail chunk); docs shorter than k
+          // carry no grams and stay one chunk
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          if (n >= k) {
+            var h = 0L
+            var i = 0
+            while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
+            if (h % d == 0L && k < n) cuts += k
+            while (i < n) {
+              h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
+              if (h % d == 0L && i + 1 < n) cuts += (i + 1)
+              i += 1
+            }
+          }
+          val starts = 0 +: cuts
+          starts.iterator.zipWithIndex.map { case (st, ci) =>
+            val fin = if (ci + 1 < starts.length) starts(ci + 1) else n
+            val text = new String(cps, st, fin - st)
+            Row(r.getLong(0), (ci + 1).toLong, (fin - st).toLong,
+              Dedup.md5Mod(md, text, Long.MaxValue))
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed once: the instance table feeds the cross-doc
+    // population rollup AND the final per-doc join (the groupBy+join
+    // twin-subtree trap does not bite a checkpointed source)
+    val ck = cdcChunks(s, dir).localCheckpoint()
+    val dh = ck.filter(col("clen") >= CdcMinLen)
+      .groupBy(col("h64")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    ck.join(dh, Seq("h64"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h64")).as("n_unique"),
+        countDistinct(when(col("n_docs") > 1, col("h64"))).as("n_shared"),
+        coalesce(sum(when(col("n_docs") > 1, col("clen")).otherwise(0L)), lit(0L)).as("shared_chars"),
+        sum(col("clen")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCdcChunksSql: String = {
+    val pows = {
+      var p = 1L
+      val ps = new Array[Long](WinnowK)
+      (0 until WinnowK).foreach { j => ps(WinnowK - 1 - j) = p; p = p * WinnowB % WinnowM }
+      ps
+    }
+    val terms = (0 until WinnowK).map(j =>
+      s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |hs AS (SELECT doc_id, t, length(t) AS n,
+       |  CASE WHEN length(t) >= $WinnowK
+       |    THEN list_transform(range(length(t) - $WinnowK + 1), i -> ($terms) % $WinnowM)
+       |    ELSE [] END AS hv
+       |  FROM norm),
+       |cuts AS (SELECT doc_id, unnest(list_filter(list_transform(range(len(hv)), i ->
+       |    CASE WHEN hv[i+1] % $CdcDivisor = 0 AND i + $WinnowK < n THEN i + $WinnowK ELSE -1 END), x -> x >= 0)) AS cut
+       |  FROM hs),
+       |starts AS (SELECT doc_id, 0 AS start FROM hs UNION ALL SELECT doc_id, cut FROM cuts),
+       |spans AS (SELECT s.doc_id, s.start,
+       |    coalesce(lead(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start), h.n) AS fin
+       |  FROM starts s JOIN hs h USING (doc_id)),
+       |ck AS MATERIALIZED (SELECT sp.doc_id, sp.fin - sp.start AS clen,
+       |    CAST(('0x' || substring(md5(substring(h.t, CAST(sp.start + 1 AS INTEGER), CAST(sp.fin - sp.start AS INTEGER))), 1, 15)) AS BIGINT) AS h64
+       |  FROM spans sp JOIN hs h USING (doc_id)),
+       |dh AS (SELECT h64, count(DISTINCT doc_id) AS n_docs FROM ck WHERE clen >= $CdcMinLen GROUP BY h64)
+       |SELECT ck.doc_id, count(*) AS n_chunks, count(DISTINCT ck.h64) AS n_unique,
+       |  CAST(count(DISTINCT CASE WHEN dh.n_docs > 1 THEN ck.h64 END) AS BIGINT) AS n_shared,
+       |  CAST(coalesce(sum(CASE WHEN dh.n_docs > 1 THEN ck.clen ELSE 0 END), 0) AS BIGINT) AS shared_chars,
+       |  CAST(sum(ck.clen) AS BIGINT) AS n_chars
+       |FROM ck LEFT JOIN dh USING (h64) GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // BPE PAIR-MERGE STEP — one full iteration of the byte-pair-
   // encoding trainer loop (the tokenizer-training primitive every
   // LLM data pipeline runs): count adjacent symbol pairs over the
@@ -1445,6 +1576,7 @@ FROM f GROUP BY split ORDER BY split"""
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
+    "dedup_cdc_chunks" -> (qCdcChunks _),
     "text_bpe_train3" -> (qBpeTrain3 _),
     "text_bpe_merge_step" -> (qBpeMergeStep _),
     "text_tfidf" -> (qTfIdf _),
@@ -1466,6 +1598,7 @@ FROM f GROUP BY split ORDER BY split"""
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,
+    "dedup_cdc_chunks" -> qCdcChunksSql,
     "text_bpe_train3" -> qBpeTrain3Sql,
     "text_bpe_merge_step" -> qBpeMergeStepSql,
     "text_tfidf" -> qTfIdfSql,

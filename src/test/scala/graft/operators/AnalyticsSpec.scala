@@ -732,4 +732,79 @@ class AnalyticsSpec extends SparkSpec {
         s"${r.getString(0)} ${r.getLong(1)}: score ${r.getLong(2)} != naive $expected")
     }
   }
+
+  test("cdc chunks tile each document and cut only on the content condition") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Text.cdcChunks(spark, sfDir).collect()
+    // chunks tile: per-doc clen sums to the normalized codepoint length
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every document must emit chunks")
+    byDoc.foreach { case (id, ck) =>
+      val n = Text.duckCollapse(docs(id)).codePoints().toArray.length
+      assert(ck.map(_.getLong(2)).sum == n,
+        s"doc $id: chunk lengths ${ck.map(_.getLong(2)).sum} != normalized length $n")
+      assert(ck.map(_.getLong(1)).sorted.toSeq == (1L to ck.length).toSeq,
+        s"doc $id: chunk indices must be 1..n")
+    }
+    // content-defined boundary locality: chunking a doc with a prefix
+    // inserted leaves every chunk hash after the first cut identical
+    // (fixed-size blocking would shift every boundary) — recompute
+    // both chunkings with the same JVM kernel arithmetic via md5Mod
+    // on the longest doc
+    val (_, longest) = docs.maxBy { case (_, t) => t.length }
+    def hashes(t: String): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cps = Text.duckCollapse(t).codePoints().toArray
+      val (k, b, m, d) = (8, 257L, 2147483647L, 64L)
+      var bk1 = 1L; (1 until k).foreach(_ => bk1 = bk1 * b % m)
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (cps.length >= k) {
+        var h = 0L; var i = 0
+        while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
+        if (h % d == 0L && k < cps.length) cuts += k
+        while (i < cps.length) {
+          h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
+          if (h % d == 0L && i + 1 < cps.length) cuts += (i + 1)
+          i += 1
+        }
+      }
+      val starts = 0 +: cuts
+      starts.toSeq.zipWithIndex.map { case (st, ci) =>
+        val fin = if (ci + 1 < starts.length) starts(ci + 1) else cps.length
+        Dedup.md5Mod(md, new String(cps, st, fin - st), Long.MaxValue)
+      }
+    }
+    val base = hashes(longest)
+    val shifted = hashes("zq inserted preamble " + longest)
+    assert(base.length >= 2, "longest doc must produce multiple chunks for the locality check")
+    // all chunks after the first boundary reappear verbatim
+    assert(base.tail.forall(shifted.contains),
+      "a prefix edit must not disturb chunk identities after the first content cut")
+  }
+
+  test("semantic dedup keeps at least one member per cell and only prunes corroborated near-dups") {
+    val rows = Similarity.qSemanticDedup(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length.toLong == n, "one decision row per vector")
+    // dominance is a strict order within a cell, so the farthest-from-
+    // centroid member can never be dominated: every cell keeps >= 1
+    rows.groupBy(_.getLong(1)).foreach { case (cid, cell) =>
+      assert(cell.count(_.getLong(3) == 1L) >= 1, s"cell $cid kept no members")
+      val minCcos = cell.map(_.getLong(2)).min
+      val outliers = cell.filter(_.getLong(2) == minCcos)
+      assert(outliers.exists(_.getLong(3) == 1L),
+        s"cell $cid: the farthest-from-centroid member must survive")
+    }
+    // a dropped vector implies a same-cell near-dup exists: dropping
+    // without any embed-cosine pair at tau would be a false positive
+    val dropped = rows.filter(_.getLong(3) == 0L).map(_.getLong(0)).toSet
+    if (dropped.nonEmpty) {
+      val pairIds = Dedup.qEmbedCosine(spark, sfDir).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(dropped.subsetOf(pairIds),
+        s"dropped vectors ${dropped -- pairIds} have no global near-dup pair at the same tau")
+    }
+  }
 }

@@ -1426,7 +1426,65 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
        |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SEMANTIC DECONTAMINATION — the embedding twin of
+  // [[Text.qDecontaminate]]: treat the probe vectors (vec_id %
+  // QueryStride == 0, the stand-in for an eval benchmark's
+  // embeddings) as the contamination reference and flag TRAINING
+  // vectors whose cosine to any eval item clears τ — the check
+  // modern pretrain pipelines run because n-gram decontamination
+  // misses paraphrases that embed nearby. Routed through the IVF
+  // cell index (eval probes search only their own cell), because at
+  // 100 TB the exact eval×train sweep is precisely what the index
+  // exists to replace; the nprobe=1 recall trade is the documented
+  // one ([[qIvfTopk]]) and the oracle states the same cell-restricted
+  // semantics. τ = 0.35 — deliberately looser than the near-dup 0.45:
+  // decontamination errs toward review (a 2.8σ outlier on this
+  // uniform-random corpus; real eval contamination embeds ≥0.9), so
+  // the flag list exercises genuine borderline hits, not only
+  // planted twins. Per flagged train vector: the worst (max-cosine) eval
+  // hit, argmax ties to the lowest eval id — exact 6-dp/ppm
+  // discipline throughout.
+  //
+  // Scale shape: both sides come off the one memoized assignment;
+  // the eval side is |corpus|/QueryStride rows and BROADCASTS; the
+  // train side streams through one map-side cosine + argmax partial
+  // aggregate — no corpus shuffle at all (the flagged survivors are
+  // the only rows that move).
+  private val DecontamTau = 0.35
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val assign = assignMemo(s, dir)
+    val ev = assign.filter(col("vec_id") % QueryStride === 0)
+      .select(col("cid"), col("vec_id").as("eval_id"),
+        col("v").as("ev"), col("nrm").as("en"))
+    val cos6 = round(DotF64.dot(col("v"), col("ev")) / (col("nrm") * col("en")), 6)
+    assign.filter(col("vec_id") % QueryStride =!= 0)
+      .join(broadcast(ev), "cid")
+      .select(col("vec_id"),
+        struct(cos6.as("c"), (-col("eval_id")).as("ne")).as("cand"))
+      .filter(col("cand.c") >= DecontamTau)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("m"))
+      .select(col("vec_id"), (-col("m.ne")).as("eval_id"),
+        round(col("m.c") * 1e6, 0).cast("long").as("cos_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH $assignCteSql,
+       |m AS MATERIALIZED (SELECT a.vec_id, a.cid, n.v, n.nrm FROM asg a JOIN n USING (vec_id)),
+       |hits AS (SELECT t.vec_id, e.vec_id AS eval_id,
+       |    round((${Vectors.dotSql("t.v", "e.v")}) / (t.nrm * e.nrm), 6) AS cos
+       |  FROM m t JOIN m e ON t.cid = e.cid
+       |  WHERE t.vec_id % $QueryStride <> 0 AND e.vec_id % $QueryStride = 0),
+       |r AS (SELECT vec_id, eval_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM hits)
+       |SELECT vec_id, eval_id, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_ppm
+       |FROM r WHERE rn = 1 AND cos >= $DecontamTau ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_decontaminate" -> (qDecontaminate _),
     "dedup_semantic" -> (qSemanticDedup _),
     "sim_rank_fusion" -> (qRankFusion _),
     "sim_bm25_fusion" -> (qBm25Fusion _),
@@ -1449,6 +1507,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_decontaminate" -> qDecontaminateSql,
     "dedup_semantic" -> qSemanticDedupSql,
     "sim_cascade_topk" -> qCascadeTopkSql,
     "sim_bm25_fusion" -> qBm25FusionSql,

@@ -893,7 +893,72 @@ object Pipeline {
        |  CAST(sum(sum_lift) // sum(n_tok) AS BIGINT) AS mean_lift_ppm
        |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PER-SOURCE DATA CARD — the ingest-accounting table every corpus
+  // release ships (the "datasheet" rollup): one row per source with
+  // volume (docs / chars / whitespace tokens, the [[Text.qTokenStats]]
+  // tokenizer), exact-dup accounting (md5 distincts), language mix
+  // (distinct langs + modal language, ties lexicographic), a
+  // short-doc count, and mean tokens per doc as an exact scaled
+  // integer (non-negative operands, so Spark `div` and DuckDB `//`
+  // agree). This is the monitoring composite a pipeline derives its
+  // mixing and retention decisions FROM — all map-side signals, so
+  // the whole card is one scan + per-source partial aggregates; the
+  // modal language adds one (source, lang)-granular rollup whose
+  // argmax rides a window over a #sources×#langs metadata frame.
+  private val CardShortLen = 100
+
+  def qDatacard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(
+      col("source"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("n_tok"),
+      md5(col("text")).as("h"))
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col("h")).as("n_distinct_texts"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("n_chars") < CardShortLen, 1L).otherwise(0L)).as("short_docs"))
+      .withColumn("mean_tokens_x100", expr("(100 * n_tokens) div n_docs"))
+    val top = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_distinct_texts"), col("n_dup_docs"), col("n_langs"),
+        col("top_lang"), col("short_docs"), col("mean_tokens_x100"))
+      .orderBy(col("source"))
+  }
+
+  val qDatacardSql: String =
+    s"""WITH d AS (SELECT source, lang, text, length(text) AS n_chars,
+       |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok, md5(text) AS h
+       |  FROM documents),
+       |base AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT h) AS n_distinct_texts,
+       |    count(*) - count(DISTINCT h) AS n_dup_docs,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(CASE WHEN n_chars < $CardShortLen THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+       |    CAST((100 * sum(n_tok)) // count(*) AS BIGINT) AS mean_tokens_x100
+       |  FROM d GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang FROM (
+       |  SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc)
+       |  WHERE rn = 1)
+       |SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_distinct_texts, b.n_dup_docs,
+       |  b.n_langs, t.top_lang, b.short_docs, b.mean_tokens_x100
+       |FROM base b JOIN tl t USING (source) ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_datacard" -> (qDatacard _),
     "samp_dsir" -> (qDsir _),
     "pipe_filter_decisions" -> (qFilterDecisions _),
     "samp_split" -> (qSplit _),
@@ -913,6 +978,7 @@ object Pipeline {
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_datacard" -> qDatacardSql,
     "samp_dsir" -> qDsirSql,
     "pipe_filter_decisions" -> qFilterDecisionsSql,
     "samp_split" -> qSplitSql,

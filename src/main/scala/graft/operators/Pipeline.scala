@@ -913,7 +913,7 @@ object Pipeline {
     val d = Tables.documents(s, dir).select(
       col("source"), col("lang"),
       length(col("text")).cast("long").as("n_chars"),
-      size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("n_tok"),
+      size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tok"),
       md5(col("text")).as("h"))
     val base = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),

@@ -1411,9 +1411,15 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   }
 
   val qSemanticDedupSql: String =
+    // cc re-derives the rn=1 assignment WITH its ccos directly from sc
+    // (assignCteSql's asg drops it) rather than joining asg back to sc:
+    // DuckDB inlines plain CTEs, and two consumers of sc would run the
+    // N×K 64-term dot sweep twice (asg itself goes unreferenced and is
+    // pruned)
     s"""WITH $assignCteSql,
-       |cc AS (SELECT a.vec_id, a.cid, sc.ccos
-       |  FROM asg a JOIN sc ON a.vec_id = sc.vec_id AND a.cid = sc.cid),
+       |cc AS (SELECT vec_id, cid, ccos FROM (
+       |  SELECT vec_id, cid, ccos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM sc) t WHERE rn = 1),
        |m AS MATERIALIZED (SELECT cc.vec_id, cc.cid, cc.ccos, n.v, n.nrm
        |  FROM cc JOIN n USING (vec_id)),
        |dropped AS (SELECT DISTINCT x.vec_id FROM m x JOIN m y

@@ -718,6 +718,49 @@ object Text {
   private val WinnowB = 257L
   private val WinnowM = 2147483647L // 2^31 - 1
 
+  /** Rolling Rabin-Karp k-gram hashes over a codepoint array — the
+    * O(1)-per-char recurrence (h·B + c − c_out·B^(k-1), all mod M)
+    * shared by [[winnowFp]] and [[cdcChunks]]. Returns one hash per
+    * gram start (n−k+1 entries); EMPTY when n < k — each caller owns
+    * its own short-document convention. */
+  private[operators] def rollingGramHashes(cps: Array[Int], k: Int, b: Long, m: Long): Array[Long] = {
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    var bk1 = 1L
+    var j = 1
+    while (j < k) { bk1 = bk1 * b % m; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
+    out(0) = h
+    while (i < n) {
+      h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** The SQL twin of [[rollingGramHashes]]: the positional gram-sum
+    * expression Σ ord(t[i+j])·(B^(k−1−j) mod M), for a text column
+    * named `t` and position variable `i`. INT64 safety: the
+    * coefficients are the MOD-REDUCED powers (< 2^31), so the worst
+    * 8-term sum is < 2e16 ≪ 2^63 even at codepoint U+10FFFF — raw
+    * powers (257^7 ≈ 7.4e16) WOULD overflow at ord ≥ 125 and are
+    * never emitted. Shared by [[winnowCteSql]] and [[qCdcChunksSql]]. */
+  private[operators] def gramHashTermsSql(k: Int, b: Long, m: Long): String = {
+    val pows = {
+      var p = 1L
+      val ps = new Array[Long](k)
+      (0 until k).foreach { j => ps(k - 1 - j) = p; p = p * b % m }
+      ps
+    }
+    (0 until k).map(j =>
+      s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+  }
+
   /** (doc_id, n_grams, fp) — the winnowing fingerprint SET per doc,
     * shared by [[qWinnowFingerprint]] (summary row) and
     * [[Dedup.qWinnowPairs]] (inverted-index near-dup join). */
@@ -733,30 +776,15 @@ object Text {
       // single-file corpus scans as ~3 partitions; pin the kernel width
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
-        // B^(k-1) mod M for the leading-term removal
-        var bk1 = 1L
-        (1 until k).foreach(_ => bk1 = bk1 * b % m)
         it.map { r =>
           val t = duckCollapse(r.getString(1))
           // codePOINTS, not UTF-16 units: the oracle's ord()/length()
           // are codepoint-based (the qDiversity discipline)
           val cps = t.codePoints().toArray
           val n = cps.length
-          val hs: Array[Long] =
-            if (n < k) Array(n.toLong % m)
-            else {
-              val out = new Array[Long](n - k + 1)
-              var h = 0L
-              var i = 0
-              while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
-              out(0) = h
-              while (i < n) {
-                h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
-                out(i - k + 1) = h
-                i += 1
-              }
-              out
-            }
+          val rolled = rollingGramHashes(cps, k, b, m)
+          // winnow's short-doc convention: a single length-derived hash
+          val hs: Array[Long] = if (n < k) Array(n.toLong % m) else rolled
           // sliding-window minimum via monotonic deque (indices of
           // candidate minima, increasing hash value front to back)
           val mins =
@@ -791,22 +819,10 @@ object Text {
   /** CTE chain ending at `fps` (doc_id, n_grams, fp list) — the SQL
     * twin of [[winnowFp]], shared with the near-dup pair oracle.
     *
-    * INT64 safety of the emitted gram sum: the coefficients are the
-    * MOD-REDUCED powers B^j % M (< 2^31, see the `% WinnowM` in the
-    * pows loop below), so the worst term is max-codepoint 0x10FFFF ×
-    * (M−1) ≈ 2.4e15 and the 8-term sum < 2e16 ≪ 2^63 — verified in
-    * DuckDB with codepoints ≥ 125 (incl. U+1F600). Raw powers (257^7
-    * ≈ 7.4e16) WOULD overflow at ord ≥ 125; they are never emitted. */
+    * INT64 safety of the emitted gram sum: see [[gramHashTermsSql]]
+    * (verified in DuckDB with codepoints ≥ 125, incl. U+1F600). */
   private[operators] val winnowCteSql: String = {
-    val pows = {
-      var p = 1L
-      val ps = new Array[Long](WinnowK)
-      (0 until WinnowK).foreach { j => ps(WinnowK - 1 - j) = p; p = p * WinnowB % WinnowM }
-      ps
-    }
-    val terms = (0 until WinnowK).map(j =>
-      s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
-      .mkString(" + ")
+    val terms = gramHashTermsSql(WinnowK, WinnowB, WinnowM)
     val leastTerms = (1 to WinnowW).map(j => s"hv[p+$j]").mkString(", ")
     s"""norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
        |hs AS (SELECT doc_id,
@@ -875,8 +891,6 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        var bk1 = 1L
-        (1 until k).foreach(_ => bk1 = bk1 * b % m)
         it.flatMap { r =>
           val t = duckCollapse(r.getString(1))
           val cps = t.codePoints().toArray
@@ -884,17 +898,12 @@ object Text {
           // cut AFTER codepoint j+k-1 when the gram hash at j ≡ 0 mod
           // D (never at n: no empty tail chunk); docs shorter than k
           // carry no grams and stay one chunk
+          val hs = rollingGramHashes(cps, k, b, m)
           val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
-          if (n >= k) {
-            var h = 0L
-            var i = 0
-            while (i < k) { h = (h * b + cps(i)) % m; i += 1 }
-            if (h % d == 0L && k < n) cuts += k
-            while (i < n) {
-              h = ((h - cps(i - k) * bk1 % m + m) % m * b + cps(i)) % m
-              if (h % d == 0L && i + 1 < n) cuts += (i + 1)
-              i += 1
-            }
+          var j = 0
+          while (j < hs.length) {
+            if (hs(j) % d == 0L && j + k < n) cuts += (j + k)
+            j += 1
           }
           val starts = 0 +: cuts
           starts.iterator.zipWithIndex.map { case (st, ci) =>
@@ -926,15 +935,7 @@ object Text {
   }
 
   val qCdcChunksSql: String = {
-    val pows = {
-      var p = 1L
-      val ps = new Array[Long](WinnowK)
-      (0 until WinnowK).foreach { j => ps(WinnowK - 1 - j) = p; p = p * WinnowB % WinnowM }
-      ps
-    }
-    val terms = (0 until WinnowK).map(j =>
-      s"CAST(ord(substring(t, CAST(i+${j + 1} AS INTEGER), 1)) AS BIGINT) * ${pows(j)}")
-      .mkString(" + ")
+    val terms = gramHashTermsSql(WinnowK, WinnowB, WinnowM)
     s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
        |hs AS (SELECT doc_id, t, length(t) AS n,
        |  CASE WHEN length(t) >= $WinnowK

@@ -784,6 +784,41 @@ class AnalyticsSpec extends SparkSpec {
       "a prefix edit must not disturb chunk identities after the first content cut")
   }
 
+  test("decontamination flags only train vectors, at threshold, against real eval probes") {
+    val rows = Similarity.qDecontaminate(spark, sfDir).collect()
+    val evalIds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(!evalIds.contains(r.getLong(0)),
+        s"flagged ${r.getLong(0)} is an eval probe, not a train vector")
+      assert(evalIds.contains(r.getLong(1)),
+        s"matched eval id ${r.getLong(1)} is not in the probe set")
+      assert(r.getLong(2) >= 350000L,
+        s"flag below threshold: ${r.getLong(2)} ppm")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one worst-hit row per flagged train vector")
+  }
+
+  test("datacard totals partition the corpus and the modal language is real") {
+    val rows = Pipeline.qDatacard(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "per-source doc counts must partition")
+    val langBySource = docs.groupBy(col("source"), col("lang")).count().collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(4) <= r.getLong(1), "distinct texts cannot exceed docs")
+      assert(r.getLong(5) == r.getLong(1) - r.getLong(4), "dup accounting identity")
+      assert(r.getLong(9) == 100L * r.getLong(3) / r.getLong(1), "mean tokens scaled-div identity")
+      val counts = langBySource(src).map(x => x.getString(1) -> x.getLong(2))
+      val maxC = counts.map(_._2).max
+      val modal = counts.filter(_._2 == maxC).map(_._1).min
+      assert(r.getString(7) == modal, s"$src: top_lang ${r.getString(7)} != modal $modal")
+    }
+  }
+
   test("semantic dedup keeps at least one member per cell and only prunes corroborated near-dups") {
     val rows = Similarity.qSemanticDedup(spark, sfDir).collect()
     val n = graft.Tables.embeddings(spark, sfDir).count()
@@ -797,14 +832,29 @@ class AnalyticsSpec extends SparkSpec {
       assert(outliers.exists(_.getLong(3) == 1L),
         s"cell $cid: the farthest-from-centroid member must survive")
     }
-    // a dropped vector implies a same-cell near-dup exists: dropping
-    // without any embed-cosine pair at tau would be a false positive
-    val dropped = rows.filter(_.getLong(3) == 0L).map(_.getLong(0)).toSet
-    if (dropped.nonEmpty) {
-      val pairIds = Dedup.qEmbedCosine(spark, sfDir).collect()
-        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-      assert(dropped.subsetOf(pairIds),
-        s"dropped vectors ${dropped -- pairIds} have no global near-dup pair at the same tau")
+    // a dropped vector implies a same-cell DOMINATOR at tau: recount
+    // the evidence directly from the vectors (not via qEmbedCosine,
+    // whose raw-cosine filter differs from the query's 6-dp-rounded
+    // one by up to 5e-7 at the boundary), with a 1e-6 guard band so a
+    // rounding-boundary pair cannot fail the test spuriously
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    rows.filter(_.getLong(3) == 0L).foreach { x =>
+      val cellMates = rows.filter(y => y.getLong(1) == x.getLong(1) && y.getLong(0) != x.getLong(0))
+      val hasDominator = cellMates.exists { y =>
+        val dominates = y.getLong(2) < x.getLong(2) ||
+          (y.getLong(2) == x.getLong(2) && y.getLong(0) < x.getLong(0))
+        dominates && cos(vecs(x.getLong(0)), vecs(y.getLong(0))) >= 0.45 - 1e-6
+      }
+      assert(hasDominator,
+        s"vector ${x.getLong(0)} dropped without a same-cell dominator at tau")
     }
   }
 }

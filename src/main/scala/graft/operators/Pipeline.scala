@@ -957,7 +957,66 @@ object Pipeline {
        |  b.n_langs, t.top_lang, b.short_docs, b.mean_tokens_x100
        |FROM base b JOIN tl t USING (source) ORDER BY b.source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CONTAMINATION REPORT — the eval-leak rollup a release audit
+  // ships: the TEXTUAL decontamination pass ([[Text.qDecontaminate]],
+  // shared 3-gram evidence) and the SEMANTIC pass
+  // ([[Similarity.qDecontaminate]], embedding cosine through the IVF
+  // cell index) UNION into one per-document verdict with a
+  // provenance bitmask (bit 1 = textual, bit 2 = semantic — the
+  // [[Dedup]] ensemble discipline applied to contamination). A doc
+  // flagged by both signals is a near-certain leak; single-bit rows
+  // are where a reviewer looks first. Gated per doc: the mask, the
+  // count of eval docs textually hit, and the worst semantic cosine
+  // (-1 when that family didn't fire — no NULLs near the sort).
+  //
+  // Scale shape: both inputs are already index-shaped (banded grams /
+  // IVF cells — neither is all-pairs); their flagged outputs are
+  // audit-sized, localCheckpointed before the outer join + sort (the
+  // final-orderBy-samples-twice rule), so the expensive passes run
+  // once each.
+  def qContamReport(s: SparkSession, dir: String): DataFrame = {
+    val tx = Text.qDecontaminate(s, dir)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("text_evals"))
+      .localCheckpoint()
+    val sem = Similarity.qDecontaminate(s, dir)
+      .select(col("vec_id").as("doc_id"), col("cos_ppm"))
+      .localCheckpoint()
+    tx.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (when(col("text_evals").isNotNull, 1L).otherwise(0L) +
+          when(col("cos_ppm").isNotNull, 2L).otherwise(0L)).as("families"),
+        coalesce(col("text_evals"), lit(0L)).as("text_evals"),
+        coalesce(col("cos_ppm"), lit(-1L)).as("sem_cos_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  // composed without stripMargin: the embedded SQLs carry `||`
+  // continuation lines an outer margin strip would corrupt; both are
+  // MATERIALIZED (referenced once, but DuckDB would inline the full
+  // gram/assign pipelines into the outer-join plan otherwise).
+  lazy val qContamReportSql: String =
+    s"""WITH tx AS MATERIALIZED (
+SELECT train_id AS doc_id, count(*) AS text_evals FROM (
+${Text.qDecontaminateSql}
+) GROUP BY train_id),
+sem AS MATERIALIZED (
+SELECT vec_id AS doc_id, cos_ppm FROM (
+${Similarity.qDecontaminateSql}
+)),
+u AS (SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+  (CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN s.doc_id IS NOT NULL THEN 2 ELSE 0 END) AS families,
+  coalesce(t.text_evals, 0) AS text_evals,
+  coalesce(s.cos_ppm, -1) AS sem_cos_ppm
+FROM tx t FULL OUTER JOIN sem s ON t.doc_id = s.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(families AS BIGINT) AS families,
+  CAST(text_evals AS BIGINT) AS text_evals, CAST(sem_cos_ppm AS BIGINT) AS sem_cos_ppm
+FROM u ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_contam_report" -> (qContamReport _),
     "pipe_datacard" -> (qDatacard _),
     "samp_dsir" -> (qDsir _),
     "pipe_filter_decisions" -> (qFilterDecisions _),
@@ -978,6 +1037,7 @@ object Pipeline {
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,
     "samp_dsir" -> qDsirSql,
     "pipe_filter_decisions" -> qFilterDecisionsSql,

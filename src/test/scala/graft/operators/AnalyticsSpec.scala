@@ -857,4 +857,59 @@ class AnalyticsSpec extends SparkSpec {
         s"vector ${x.getLong(0)} dropped without a same-cell dominator at tau")
     }
   }
+
+  test("histogram near-dup pairs verify at the hamming bound against raw signatures") {
+    val sigs = Multimodal.histSignatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Multimodal.qHistDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the corpus plants near-dups; the banded join must surface some")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length,
+      "pair list must be distinct")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, s"pair ($a,$b) not id-ordered")
+      val (la, ha) = sigs(a)
+      val (lb, hb) = sigs(b)
+      val hd = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      assert(hd == r.getLong(2) && hd <= 3,
+        s"pair ($a,$b): reported ${r.getLong(2)} vs recomputed $hd (bound 3)")
+    }
+  }
+
+  test("LM score: train documents have zero OOV bigrams and keep matches the threshold") {
+    val rows = Text.qLmScore(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length > docs.size / 2, "scoring must cover most of the corpus")
+    rows.foreach { r =>
+      val (id, score) = (r.getLong(0), r.getLong(2))
+      assert(score >= 0 && score <= 1000000L, s"doc $id: score $score outside ppm range")
+      assert(r.getBoolean(4) == (score >= 33800L), s"doc $id: keep flag breaks the threshold")
+      // a train doc's own bigrams all entered the count table
+      if (docs(id) == "en" && id % 10 < 8)
+        assert(r.getLong(3) == 0L, s"train doc $id reports ${r.getLong(3)} OOV bigrams")
+    }
+    // the filter's reason to exist: en scores above the other languages on average
+    val (en, other) = rows.partition(r => docs(r.getLong(0)) == "en")
+    val mean = (xs: Array[org.apache.spark.sql.Row]) => xs.map(_.getLong(2)).sum / xs.length
+    assert(mean(en) > mean(other), "en-trained LM must rank en docs above the rest")
+  }
+
+  test("contamination report is the exact provenance union of its two passes") {
+    val rows = Pipeline.qContamReport(spark, sfDir).collect()
+    val tx = Text.qDecontaminate(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val sem = Similarity.qDecontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.map(_.getLong(0)).toSet == tx.keySet ++ sem.keySet,
+      "report rows must be exactly the union of the two flag sets")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = (if (tx.contains(id)) 1L else 0L) + (if (sem.contains(id)) 2L else 0L)
+      assert(r.getLong(1) == expected, s"doc $id: mask ${r.getLong(1)} != $expected")
+      assert(r.getLong(2) == tx.getOrElse(id, 0L), s"doc $id: text_evals mismatch")
+      assert(r.getLong(3) == sem.getOrElse(id, -1L), s"doc $id: sem_cos_ppm mismatch")
+    }
+  }
 }

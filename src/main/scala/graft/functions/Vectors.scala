@@ -49,6 +49,14 @@ object Vectors {
     }
   }
 
+  /** JVM twin of Spark's `round(x, 6)` on DoubleType — Catalyst's
+    * Round goes through BigDecimal.valueOf (shortest double string)
+    * with HALF_UP, so a kernel replicating a rounded expression must
+    * use exactly this form, not math.round tricks. */
+  def round6Jvm(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** JVM-side dot product with the same left-to-right association as
     * [[dot]]/[[dotSql]] — used by per-partition imperative kernels;
     * results are bit-identical to the expression forms. */

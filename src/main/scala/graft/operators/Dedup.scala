@@ -548,16 +548,23 @@ FROM com"""
   private[operators] def embedAssigned(s: SparkSession, dir: String): DataFrame = {
     val (e, cents) = embedVecsAndCents(s, dir)
     val ccos = DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-    memoBase("embed_assigned", s, dir)(
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"),
+    // argmax over the fixed-width (vec_id, cand) stream only, v/nrm
+    // re-attached by a partition-reusing join: first()-dragging the
+    // arrays through the aggregate plans a SortAggregate that pushes
+    // K·N array rows through the unsafe sorter (see
+    // [[Similarity.assignToCentroids]] for the measured numbers)
+    memoBase("embed_assigned", s, dir)({
+      val ew = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val am = ew.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
           struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
         .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          max(col("cand")).as("m"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          (-col("m.nc")).as("cl"),
-          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist")))
+        .agg(max(col("cand")).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cl"),
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist"))
+      ew.join(am.hint("shuffle_hash"), "vec_id")
+        .select(col("vec_id"), col("v"), col("nrm"), col("cl"), col("cdist"))
+    })
   }
 
   def qEmbedCosine(s: SparkSession, dir: String): DataFrame = {

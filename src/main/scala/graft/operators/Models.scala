@@ -108,13 +108,148 @@ object Models {
        |FROM rk r JOIN pri p USING (lang) JOIN tot o USING (lang) CROSS JOIN voc v
        |WHERE r.rank <= $NbTopK ORDER BY r.lang, r.rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // K-MEANS TO CONVERGENCE — the iterate-to-fixpoint trainer behind
+  // [[Similarity.qKmeansStep]]'s single Lloyd update, with the
+  // [[Dedup]] CC / graph_hits_converge discipline: bounded rounds,
+  // per-round LOOP STATE localCheckpointed (lineage would otherwise
+  // re-run every prior round per action), and an exact integer
+  // convergence trace as the gated artifact. Everything is integer:
+  // vectors enter as µ-scaled BIGINTs (the lloydUpdate `sv`
+  // convention), assignment argmin compares exact squared distances
+  // (Σ diff² ≤ 64·(8·10⁵)² ≪ 2⁶³) with ties to the smaller cid, and
+  // the centroid update divides Σ by n sign-split — JVM `/`
+  // truncation mirrored by an explicit CASE in the oracle, because
+  // DuckDB's integer `//` truncates on negative BIGINTs (measured:
+  // -781621 // 34 = -22988) while floorDiv floors. Per round the
+  // gate sees: reassignment count, total centroid movement in µ
+  // (Σ|Δ| over cells, the number that decays to 0 at the fixpoint),
+  // and occupied-cell count; empty cells carry their centroid
+  // (standard Lloyd).
+  //
+  // Scale shape: each round is one map-only argmin kernel over the
+  // corpus (centroids broadcast — K·dim is metadata) plus one
+  // (cid, dim)-keyed partial aggregate; the collected update is
+  // K×64 rows, the PQ-codebook metadata class, never the corpus.
+  private val KmRounds = 4
+  private val KmStride = 40 // seeds: vec_id % 40 == 7, the IVF codebook
+
+  def qKmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dim = 64
+    val asgSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("xm", ArrayType(LongType)),
+      StructField("cid", LongType),
+      StructField("chg", LongType)))
+    val em0 = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"),
+        lit(-1L).as("cid"), lit(0L).as("chg"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    var asg = em0.localCheckpoint()
+    var cents: Array[(Long, Array[Long])] = asg
+      .filter(col("vec_id") % KmStride === 7)
+      .select(col("vec_id"), col("xm")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val trace = Array.newBuilder[(Long, Long, Long, Long)]
+    for (round <- 0 until KmRounds) {
+      val bc = s.sparkContext.broadcast(cents)
+      val next = asg.mapPartitions { it =>
+        val cs = bc.value
+        it.map { r =>
+          val xm = r.getSeq[Long](1).toArray
+          val prev = r.getLong(2)
+          var bestCid = -1L
+          var bestDist = Long.MaxValue
+          cs.foreach { case (cid, cm) =>
+            var d2 = 0L
+            var i = 0
+            while (i < dim) { val d = xm(i) - cm(i); d2 += d * d; i += 1 }
+            if (d2 < bestDist) { bestDist = d2; bestCid = cid }
+          }
+          Row(r.getLong(0), r.getSeq[Long](1), bestCid,
+            if (bestCid != prev) 1L else 0L)
+        }
+      }(Encoders.row(asgSchema)).localCheckpoint()
+      val changed = next.agg(sum(col("chg")).as("n")).first().getLong(0)
+      val upd = next.select(col("cid"), posexplode(col("xm")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val newByCid = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val cm = new Array[Long](dim)
+        rows.foreach(r => cm(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+        cid -> cm
+      }
+      val nCells = newByCid.size.toLong
+      var moved = 0L
+      val nextCents = cents.map { case (cid, old) =>
+        newByCid.get(cid) match {
+          case Some(cm) =>
+            var i = 0
+            while (i < dim) { moved += math.abs(cm(i) - old(i)); i += 1 }
+            cid -> cm
+          case None => cid -> old
+        }
+      }
+      trace += ((round.toLong, changed, moved, nCells))
+      cents = nextCents
+      asg = next
+    }
+    import s.implicits._
+    trace.result().toSeq.toDF("round", "n_changed", "moved_mu", "n_cells")
+      .orderBy(col("round"))
+  }
+
+  /** Chained-CTE oracle: one a/nc/c CTE triple per round (the
+    * accumulator-as-column-ref rule — nesting would double the tree
+    * per round), every loop CTE MATERIALIZED. */
+  val qKmeansConvergeSql: String = {
+    val dim = 64
+    val dist = (xm: String, cm: String) =>
+      s"list_aggregate(list_transform(range($dim), dd -> ($xm[dd+1] - $cm[dd+1]) * ($xm[dd+1] - $cm[dd+1])), 'sum')"
+    val rounds = (0 until KmRounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT vec_id, xm, cid FROM (
+         |  SELECT e.vec_id, e.xm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.xm", "c.cm")} ASC, c.cid ASC) AS rn
+         |  FROM em e CROSS JOIN c$r c) t WHERE rn = 1),
+         |n$r AS (SELECT cid, list(cv ORDER BY dd) AS cm FROM (
+         |  SELECT cid, dd, CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS cv FROM (
+         |    SELECT cid, dd, sum(xm[dd+1]) AS s, count(*) AS n
+         |    FROM a$r, (SELECT unnest(range($dim)) AS dd)
+         |    GROUP BY cid, dd)) GROUP BY cid),
+         |c${r + 1} AS MATERIALIZED (SELECT p.cid, coalesce(n.cm, p.cm) AS cm
+         |  FROM c$r p LEFT JOIN n$r n USING (cid)),
+         |m$r AS (SELECT $r AS round,
+         |  ${if (r == 0) "(SELECT count(*) FROM a0)"
+            else s"(SELECT count(*) FROM a$r a JOIN a${r - 1} p USING (vec_id) WHERE a.cid <> p.cid)"} AS n_changed,
+         |  (SELECT sum(list_aggregate(list_transform(range($dim), dd -> abs(n.cm[dd+1] - p.cm[dd+1])), 'sum'))
+         |     FROM c${r + 1} n JOIN c$r p USING (cid)) AS moved_mu,
+         |  (SELECT count(DISTINCT cid) FROM a$r) AS n_cells)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until KmRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH em AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $KmStride = 7),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_changed AS BIGINT) AS n_changed,
+       |  CAST(moved_mu AS BIGINT) AS moved_mu, CAST(n_cells AS BIGINT) AS n_cells
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_sources" -> (qLinregSources _),
     "ml_nb_train" -> (qNbTrain _),
+    "ml_kmeans_converge" -> (qKmeansConverge _),
   )
 
   val oracles: Map[String, String] = Map(
     "ml_linreg_sources" -> qLinregSourcesSql,
     "ml_nb_train" -> qNbTrainSql,
+    "ml_kmeans_converge" -> qKmeansConvergeSql,
   )
 }

@@ -268,28 +268,55 @@ object Similarity {
     * Returns (vec_id, cid, v, nrm); shared by [[qIvfTopk]] (the
     * inverted-file build) and [[qKmeansStep]] (the Lloyd update). */
   private[operators] def assignToCentroids(s: SparkSession, dir: String): DataFrame = {
-    DotF64.register(s)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    DotF64.register(s) // downstream consumers score with the codegen'd dot
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
-    val cents = e.filter(col("vec_id") % CentroidStride === 7)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val ccos = round(DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-    // The K·N dot-product sweep below runs BEFORE the argmax exchange,
-    // i.e. on scan partitions — file-layout-bound (8 tasks on the 10×
-    // profile corpus, 24.5s CPU pinned at 3.9s wall). Per-row CPU is
-    // |centroids|·64 mults ≫ the ~0.5 KB shuffle write, so the
-    // explicit width pin pays (the q25 rule); measured 5.5→3.7s on
-    // the 10× profile corpus (the assign stage itself 3.9→1.6s wall
-    // at 8→32 tasks), neutral at gate SF.
+    // The K·N sweep is ONE mapPartitions kernel against the broadcast
+    // codebook. The relational history of this stage is instructive:
+    // the original crossJoin + argmax-with-first(v) planned a
+    // SortAggregate dragging K·N ARRAY rows through the unsafe sorter
+    // (456s CPU / 52s GC on the 10× profile corpus — K grows with the
+    // corpus here, so that path was quadratic WITH payload); the
+    // fixed-width-argmax + join-back form cut it to 57s CPU, still
+    // dominated by materializing two 64-double arrays per candidate
+    // row in the crossJoin. The kernel touches each vector once,
+    // reads centroids from the broadcast, and allocates nothing per
+    // candidate: 57s → ~6s CPU, same 6-dp-rounded argmax (ties to the
+    // smaller cid — ascending scan with strict improvement), same
+    // [[graft.functions.Vectors.round6Jvm]] rounding as the
+    // expression form. The codebook collect is K·dim doubles (the
+    // PQ-codebook metadata class; production trains a fixed K).
+    val centArr = e.filter(col("vec_id") % CentroidStride === 7).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        (r.getLong(0), cv, math.sqrt(Vectors.dotJvm(cv, cv)))
+      }
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(centArr)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType)))
+    // single-file scans as ~3 partitions; pin the kernel width (the
+    // q25 rule — per-row CPU is |centroids|·64 mults ≫ the row bytes)
     e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(col("cand")).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cid"), col("v"), col("nrm"))
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(Vectors.dotJvm(v, v))
+          var bestC = Double.NegativeInfinity
+          var bestCid = Long.MaxValue
+          cs.foreach { case (cid, cv, cn) =>
+            val c = Vectors.round6Jvm(Vectors.dotJvm(v, cv) / (nrm * cn))
+            if (c > bestC) { bestC = c; bestCid = cid }
+          }
+          Row(r.getLong(0), bestCid, v.toSeq, nrm)
+        }
+      }(Encoders.row(schema))
   }
 
   /** [[assignToCentroids]] memoized per (session, sfDir) behind one

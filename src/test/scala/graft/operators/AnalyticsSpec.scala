@@ -896,6 +896,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(mean(en) > mean(other), "en-trained LM must rank en docs above the rest")
   }
 
+  test("k-means convergence trace matches a naive driver-side re-run") {
+    val rows = Models.qKmeansConverge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val em = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1000000 + 0.5).toLong).toArray)
+    var cents = em.filter(_._1 % 40 == 7).map { case (id, v) => id -> v.clone() }.sortBy(_._1)
+    var prev = Map.empty[Long, Long]
+    val expected = (0 until 4).map { round =>
+      val asg = em.map { case (id, xm) =>
+        val best = cents.minBy { case (_, cm) =>
+          (xm.indices.map(i => { val d = xm(i) - cm(i); d * d }).sum, 0L)._1
+        }
+        id -> best._1
+      }.toMap
+      val changed = em.count { case (id, _) => prev.getOrElse(id, -1L) != asg(id) }.toLong
+      val members = em.groupBy { case (id, _) => asg(id) }
+      var moved = 0L
+      cents = cents.map { case (cid, old) =>
+        members.get(cid) match {
+          case Some(ms) =>
+            val cm = Array.tabulate(64)(d => ms.map(_._2(d)).sum / ms.length)
+            moved += cm.indices.map(i => math.abs(cm(i) - old(i))).sum
+            cid -> cm
+          case None => cid -> old
+        }
+      }
+      prev = asg
+      (round.toLong, changed, moved, members.size.toLong)
+    }
+    assert(rows.toSeq == expected, s"trace ${rows.toSeq} != naive $expected")
+  }
+
   test("contamination report is the exact provenance union of its two passes") {
     val rows = Pipeline.qContamReport(spark, sfDir).collect()
     val tx = Text.qDecontaminate(spark, sfDir).collect()

@@ -1598,7 +1598,12 @@ FROM f GROUP BY split ORDER BY split"""
   // stream still touches the corpus once.
   private val LmKeepPpm = 33800L
 
-  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScored(s, dir).orderBy(col("doc_id"))
+
+  /** The per-doc scored frame behind [[qLmScore]] (unsorted) —
+    * shared with the CCNet bucketing rollup. */
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -1640,7 +1645,6 @@ FROM f GROUP BY split ORDER BY split"""
         expr("sum_ppm div n_bigrams").as("lm_score_ppm"),
         col("oov_bigrams"),
         (expr("sum_ppm div n_bigrams") >= LmKeepPpm).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val qLmScoreSql: String =
@@ -1666,7 +1670,62 @@ FROM f GROUP BY split ORDER BY split"""
        |  sum_ppm // n_bigrams >= $LmKeepPpm AS keep
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CCNet HEAD/MIDDLE/TAIL SHARDING — the step CCNet runs right
+  // after LM scoring: rank the corpus by model score and cut it into
+  // three equal shards (head = best-modeled text, trained on most;
+  // tail = candidate discard). ntile(3) over (score DESC, doc_id) is
+  // positionally deterministic on both engines given the total
+  // order; the rollup gates each shard's exact bounds, floor-div
+  // mean, and keep-rate per-mille — head keeps 1000‰, tail 0‰ at
+  // the [[LmKeepPpm]] threshold, i.e. the shard cut and the
+  // threshold filter agree on this corpus. The global ntile window
+  // is a single-partition pass over doc-count rows here; at corpus
+  // scale the cut points come from the distributed percentile
+  // machinery (q32) and the bucketing becomes a map-side compare —
+  // noted rather than faked, since the gate needs the positional
+  // semantics.
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("lm_score_ppm").desc, col("doc_id"))
+    lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"), col("keep"))
+      .withColumn("bkt", ntile(3).over(w))
+      .groupBy(col("bkt"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("lm_score_ppm")).as("min_ppm"),
+        max(col("lm_score_ppm")).as("max_ppm"),
+        sum(col("lm_score_ppm")).as("sum_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(
+        when(col("bkt") === 1, "1_head")
+          .when(col("bkt") === 2, "2_middle")
+          .otherwise("3_tail").as("bucket"),
+        col("n_docs"), col("min_ppm"), col("max_ppm"),
+        expr("sum_ppm div n_docs").as("mean_ppm"),
+        expr("1000 * n_keep div n_docs").as("keep_pm"))
+      .orderBy(col("bucket"))
+  }
+
+  // composed without stripMargin (embedded stripped SQL carries `||`
+  // continuation lines)
+  lazy val qCcnetBucketsSql: String =
+    s"""WITH lm AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm, keep FROM (
+$qLmScoreSql
+)),
+b AS (SELECT doc_id, lm_score_ppm, keep,
+  ntile(3) OVER (ORDER BY lm_score_ppm DESC, doc_id) AS bkt FROM lm)
+SELECT CASE bkt WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle' ELSE '3_tail' END AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(lm_score_ppm) AS BIGINT) AS min_ppm,
+  CAST(max(lm_score_ppm) AS BIGINT) AS max_ppm,
+  CAST(sum(lm_score_ppm) // count(*) AS BIGINT) AS mean_ppm,
+  CAST(1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS keep_pm
+FROM b GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ccnet_buckets" -> (qCcnetBuckets _),
     "text_lm_score" -> (qLmScore _),
     "text_bm25" -> (qBm25 _),
     "text_bm25_mlt" -> (qBm25Mlt _),
@@ -1690,6 +1749,7 @@ FROM f GROUP BY split ORDER BY split"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ccnet_buckets" -> qCcnetBucketsSql,
     "text_lm_score" -> qLmScoreSql,
     "text_bm25" -> qBm25Sql,
     "text_bm25_mlt" -> qBm25MltSql,

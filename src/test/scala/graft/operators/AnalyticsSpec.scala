@@ -930,6 +930,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == expected, s"trace ${rows.toSeq} != naive $expected")
   }
 
+  test("CCNet buckets partition the scored corpus into ordered near-equal shards") {
+    val rows = Text.qCcnetBuckets(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_head", "2_middle", "3_tail"))
+    val scored = Text.qLmScore(spark, sfDir).count()
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum == scored, "shards must partition the scored corpus")
+    assert(sizes.max - sizes.min <= 1, s"ntile shards must be near-equal: ${sizes.toSeq}")
+    // positional cut: score ranges may touch at a tie but never invert
+    assert(rows(0).getLong(2) >= rows(1).getLong(3), "head floor below middle ceiling")
+    assert(rows(1).getLong(2) >= rows(2).getLong(3), "middle floor below tail ceiling")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(3),
+        s"${r.getString(0)}: mean outside [min, max]")
+    }
+  }
+
   test("contamination report is the exact provenance union of its two passes") {
     val rows = Pipeline.qContamReport(spark, sfDir).collect()
     val tx = Text.qDecontaminate(spark, sfDir).collect()

@@ -49,13 +49,15 @@ object Vectors {
     }
   }
 
-  /** JVM twin of Spark's `round(x, 6)` on DoubleType — Catalyst's
+  /** JVM twin of Spark's `round(x, s)` on DoubleType — Catalyst's
     * Round goes through BigDecimal.valueOf (shortest double string)
     * with HALF_UP, so a kernel replicating a rounded expression must
     * use exactly this form, not math.round tricks. */
-  def round6Jvm(x: Double): Double =
+  def roundJvm(x: Double, scale: Int): Double =
     java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def round6Jvm(x: Double): Double = roundJvm(x, 6)
 
   /** JVM-side dot product with the same left-to-right association as
     * [[dot]]/[[dotSql]] — used by per-partition imperative kernels;

@@ -585,16 +585,53 @@ FROM com"""
     val candClusters = ca.crossJoin(cb)
       .filter(cdij <= col("ra") + col("rb") + lit(thrDist))
       .select(col("cl_a"), col("cl_b"))
-    // 4. block join on the candidate list; exact scoring on candidates.
-    val left = assigned.join(broadcast(candClusters), col("cl") === col("cl_a"))
-      .select(col("cl_b"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
-    val right = assigned
-      .select(col("cl").as("cl_b"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    // 4. block join on the candidate list — FIXED-WIDTH rows only
+    //    (cl_b, id): the original form carried the 64-double arrays
+    //    through both sides of the cl_b shuffle, measured 2×105 MB
+    //    shuffle reads / 2×20s CPU at 10× where the per-doc vector
+    //    table is ~10 MB per 2k vectors. Exact scoring runs as a
+    //    kernel over the STREAMING pair list against ONE compact
+    //    primitive broadcast of the per-doc vectors (the qMinHashLsh
+    //    orientation; two ~100 MB DataFrame-broadcast fetch joins
+    //    were measured to regress the ensemble composite 29.6→34s at
+    //    10× — UnsafeRow broadcast copies cost ~10× the primitive
+    //    map). Same arithmetic as the expression form: dotJvm ==
+    //    DotF64's loop, threshold on the raw cosine, HALF_UP 4-dp
+    //    round via roundJvm.
+    val left = assigned.select(col("cl"), col("vec_id"))
+      .join(broadcast(candClusters), col("cl") === col("cl_a"))
+      .select(col("cl_b"), col("vec_id").as("ia"))
+    val right = assigned.select(col("cl").as("cl_b"), col("vec_id").as("ib"))
+    val vecMap = new java.util.HashMap[Long, (Array[Double], Double)]()
+    assigned.select(col("vec_id"), col("v"), col("nrm")).collect().foreach { r =>
+      vecMap.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    }
+    val bcVecs = s.sparkContext.broadcast(vecMap)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ia", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ib", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType)))
     left.join(right, Seq("cl_b"))
       .filter(col("ia") < col("ib"))
-      .withColumn("cos", DotF64.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= CosineThreshold)
-      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cosine"))
+      .select(col("ia"), col("ib"))
+      .mapPartitions { it =>
+        val m = bcVecs.value
+        it.flatMap { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (va, na) = m.get(a)
+          val (vb, nb) = m.get(b)
+          val cos = graft.functions.Vectors.dotJvm(va, vb) / (na * nb)
+          if (cos >= CosineThreshold)
+            Iterator.single(org.apache.spark.sql.Row(a, b,
+              graft.functions.Vectors.roundJvm(cos, 4)))
+          else Iterator.empty
+        }
+      }(org.apache.spark.sql.Encoders.row(pairSchema))
+      // tiny post-threshold pair list, checkpointed before the final
+      // sort: the range exchange samples-then-reruns an
+      // unmaterialized child — profiled as TWO ~100s-CPU kernel
+      // stages (the dedup_winnow_pairs lesson)
+      .localCheckpoint()
       .orderBy(col("ia"), col("ib"))
   }
 

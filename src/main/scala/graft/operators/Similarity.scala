@@ -69,6 +69,74 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // HARD-NEGATIVE MINING — the training-pair construction an
+  // embedding-model pipeline runs over its own corpus: for every
+  // probe, the exact nearest neighbor becomes the POSITIVE and the
+  // next-ranked candidates become HARD NEGATIVES, subject to the two
+  // standard guards — a top-margin (a negative within [[HnMargin]]
+  // of the positive is more likely an unlabeled positive than a
+  // negative, the false-negative filter) and a hardness floor
+  // (cos < [[HnFloor]] is an easy negative the contrastive loss
+  // learns nothing from). All decisions compare 6-dp-rounded
+  // cosines (exact cross-engine), emitted as exact ppm integers
+  // with the per-row margin — the mined-pair quality surface a
+  // training run audits. Plan class: [[qTopkCosine]]'s broadcast-
+  // probe sweep (corpus touched once, K+1 rows per probe through
+  // the rank window), then the |probes|-row positive frame joins
+  // back broadcast.
+  private val HnCandidates = 9
+  private val HnMargin = 0.02
+  private val HnFloor = 0.2
+
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val queries = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val ranked = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HnCandidates)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("qid"), col("cos").as("pos_cos"))
+    ranked.join(broadcast(pos), "qid")
+      .filter(col("rank") === 1 ||
+        (col("cos") <= col("pos_cos") - HnMargin && col("cos") >= HnFloor))
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("cos") * 1e6, 0).cast("long").as("cos_ppm"),
+        when(col("rank") === 1, "pos").otherwise("neg").as("role"),
+        round((col("pos_cos") - col("cos")) * 1e6, 0).cast("long").as("margin_ppm"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0),
+       |scored AS (SELECT q.qid, n.vec_id,
+       |  round((${Vectors.dotSql("n.v", "q.qv")}) / (n.nrm * q.qn), 6) AS cos
+       |  FROM n JOIN q ON n.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored),
+       |rk AS (SELECT qid, rank, vec_id AS neighbor, cos FROM r WHERE rank <= $HnCandidates),
+       |p AS (SELECT qid, cos AS pos_cos FROM rk WHERE rank = 1)
+       |SELECT rk.qid, rank, neighbor,
+       |  CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_ppm,
+       |  CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role,
+       |  CAST(round((pos_cos - cos) * 1000000, 0) AS BIGINT) AS margin_ppm
+       |FROM rk JOIN p ON rk.qid = p.qid
+       |WHERE rank = 1 OR (cos <= pos_cos - $HnMargin AND cos >= $HnFloor)
+       |ORDER BY rk.qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // MATRYOSHKA (prefix-dimension) RETRIEVAL — MRL-style embeddings
   // are trained so a PREFIX of the vector is itself a usable
   // embedding; serving stacks exploit that by retrieving with the
@@ -1524,6 +1592,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     "sim_matryoshka" -> (qMatryoshka _),
     "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_cosine" -> (qTopkCosine _),
+    "sim_hard_negatives" -> (qHardNegatives _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
@@ -1547,6 +1616,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     "sim_matryoshka" -> qMatryoshkaSql,
     "sim_rank_fusion" -> qRankFusionSql,
     "sim_knn_graph" -> qKnnGraphSql,
+    "sim_hard_negatives" -> qHardNegativesSql,
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,

@@ -930,6 +930,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == expected, s"trace ${rows.toSeq} != naive $expected")
   }
 
+  test("hard-negative mining emits one positive per probe and margin-guarded negatives") {
+    val rows = Similarity.qHardNegatives(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, grp) =>
+      val pos = grp.filter(_.getString(4) == "pos")
+      assert(pos.length == 1 && pos.head.getInt(1) == 1,
+        s"probe $qid: exactly one positive at rank 1")
+      assert(pos.head.getLong(5) == 0L, s"probe $qid: positive margin must be 0")
+      val posCos = pos.head.getLong(3)
+      grp.filter(_.getString(4) == "neg").foreach { n =>
+        assert(n.getLong(3) <= posCos - 20000L,
+          s"probe $qid: negative within the false-negative margin")
+        assert(n.getLong(3) >= 200000L, s"probe $qid: easy negative below the floor")
+        assert(n.getLong(5) == posCos - n.getLong(3),
+          s"probe $qid: margin must be pos - neg exactly")
+      }
+      assert(grp.map(_.getInt(1)).distinct.length == grp.length,
+        s"probe $qid: ranks must be unique")
+    }
+  }
+
   test("CCNet buckets partition the scored corpus into ordered near-equal shards") {
     val rows = Text.qCcnetBuckets(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("1_head", "2_middle", "3_tail"))

@@ -1015,7 +1015,105 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(families AS BIGINT) AS families,
   CAST(text_evals AS BIGINT) AS text_evals, CAST(sem_cos_ppm AS BIGINT) AS sem_cos_ppm
 FROM u ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // RELEASE GATE — the per-source ship/no-ship decision a dataset
+  // release actually runs, composing the audit surface this library
+  // gates piecewise: LM keep rate ([[Text.qLmScore]]), contamination
+  // involvement ([[qContamReport]] — textual OR semantic), and
+  // near-dup involvement ([[Dedup.qMinHashLsh]] pair membership),
+  // each rolled to per-source per-mille against the source's doc
+  // count and compared to release thresholds. The ship column is the
+  // gated artifact: at sf0.01 the rule splits the 20 sources on all
+  // three axes (3 fail contamination, 2 fail near-dup, 8 fail
+  // quality), so a regression in ANY upstream audit flips a row.
+  //
+  // Scale shape: the three audit passes are index-shaped already;
+  // their per-source rollups are source-count-sized and checkpoint
+  // before the join chain + final sort (the composite-query
+  // discipline). Denominators guard with greatest(…, 1) on both
+  // engines; all rates are non-negative floor divisions.
+  private val ShipMinKeepPm = 400L
+  private val ShipMaxContamPm = 160L
+  private val ShipMaxNearDupPm = 160L
+
+  def qReleaseGate(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val base = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val keep = Text.qLmScore(s, dir).select(col("doc_id"), col("keep"))
+      .join(src, "doc_id").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .localCheckpoint()
+    val contam = qContamReport(s, dir).select(col("doc_id"))
+      .join(src, "doc_id").groupBy(col("source"))
+      .agg(count(lit(1)).as("contam_docs"))
+      .localCheckpoint()
+    val nd = Dedup.qMinHashLsh(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      .join(src, "doc_id").groupBy(col("source"))
+      .agg(count(lit(1)).as("neardup_docs"))
+      .localCheckpoint()
+    base
+      .join(keep, Seq("source"), "left")
+      .join(contam, Seq("source"), "left")
+      .join(nd, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        expr("1000 * coalesce(n_keep, 0) div greatest(coalesce(n_scored, 0), 1)").as("keep_pm"),
+        coalesce(col("contam_docs"), lit(0L)).as("contam_docs"),
+        expr("1000 * coalesce(contam_docs, 0) div greatest(n_docs, 1)").as("contam_pm"),
+        coalesce(col("neardup_docs"), lit(0L)).as("neardup_docs"),
+        expr("1000 * coalesce(neardup_docs, 0) div greatest(n_docs, 1)").as("neardup_pm"))
+      .withColumn("ship",
+        col("keep_pm") >= ShipMinKeepPm &&
+          col("contam_pm") <= ShipMaxContamPm &&
+          col("neardup_pm") <= ShipMaxNearDupPm)
+      .orderBy(col("source"))
+  }
+
+  // composed without stripMargin (embedded stripped SQLs carry `||`
+  // continuation lines); every audit subquery MATERIALIZED.
+  lazy val qReleaseGateSql: String =
+    s"""WITH src AS (SELECT doc_id, source FROM documents),
+base AS (SELECT source, count(*) AS n_docs FROM src GROUP BY source),
+keepd AS MATERIALIZED (
+SELECT doc_id, keep FROM (
+${Text.qLmScoreSql}
+)),
+keep AS (SELECT source, count(*) AS n_scored,
+  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+  FROM keepd JOIN src USING (doc_id) GROUP BY source),
+contamd AS MATERIALIZED (
+SELECT doc_id FROM (
+$qContamReportSql
+)),
+contam AS (SELECT source, count(*) AS contam_docs
+  FROM contamd JOIN src USING (doc_id) GROUP BY source),
+ndp AS MATERIALIZED (
+SELECT doc_a, doc_b FROM (
+${Dedup.qMinHashLshSql}
+)),
+ndd AS (
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_a AS doc_id FROM ndp UNION ALL SELECT doc_b AS doc_id FROM ndp)),
+nd AS (SELECT source, count(*) AS neardup_docs
+  FROM ndd JOIN src USING (doc_id) GROUP BY source),
+j AS (SELECT b.source, b.n_docs,
+  1000 * coalesce(k.n_keep, 0) // greatest(coalesce(k.n_scored, 0), 1) AS keep_pm,
+  coalesce(c.contam_docs, 0) AS contam_docs,
+  1000 * coalesce(c.contam_docs, 0) // greatest(b.n_docs, 1) AS contam_pm,
+  coalesce(n.neardup_docs, 0) AS neardup_docs,
+  1000 * coalesce(n.neardup_docs, 0) // greatest(b.n_docs, 1) AS neardup_pm
+FROM base b LEFT JOIN keep k USING (source) LEFT JOIN contam c USING (source)
+  LEFT JOIN nd n USING (source))
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(keep_pm AS BIGINT) AS keep_pm,
+  CAST(contam_docs AS BIGINT) AS contam_docs, CAST(contam_pm AS BIGINT) AS contam_pm,
+  CAST(neardup_docs AS BIGINT) AS neardup_docs, CAST(neardup_pm AS BIGINT) AS neardup_pm,
+  keep_pm >= $ShipMinKeepPm AND contam_pm <= $ShipMaxContamPm
+    AND neardup_pm <= $ShipMaxNearDupPm AS ship
+FROM j ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
     "pipe_datacard" -> (qDatacard _),
     "samp_dsir" -> (qDsir _),
@@ -1037,6 +1135,7 @@ FROM u ORDER BY doc_id"""
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,
     "samp_dsir" -> qDsirSql,

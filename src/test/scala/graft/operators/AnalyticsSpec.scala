@@ -930,6 +930,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == expected, s"trace ${rows.toSeq} != naive $expected")
   }
 
+  test("release gate covers every source and its verdict re-derives from the row") {
+    val rows = Pipeline.qReleaseGate(spark, sfDir).collect()
+    val sources = graft.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong == sources, "one verdict row per source")
+    rows.foreach { r =>
+      assert(r.getLong(4) == 1000L * r.getLong(3) / r.getLong(1), "contam_pm identity")
+      assert(r.getLong(6) == 1000L * r.getLong(5) / r.getLong(1), "neardup_pm identity")
+      val expected = r.getLong(2) >= 400L && r.getLong(4) <= 160L && r.getLong(6) <= 160L
+      assert(r.getBoolean(7) == expected, s"${r.getString(0)}: ship flag breaks its own rule")
+    }
+    // the gate must actually discriminate at this corpus shape
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)),
+      "thresholds must split the sources, or the gate gates nothing")
+  }
+
   test("hard-negative mining emits one positive per probe and margin-guarded negatives") {
     val rows = Similarity.qHardNegatives(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (qid, grp) =>

@@ -233,7 +233,12 @@ object Multimodal {
   private val AudioWin = 256
   private val AudioHop = 128
 
-  def qAudioWindows(s: SparkSession, dir: String): DataFrame = {
+  def qAudioWindows(s: SparkSession, dir: String): DataFrame =
+    audioWindows(s, dir).orderBy(col("doc_id"), col("win_idx"))
+
+  /** Unordered window/energy/peak frame shared by [[qAudioWindows]]
+    * and [[qSilenceTrim]] (the consumer adds its own sort or agg). */
+  private def audioWindows(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
       StructField("win_idx", LongType),
@@ -263,7 +268,6 @@ object Multimodal {
           }
         }
       }(enc)
-      .orderBy(col("doc_id"), col("win_idx"))
   }
 
   val qAudioWindowsSql: String =
@@ -279,6 +283,71 @@ object Multimodal {
        |  CAST(list_aggregate(vs, 'sum') AS BIGINT) AS energy,
        |  CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
        |FROM vals ORDER BY doc_id, win_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SILENCE TRIM — the leading/trailing-silence trim an audio
+  // pipeline runs before transcription: a window is VOICED when its
+  // exact integer energy exceeds [[SilenceThr]] × window bytes (an
+  // integer cross-multiply — no mean, no division), and the kept
+  // span runs from the first to the last voiced window ([lo of
+  // first, hi of last) in body bytes — interior quiet stays, the
+  // standard trim semantics). At sf0.01 the threshold discriminates:
+  // 55/500 docs are fully silent, 102 get a non-trivial trim. Scale
+  // shape: one map-only window kernel ([[audioWindows]], payloads
+  // never shuffle) then a fixed-width groupBy(doc_id); conditional
+  // min/max aggregates pick the span (hi = win_idx·hop + n_bytes is
+  // monotone in win_idx, so max over voiced windows IS the last
+  // voiced window's end). All-silent docs coalesce to (-1, -1, 0, 0)
+  // and 1000‰ trimmed; trimmed_pm is a non-negative floor division.
+  private val SilenceThr = 94L
+
+  def qSilenceTrim(s: SparkSession, dir: String): DataFrame = {
+    val voiced = col("energy") > lit(SilenceThr) * col("n_bytes")
+    audioWindows(s, dir)
+      .withColumn("lo", col("win_idx") * AudioHop)
+      .withColumn("hi", col("win_idx") * AudioHop + col("n_bytes"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(voiced, 1L).otherwise(0L)).as("voiced_windows"),
+        coalesce(min(when(voiced, col("win_idx"))), lit(-1L)).as("first_keep"),
+        coalesce(max(when(voiced, col("win_idx"))), lit(-1L)).as("last_keep"),
+        coalesce(min(when(voiced, col("lo"))), lit(0L)).as("trim_start"),
+        coalesce(max(when(voiced, col("hi"))), lit(0L)).as("trim_end"),
+        max(col("hi")).as("total_bytes"))
+      .withColumn("kept_bytes", col("trim_end") - col("trim_start"))
+      .withColumn("trimmed_pm",
+        expr("1000 * (total_bytes - kept_bytes) div greatest(total_bytes, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  // composed without stripMargin (embeds the already-stripped
+  // qAudioWindowsSql).
+  lazy val qSilenceTrimSql: String =
+    s"""WITH aw AS MATERIALIZED (
+SELECT * FROM (
+$qAudioWindowsSql
+)),
+fl AS (SELECT doc_id, win_idx, n_bytes, energy,
+  win_idx * $AudioHop AS lo, win_idx * $AudioHop + n_bytes AS hi,
+  energy > $SilenceThr * n_bytes AS voiced FROM aw),
+agg AS (SELECT doc_id, count(*) AS n_windows,
+  count(*) FILTER (voiced) AS voiced_windows,
+  coalesce(min(win_idx) FILTER (voiced), -1) AS first_keep,
+  coalesce(max(win_idx) FILTER (voiced), -1) AS last_keep,
+  coalesce(min(lo) FILTER (voiced), 0) AS trim_start,
+  coalesce(max(hi) FILTER (voiced), 0) AS trim_end,
+  max(hi) AS total_bytes FROM fl GROUP BY doc_id)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+  CAST(voiced_windows AS BIGINT) AS voiced_windows,
+  CAST(first_keep AS BIGINT) AS first_keep,
+  CAST(last_keep AS BIGINT) AS last_keep,
+  CAST(trim_start AS BIGINT) AS trim_start,
+  CAST(trim_end AS BIGINT) AS trim_end,
+  CAST(total_bytes AS BIGINT) AS total_bytes,
+  CAST(trim_end - trim_start AS BIGINT) AS kept_bytes,
+  CAST(1000 * (total_bytes - (trim_end - trim_start)) // greatest(total_bytes, 1) AS BIGINT) AS trimmed_pm
+FROM agg ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
   // VIDEO-STYLE FRAME SAMPLING — the strided frame-sample + scene-cut
@@ -494,6 +563,7 @@ object Multimodal {
     "mm_hist_dedup" -> (qHistDedup _),
     "mm_audio_windows" -> (qAudioWindows _),
     "mm_frame_sample" -> (qFrameSample _),
+    "mm_silence_trim" -> (qSilenceTrim _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,5 +572,6 @@ object Multimodal {
     "mm_phash" -> qPHashSql,
     "mm_hist_dedup" -> qHistDedupSql,
     "mm_audio_windows" -> qAudioWindowsSql,
-    "mm_frame_sample" -> qFrameSampleSql)
+    "mm_frame_sample" -> qFrameSampleSql,
+    "mm_silence_trim" -> qSilenceTrimSql)
 }

@@ -143,6 +143,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("silence trim spans re-derive from the window frame and respect window geometry") {
+    val t = Multimodal.qSilenceTrim(spark, sfDir).collect()
+    val w = Multimodal.qAudioWindows(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(t.map(_.getLong(0)).toSet == w.keySet, "one trim row per windowed doc")
+    t.foreach { r =>
+      val (id, nw, vw, fk, lk, ts, te, tot, kept, pm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      val rows = w(id)
+      assert(nw == rows.length.toLong)
+      val voiced = rows.filter(x => x.getLong(3) > 94L * x.getLong(2)).map(_.getLong(1))
+      assert(vw == voiced.length.toLong, s"voiced count for doc $id")
+      if (voiced.isEmpty) {
+        assert(fk == -1L && lk == -1L && ts == 0L && te == 0L && kept == 0L && pm == 1000L)
+      } else {
+        assert(fk == voiced.min && lk == voiced.max)
+        assert(ts == fk * 128L, "trim starts at the first voiced window's lo")
+        val lastRow = rows.find(_.getLong(1) == lk).get
+        assert(te == lk * 128L + lastRow.getLong(2), "trim ends at the last voiced window's hi")
+        assert(kept == te - ts && kept >= 1 && te <= tot)
+        assert(pm == 1000L * (tot - kept) / tot)
+      }
+    }
+    // the threshold must actually trim something and keep something
+    assert(t.exists(_.getLong(9) == 0L) && t.exists(r => r.getLong(9) > 0L && r.getLong(9) < 1000L))
+  }
+
   test("label propagation: members partition the touched nodes, internal <= edges") {
     val lp = Dedup.qLabelProp(spark, sfDir).collect()
     val pairs = Dedup.qMinHashLsh(spark, sfDir)

@@ -1581,6 +1581,123 @@ FROM com"""
   }
 
   // ---------------------------------------------------------------
+  // EXCERPT / CONTAINMENT DETECTION — the asymmetric near-dup case
+  // every symmetric family above structurally misses: a SHORT
+  // fragment quoted inside a LONG document has Jaccard ≈
+  // |frag|/|doc| (far below any LSH threshold, and minhash bands
+  // rarely collide when one signature is dominated by the host's
+  // extra shingles), but containment |A∩B|/|A| ≈ 1. Probes are
+  // deterministic excerpt stand-ins — the first max(len/3, 3) words
+  // of every SnipMod-th document (the qIncremental batch-split
+  // precedent); candidates come from a DOCUMENT-FREQUENCY-CAPPED
+  // inverted shingle index (a snippet shingle appearing in ≤ DfCap
+  // corpus docs nominates those docs — the winnow DF-cap discipline,
+  // so hot shingles never fan out), requiring ≥ MinRare independent
+  // rare hits before the exact verify. Gated: exact overlap,
+  // containment and Jaccard in integer per-mille, and the
+  // excerpt_flag (containment ≥ 800‰ while Jaccard < 500‰) — every
+  // emitted row on this corpus demonstrates precisely the
+  // high-containment/low-Jaccard signature LSH cannot see.
+  //
+  // Scale shape: the corpus shingle table streams once into the
+  // df-capped index (8-byte-key aggregates); the snippet batch is
+  // ~|corpus|/SnipMod docs' first thirds and BROADCASTS (the
+  // incremental-dedup orientation — the corpus is never self-joined,
+  // candidate count is bounded by batch fan-out × DfCap); the exact
+  // verify streams the corpus table once more against the broadcast
+  // candidate list + snippet hash sets. All joins carry fixed-width
+  // longs; nothing pair-quadratic anywhere.
+  private val SnipMod = 5L
+  private val ContainDfCap = 4
+  private val ContainMinRare = 2
+
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // corpus distinct (doc_id, h) — one kernel pass, three consumers
+    val ds = Sketches.docShingleHashes(s, dir).select(col("doc_id"), col("h"))
+      .localCheckpoint()
+    val snSchema = StructType(Seq(
+      StructField("snip_doc", LongType), StructField("h", LongType)))
+    val snds = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % SnipMod === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val ws = Text.duckWords(r.getString(1))
+          val sws = ws.take(math.max(ws.length / 3, 3))
+          val seen = new java.util.HashSet[Long]()
+          shinglesOf(sws).flatMap { x =>
+            val h = md5Mod(md, x, Long.MaxValue) >> 12
+            if (seen.add(h)) Some(Row(r.getLong(0), h)) else None
+          }
+        }
+      }(Encoders.row(snSchema))
+      .localCheckpoint()
+    val di = ds.join(
+      ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainDfCap).select(col("h")),
+      Seq("h"))
+    val cand = di.join(broadcast(snds), Seq("h"))
+      .filter(col("snip_doc") =!= col("doc_id"))
+      .groupBy(col("snip_doc"), col("doc_id").as("host_doc"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= ContainMinRare)
+      .select(col("snip_doc"), col("host_doc"))
+      .localCheckpoint() // audit-sized; the verify below streams ds once
+    val sn2 = snds.select(col("snip_doc").as("sd"), col("h").as("h2"))
+    val ov = ds.join(broadcast(cand), ds("doc_id") === cand("host_doc"))
+      .join(broadcast(sn2), col("sd") === col("snip_doc") && col("h2") === col("h"))
+      .groupBy(col("snip_doc"), col("host_doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val snsz = snds.groupBy(col("snip_doc")).agg(count(lit(1)).as("n_sn"))
+    val ovj = ov.join(broadcast(snsz), Seq("snip_doc"))
+    sz.join(broadcast(ovj), sz("doc_id") === ovj("host_doc"))
+      .filter(expr("n_overlap * 1000 div n_sn") >= 800)
+      .select(col("snip_doc"), col("host_doc"), col("n_sn"), col("n_sh"), col("n_overlap"),
+        expr("n_overlap * 1000 div n_sn").as("contain_pm"),
+        expr("n_overlap * 1000 div (n_sn + n_sh - n_overlap)").as("jaccard_pm"))
+      .withColumn("excerpt_flag",
+        when(col("contain_pm") >= 800 && col("jaccard_pm") < 500, 1L).otherwise(0L))
+      .orderBy(col("snip_doc"), col("host_doc"))
+  }
+
+  val qContainmentSql: String =
+    s"""WITH $shinglesSqlCte,
+       |ds AS MATERIALIZED (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sn0 AS (SELECT doc_id, ws[1:greatest(len(ws)//3, 3)] AS sws FROM w WHERE doc_id % $SnipMod = 0),
+       |snsh AS (SELECT doc_id,
+       |  CASE WHEN len(sws) >= 3
+       |       THEN list_transform(range(len(sws) - 2), i -> sws[i+1] || ' ' || sws[i+2] || ' ' || sws[i+3])
+       |       ELSE [array_to_string(sws, ' ')] END AS shingles FROM sn0),
+       |snds AS MATERIALIZED (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM snsh)),
+       |snsz AS (SELECT doc_id, count(*) AS n_sn FROM snds GROUP BY doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+       |idx AS (SELECT h FROM ds GROUP BY h HAVING count(*) <= $ContainDfCap),
+       |di AS (SELECT d.doc_id, d.h FROM ds d JOIN idx USING (h)),
+       |cand AS (SELECT s.doc_id AS snip_doc, d.doc_id AS host_doc
+       |  FROM snds s JOIN di d ON s.h = d.h AND s.doc_id <> d.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $ContainMinRare),
+       |ov AS (SELECT c.snip_doc, c.host_doc, count(*) AS n_overlap
+       |  FROM cand c JOIN snds a ON a.doc_id = c.snip_doc
+       |  JOIN ds b ON b.doc_id = c.host_doc AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT o.snip_doc, o.host_doc, CAST(ss.n_sn AS BIGINT) AS n_sn, CAST(z.n_sh AS BIGINT) AS n_sh,
+       |  CAST(o.n_overlap AS BIGINT) AS n_overlap,
+       |  CAST(o.n_overlap * 1000 // ss.n_sn AS BIGINT) AS contain_pm,
+       |  CAST(o.n_overlap * 1000 // (ss.n_sn + z.n_sh - o.n_overlap) AS BIGINT) AS jaccard_pm,
+       |  CAST(CASE WHEN o.n_overlap * 1000 // ss.n_sn >= 800
+       |    AND o.n_overlap * 1000 // (ss.n_sn + z.n_sh - o.n_overlap) < 500
+       |    THEN 1 ELSE 0 END AS BIGINT) AS excerpt_flag
+       |FROM ov o JOIN snsz ss ON ss.doc_id = o.snip_doc JOIN sz z ON z.doc_id = o.host_doc
+       |WHERE o.n_overlap * 1000 // ss.n_sn >= 800
+       |ORDER BY snip_doc, host_doc""".stripMargin
+
+  // ---------------------------------------------------------------
   // ENSEMBLE DEDUP — the resolution a production pipeline actually
   // runs: no single near-dup family is trusted alone; the five pair
   // lists (MinHash word-shingle LSH, SimHash hamming, char-n-gram
@@ -1902,6 +2019,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_simhash_pairs" -> (qSimHashPairs _),
     "dedup_embed_cosine" -> (qEmbedCosine _),
     "dedup_substring" -> (qSubstring _),
+    "dedup_containment" -> (qContainment _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1925,5 +2043,6 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_simhash_pairs" -> qSimHashPairsSql,
     "dedup_embed_cosine" -> qEmbedCosineSql,
     "dedup_substring" -> qSubstringSql,
+    "dedup_containment" -> qContainmentSql,
   )
 }

@@ -1112,7 +1112,89 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(keep_pm AS BIGINT) AS keep
     AND neardup_pm <= $ShipMaxNearDupPm AS ship
 FROM j ORDER BY source"""
 
+  // ---------------------------------------------------------------
+  // MIXTURE EPOCH PLANNER — turns a per-source target mixture + a
+  // total token budget into the per-source repeat ("epoch") schedule
+  // a training run actually consumes: target tokens per source from
+  // integer mixture weights, an epoch CAP (repeating a source more
+  // than EpochCap× risks memorization), and one redistribution round
+  // that hands capped sources' shortfall to the open ones
+  // proportionally to their capacity. Sources the redistribution
+  // would itself push past the cap get an `overflow` flag (the
+  // planner's signal that the budget exceeds what the mixture can
+  // supply at this cap) rather than a second iteration — the
+  // single-round plan is the auditable artifact. Weights are derived
+  // deterministically from the source name suffix (1 + id mod 5 —
+  // standing in for the curated per-domain mixture table a real run
+  // configures); everything is non-negative BIGINT arithmetic, so
+  // `div`/`//` agree and the gate is exact.
+  //
+  // Scale shape: ONE corpus scan → per-source partial-agg (token
+  // counts); every downstream step is a crossJoin of source-count- or
+  // 1-row metadata frames. At 100 TB the plan output is a 20-row
+  // table driving the sampler — the planner itself never reshuffles
+  // the corpus.
+  private val EpochCap = 3L
+  private val BudgetMult = 3L
+
+  def qEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    // source-count-sized; checkpointed so the corpus scan runs ONCE
+    // (per feeds tot + tgt, and tgt feeds pool + the final select —
+    // unmaterialized, the planner would re-run the scan under each)
+    val per = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+      .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 5)
+      .localCheckpoint()
+    val tot = per.agg(sum(col("toks")).as("corpus_toks"), sum(col("w")).as("sum_w"))
+    val tgt = per.crossJoin(broadcast(tot))
+      .withColumn("target_toks", expr(s"($BudgetMult * corpus_toks * w) div sum_w"))
+      .withColumn("got_toks", least(col("target_toks"), lit(EpochCap) * col("toks")))
+      .withColumn("capped",
+        when(col("target_toks") > lit(EpochCap) * col("toks"), 1L).otherwise(0L))
+    val pool = tgt.agg(
+      sum(col("target_toks") - col("got_toks")).as("shortfall"),
+      sum(when(col("capped") === 0, col("toks")).otherwise(0L)).as("open_toks"))
+    tgt.crossJoin(broadcast(pool))
+      .withColumn("final_toks",
+        col("got_toks") + when(col("capped") === 0,
+          expr("shortfall * toks div greatest(open_toks, 1)")).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("toks"), col("w"),
+        col("target_toks"), col("final_toks"),
+        expr("final_toks * 1000 div toks").as("epochs_pm"),
+        col("capped"),
+        when(col("capped") === 0 && col("final_toks") > lit(EpochCap) * col("toks"), 1L)
+          .otherwise(0L).as("overflow"))
+      .orderBy(col("source"))
+  }
+
+  val qEpochPlanSql: String =
+    s"""WITH tok AS (SELECT source,
+       |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok FROM documents),
+       |per AS MATERIALIZED (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS toks,
+       |    1 + CAST(substr(source, 4) AS BIGINT) % 5 AS w FROM tok GROUP BY source),
+       |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS corpus_toks, CAST(sum(w) AS BIGINT) AS sum_w FROM per),
+       |tgt AS (SELECT p.source, p.n_docs, p.toks, p.w,
+       |    ($BudgetMult * t.corpus_toks * p.w) // t.sum_w AS target_toks FROM per p, tot t),
+       |capped AS (SELECT *, least(target_toks, $EpochCap * toks) AS got_toks,
+       |    CASE WHEN target_toks > $EpochCap * toks THEN 1 ELSE 0 END AS capped FROM tgt),
+       |pool AS (SELECT CAST(sum(target_toks - got_toks) AS BIGINT) AS shortfall,
+       |    CAST(sum(CASE WHEN capped = 0 THEN toks ELSE 0 END) AS BIGINT) AS open_toks FROM capped),
+       |fin AS (SELECT c.source, c.n_docs, c.toks, c.w, c.target_toks, c.capped,
+       |    c.got_toks + CASE WHEN c.capped = 0
+       |      THEN p.shortfall * c.toks // greatest(p.open_toks, 1) ELSE 0 END AS final_toks
+       |  FROM capped c, pool p)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, toks, CAST(w AS BIGINT) AS w,
+       |  CAST(target_toks AS BIGINT) AS target_toks, CAST(final_toks AS BIGINT) AS final_toks,
+       |  CAST(final_toks * 1000 // toks AS BIGINT) AS epochs_pm,
+       |  CAST(capped AS BIGINT) AS capped,
+       |  CAST(CASE WHEN capped = 0 AND final_toks > $EpochCap * toks THEN 1 ELSE 0 END AS BIGINT) AS overflow
+       |FROM fin ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
     "pipe_datacard" -> (qDatacard _),
@@ -1135,6 +1217,7 @@ FROM j ORDER BY source"""
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "samp_epoch_plan" -> qEpochPlanSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

@@ -253,7 +253,7 @@ object Sketches {
   // doc-count-sized. Exact integer per-mille, no estimator. The
   // oracle keeps DuckDB's natural join-back form — same values,
   // since first occurrences partition the shingle set either way.
-  private def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -379,7 +379,85 @@ object Sketches {
        |  CAST(n_fp * 1000 // greatest((SELECT count(*) FROM pr), 1) AS BIGINT) AS fpr_pm
        |FROM fp""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MERGEABLE HISTOGRAM QUANTILE SKETCH — the fifth canonical sketch
+  // (quantiles, after distinct/frequency/membership): fixed-width
+  // bins over price cents (`cents div W`), per-bin counts, and
+  // rank-interpolated quantile estimates — all in exact BIGINT
+  // arithmetic, so unlike t-digest/KLL the sketch is deterministic
+  // and the gate compares it exactly. The bin table IS the sketch's
+  // wire format: it merges across corpus shards by cell-wise sum
+  // (one map-side partial agg — precisely how a 1000-executor
+  // quantile summary ships), and the estimate for rank r linearly
+  // interpolates inside the first bin whose cumulative count reaches
+  // r. The exact order statistics (distinct-value cumulative scan)
+  // are the expensive pass the sketch replaces — gated alongside as
+  // the measured ppm error, the [[qKmvDistinct]] discipline.
+  private val QBinW = 100000L // $1000-wide bins over l_extendedprice cents
+  private val QuantPms = Seq(500L, 950L, 990L)
+
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // bin-count-bounded (~105 rows); checkpointed so the corpus scan
+    // runs once for its two consumers (cumulative walk + total)
+    val bins = cents.select(expr(s"cents div $QBinW").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val n = bins.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_bins"))
+    import s.implicits._
+    val rk = QuantPms.toDF("q_pm").crossJoin(broadcast(n))
+      .withColumn("r", expr("(q_pm * n_total + 999) div 1000"))
+    val hit = rk.join(broadcast(cum), col("cum") >= col("r"))
+      .groupBy(col("q_pm"), col("r"), col("n_total"), col("n_bins"))
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(cum), Seq("bin"))
+    // the exact comparison pass: distinct-value cumulative counts
+    val dv = cents.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cumv", sum(col("c")).over(Window.orderBy(col("cents"))))
+    val exq = broadcast(rk.select(col("q_pm"), col("r")))
+      .join(dv, col("cumv") >= col("r"))
+      .groupBy(col("q_pm")).agg(min(col("cents")).as("exact_cents"))
+    hit.join(exq, Seq("q_pm"))
+      .select(col("q_pm"), col("r").as("rank_r"), col("n_total"), col("n_bins"),
+        col("bin"),
+        expr(s"bin * $QBinW + $QBinW * (r - cum_before) div cnt").as("est_cents"),
+        col("exact_cents"),
+        expr(s"abs(bin * $QBinW + $QBinW * (r - cum_before) div cnt - exact_cents)" +
+          " * 1000000 div greatest(exact_cents, 1)").as("err_ppm"))
+      .orderBy(col("q_pm"))
+  }
+
+  val qQuantileSketchSql: String =
+    s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+       |bins AS MATERIALIZED (SELECT cents // $QBinW AS bin, count(*) AS cnt FROM c GROUP BY 1),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS n_bins FROM bins),
+       |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+       |  sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM bins),
+       |qs AS (SELECT unnest([${QuantPms.mkString(", ")}]) AS q_pm),
+       |rk AS (SELECT q_pm, (q_pm * n_total + 999) // 1000 AS r, n_total, n_bins FROM qs, n),
+       |hit AS (SELECT rk.q_pm, rk.r, rk.n_total, rk.n_bins, min(cum.bin) AS bin
+       |  FROM rk JOIN cum ON cum.cum >= rk.r GROUP BY 1, 2, 3, 4),
+       |est AS (SELECT h.q_pm, h.r, h.n_total, h.n_bins, h.bin, c2.cnt, c2.cum_before
+       |  FROM hit h JOIN cum c2 ON c2.bin = h.bin),
+       |dv AS (SELECT cents, count(*) AS c, sum(count(*)) OVER (ORDER BY cents) AS cumv
+       |  FROM c GROUP BY cents),
+       |exq AS (SELECT rk.q_pm, min(dv.cents) AS exact_cents
+       |  FROM rk JOIN dv ON dv.cumv >= rk.r GROUP BY 1)
+       |SELECT e.q_pm, CAST(e.r AS BIGINT) AS rank_r, e.n_total, CAST(e.n_bins AS BIGINT) AS n_bins,
+       |  CAST(e.bin AS BIGINT) AS bin,
+       |  CAST(e.bin * $QBinW + $QBinW * (e.r - e.cum_before) // e.cnt AS BIGINT) AS est_cents,
+       |  CAST(x.exact_cents AS BIGINT) AS exact_cents,
+       |  CAST(abs(e.bin * $QBinW + $QBinW * (e.r - e.cum_before) // e.cnt - x.exact_cents)
+       |    * 1000000 // greatest(x.exact_cents, 1) AS BIGINT) AS err_ppm
+       |FROM est e JOIN exq x USING (q_pm) ORDER BY q_pm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile" -> (qQuantileSketch _),
     "sketch_bloom_fpr" -> (qBloomFpr _),
     "text_novelty" -> (qNoveltySources _),
     "sketch_kmv_distinct" -> (qKmvDistinct _),
@@ -389,6 +467,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantile" -> qQuantileSketchSql,
     "sketch_bloom_fpr" -> qBloomFprSql,
     "text_novelty" -> qNoveltySourcesSql,
     "sketch_kmv_distinct" -> qKmvDistinctSql,

@@ -645,6 +645,63 @@ FROM com"""
        |WHERE cos >= $CosineThreshold ORDER BY ia, ib""".stripMargin
 
   // ---------------------------------------------------------------
+  // DEDUP THRESHOLD SWEEP — the calibration table a pipeline owner
+  // reads before PICKING τ: for each candidate cosine threshold, how
+  // many pairs fire, how many documents get pulled into dedup, and
+  // the mean pair cosine — computed in ONE pass over the scored pair
+  // list (the [[qCapRecall]] audit-family discipline: measure the
+  // knob, don't guess it). Cosines ride as exact ×10⁴ integers (the
+  // 4-dp rounded score scaled — no double sums anywhere), so counts
+  // and the integer mean gate exactly. Scale shape: the pair list is
+  // audit-sized and checkpointed once (the expensive ball-pruned
+  // scoring pipeline runs ONCE, not once per τ); the sweep is a
+  // 5-row broadcast crossJoin + partial aggregates over fixed-width
+  // longs.
+  private val SweepTausX10k = Seq(4500L, 5500L, 6500L, 7500L, 8500L)
+
+  def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = qEmbedCosine(s, dir)
+      .select(col("ia"), col("ib"),
+        expr("cast(round(cosine * 10000) as bigint)").as("cos_x10k"))
+      .localCheckpoint()
+    val taus = broadcast(SweepTausX10k.toDF("tau_x10k"))
+    val hits = pairs.crossJoin(taus).filter(col("cos_x10k") >= col("tau_x10k"))
+    val agg = hits.groupBy(col("tau_x10k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cos_x10k")).as("sum_x10k"))
+    val docs = hits.select(col("tau_x10k"), explode(array(col("ia"), col("ib"))).as("d"))
+      .distinct()
+      .groupBy(col("tau_x10k")).agg(count(lit(1)).as("n_docs"))
+    taus.join(agg, Seq("tau_x10k"), "left").join(docs, Seq("tau_x10k"), "left")
+      .select(col("tau_x10k"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("coalesce(sum_x10k, 0) div greatest(coalesce(n_pairs, 0), 1)").as("avg_cos_x10k"))
+      .orderBy(col("tau_x10k"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped
+  // qEmbedCosineSql (the `||`-continuation rule)
+  lazy val qThresholdSweepSql: String =
+    s"""WITH pr AS MATERIALIZED (
+SELECT ia, ib, CAST(round(cosine * 10000) AS BIGINT) AS cos_x10k FROM (
+$qEmbedCosineSql
+)),
+taus AS (SELECT unnest([${SweepTausX10k.mkString(", ")}]) AS tau_x10k),
+hits AS (SELECT t.tau_x10k, p.ia, p.ib, p.cos_x10k FROM pr p, taus t
+  WHERE p.cos_x10k >= t.tau_x10k),
+agg AS (SELECT tau_x10k, count(*) AS n_pairs, CAST(sum(cos_x10k) AS BIGINT) AS sum_x10k
+  FROM hits GROUP BY tau_x10k),
+docs AS (SELECT tau_x10k, count(*) AS n_docs FROM (
+  SELECT DISTINCT tau_x10k, d FROM (
+    SELECT tau_x10k, unnest([ia, ib]) AS d FROM hits)) GROUP BY tau_x10k)
+SELECT t.tau_x10k, CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
+  CAST(coalesce(a.sum_x10k, 0) // greatest(coalesce(a.n_pairs, 0), 1) AS BIGINT) AS avg_cos_x10k
+FROM taus t LEFT JOIN agg a USING (tau_x10k) LEFT JOIN docs d USING (tau_x10k)
+ORDER BY tau_x10k"""
+
+  // ---------------------------------------------------------------
 
   // ---------------------------------------------------------------
   // SimHash near-dup pairs: hamming distance <= 2 over the 32-bit
@@ -1419,6 +1476,96 @@ FROM com"""
        |FROM contrib GROUP BY dst ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // PAGERANK TO CONVERGENCE — [[qPagerankStep]]'s update rule
+  // iterated with the [[qHitsConverge]] loop discipline, on the
+  // DIRECTED customer→part graph (the HITS co-purchase edges kept
+  // one-way). The direction matters: on the symmetric near-dup pair
+  // graph PageRank is degenerate (near-clique components have equal
+  // degrees, so the uniform vector is already stationary — measured
+  // delta 0 at round 1), while the directed bipartite graph has
+  // heterogeneous out-degrees AND dangling part nodes, so rank mass
+  // genuinely redistributes and the damping contraction shows up as
+  // a shrinking per-round delta. Gated per round: Σ|pr_r − pr_{r−1}|
+  // and max pr, exact BIGINT (contributions are `pr div outdeg` —
+  // truncating division, operands non-negative, bit-identical on
+  // both engines; dangling nodes absorb rank and contribute none —
+  // the deterministic leak variant, stated in the trace rather than
+  // libm-renormalized away). Loop shape: edges repartitioned ONCE
+  // and checkpointed (loop-invariant), scores checkpointed per round
+  // so the plan never grows; the oracle unrolls the same rounds as
+  // MATERIALIZED chained CTEs (one per step — the
+  // accumulator-as-column-ref rule).
+  private val PrMaxRounds = 6
+
+  def qPagerankConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p0 = CcPartitions
+    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_partkey") + 10000000L).as("dst"))
+      .distinct()
+      .repartition(p0, col("src")).localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(1L)).as("outdeg"))
+      .repartition(p0, col("node")).localCheckpoint()
+    var pr = nodes.select(col("node"), col("outdeg"), lit(1000000000L).as("pr"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < PrMaxRounds && !done) {
+      r += 1
+      val recv = edges.join(pr, edges("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("recv"))
+        .repartition(p0, col("node"))
+      val next = pr.select(col("node"), col("outdeg"), col("pr").as("prev"))
+        .join(recv, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(150000000L) + expr("(coalesce(recv, 0) * 85) div 100")).as("pr"),
+          col("prev"))
+        .localCheckpoint()
+      val row = next.agg(
+        coalesce(sum(abs(col("pr") - col("prev"))), lit(0L)).as("d"),
+        coalesce(max(col("pr")), lit(0L)).as("m")).collect()(0)
+      rounds += ((r.toLong, row.getLong(0), row.getLong(1)))
+      pr = next.select(col("node"), col("outdeg"), col("pr"))
+      done = row.getLong(0) == 0L
+    }
+    rounds.toSeq.toDF("round", "delta", "pr_max").orderBy(col("round"))
+  }
+
+  val qPagerankConvergeSql: String = {
+    val steps = (1 to PrMaxRounds).map { r =>
+      val pp = s"p${r - 1}"
+      s"""r$r AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS recv
+         |  FROM edges e JOIN $pp p ON e.src = p.node GROUP BY e.dst),
+         |p$r AS MATERIALIZED (SELECT n.node, n.outdeg,
+         |  CAST(150000000 + (coalesce(r.recv, 0) * 85) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN r$r r USING (node)),
+         |d$r AS (SELECT $r AS round,
+         |  (SELECT CAST(sum(abs(x.pr - y.pr)) AS BIGINT) FROM p$r x JOIN $pp y USING (node)) AS delta,
+         |  (SELECT CAST(max(pr) AS BIGINT) FROM p$r) AS pr_max)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to PrMaxRounds).map(r => s"SELECT * FROM d$r").mkString(" UNION ALL ")
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 10000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |dg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT n.node, coalesce(d.outdeg, 1) AS outdeg FROM (
+       |    SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+       |  LEFT JOIN dg d USING (node)),
+       |p0 AS MATERIALIZED (SELECT node, outdeg, 1000000000::BIGINT AS pr FROM nodes),
+       |""".stripMargin + steps + s""",
+alld AS ($unions),
+stop AS (SELECT coalesce(min(round), $PrMaxRounds) AS k FROM alld WHERE delta = 0)
+SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round <= k ORDER BY round"""
+  }
+
+  // ---------------------------------------------------------------
   // Canonical-doc selection — the step that CONSUMES the near-dup
   // clusters: per cluster keep one representative (longest text,
   // tiebreak smallest doc_id) and report how many members it stands
@@ -2006,6 +2153,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_fuzzy_names" -> (qFuzzyNames _),
     "dedup_clusters" -> (qClusters _),
     "graph_pagerank_step" -> (qPagerankStep _),
+    "graph_pagerank_converge" -> (qPagerankConverge _),
     "graph_triangles" -> (qTriangles _),
     "graph_label_prop" -> (qLabelProp _),
     "dedup_canonical" -> (qCanonical _),
@@ -2020,6 +2168,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_embed_cosine" -> (qEmbedCosine _),
     "dedup_substring" -> (qSubstring _),
     "dedup_containment" -> (qContainment _),
+    "dedup_threshold_sweep" -> (qThresholdSweep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2030,6 +2179,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_fuzzy_names" -> qFuzzyNamesSql,
     "dedup_clusters" -> qClustersSql,
     "graph_pagerank_step" -> qPagerankStepSql,
+    "graph_pagerank_converge" -> qPagerankConvergeSql,
     "graph_triangles" -> qTrianglesSql,
     "graph_label_prop" -> qLabelPropSql,
     "dedup_canonical" -> qCanonicalSql,
@@ -2044,5 +2194,6 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_embed_cosine" -> qEmbedCosineSql,
     "dedup_substring" -> qSubstringSql,
     "dedup_containment" -> qContainmentSql,
+    "dedup_threshold_sweep" -> qThresholdSweepSql,
   )
 }

@@ -1327,12 +1327,14 @@ FROM u, alpha ORDER BY merge_idx"""
   // measured as a 22 GB DuckDB runaway at k=16); a chained CTE's `t`
   // is a column reference, so each level stays flat. Shared by the
   // full-corpus encode and the holdout split encode.
-  private lazy val bpeEncChainSql: String = (1 to BpeTrainK).map { i =>
-    s"enc$i AS MATERIALIZED (SELECT doc_id, n_sym_before," +
+  private def bpeEncChainCols(carried: String): String = (1 to BpeTrainK).map { i =>
+    s"enc$i AS MATERIALIZED (SELECT $carried," +
       s" CASE WHEN (SELECT cnt FROM b$i) >= $BpeMinPairCount" +
       s" THEN replace(t, (SELECT bp FROM b$i), chr(${0xE000 + i})) ELSE t END AS t" +
       s" FROM enc${i - 1})"
   }.mkString(",\n")
+
+  private lazy val bpeEncChainSql: String = bpeEncChainCols("doc_id, n_sym_before")
 
   val qBpeEncodeSql: String = {
     val encChain = bpeEncChainSql
@@ -1345,6 +1347,61 @@ SELECT doc_id, CAST(n_sym_before AS BIGINT) AS n_sym_before,
   CAST(length(replace(t, ' ', '')) AS BIGINT) AS n_sym_after,
   CAST((n_sym_before - length(replace(t, ' ', ''))) * 1000000 // n_sym_before AS BIGINT) AS saved_ppm
 FROM enc$BpeTrainK ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------
+  // TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-equity
+  // measurement a multilingual pipeline gates before shipping a
+  // vocabulary: BPE symbols-per-word (×1000) and compression, per
+  // language. A vocabulary trained on a mixed corpus systematically
+  // over-segments under-represented languages ("fertility" in the
+  // tokenizer literature); this rolls [[qBpeEncode]]'s per-doc
+  // encode up by `lang` so the disparity is one gated row per
+  // language. Exact integer rates over per-language sums (ratios of
+  // sums, not means of ratios — the doc-length weighting a corpus
+  // budget actually experiences). Scale shape: the learned table is
+  // rank-k literals broadcast inside one map-only projection; one
+  // partial-agg shuffle of 5 language rows.
+  def qFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesK(s, dir)
+    val norm = regexp_replace(lower(trim(col("text"))), s"[$Re2Ws]+", " ")
+    val encoded = merges.zipWithIndex.foldLeft(norm) {
+      case (acc, ((bp, _, _), i)) => replace(acc, lit(bp), lit(BpeKMarkers(i)))
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(lower(trim(col("text"))), s"[$Re2Ws]+")).cast("long").as("n_words"),
+        length(regexp_replace(norm, " ", "")).cast("long").as("n_sym_before"),
+        length(regexp_replace(encoded, " ", "")).cast("long").as("n_sym_after"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sym_before")).as("n_sym_before"),
+        sum(col("n_sym_after")).as("n_sym_after"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_sym_before"), col("n_sym_after"),
+        expr("n_sym_after * 1000 div n_words").as("fert_pm"),
+        expr("(n_sym_before - n_sym_after) * 1000000 div n_sym_before").as("saved_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val qFertilitySql: String = {
+    val encChain = bpeEncChainCols("lang, n_words, n_sym_before")
+    s"""WITH $bpeKCtesSql,
+norm AS (SELECT lang,
+  len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+enc0 AS (SELECT lang, n_words, length(replace(t, ' ', '')) AS n_sym_before, t FROM norm),
+$encChain,
+per AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_sym_before) AS BIGINT) AS n_sym_before,
+  CAST(sum(length(replace(t, ' ', ''))) AS BIGINT) AS n_sym_after
+  FROM enc$BpeTrainK GROUP BY lang)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_words, n_sym_before, n_sym_after,
+  CAST(n_sym_after * 1000 // n_words AS BIGINT) AS fert_pm,
+  CAST((n_sym_before - n_sym_after) * 1000000 // n_sym_before AS BIGINT) AS saved_ppm
+FROM per ORDER BY lang"""
   }
 
   // ---------------------------------------------------------------
@@ -1730,6 +1787,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bm25" -> (qBm25 _),
     "text_bm25_mlt" -> (qBm25Mlt _),
     "text_bpe_encode" -> (qBpeEncode _),
+    "text_fertility" -> (qFertility _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
@@ -1754,6 +1812,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bm25" -> qBm25Sql,
     "text_bm25_mlt" -> qBm25MltSql,
     "text_bpe_encode" -> qBpeEncodeSql,
+    "text_fertility" -> qFertilitySql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

@@ -782,7 +782,79 @@ object Streams {
       |       THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
       |FROM sc ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING WINDOWED QUANTILES — [[graft.operators.Sketches]]'
+  // mergeable histogram sketch composed into the streaming surface:
+  // the stream stage maintains per-(closed hour, $10 bin) counts
+  // (watermarked windowed agg, append mode — the state per window is
+  // bin-bounded, ~50 rows, NOT value-bounded: exactly why a
+  // histogram sketch and not a sorted buffer is the streaming
+  // quantile structure); the batch post-stage walks each closed
+  // window's cumulative bins and emits rank-interpolated p50/p95 in
+  // exact BIGINT arithmetic (the [[graft.operators.Sketches
+  // .qQuantileSketch]] estimator applied per window). Gated: every
+  // closed window's n_total, hit bin, and estimated cents per
+  // quantile. The post-stage is windows×bins metadata — only the
+  // stream stage touches events.
+  private val SqBinW = 1000L // $10 bins over value cents
+  private val SqPms = Seq(500L, 950L)
+
+  def qStreamQuantile(s: SparkSession, dir: String): DataFrame = {
+    val closed = runBounded(s, dir, "append") { stream =>
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"),
+          expr(s"cast(round(value * 100) as bigint) div $SqBinW").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("bin"), col("cnt"))
+    }.localCheckpoint()
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("bin"))
+    val cum = closed
+      .withColumn("cum", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val n = closed.groupBy(col("window_start")).agg(sum(col("cnt")).as("n_total"))
+    import s.implicits._
+    val rk = n.crossJoin(broadcast(SqPms.toDF("q_pm")))
+      .withColumn("r", expr("(q_pm * n_total + 999) div 1000"))
+    rk.join(cum, Seq("window_start"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("window_start"), col("q_pm"), col("r"), col("n_total"))
+      .agg(min(col("bin")).as("bin"))
+      .join(cum.select(col("window_start"), col("bin"), col("cnt"), col("cum_before")),
+        Seq("window_start", "bin"))
+      .select(col("window_start"), col("q_pm"), col("n_total"), col("bin"),
+        expr(s"bin * $SqBinW + $SqBinW * (r - cum_before) div cnt").as("est_cents"))
+      .orderBy(col("window_start"), col("q_pm"))
+  }
+
+  val qStreamQuantileSql: String =
+    s"""WITH allev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM allev),
+      |agg AS (SELECT date_trunc('hour', ts) AS hr,
+      |  CAST(round(value * 100) AS BIGINT) // $SqBinW AS bin, count(*) AS cnt
+      |  FROM allev GROUP BY 1, 2),
+      |closed AS MATERIALIZED (SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, bin,
+      |  CAST(cnt AS BIGINT) AS cnt FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w),
+      |cum AS (SELECT window_start, bin, cnt,
+      |  sum(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+      |  sum(cnt) OVER (PARTITION BY window_start ORDER BY bin) - cnt AS cum_before
+      |  FROM closed),
+      |n AS (SELECT window_start, CAST(sum(cnt) AS BIGINT) AS n_total FROM closed GROUP BY 1),
+      |rk AS (SELECT n.window_start, q.q_pm, (q.q_pm * n.n_total + 999) // 1000 AS r, n.n_total
+      |  FROM n, (SELECT unnest([${SqPms.mkString(", ")}]) AS q_pm) q),
+      |hit AS (SELECT rk.window_start, rk.q_pm, rk.r, rk.n_total, min(c.bin) AS bin
+      |  FROM rk JOIN cum c ON c.window_start = rk.window_start AND c.cum >= rk.r
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT h.window_start, h.q_pm, h.n_total, CAST(h.bin AS BIGINT) AS bin,
+      |  CAST(h.bin * $SqBinW + $SqBinW * (h.r - c2.cum_before) // c2.cnt AS BIGINT) AS est_cents
+      |FROM hit h JOIN cum c2 ON c2.window_start = h.window_start AND c2.bin = h.bin
+      |ORDER BY h.window_start, h.q_pm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quantile" -> (qStreamQuantile _),
     "stream_drift" -> (qStreamDrift _),
     "stream_session_flatmap" -> (qStreamSessionFlatmap _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
@@ -798,6 +870,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_quantile" -> qStreamQuantileSql,
     "stream_drift" -> qStreamDriftSql,
     "stream_session_flatmap" -> qStreamSessionFlatmapSql,
     "stream_heavy_hitters" -> qStreamHeavyHittersSql,

@@ -1737,10 +1737,19 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
   // deterministic excerpt stand-ins — the first max(len/3, 3) words
   // of every SnipMod-th document (the qIncremental batch-split
   // precedent); candidates come from a DOCUMENT-FREQUENCY-CAPPED
-  // inverted shingle index (a snippet shingle appearing in ≤ DfCap
+  // inverted shingle index (a snippet shingle appearing in ≤ cap
   // corpus docs nominates those docs — the winnow DF-cap discipline,
   // so hot shingles never fan out), requiring ≥ MinRare independent
-  // rare hits before the exact verify. Gated: exact overlap,
+  // rare hits before the exact verify. The cap is CORPUS-RELATIVE —
+  // greatest(4, n_docs div 100), i.e. "appears in ≤1% of documents"
+  // — because an absolute cap does not survive scale-up: this
+  // corpus's 31-word vocabulary saturates the shingle space (median
+  // shingle df 9 at sf0.1), and a fixed cap of 4 left the index
+  // EMPTY there (measured: 0 candidates at sf0.1/10×). The relative
+  // cap bounds worst-case fan-out at probe_shingles × 1% of docs —
+  // the bound that matters at 100 TB, where absolute dfs grow with
+  // the corpus but "rare relative to the corpus" is the actual
+  // excerpt-source signal. Gated: exact overlap,
   // containment and Jaccard in integer per-mille, and the
   // excerpt_flag (containment ≥ 800‰ while Jaccard < 500‰) — every
   // emitted row on this corpus demonstrates precisely the
@@ -1755,12 +1764,14 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
   // candidate list + snippet hash sets. All joins carry fixed-width
   // longs; nothing pair-quadratic anywhere.
   private val SnipMod = 5L
-  private val ContainDfCap = 4
   private val ContainMinRare = 2
 
   def qContainment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // 1-row driver metadata (the PQ-codebook-collect class): the
+    // corpus-relative df cap
+    val dfCap = math.max(4L, Tables.documents(s, dir).count() / 100)
     // corpus distinct (doc_id, h) — one kernel pass, three consumers
     val ds = Sketches.docShingleHashes(s, dir).select(col("doc_id"), col("h"))
       .localCheckpoint()
@@ -1784,7 +1795,7 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
       .localCheckpoint()
     val di = ds.join(
       ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContainDfCap).select(col("h")),
+        .filter(col("df") <= dfCap).select(col("h")),
       Seq("h"))
     val cand = di.join(broadcast(snds), Seq("h"))
       .filter(col("snip_doc") =!= col("doc_id"))
@@ -1824,7 +1835,8 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM snsh)),
        |snsz AS (SELECT doc_id, count(*) AS n_sn FROM snds GROUP BY doc_id),
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
-       |idx AS (SELECT h FROM ds GROUP BY h HAVING count(*) <= $ContainDfCap),
+       |idx AS (SELECT h FROM ds GROUP BY h
+       |  HAVING count(*) <= greatest(4, (SELECT count(*) FROM documents) // 100)),
        |di AS (SELECT d.doc_id, d.h FROM ds d JOIN idx USING (h)),
        |cand AS (SELECT s.doc_id AS snip_doc, d.doc_id AS host_doc
        |  FROM snds s JOIN di d ON s.h = d.h AND s.doc_id <> d.doc_id

@@ -998,4 +998,82 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(3) == sem.getOrElse(id, -1L), s"doc $id: sem_cos_ppm mismatch")
     }
   }
+
+  test("containment rows verify against a driver-side shingle-set recount") {
+    val rows = Dedup.qContainment(spark, sfDir).collect()
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hashes(ws: Array[String]): Set[Long] =
+      Dedup.shinglesOf(ws).map(x => Dedup.md5Mod(md, x, Long.MaxValue) >> 12).toSet
+    rows.foreach { r =>
+      val (snip, host) = (r.getLong(0), r.getLong(1))
+      assert(snip % 5 == 0, "probes are every 5th doc")
+      val ws = Text.duckWords(texts(snip))
+      val sn = hashes(ws.take(math.max(ws.length / 3, 3)))
+      val hs = hashes(Text.duckWords(texts(host)))
+      assert(r.getLong(2) == sn.size.toLong && r.getLong(3) == hs.size.toLong)
+      assert(r.getLong(4) == (sn & hs).size.toLong, "exact overlap recount")
+      assert(r.getLong(5) >= 800, "emitted rows pass the containment floor")
+      assert(r.getLong(7) ==
+        (if (r.getLong(5) >= 800 && r.getLong(6) < 500) 1L else 0L))
+    }
+  }
+
+  test("fertility rolls up the per-doc BPE encode exactly and merges never add symbols") {
+    val rows = Text.qFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nd = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nd, "language rows partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "encode only shrinks symbol counts")
+      assert(r.getLong(5) == r.getLong(4) * 1000 / r.getLong(2))
+      assert(r.getLong(6) == (r.getLong(3) - r.getLong(4)) * 1000000 / r.getLong(3))
+    }
+  }
+
+  test("threshold sweep is monotone in tau and anchored to the full pair list") {
+    val rows = Dedup.qThresholdSweep(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4500L, 5500L, 6500L, 7500L, 8500L))
+    val pairCounts = rows.map(_.getLong(1))
+    val docCounts = rows.map(_.getLong(2))
+    assert(pairCounts.zip(pairCounts.tail).forall { case (a, b) => a >= b },
+      "raising tau can only drop pairs")
+    assert(docCounts.zip(docCounts.tail).forall { case (a, b) => a >= b })
+    val all = Dedup.qEmbedCosine(spark, sfDir).count()
+    assert(pairCounts.head == all,
+      "the lowest tau equals the scored pair list (its own emission threshold)")
+  }
+
+  test("pagerank trace ends at an exact fixpoint or the round cap, ranks above the base") {
+    val rows = Dedup.qPagerankConverge(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    assert(rows.last.getLong(1) == 0L || rows.length == 6,
+      "the loop only stops early on delta 0")
+    assert(rows.init.forall(_.getLong(1) > 0L), "no interior zero-delta round")
+    assert(rows.forall(_.getLong(2) >= 150000000L), "pr never falls below the base mass")
+  }
+
+  test("streaming quantiles only emit closed windows and match a batch recount per window") {
+    import graft.streaming.Streams
+    val rows = Streams.qStreamQuantile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+        expr("cast(round(value * 100) as bigint)").as("cents")).collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).sorted }
+    val lastHour = ev.keys.max
+    rows.groupBy(_.getString(0)).foreach { case (w, rs) =>
+      assert(w < lastHour, "watermark: the newest hour never emits")
+      val cents = ev(w)
+      rs.foreach { r =>
+        assert(r.getLong(2) == cents.length.toLong, s"window $w n_total")
+        val rank = (r.getLong(1) * cents.length + 999) / 1000
+        val exact = cents(rank.toInt - 1)
+        assert(exact / 1000L == r.getLong(3), s"window $w: true quantile in the hit bin")
+      }
+    }
+  }
 }

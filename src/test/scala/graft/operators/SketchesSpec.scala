@@ -241,6 +241,48 @@ class SketchesSpec extends SparkSpec {
     assert(top.getLong(4) == brute.map(_.getLong(2)).sum, "cents_concurrent")
   }
 
+  test("quantile sketch: estimates interpolate inside the hit bin and the exact ranks are true") {
+    val r = Sketches.qQuantileSketch(spark, sfDir).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(500L, 950L, 990L))
+    val cents = graft.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    r.foreach { row =>
+      val (qPm, rank, nTotal, bin, est, exact, errPpm) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(4),
+          row.getLong(5), row.getLong(6), row.getLong(7))
+      assert(nTotal == cents.length.toLong)
+      assert(rank == (qPm * nTotal + 999) / 1000)
+      assert(exact == cents(rank.toInt - 1), "exact order statistic")
+      assert(est >= bin * 100000L && est <= (bin + 1) * 100000L,
+        "estimate interpolates inside its bin")
+      assert(exact >= bin * 100000L && exact < (bin + 1) * 100000L,
+        "the true quantile lies in the hit bin")
+      assert(errPpm == math.abs(est - exact) * 1000000L / math.max(exact, 1L))
+    }
+  }
+
+  test("epoch plan conserves the token budget under the cap and redistribution") {
+    val r = Pipeline.qEpochPlan(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val corpusToks = r.map(_.getLong(2)).sum
+    val sumTarget = r.map(_.getLong(4)).sum
+    // per-source truncating division: the plan can undershoot the
+    // budget by at most one token per source, never overshoot
+    assert(sumTarget <= 3 * corpusToks && sumTarget > 3 * corpusToks - r.length)
+    r.foreach { row =>
+      val (toks, target, fin, epochsPm, capped, overflow) =
+        (row.getLong(2), row.getLong(4), row.getLong(5), row.getLong(6),
+          row.getLong(7), row.getLong(8))
+      if (capped == 1L) assert(fin == 3 * toks, "capped source pinned to the epoch cap")
+      else assert(fin >= target, "open sources only gain from redistribution")
+      assert(epochsPm == fin * 1000 / toks)
+      assert(overflow == (if (capped == 0L && fin > 3 * toks) 1L else 0L))
+    }
+    assert(r.map(_.getLong(5)).sum <= sumTarget + r.length,
+      "redistribution hands out at most the shortfall (plus per-source truncation)")
+  }
+
   test("rank fusion: Borda scores decompose into the two source ranks") {
     val a = Similarity.qTopkCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap

@@ -1584,7 +1584,99 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
        |SELECT vec_id, eval_id, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_ppm
        |FROM r WHERE rn = 1 AND cos >= $DecontamTau ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // OOD / OUTLIER DETECTION — quantile-threshold filtering over the
+  // embedding space: assign every vector to its nearest codebook
+  // seed by EXACT integer squared distance (the ml_kmeans_converge
+  // µ-scale convention — no doubles, no sqrt, ties to the smaller
+  // cid) and flag members strictly beyond their cell's p95 distance
+  // — the distance-tail filter a pipeline runs to drop mislabeled /
+  // corrupted / out-of-domain vectors before training. The p95 is
+  // the ceil-rank order statistic per cell (exact, deterministic,
+  // tie-stable); the gate emits each flagged vector with its cell,
+  // distance, cell p95 and the ratio ×100. On this corpus distances
+  // concentrate (max ≈ 1.15 × p95 per cell — measured), which is
+  // exactly what the operator reports: a multiplier threshold would
+  // silently gate nothing, the quantile threshold always names the
+  // tail.
+  //
+  // Scale shape: one map-only argmin kernel over the corpus
+  // (centroids broadcast, K·dim metadata); the only shuffle is the
+  // fixed-width (cid, d2, vec_id) table into the per-cell rank
+  // window. At 100 TB the exact per-cell sort becomes the
+  // [[Sketches.qQuantileSketch]] histogram estimate — same
+  // decision, sketch-sized state.
+  private val OodStride = 40 // seeds: vec_id % 40 == 7, the IVF codebook convention
+
+  def qOodDetect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dim = 64
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint() // one scan: seeds + the assignment kernel
+    val cents = em.filter(col("vec_id") % OodStride === 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val aSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", LongType),
+      StructField("d2", LongType)))
+    val a = em.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val xm = r.getSeq[Long](1).toArray
+        var bestCid = -1L
+        var bestDist = Long.MaxValue
+        cs.foreach { case (cid, cm) =>
+          var d2 = 0L
+          var i = 0
+          while (i < dim) { val d = xm(i) - cm(i); d2 += d * d; i += 1 }
+          if (d2 < bestDist) { bestDist = d2; bestCid = cid }
+        }
+        Row(r.getLong(0), bestCid, bestDist)
+      }
+    }(Encoders.row(aSchema)).localCheckpoint() // kernel once; rank + flag both read it
+    val rk = a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .withColumn("r", expr("(95 * n + 99) div 100"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))
+    val p95 = a.withColumn("rn", row_number().over(w))
+      .join(broadcast(rk), Seq("cid"))
+      .filter(col("rn") === col("r"))
+      .select(col("cid"), col("d2").as("p95_d2"))
+    a.join(broadcast(p95), Seq("cid"))
+      .filter(col("d2") > col("p95_d2"))
+      .select(col("vec_id"), col("cid"), col("d2"), col("p95_d2"),
+        expr("d2 * 100 div greatest(p95_d2, 1)").as("ratio_pct"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qOodDetectSql: String = {
+    val dist =
+      "list_aggregate(list_transform(range(64), dd -> (e.xm[dd+1] - c.cm[dd+1]) * (e.xm[dd+1] - c.cm[dd+1])), 'sum')"
+    s"""WITH em AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $OodStride = 7),
+       |a AS MATERIALIZED (SELECT vec_id, cid, d2 FROM (
+       |  SELECT e.vec_id, c.cid, $dist AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $dist ASC, c.cid ASC) AS rn
+       |  FROM em e CROSS JOIN c0 c) t WHERE rn = 1),
+       |rk AS (SELECT cid, count(*) AS n, (95 * count(*) + 99) // 100 AS r FROM a GROUP BY cid),
+       |p AS (SELECT x.cid, x.d2 AS p95_d2 FROM (
+       |  SELECT cid, d2, vec_id, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn FROM a) x
+       |  JOIN rk ON rk.cid = x.cid AND x.rn = rk.r)
+       |SELECT a.vec_id, a.cid, CAST(a.d2 AS BIGINT) AS d2, CAST(p.p95_d2 AS BIGINT) AS p95_d2,
+       |  CAST(a.d2 * 100 // greatest(p.p95_d2, 1) AS BIGINT) AS ratio_pct
+       |FROM a JOIN p ON p.cid = a.cid
+       |WHERE a.d2 > p.p95_d2
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ood_detect" -> (qOodDetect _),
     "sim_decontaminate" -> (qDecontaminate _),
     "dedup_semantic" -> (qSemanticDedup _),
     "sim_rank_fusion" -> (qRankFusion _),
@@ -1609,6 +1701,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ood_detect" -> qOodDetectSql,
     "sim_decontaminate" -> qDecontaminateSql,
     "dedup_semantic" -> qSemanticDedupSql,
     "sim_cascade_topk" -> qCascadeTopkSql,

@@ -220,6 +220,7 @@ object EtlQueries {
     "src_json_roundtrip" -> (qJsonRoundtrip _),
     "src_orc_roundtrip" -> (qOrcRoundtrip _),
     "src_range_pushdown" -> (qRangePushdown _),
+    "src_range_agg_pushdown" -> (qRangeAggPushdown _),
     "src_range_join" -> (qRangeJoin _))
 
   // ---------------------------------------------------------------
@@ -254,6 +255,47 @@ object EtlQueries {
        |  min(i) AS min_id, max(i) AS max_id
        |FROM range($RangeLo, $RangeHi) t(i)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // DSv2 AGGREGATE PUSHDOWN — COUNT(*)/MIN(id)/MAX(id) answered by
+  // the SOURCE at planning time (SupportsPushDownAggregates with
+  // complete pushdown: the physical plan is a bare Project over the
+  // BatchScan, NO aggregate node — plan-asserted in ExtensionSpec),
+  // the DSv2 analogue of answering from parquet footer statistics.
+  // Three scopes gate the interplay with filter pushdown: the full
+  // range, a clipped window (bounds land in the scan, the aggregate
+  // reads the clipped [lo,hi)), and an empty range (count 0 with
+  // NULL min/max — SQL aggregate semantics through the one-row
+  // reader). At 100 TB this is the difference between a metadata
+  // lookup and a full scan.
+  private val AggLo = 25000L
+  private val AggHi = 75000L
+
+  def qRangeAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    def rt = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "1000").option("end", "101000").option("slices", "16")
+      .load()
+    def aggOf(df: DataFrame, scope: String) = df
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .select(lit(scope).as("scope"), col("n"), col("min_id"), col("max_id"))
+    aggOf(rt, "full")
+      .unionAll(aggOf(rt.filter(col("id") >= AggLo && col("id") < AggHi), "window"))
+      .unionAll(aggOf(rt.filter(col("id") < 0), "empty"))
+      .orderBy(col("scope"))
+  }
+
+  private val rangeAggPushdownOracle: String =
+    s"""SELECT scope, CAST(n AS BIGINT) AS n, min_id, max_id FROM (
+       |  SELECT 'full' AS scope, count(*) AS n, min(i) AS min_id, max(i) AS max_id
+       |  FROM range(1000, 101000) t(i)
+       |  UNION ALL
+       |  SELECT 'window', count(*), min(i), max(i)
+       |  FROM range(1000, 101000) t(i) WHERE i >= $AggLo AND i < $AggHi
+       |  UNION ALL
+       |  SELECT 'empty', count(*), min(i), max(i)
+       |  FROM range(1000, 101000) t(i) WHERE i < 0
+       |) ORDER BY scope""".stripMargin
 
   // ---------------------------------------------------------------
   // DSv2 SOURCE JOINED TO A PARQUET FACT — the scan-prune gate
@@ -300,5 +342,6 @@ object EtlQueries {
     "src_json_roundtrip" -> roundtripOracle,
     "src_orc_roundtrip" -> roundtripOracle,
     "src_range_pushdown" -> rangePushdownOracle,
+    "src_range_agg_pushdown" -> rangeAggPushdownOracle,
     "src_range_join" -> rangeJoinOracle)
 }

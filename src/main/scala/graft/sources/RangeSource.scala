@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -75,12 +76,14 @@ class RangeTable(start: Long, end: Long, slices: Int) extends Table with Support
 }
 
 class RangeScanBuilder(start: Long, end: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end
   private var accepted = Array.empty[Filter]
   private var required = RangeTable.schema
+  private var pushedAggs: Option[Seq[aggregate.AggregateFunc]] = None
 
   private def longOf(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue)
@@ -119,7 +122,87 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(start, end, slices, lo, hi, required)
+  // -- aggregate pushdown -------------------------------------------
+  // COUNT(*) / MIN(id) / MAX(id) with no GROUP BY are pure functions
+  // of the (already filter-clipped) [lo, hi) bounds, so the source
+  // answers them at PLANNING time — the scan ships ONE row instead
+  // of the range, the DSv2 analogue of parquet footer statistics.
+  // supportCompletePushDown returns true, so Spark plans NO aggregate
+  // node above the scan at all (plan-asserted in ExtensionSpec).
+  private def isIdColumn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def canPushAgg(a: aggregate.Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: aggregate.CountStar => true
+        case m: aggregate.Min => isIdColumn(m.column)
+        case m: aggregate.Max => isIdColumn(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(a: aggregate.Aggregation): Boolean = canPushAgg(a)
+
+  override def pushAggregation(a: aggregate.Aggregation): Boolean =
+    if (canPushAgg(a)) { pushedAggs = Some(a.aggregateExpressions.toSeq); true }
+    else false
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new RangeAggScan(lo, hi, aggs)
+    case None => new RangeScan(start, end, slices, lo, hi, required)
+  }
+}
+
+/** The aggregate-pushed scan: one partition, one row, values computed
+  * from the clipped bounds (count = hi−lo, min = lo, max = hi−1;
+  * NULL min/max on an empty range, matching SQL aggregate
+  * semantics). */
+class RangeAggScan(lo: Long, hi: Long, aggs: Seq[aggregate.AggregateFunc])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case _: aggregate.CountStar => StructField("count_star", LongType, nullable = false)
+    case _: aggregate.Min => StructField("min_id", LongType, nullable = true)
+    case _: aggregate.Max => StructField("max_id", LongType, nullable = true)
+    case f => throw new IllegalStateException(s"unpushable aggregate survived: $f")
+  })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftRangeScan[$lo,$hi) agg=${aggs.map(_.toString).mkString(",")} complete"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangePartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeAggReaderFactory(aggs.map {
+      case _: aggregate.CountStar => "count"
+      case _: aggregate.Min => "min"
+      case _: aggregate.Max => "max"
+    })
+}
+
+class RangeAggReaderFactory(kinds: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangePartition]
+    val n = math.max(0L, p.hi - p.lo)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(kinds.map {
+          case "count" => n
+          case "min" => if (n > 0) p.lo else null
+          case "max" => if (n > 0) p.hi - 1 else null
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class RangeScan(

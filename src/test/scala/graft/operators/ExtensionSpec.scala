@@ -952,6 +952,26 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 range source: complete aggregate pushdown leaves no aggregate in the plan") {
+    val df = EtlQueries.qRangeAggPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter clipped the bounds AND the aggregate moved into the
+    // source: the plan is a bare Project over the BatchScan
+    assert(plan.contains("GraftRangeScan[25000,75000) agg=COUNT(*),MIN(id),MAX(id) complete"),
+      "aggregate must push into the clipped scan:\n" + plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "complete pushdown must leave no aggregate node:\n" + plan)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val byScope = rows.map(r => r.getString(0) -> r).toMap
+    assert(byScope("full").getLong(1) == 100000L && byScope("full").getLong(2) == 1000L
+      && byScope("full").getLong(3) == 100999L)
+    assert(byScope("window").getLong(1) == 50000L && byScope("window").getLong(2) == 25000L
+      && byScope("window").getLong(3) == 74999L)
+    assert(byScope("empty").getLong(1) == 0L && byScope("empty").isNullAt(2)
+      && byScope("empty").isNullAt(3), "empty range: count 0, NULL min/max")
+  }
+
   test("DSv2 range source: filter pushdown prunes slices and columns at planning time") {
     val df = EtlQueries.qRangePushdown(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -221,6 +221,7 @@ object EtlQueries {
     "src_orc_roundtrip" -> (qOrcRoundtrip _),
     "src_range_pushdown" -> (qRangePushdown _),
     "src_range_agg_pushdown" -> (qRangeAggPushdown _),
+    "src_range_group_pushdown" -> (qRangeGroupPushdown _),
     "src_range_join" -> (qRangeJoin _))
 
   // ---------------------------------------------------------------
@@ -298,6 +299,34 @@ object EtlQueries {
        |) ORDER BY scope""".stripMargin
 
   // ---------------------------------------------------------------
+  // DSv2 GROUP-BY AGGREGATE PUSHDOWN — the grouped variant: GROUP BY
+  // bucket with count/min/max(id) is ALSO complete-pushable because
+  // each bucket's members over a contiguous id range are an
+  // arithmetic progression (first/last/cardinality in closed form).
+  // The source emits one row per non-empty group; the plan carries
+  // `groupBy=bucket complete` and again no aggregate node. The odd
+  // window end (75003) makes three buckets one row longer — gating
+  // that the modular arithmetic, not a uniform-split shortcut, is
+  // what answers the query.
+  private val GrpHi = 75003L
+
+  def qRangeGroupPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "1000").option("end", "101000").option("slices", "16")
+      .load()
+      .filter(col("id") >= AggLo && col("id") < GrpHi)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  private val rangeGroupPushdownOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range(1000, 101000) t(i) WHERE i >= $AggLo AND i < $GrpHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // DSv2 SOURCE JOINED TO A PARQUET FACT — the scan-prune gate
   // composed into real work: the range table plays a key manifest
   // (id, bucket, val) enriching the orders fact on o_orderkey, with
@@ -343,5 +372,6 @@ object EtlQueries {
     "src_orc_roundtrip" -> roundtripOracle,
     "src_range_pushdown" -> rangePushdownOracle,
     "src_range_agg_pushdown" -> rangeAggPushdownOracle,
+    "src_range_group_pushdown" -> rangeGroupPushdownOracle,
     "src_range_join" -> rangeJoinOracle)
 }

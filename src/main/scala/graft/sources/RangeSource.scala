@@ -136,8 +136,23 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
       case _ => false
     }
 
+  private def isBucketColumn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.sameElements(Array("bucket"))
+      case _ => false
+    }
+
+  private var groupByBucket = false
+
+  // GROUP BY is pushable only on `bucket` (= id % 16): per-bucket
+  // count/min/max over a contiguous id range are closed-form integer
+  // arithmetic, so the source emits ONE ROW PER GROUP — complete
+  // pushdown even with grouping.
   private def canPushAgg(a: aggregate.Aggregation): Boolean =
-    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+    (a.groupByExpressions.isEmpty ||
+      (a.groupByExpressions.length == 1 && isBucketColumn(a.groupByExpressions.head))) &&
+      a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
         case m: aggregate.Min => isIdColumn(m.column)
@@ -148,33 +163,45 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   override def supportCompletePushDown(a: aggregate.Aggregation): Boolean = canPushAgg(a)
 
   override def pushAggregation(a: aggregate.Aggregation): Boolean =
-    if (canPushAgg(a)) { pushedAggs = Some(a.aggregateExpressions.toSeq); true }
-    else false
+    if (canPushAgg(a)) {
+      pushedAggs = Some(a.aggregateExpressions.toSeq)
+      groupByBucket = a.groupByExpressions.nonEmpty
+      true
+    } else false
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => new RangeAggScan(lo, hi, aggs)
+    case Some(aggs) => new RangeAggScan(lo, hi, aggs, groupByBucket)
     case None => new RangeScan(start, end, slices, lo, hi, required)
   }
 }
 
-/** The aggregate-pushed scan: one partition, one row, values computed
-  * from the clipped bounds (count = hi−lo, min = lo, max = hi−1;
-  * NULL min/max on an empty range, matching SQL aggregate
-  * semantics). */
-class RangeAggScan(lo: Long, hi: Long, aggs: Seq[aggregate.AggregateFunc])
+/** The aggregate-pushed scan: one partition; one row (no grouping) or
+  * one row per non-empty bucket (GROUP BY bucket), all values in
+  * closed form from the clipped bounds — count = hi−lo, min = lo,
+  * max = hi−1 globally; per bucket b, the members of [lo, hi) with
+  * id ≡ b (mod 16) are an arithmetic progression whose first/last/
+  * cardinality are exact integer expressions. NULL min/max on an
+  * empty range, matching SQL aggregate semantics. */
+class RangeAggScan(
+    lo: Long, hi: Long, aggs: Seq[aggregate.AggregateFunc], groupByBucket: Boolean)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(aggs.map {
+  private def aggFields: Seq[StructField] = aggs.map {
     case _: aggregate.CountStar => StructField("count_star", LongType, nullable = false)
     case _: aggregate.Min => StructField("min_id", LongType, nullable = true)
     case _: aggregate.Max => StructField("max_id", LongType, nullable = true)
     case f => throw new IllegalStateException(s"unpushable aggregate survived: $f")
-  })
+  }
+
+  override def readSchema(): StructType = StructType(
+    (if (groupByBucket) Seq(StructField("bucket", LongType, nullable = false)) else Nil)
+      ++ aggFields)
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"GraftRangeScan[$lo,$hi) agg=${aggs.map(_.toString).mkString(",")} complete"
+    s"GraftRangeScan[$lo,$hi) agg=${aggs.map(_.toString).mkString(",")}" +
+      (if (groupByBucket) " groupBy=bucket" else "") + " complete"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(RangePartition(lo, hi))
@@ -184,22 +211,43 @@ class RangeAggScan(lo: Long, hi: Long, aggs: Seq[aggregate.AggregateFunc])
       case _: aggregate.CountStar => "count"
       case _: aggregate.Min => "min"
       case _: aggregate.Max => "max"
-    })
+    }, groupByBucket)
 }
 
-class RangeAggReaderFactory(kinds: Seq[String]) extends PartitionReaderFactory {
+class RangeAggReaderFactory(kinds: Seq[String], groupByBucket: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RangePartition]
-    val n = math.max(0L, p.hi - p.lo)
+    // (bucket or -1, count, min, max) rows; empty groups are absent
+    // (SQL GROUP BY semantics), the global row survives with NULLs
+    val groups: Seq[(Long, Long, Any, Any)] =
+      if (!groupByBucket) {
+        val n = math.max(0L, p.hi - p.lo)
+        Seq((-1L, n, if (n > 0) p.lo else null, if (n > 0) p.hi - 1 else null))
+      } else (0L until RangeTable.Buckets).flatMap { b =>
+        if (p.lo >= p.hi) None
+        else {
+          // first id >= lo with id % Buckets == b (ids non-negative)
+          val first = p.lo + ((b - p.lo) % RangeTable.Buckets + RangeTable.Buckets) % RangeTable.Buckets
+          if (first >= p.hi) None
+          else {
+            val last = first + ((p.hi - 1 - first) / RangeTable.Buckets) * RangeTable.Buckets
+            Some((b, (last - first) / RangeTable.Buckets + 1, first, last))
+          }
+        }
+      }
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val go = !emitted; emitted = true; go }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(kinds.map {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < groups.length }
+      override def get(): InternalRow = {
+        val (b, n, mn, mx) = groups(i)
+        val aggVals = kinds.map {
           case "count" => n
-          case "min" => if (n > 0) p.lo else null
-          case "max" => if (n > 0) p.hi - 1 else null
-        })
+          case "min" => mn
+          case "max" => mx
+        }
+        InternalRow.fromSeq(if (groupByBucket) b +: aggVals else aggVals)
+      }
       override def close(): Unit = ()
     }
   }

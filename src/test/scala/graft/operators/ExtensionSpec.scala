@@ -972,6 +972,26 @@ class ExtensionSpec extends SparkSpec {
       && byScope("empty").isNullAt(3), "empty range: count 0, NULL min/max")
   }
 
+  test("DSv2 range source: GROUP BY bucket pushes completely and matches a real re-aggregation") {
+    val df = EtlQueries.qRangeGroupPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("groupBy=bucket complete"),
+      "grouped aggregate must push into the scan:\n" + plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "complete grouped pushdown must leave no aggregate node:\n" + plan)
+    val expected = spark.range(25000L, 75003L)
+      .groupBy((col("id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = df.collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val (n, mn, mx) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == mn && r.getLong(3) == mx,
+        s"bucket ${r.getLong(0)}: closed-form disagrees with a real aggregation")
+    }
+  }
+
   test("DSv2 range source: filter pushdown prunes slices and columns at planning time") {
     val df = EtlQueries.qRangePushdown(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -1056,6 +1056,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 150000000L), "pr never falls below the base mass")
   }
 
+  test("OOD flags are exactly the strict p95 tail of each cell's distance distribution") {
+    val flags = Similarity.qOodDetect(spark, sfDir).collect()
+    // driver-side recount: µ-scale, assign to stride seeds, p95 rank
+    val em = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint)) xm")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val cents = em.filter(_._1 % 40 == 7).sortBy(_._1)
+    val assigned = em.map { case (id, xm) =>
+      val (cid, d2) = cents.map { case (c, cm) =>
+        var s = 0L; var i = 0
+        while (i < 64) { val d = xm(i) - cm(i); s += d * d; i += 1 }
+        (c, s)
+      }.minBy { case (c, s) => (s, c) }
+      (id, cid, d2)
+    }
+    val expected = assigned.groupBy(_._2).flatMap { case (cid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val p95 = sorted(((95 * rows.length + 99) / 100) - 1)._3
+      rows.filter(_._3 > p95).map(r => (r._1, cid, r._3, p95)).toSeq
+    }.toSet
+    assert(flags.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      == expected, "flag set must equal the driver-side strict-tail recount")
+    flags.groupBy(_.getLong(1)).foreach { case (cid, fs) =>
+      val n = assigned.count(_._2 == cid)
+      assert(fs.length <= n / 20 + 1, s"cell $cid: tail beyond p95 can't exceed ~5%")
+    }
+  }
+
   test("streaming quantiles only emit closed windows and match a batch recount per window") {
     import graft.streaming.Streams
     val rows = Streams.qStreamQuantile(spark, sfDir).collect()

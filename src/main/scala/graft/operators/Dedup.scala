@@ -183,6 +183,74 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // MINHASH ESTIMATOR QUALITY — the sketch-audit for the signature
+  // itself: over the LSH candidate pairs, the Jaccard ESTIMATE the
+  // 12-hash signature implies (matching-coordinate fraction — the
+  // property the whole MinHash construction rests on:
+  // P[min_k(A) = min_k(B)] = J(A,B)) against the exact set Jaccard,
+  // gated as integer per-mille with the signed error. This is the
+  // measurement that justifies NumHashes=12 and the banding
+  // thresholds: the audit row shows how coarse a 12-sample estimate
+  // is (quantized to twelfths), which is exactly why the pipelines
+  // VERIFY candidates exactly instead of trusting the signature —
+  // and the same number a 100 TB deployment reads before spending
+  // memory on wider signatures. One signature-base pass (shared
+  // memo), candidate generation unchanged, a 12-term codegen'd
+  // compare chain per pair; fixed-width rows only.
+  def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val base = memoBase("word", s, dir)(wordSignatures(s, dir))
+    val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
+    val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val matches = (0 until NumHashes).map(k =>
+      when(element_at(col("sig_a"), k + 1) === element_at(col("sig_b"), k + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val docSide = base.select(col("doc_id"), col("sset"), col("sig"))
+    cand
+      .join(broadcast(docSide.select(col("doc_id").as("doc_a"),
+        col("sset").as("sset_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(docSide.select(col("doc_id").as("doc_b"),
+        col("sset").as("sset_b"), col("sig").as("sig_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        matches.as("n_match"),
+        (size(array_intersect(col("sset_a"), col("sset_b"))).cast("long") * 1000 /
+          size(array_union(col("sset_a"), col("sset_b"))).cast("long")).cast("long").as("jac_pm"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"n_match * 1000 div $NumHashes").as("est_pm"), col("jac_pm"),
+        (expr(s"n_match * 1000 div $NumHashes") - col("jac_pm")).as("err_pm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashEstSql: String =
+    s"""WITH $shinglesSqlCte,
+       |hv AS (SELECT doc_id,
+       |  list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv,
+       |  list_distinct(shingles) AS sset
+       |  FROM sh),
+       |mh AS MATERIALIZED (SELECT doc_id, sset,
+       |  list_transform(range($NumHashes),
+       |    k -> list_aggregate(list_transform(hv, h -> ((1 + k * 2) * h + (17 + k)) % $MersenneP), 'min')) AS sig
+       |  FROM hv),
+       |bands AS (SELECT doc_id,
+       |  CAST(b AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 1] AS VARCHAR) || ':' || CAST(sig[$BandSize*b + 2] AS VARCHAR) AS band_key
+       |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,
+       |  len(list_intersect(sa.sset, sb.sset)) * 1000 // len(list_distinct(sa.sset || sb.sset)) AS jac_pm
+       |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+       |  CAST(n_match * 1000 // $NumHashes AS BIGINT) AS est_pm,
+       |  CAST(jac_pm AS BIGINT) AS jac_pm,
+       |  CAST(n_match * 1000 // $NumHashes - jac_pm AS BIGINT) AS err_pm
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
   // MinHash LSH with a BUCKET-SIZE CAP — the production guard the
   // round-6 10× duplication-stress profile motivates (PLANS.md):
   // LSH pair count is Σ bucket², so one boilerplate/template cluster
@@ -2181,6 +2249,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_substring" -> (qSubstring _),
     "dedup_containment" -> (qContainment _),
     "dedup_threshold_sweep" -> (qThresholdSweep _),
+    "dedup_minhash_est" -> (qMinhashEst _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2207,5 +2276,6 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_substring" -> qSubstringSql,
     "dedup_containment" -> qContainmentSql,
     "dedup_threshold_sweep" -> qThresholdSweepSql,
+    "dedup_minhash_est" -> qMinhashEstSql,
   )
 }

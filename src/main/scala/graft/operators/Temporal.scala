@@ -65,6 +65,37 @@ object Temporal {
        |FROM m ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // AS-OF JOIN VIA THE CUSTOM PHYSICAL OPERATOR — the same gate as
+  // [[qAsofJoin]] (same oracle SQL), answered by
+  // [[graft.plans.AsOfJoinExec]]: a planner-injected logical node
+  // that EnsureRequirements co-partitions + sorts, then a single
+  // O(n+m) merge pass per partition — no union, no window buffer.
+  // Two implementations, one oracle: the composed window form proves
+  // the semantics, the custom operator proves the extension ladder
+  // (logical node → Strategy → SparkPlan) carries them at scan
+  // speed; ExtensionSpec asserts the physical plan really is
+  // AsOfJoinExec over sorted, clustered children. The two sides read
+  // `events` independently (fresh attribute ids per side — a custom
+  // binary node does not get the analyzer's join-specific relation
+  // deduplication).
+  def qAsofJoinExec(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoinPlan.asofJoin(s, purchases, clicks, "user_id", "ts", "c_ts")
+      .toDF("event_id", "user_id", "p_ts", "r_uid", "c_ts")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("p_ts"), tsFmt).as("purchase_ts"),
+        date_format(col("c_ts"), tsFmt).as("last_click_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------
   // sessionization: 30-minute-gap sessions per user, batch form
   // (lag + cumulative sum). The Structured Streaming stateful twin
   // lives in graft.streaming.
@@ -621,6 +652,7 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "temporal_drift" -> (qDrift _),
     "asof_join" -> (qAsofJoin _),
+    "asof_join_exec" -> (qAsofJoinExec _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -637,6 +669,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "temporal_drift" -> qDriftSql,
     "asof_join" -> qAsofJoinSql,
+    "asof_join_exec" -> qAsofJoinSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

@@ -952,6 +952,29 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("custom as-of operator plans as AsOfJoinExec over sorted clustered children") {
+    val df = Temporal.qAsofJoinExec(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "the strategy must plan the custom node:\n" + plan)
+    assert(!plan.contains("WindowExec") && !plan.contains("SortMergeJoin"),
+      "the merge operator must replace the window/join machinery:\n" + plan)
+    // EnsureRequirements inserted the co-partition + sort
+    val exec = df.queryExecution.executedPlan.collectFirst {
+      case e: graft.plans.AsOfJoinExec => e
+    }.orElse(df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case e: graft.plans.AsOfJoinExec => e }
+    }.flatten.headOption)
+    assert(exec.isDefined, "AsOfJoinExec present in the executed plan")
+    // bit-identical to the composed window form on the same corpus
+    val composed = Temporal.qAsofJoin(spark, sfDir).collect().map(_.toSeq).toSeq
+    val custom = df.collect().map(_.toSeq).toSeq
+    assert(custom == composed, "custom operator must equal the composed window form")
+    // the no-match path: at least one purchase precedes any click
+    assert(custom.exists(r => r(3) == null && r(4) == null),
+      "null-extended rows must survive (purchases with no prior click)")
+  }
+
   test("DSv2 range source: complete aggregate pushdown leaves no aggregate in the plan") {
     val df = EtlQueries.qRangeAggPushdown(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -380,6 +380,83 @@ object Sketches {
        |FROM fp""".stripMargin
 
   // ---------------------------------------------------------------
+  // KMV SET ALGEBRA — the sketch OPERATIONS that make sketches an
+  // engine feature rather than a one-shot estimator: two corpus
+  // halves (even/odd doc shingle sets — the Bloom split convention)
+  // summarized as KMV sketches, then UNION and INTERSECTION
+  // estimated purely from the sketches. Union: merging two KMV
+  // sketches is "pool the minima, keep the k smallest" (exactly the
+  // TakeOrderedAndProject merge), and the merged sketch estimates
+  // |A∪B| like any KMV. Intersection: the standard ρ·|A∪B| estimator
+  // where ρ = |S_k(A∪B) ∩ S_k(A) ∩ S_k(B)| / k (the theta-sketch
+  // overlap rule) — integer-exact as (k_common · union_est) div k.
+  // Gated against the exact counts with signed per-mille errors —
+  // this is how a 100 TB pipeline estimates crawl overlap without
+  // ever joining the crawls.
+  def qKmvAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val ds = docShingleHashes(s, dir).select(col("doc_id"), col("h"))
+      .localCheckpoint()
+    val a = ds.filter(col("doc_id") % 2 === 0).select(col("h")).dropDuplicates("h")
+      .localCheckpoint()
+    val b = ds.filter(col("doc_id") % 2 === 1).select(col("h")).dropDuplicates("h")
+      .localCheckpoint()
+    val ka = a.orderBy(col("h")).limit(KmvK).localCheckpoint()
+    val kb = b.orderBy(col("h")).limit(KmvK).localCheckpoint()
+    val ku = ka.unionAll(kb).dropDuplicates("h").orderBy(col("h")).limit(KmvK)
+      .localCheckpoint()
+    val un = ku.agg(max(col("h")).as("kth"), count(lit(1)).as("kc"))
+    val rho = ku.join(broadcast(ka), Seq("h"), "left_semi")
+      .join(broadcast(kb), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("k_common"))
+    val ex = a.unionAll(b).dropDuplicates("h").agg(count(lit(1)).as("union_exact"))
+      .crossJoin(a.join(b, Seq("h"), "left_semi").agg(count(lit(1)).as("inter_exact")))
+      .crossJoin(a.agg(count(lit(1)).as("n_a")))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    un.crossJoin(rho).crossJoin(ex)
+      .withColumn("union_est",
+        expr(s"CASE WHEN kc < $KmvK THEN kc ELSE ${KmvK - 1} * $HashSpace div kth END"))
+      .withColumn("inter_est", expr(s"k_common * union_est div $KmvK"))
+      .select(lit(KmvK.toLong).as("k"), col("n_a"), col("n_b"),
+        col("union_est"), col("union_exact"),
+        expr("CASE WHEN union_est >= union_exact THEN (union_est - union_exact) * 1000 div greatest(union_exact, 1)" +
+          " ELSE -((union_exact - union_est) * 1000 div greatest(union_exact, 1)) END").as("union_err_pm"),
+        col("k_common"), col("inter_est"), col("inter_exact"),
+        expr("CASE WHEN inter_est >= inter_exact THEN (inter_est - inter_exact) * 1000 div greatest(inter_exact, 1)" +
+          " ELSE -((inter_exact - inter_est) * 1000 div greatest(inter_exact, 1)) END").as("inter_err_pm"))
+  }
+
+  val qKmvAlgebraSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |ds AS MATERIALIZED (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |a AS MATERIALIZED (SELECT DISTINCT h FROM ds WHERE doc_id % 2 = 0),
+       |b AS MATERIALIZED (SELECT DISTINCT h FROM ds WHERE doc_id % 2 = 1),
+       |ka AS MATERIALIZED (SELECT h FROM a ORDER BY h LIMIT $KmvK),
+       |kb AS MATERIALIZED (SELECT h FROM b ORDER BY h LIMIT $KmvK),
+       |ku AS MATERIALIZED (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |  ORDER BY h LIMIT $KmvK),
+       |un AS (SELECT max(h) AS kth, count(*) AS kc FROM ku),
+       |rho AS (SELECT count(*) AS k_common FROM ku
+       |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+       |ex AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b,
+       |  (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b)) AS union_exact,
+       |  (SELECT count(*) FROM a WHERE h IN (SELECT h FROM b)) AS inter_exact),
+       |est AS (SELECT un.kc, rho.k_common, ex.*,
+       |  CASE WHEN un.kc < $KmvK THEN un.kc ELSE ${KmvK - 1} * $HashSpace // un.kth END AS union_est
+       |  FROM un, rho, ex)
+       |SELECT CAST($KmvK AS BIGINT) AS k, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(union_est AS BIGINT) AS union_est, CAST(union_exact AS BIGINT) AS union_exact,
+       |  CAST(CASE WHEN union_est >= union_exact THEN (union_est - union_exact) * 1000 // greatest(union_exact, 1)
+       |    ELSE -((union_exact - union_est) * 1000 // greatest(union_exact, 1)) END AS BIGINT) AS union_err_pm,
+       |  CAST(k_common AS BIGINT) AS k_common,
+       |  CAST(k_common * union_est // $KmvK AS BIGINT) AS inter_est,
+       |  CAST(inter_exact AS BIGINT) AS inter_exact,
+       |  CAST(CASE WHEN k_common * union_est // $KmvK >= inter_exact
+       |    THEN (k_common * union_est // $KmvK - inter_exact) * 1000 // greatest(inter_exact, 1)
+       |    ELSE -((inter_exact - k_common * union_est // $KmvK) * 1000 // greatest(inter_exact, 1)) END AS BIGINT) AS inter_err_pm
+       |FROM est""".stripMargin
+
+  // ---------------------------------------------------------------
   // MERGEABLE HISTOGRAM QUANTILE SKETCH — the fifth canonical sketch
   // (quantiles, after distinct/frequency/membership): fixed-width
   // bins over price cents (`cents div W`), per-bin counts, and
@@ -458,6 +535,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_quantile" -> (qQuantileSketch _),
+    "sketch_kmv_algebra" -> (qKmvAlgebra _),
     "sketch_bloom_fpr" -> (qBloomFpr _),
     "text_novelty" -> (qNoveltySources _),
     "sketch_kmv_distinct" -> (qKmvDistinct _),
@@ -468,6 +546,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "sketch_quantile" -> qQuantileSketchSql,
+    "sketch_kmv_algebra" -> qKmvAlgebraSql,
     "sketch_bloom_fpr" -> qBloomFprSql,
     "text_novelty" -> qNoveltySourcesSql,
     "sketch_kmv_distinct" -> qKmvDistinctSql,

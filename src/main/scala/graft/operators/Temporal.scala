@@ -96,6 +96,42 @@ object Temporal {
   }
 
   // ---------------------------------------------------------------
+  // SEASONALITY PROFILE — the hour-of-day load shape per event type:
+  // exact integer counts, per-mille share of the type's traffic, and
+  // the peak-hour flag (ties to the earlier hour — deterministic).
+  // The profile a pipeline reads to place sampling windows, size
+  // streaming capacity, and catch diurnal drift (a type whose peak
+  // hour MOVES is upstream behavior change). One scan, one
+  // (type, hour) partial agg — 24·|types| metadata out.
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("event_type"))
+    cnt
+      .withColumn("type_n", sum(col("n")).over(tot))
+      .withColumn("mx", max(col("n")).over(tot))
+      .withColumn("peak_hour", min(when(col("n") === col("mx"), col("hour_of_day"))).over(tot))
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        expr("n * 1000 div type_n").as("share_pm"),
+        when(col("hour_of_day") === col("peak_hour"), 1L).otherwise(0L).as("is_peak"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH ev AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod FROM events),
+      |c AS (SELECT event_type, hod, count(*) AS n FROM ev GROUP BY 1, 2),
+      |t AS (SELECT event_type, hod, n,
+      |  sum(n) OVER (PARTITION BY event_type) AS type_n,
+      |  max(n) OVER (PARTITION BY event_type) AS mx FROM c),
+      |p AS (SELECT event_type, min(hod) AS peak_hour FROM t WHERE n = mx GROUP BY 1)
+      |SELECT t.event_type, CAST(t.hod AS BIGINT) AS hour_of_day, CAST(t.n AS BIGINT) AS n,
+      |  CAST(t.n * 1000 // t.type_n AS BIGINT) AS share_pm,
+      |  CAST(CASE WHEN t.hod = p.peak_hour THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+      |FROM t JOIN p USING (event_type)
+      |ORDER BY event_type, hour_of_day""".stripMargin
+
+  // ---------------------------------------------------------------
   // sessionization: 30-minute-gap sessions per user, batch form
   // (lag + cumulative sum). The Structured Streaming stateful twin
   // lives in graft.streaming.
@@ -653,6 +689,7 @@ object Temporal {
     "temporal_drift" -> (qDrift _),
     "asof_join" -> (qAsofJoin _),
     "asof_join_exec" -> (qAsofJoinExec _),
+    "temporal_seasonality" -> (qSeasonality _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -670,6 +707,7 @@ object Temporal {
     "temporal_drift" -> qDriftSql,
     "asof_join" -> qAsofJoinSql,
     "asof_join_exec" -> qAsofJoinSql,
+    "temporal_seasonality" -> qSeasonalitySql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

@@ -1662,6 +1662,54 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
       .orderBy(col("cluster_id"))
   }
 
+  // ---------------------------------------------------------------
+  // QUALITY-AWARE CANONICAL PICK — [[qCanonical]]'s representative
+  // rule upgraded from "longest text" to "best LANGUAGE-MODEL score"
+  // (ties: longer, then smaller id): when a near-dup cluster mixes a
+  // clean copy with boilerplate-damaged variants, the length rule
+  // keeps the most padded one, the quality rule keeps the one the
+  // training run actually wants — the selection modern dedup
+  // pipelines run. Composes [[clusterLabels]] with
+  // [[Text.lmScored]]'s exact integer-ppm bigram score; the argmax
+  // stays a PARTIAL map-side max(struct) over fixed-width ints (no
+  // window, one candidate per cluster per partition reaches the
+  // shuffle). Cold cost is honestly LSH+CC+LM — the composite class.
+  def qCanonicalQuality(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val scored = Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+    Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("lm_score_ppm").as("q"), col("n_chars").as("c"),
+          (-col("doc_id")).as("negid"))).as("best"))
+      .select(
+        col("cluster_id"),
+        (-col("best.negid")).as("kept_doc"),
+        col("best.q").as("kept_lm_ppm"),
+        col("best.c").as("kept_chars"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  lazy val qCanonicalQualitySql: String =
+    s"""WITH labels AS (
+$qClustersSql
+),
+scored AS (
+${Text.qLmScoreSql}
+),
+j AS (SELECT l.cluster_id, d.doc_id, d.n_chars, sc.lm_score_ppm
+  FROM labels l JOIN documents d USING (doc_id) JOIN scored sc USING (doc_id)),
+m AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY cluster_id)
+SELECT j.cluster_id, j.doc_id AS kept_doc, j.lm_score_ppm AS kept_lm_ppm,
+  CAST(j.n_chars AS BIGINT) AS kept_chars, CAST(m.n_members AS BIGINT) AS n_members
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+    ORDER BY lm_score_ppm DESC, n_chars DESC, doc_id) AS rn FROM j) j
+JOIN m USING (cluster_id) WHERE j.rn = 1 ORDER BY j.cluster_id"""
+
   val qCanonicalSql: String =
     s"""WITH labels AS (
        |$qClustersSql
@@ -2237,6 +2285,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_triangles" -> (qTriangles _),
     "graph_label_prop" -> (qLabelProp _),
     "dedup_canonical" -> (qCanonical _),
+    "dedup_canonical_quality" -> (qCanonicalQuality _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -2264,6 +2313,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_triangles" -> qTrianglesSql,
     "graph_label_prop" -> qLabelPropSql,
     "dedup_canonical" -> qCanonicalSql,
+    "dedup_canonical_quality" -> qCanonicalQualitySql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

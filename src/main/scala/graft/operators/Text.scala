@@ -435,6 +435,60 @@ object Text {
        |ORDER BY train_id, eval_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // EVAL-SIDE GRAM COVERAGE — the RECALL view of decontamination:
+  // [[qDecontaminate]] names the train documents that leak eval
+  // content; this names, for each EVAL document, what fraction of
+  // its 3-grams exists ANYWHERE in the training corpus — the number
+  // an eval-set owner reads to decide whether a benchmark is burnt
+  // (high coverage ⇒ the model has effectively seen it, even if no
+  // single train doc crossed the per-pair threshold). Same gram
+  // convention and size-guarded join orientation as the
+  // contamination pass (eval side broadcast while small, train gram
+  // set streams once, distinct'ed to 8-byte hashes first so corpus
+  // multiplicity never inflates the join). Exact integer per-mille;
+  // burnt flag at 500‰.
+  private val CoverageBurntPm = 500L
+
+  def qGramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val g = gramHashes(s, dir)
+    val ev = g.filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+      .select(col("doc_id").as("eval_id"), col("gram_h"))
+      .localCheckpoint() // totals + the coverage join share one pass
+    val trGrams = g.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+      .select(col("gram_h")).dropDuplicates("gram_h")
+    val cov = contaminationJoin(trGrams, ev)
+      .select(col("eval_id"), col("gram_h")).dropDuplicates("eval_id", "gram_h")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_cov"))
+    ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      .join(cov, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+      .withColumn("coverage_pm", expr("n_cov * 1000 div n_grams"))
+      .withColumn("burnt", (col("coverage_pm") >= CoverageBurntPm).cast("boolean"))
+      .orderBy(col("eval_id"))
+  }
+
+  val qGramCoverageSql: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= $DecontamGramLen
+       |    THEN list_transform(range(len(ws) - ${DecontamGramLen - 1}),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |    ELSE [array_to_string(ws, ' ')] END) AS grams FROM w),
+       |ev AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DecontamEvalMod = $DecontamEvalRem),
+       |trg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $DecontamEvalMod <> $DecontamEvalRem),
+       |cov AS (SELECT eval_id, count(*) AS n_cov
+       |  FROM (SELECT DISTINCT e.eval_id, e.gram FROM ev e JOIN trg USING (gram))
+       |  GROUP BY eval_id),
+       |tot AS (SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY eval_id)
+       |SELECT t.eval_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       |  CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_cov,
+       |  CAST(coalesce(c.n_cov, 0) * 1000 // t.n_grams AS BIGINT) AS coverage_pm,
+       |  coalesce(c.n_cov, 0) * 1000 // t.n_grams >= $CoverageBurntPm AS burnt
+       |FROM tot t LEFT JOIN cov c USING (eval_id) ORDER BY t.eval_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // REPETITION-based quality filter (the Gopher/MassiveText rules):
   // documents dominated by repeated n-grams or by one word are
   // low-quality for training. Per doc: duplicate-2-gram fraction
@@ -1660,7 +1714,7 @@ FROM f GROUP BY split ORDER BY split"""
 
   /** The per-doc scored frame behind [[qLmScore]] (unsorted) —
     * shared with the CCNet bucketing rollup. */
-  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def lmScored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -1788,6 +1842,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bm25_mlt" -> (qBm25Mlt _),
     "text_bpe_encode" -> (qBpeEncode _),
     "text_fertility" -> (qFertility _),
+    "text_gram_coverage" -> (qGramCoverage _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
@@ -1813,6 +1868,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bm25_mlt" -> qBm25MltSql,
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_fertility" -> qFertilitySql,
+    "text_gram_coverage" -> qGramCoverageSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

@@ -1056,6 +1056,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 150000000L), "pr never falls below the base mass")
   }
 
+  test("seasonality profile partitions each type's traffic with exactly one peak") {
+    val rows = Temporal.qSeasonality(spark, sfDir).collect()
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "hour cells partition the events")
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val typeN = rs.map(_.getLong(2)).sum
+      rs.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / typeN))
+      val peaks = rs.filter(_.getLong(4) == 1L)
+      assert(peaks.length == 1, s"$t: exactly one peak hour")
+      assert(peaks.head.getLong(2) == rs.map(_.getLong(2)).max, s"$t: peak has max count")
+    }
+  }
+
+  test("quality-aware canonical pick keeps the max (lm, chars, -id) member per cluster") {
+    val picks = Dedup.qCanonicalQuality(spark, sfDir).collect()
+    assert(picks.nonEmpty)
+    val labels = Dedup.qClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)) // (doc_id, cluster_id)
+    val lm = Text.qLmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val chars = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    assert(picks.length == byCluster.size)
+    picks.foreach { p =>
+      val members = byCluster(p.getLong(0)).map(_._1)
+      assert(members.length == p.getLong(4).toInt, "n_members")
+      val best = members.maxBy(d => (lm(d), chars(d), -d))
+      assert(p.getLong(1) == best, s"cluster ${p.getLong(0)}: kept ${p.getLong(1)} != $best")
+      assert(p.getLong(2) == lm(best) && p.getLong(3) == chars(best))
+    }
+  }
+
+  test("gram coverage covers every eval doc and bounds/derives its rates") {
+    val rows = Text.qGramCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 == 3, "eval split membership")
+      assert(r.getLong(2) <= r.getLong(1), "covered grams bounded by the doc's grams")
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getBoolean(4) == (r.getLong(3) >= 500))
+    }
+  }
+
   test("OOD flags are exactly the strict p95 tail of each cell's distance distribution") {
     val flags = Similarity.qOodDetect(spark, sfDir).collect()
     // driver-side recount: µ-scale, assign to stride seeds, p95 rank

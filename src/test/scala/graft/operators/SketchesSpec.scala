@@ -283,6 +283,19 @@ class SketchesSpec extends SparkSpec {
       "redistribution hands out at most the shortfall (plus per-source truncation)")
   }
 
+  test("KMV algebra: estimates derive from the merged sketch and inclusion-exclusion holds") {
+    val r = Sketches.qKmvAlgebra(spark, sfDir).collect().head
+    val (k, nA, nB, uEst, uExact, _, kCommon, iEst, iExact, _) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+    assert(k == 64 && kCommon >= 0 && kCommon <= k)
+    assert(uExact == nA + nB - iExact, "exact counts obey inclusion-exclusion")
+    assert(iEst == kCommon * uEst / k, "intersection estimate is rho * union estimate")
+    assert(uEst > 0 && uEst >= iEst, "union estimate dominates the intersection estimate")
+    assert(r.getLong(5) == (if (uEst >= uExact) (uEst - uExact) * 1000 / math.max(uExact, 1)
+      else -((uExact - uEst) * 1000 / math.max(uExact, 1))), "signed union error")
+  }
+
   test("rank fusion: Borda scores decompose into the two source ranks") {
     val a = Similarity.qTopkCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap

@@ -221,6 +221,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         expr(s"n_match * 1000 div $NumHashes").as("est_pm"), col("jac_pm"),
         (expr(s"n_match * 1000 div $NumHashes") - col("jac_pm")).as("err_pm"))
+      // audit-sized; checkpointed before the sort — the final
+      // orderBy's range exchange would otherwise sample-run the
+      // candidate-join + verify chain twice (the winnow-pairs rule)
+      .localCheckpoint()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1935,6 +1939,10 @@ JOIN m USING (cluster_id) WHERE j.rn = 1 ORDER BY j.cluster_id"""
         expr("n_overlap * 1000 div (n_sn + n_sh - n_overlap)").as("jaccard_pm"))
       .withColumn("excerpt_flag",
         when(col("contain_pm") >= 800 && col("jaccard_pm") < 500, 1L).otherwise(0L))
+      // checkpointed before the sort for the same winnow-pairs
+      // reason: the verify's corpus-streaming aggregations must run
+      // once, not once more for range sampling
+      .localCheckpoint()
       .orderBy(col("snip_doc"), col("host_doc"))
   }
 

@@ -473,6 +473,43 @@ object Sketches {
   private val QBinW = 100000L // $1000-wide bins over l_extendedprice cents
   private val QuantPms = Seq(500L, 950L, 990L)
 
+  /** The rank-interpolation walk over a (groupCols..., bin, cnt)
+    * histogram frame, SHARED by the batch sketch and the streaming
+    * windowed quantiles so the estimator cannot drift between them:
+    * cumulative bins per group, ceil rank r = (q·n + 999) div 1000,
+    * first bin whose cumulative count reaches r, and the exact-integer
+    * interpolation bin·W + W·(r − cum_before) div cnt. Returns
+    * (groupCols..., q_pm, r, n_total, n_bins, bin, est) — callers
+    * select/rename. All frames are bin-count × group-count metadata. */
+  private[graft] def histQuantiles(
+      s: SparkSession, bins: DataFrame,
+      groupCols: Seq[String], binW: Long, qPms: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("bin"))
+      else Window.partitionBy(grp: _*).orderBy(col("bin"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val n = bins.groupBy(grp: _*)
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_bins"))
+    import s.implicits._
+    val rk = n.crossJoin(broadcast(qPms.toDF("q_pm")))
+      .withColumn("r", expr("(q_pm * n_total + 999) div 1000"))
+    val hit0 =
+      if (groupCols.isEmpty) rk.join(broadcast(cum), col("cum") >= col("r"))
+      else rk.join(cum, groupCols).filter(col("cum") >= col("r"))
+    hit0
+      .groupBy((grp :+ col("q_pm")) :+ col("r") :+ col("n_total") :+ col("n_bins"): _*)
+      .agg(min(col("bin")).as("bin"))
+      .join(
+        if (groupCols.isEmpty) broadcast(cum.select(col("bin"), col("cnt"), col("cum_before")))
+        else cum.select((grp :+ col("bin") :+ col("cnt") :+ col("cum_before")): _*),
+        groupCols :+ "bin")
+      .withColumn("est", expr(s"bin * $binW + $binW * (r - cum_before) div cnt"))
+  }
+
   def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = Tables.lineitem(s, dir)
@@ -482,30 +519,17 @@ object Sketches {
     val bins = cents.select(expr(s"cents div $QBinW").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val cum = bins
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
-      .withColumn("cum_before", col("cum") - col("cnt"))
-    val n = bins.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_bins"))
-    import s.implicits._
-    val rk = QuantPms.toDF("q_pm").crossJoin(broadcast(n))
-      .withColumn("r", expr("(q_pm * n_total + 999) div 1000"))
-    val hit = rk.join(broadcast(cum), col("cum") >= col("r"))
-      .groupBy(col("q_pm"), col("r"), col("n_total"), col("n_bins"))
-      .agg(min(col("bin")).as("bin"))
-      .join(broadcast(cum), Seq("bin"))
+    val hit = histQuantiles(s, bins, Seq.empty, QBinW, QuantPms)
     // the exact comparison pass: distinct-value cumulative counts
     val dv = cents.groupBy(col("cents")).agg(count(lit(1)).as("c"))
       .withColumn("cumv", sum(col("c")).over(Window.orderBy(col("cents"))))
-    val exq = broadcast(rk.select(col("q_pm"), col("r")))
+    val exq = broadcast(hit.select(col("q_pm"), col("r")))
       .join(dv, col("cumv") >= col("r"))
       .groupBy(col("q_pm")).agg(min(col("cents")).as("exact_cents"))
     hit.join(exq, Seq("q_pm"))
       .select(col("q_pm"), col("r").as("rank_r"), col("n_total"), col("n_bins"),
-        col("bin"),
-        expr(s"bin * $QBinW + $QBinW * (r - cum_before) div cnt").as("est_cents"),
-        col("exact_cents"),
-        expr(s"abs(bin * $QBinW + $QBinW * (r - cum_before) div cnt - exact_cents)" +
-          " * 1000000 div greatest(exact_cents, 1)").as("err_ppm"))
+        col("bin"), col("est").as("est_cents"), col("exact_cents"),
+        expr("abs(est - exact_cents) * 1000000 div greatest(exact_cents, 1)").as("err_ppm"))
       .orderBy(col("q_pm"))
   }
 

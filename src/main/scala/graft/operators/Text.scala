@@ -456,8 +456,10 @@ object Text {
       .localCheckpoint() // totals + the coverage join share one pass
     val trGrams = g.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
       .select(col("gram_h")).dropDuplicates("gram_h")
+    // both join inputs are already distinct on gram_h (per-doc
+    // distinct eval grams x corpus-distinct train grams), so the
+    // join emits one row per (eval_id, gram_h) — count directly
     val cov = contaminationJoin(trGrams, ev)
-      .select(col("eval_id"), col("gram_h")).dropDuplicates("eval_id", "gram_h")
       .groupBy(col("eval_id")).agg(count(lit(1)).as("n_cov"))
     ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
       .join(cov, Seq("eval_id"), "left")

@@ -102,19 +102,27 @@ case class AsOfJoinExec(
       var matchRow: InternalRow = null
       // right head lookahead (sorter rows are reused: values read
       // before advancing)
+      // nulls would silently unbox to 0L (NULL keys joining bucket 0,
+      // NULL timestamps acting as epoch) — fail loudly instead
+      def longOf(v: Any, what: String): Long = v match {
+        case l: java.lang.Long => l.longValue
+        case null => throw new IllegalStateException(
+          s"as-of join $what must be non-null")
+        case other => other.asInstanceOf[Long]
+      }
       var rHas = rIt.hasNext
       var rRow: InternalRow = if (rHas) rIt.next() else null
-      var rKey = if (rHas) rk.eval(rRow).asInstanceOf[Long] else 0L
-      var rTs = if (rHas) rt.eval(rRow).asInstanceOf[Long] else 0L
+      var rKey = if (rHas) longOf(rk.eval(rRow), "right key") else 0L
+      var rTs = if (rHas) longOf(rt.eval(rRow), "right timestamp") else 0L
       def advance(): Unit =
         if (rIt.hasNext) {
           rRow = rIt.next()
-          rKey = rk.eval(rRow).asInstanceOf[Long]
-          rTs = rt.eval(rRow).asInstanceOf[Long]
+          rKey = longOf(rk.eval(rRow), "right key")
+          rTs = longOf(rt.eval(rRow), "right timestamp")
         } else { rHas = false; rRow = null }
       lIt.map { lRow =>
-        val key = lk.eval(lRow).asInstanceOf[Long]
-        val ts = lt.eval(lRow).asInstanceOf[Long]
+        val key = longOf(lk.eval(lRow), "left key")
+        val ts = longOf(lt.eval(lRow), "left timestamp")
         // drop right rows for keys already passed, then absorb every
         // right row at this key with rTs <= ts (the merge invariant:
         // both sides ascend in (key, ts), so nothing skipped here is
@@ -147,6 +155,16 @@ object AsOfJoinPlan {
     install(spark)
     val lp = org.apache.spark.sql.graftbridge.Bridge.logicalPlan(left)
     val rp = org.apache.spark.sql.graftbridge.Bridge.logicalPlan(right)
+    // a custom binary node gets NO analyzer relation-deduplication:
+    // shared attribute ids across the sides would bind right-side
+    // columns to left-row positions (silently wrong output) — refuse
+    // them and tell the caller the fix
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    if (shared.nonEmpty)
+      throw new IllegalArgumentException(
+        "as-of join sides share attribute ids " + shared.toSeq.map(_.name).mkString(", ") +
+          " — derive each side from its own read (e.g. call the table loader twice), " +
+          "not from one shared DataFrame")
     def res(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name' in ${plan.output.map(_.name)}"))

@@ -148,10 +148,16 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   // GROUP BY is pushable only on `bucket` (= id % 16): per-bucket
   // count/min/max over a contiguous id range are closed-form integer
   // arithmetic, so the source emits ONE ROW PER GROUP — complete
-  // pushdown even with grouping.
+  // pushdown even with grouping. Grouped pushdown additionally
+  // requires a NON-NEGATIVE clipped range: bucketOf uses the JVM's
+  // sign-following %, so negative ids live in buckets -15..-1 which
+  // the floorMod closed form would silently misreport — fall back to
+  // the row-producing scan there (filters push before aggregates, so
+  // `lo` is final when this runs).
   private def canPushAgg(a: aggregate.Aggregation): Boolean =
     (a.groupByExpressions.isEmpty ||
-      (a.groupByExpressions.length == 1 && isBucketColumn(a.groupByExpressions.head))) &&
+      (a.groupByExpressions.length == 1 && isBucketColumn(a.groupByExpressions.head)
+        && lo >= 0)) &&
       a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: aggregate.CountStar => true

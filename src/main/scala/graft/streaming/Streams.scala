@@ -810,23 +810,10 @@ object Streams {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("bin"), col("cnt"))
     }.localCheckpoint()
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("window_start")).orderBy(col("bin"))
-    val cum = closed
-      .withColumn("cum", sum(col("cnt")).over(wAll))
-      .withColumn("cum_before", col("cum") - col("cnt"))
-    val n = closed.groupBy(col("window_start")).agg(sum(col("cnt")).as("n_total"))
-    import s.implicits._
-    val rk = n.crossJoin(broadcast(SqPms.toDF("q_pm")))
-      .withColumn("r", expr("(q_pm * n_total + 999) div 1000"))
-    rk.join(cum, Seq("window_start"))
-      .filter(col("cum") >= col("r"))
-      .groupBy(col("window_start"), col("q_pm"), col("r"), col("n_total"))
-      .agg(min(col("bin")).as("bin"))
-      .join(cum.select(col("window_start"), col("bin"), col("cnt"), col("cum_before")),
-        Seq("window_start", "bin"))
+    graft.operators.Sketches
+      .histQuantiles(s, closed, Seq("window_start"), SqBinW, SqPms)
       .select(col("window_start"), col("q_pm"), col("n_total"), col("bin"),
-        expr(s"bin * $SqBinW + $SqBinW * (r - cum_before) div cnt").as("est_cents"))
+        col("est").as("est_cents"))
       .orderBy(col("window_start"), col("q_pm"))
   }
 

@@ -556,7 +556,47 @@ FROM agg ORDER BY doc_id"""
        |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming FROM ver
        |WHERE hd <= $HistHammingMax ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // NEAREST-NEIGHBOR RESIZE — the resize stage made REAL (the header
+  // query only reports target dims): resample the payload body onto
+  // a fixed 64-sample grid by index mapping src = i·n div 64 (the
+  // nearest-neighbor rule — exactly how an image downsampler picks
+  // source pixels, applied to the byte stream since no codec exists
+  // here), and gate the resampled content both ways: the exact
+  // integer checksum of the sampled code units AND the md5 of the
+  // resampled string. Shorter-than-grid bodies repeat samples
+  // (nearest-neighbor upscaling) — the i·n div 64 < n invariant
+  // keeps every index in range with no edge cases. One map-only
+  // projection; payloads never shuffle.
+  private val ResizeGrid = 64
+
+  def qResize(s: SparkSession, dir: String): DataFrame = {
+    val grid = expr(
+      s"transform(sequence(0, ${ResizeGrid - 1})," +
+        s" i -> substring(text, cast(i * length(text) div $ResizeGrid as int) + 1, 1))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        grid.as("g"))
+      .select(col("doc_id"), col("n_chars"),
+        lit(ResizeGrid.toLong).as("resized_len"),
+        expr("aggregate(transform(g, c -> ascii(c)), 0L, (a, x) -> a + x)").as("checksum"),
+        md5(concat_ws("", col("g"))).as("sample_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qResizeSql: String =
+    s"""WITH g AS (SELECT doc_id, length(text) AS n_chars,
+       |  list_transform(range($ResizeGrid),
+       |    i -> substr(text, CAST(i * length(text) // $ResizeGrid AS INT) + 1, 1)) AS g
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST($ResizeGrid AS BIGINT) AS resized_len,
+       |  CAST(list_aggregate(list_transform(g, c -> ord(c)), 'sum') AS BIGINT) AS checksum,
+       |  md5(array_to_string(g, '')) AS sample_md5
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> (qResize _),
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
@@ -567,6 +607,7 @@ FROM agg ORDER BY doc_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_resize" -> qResizeSql,
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,

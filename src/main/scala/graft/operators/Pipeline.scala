@@ -1193,7 +1193,94 @@ FROM j ORDER BY source"""
        |  CAST(CASE WHEN capped = 0 AND final_toks > $EpochCap * toks THEN 1 ELSE 0 END AS BIGINT) AS overflow
        |FROM fin ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // K-CENTER CORESET SELECTION — greedy farthest-point traversal
+  // over the embedding space: start from a fixed seed, repeatedly add
+  // the vector FARTHEST from the chosen set (ties to the smaller id).
+  // This is the diversity-sampling primitive data curation uses to
+  // pick a small representative subset (coreset) with a 2-approx
+  // covering guarantee — the opposite lens from dedup (keep the most
+  // SPREAD, not drop the most similar). All arithmetic is the
+  // ml_kmeans µ-scaled integer convention (exact squared distances,
+  // no sqrt/libm), so the (round, next_center, covering radius)
+  // trace gates exactly, and the radii are PROVABLY non-increasing
+  // (asserted in spec).
+  //
+  // Scale shape: round r is ONE map pass over the corpus against the
+  // single newest center (broadcast K·dim metadata) folding into a
+  // running min — O(k·n) total work, the textbook distributed greedy;
+  // the per-vec min-distance state rides the checkpointed frame so
+  // the plan never regrows. k=8 driver rounds of (map job + 1-row
+  // collect), the CC/HITS loop discipline.
+  private val KcRounds = 8
+  private val KcSeed = 7L
+
+  def qKcenter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dim = 64
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("xm", ArrayType(LongType)),
+      StructField("md", LongType)))
+    val em = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint()
+    var center: Array[Long] = em.filter(col("vec_id") === KcSeed)
+      .collect().head.getSeq[Long](1).toArray
+    var state = em.withColumn("md", lit(Long.MaxValue))
+    val trace = Array.newBuilder[(Long, Long, Long)]
+    for (r <- 1 to KcRounds) {
+      val bc = s.sparkContext.broadcast(center)
+      state = state.mapPartitions { it =>
+        val cm = bc.value
+        it.map { row =>
+          val xm = row.getSeq[Long](1).toArray
+          var d2 = 0L
+          var i = 0
+          while (i < dim) { val d = xm(i) - cm(i); d2 += d * d; i += 1 }
+          Row(row.getLong(0), row.getSeq[Long](1), math.min(row.getLong(2), d2))
+        }
+      }(Encoders.row(schema)).localCheckpoint()
+      val top = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("md"), col("xm")).collect().head
+      trace += ((r.toLong, top.getLong(0), top.getLong(1)))
+      center = top.getSeq[Long](2).toArray
+    }
+    import s.implicits._
+    trace.result().toSeq.toDF("round", "next_center", "radius_d2")
+      .orderBy(col("round"))
+  }
+
+  val qKcenterSql: String = {
+    def dist(a: String, b: String) =
+      s"list_aggregate(list_transform(range(64), dd -> ($a[dd+1] - $b[dd+1]) * ($a[dd+1] - $b[dd+1])), 'sum')"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """em AS MATERIALIZED (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+        |  FROM embeddings)""".stripMargin,
+      s"c0 AS (SELECT xm AS cm FROM em WHERE vec_id = $KcSeed)",
+      s"d1 AS MATERIALIZED (SELECT v.vec_id, ${dist("v.xm", "c.cm")} AS md FROM em v, c0 c)")
+    for (r <- 1 to KcRounds) {
+      ctes += s"p$r AS (SELECT vec_id AS cid, md AS radius FROM d$r ORDER BY md DESC, vec_id LIMIT 1)"
+      if (r < KcRounds) {
+        ctes += s"c$r AS (SELECT xm AS cm FROM em WHERE vec_id = (SELECT cid FROM p$r))"
+        ctes += s"d${r + 1} AS MATERIALIZED (SELECT v.vec_id, least(d.md, ${dist("v.xm", "c.cm")}) AS md" +
+          s" FROM em v JOIN d$r d USING (vec_id), c$r c)"
+      }
+    }
+    val union = (1 to KcRounds)
+      .map(r => s"SELECT $r AS round, cid AS next_center, radius AS radius_d2 FROM p$r")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT CAST(round AS BIGINT) AS round, next_center, CAST(radius_d2 AS BIGINT) AS radius_d2" +
+      s" FROM ($union) ORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_kcenter" -> (qKcenter _),
     "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
@@ -1218,6 +1305,7 @@ FROM j ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
     "samp_epoch_plan" -> qEpochPlanSql,
+    "samp_kcenter" -> qKcenterSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

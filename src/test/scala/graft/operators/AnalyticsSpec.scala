@@ -1101,6 +1101,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("k-center radii are non-increasing and each pick is the true farthest point") {
+    val rows = Pipeline.qKcenter(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val radii = rows.map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "greedy covering radius can only shrink")
+    // re-derive round 1 exactly: the farthest vector from the seed
+    val em = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint)) xm")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val seed = em.find(_._1 == 7L).get._2
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < 64) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val (bestId, bestD) = em.map { case (id, xm) => (id, d2(xm, seed)) }
+      .maxBy { case (id, d) => (d, -id) }
+    assert(rows.head.getLong(1) == bestId && rows.head.getLong(2) == bestD,
+      "round 1 must pick the exact farthest point from the seed")
+  }
+
+  test("resize grid indices stay in range and the checksum recounts driver-side") {
+    val rows = Multimodal.qResize(spark, sfDir).collect()
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      assert(r.getLong(1) == t.length.toLong)
+      val sampled = (0 until 64).map(i => t.charAt((i * t.length / 64).toInt))
+      assert(r.getLong(3) == sampled.map(_.toLong).sum, s"doc ${r.getLong(0)} checksum")
+    }
+  }
+
   test("OOD flags are exactly the strict p95 tail of each cell's distance distribution") {
     val flags = Similarity.qOodDetect(spark, sfDir).collect()
     // driver-side recount: µ-scale, assign to stride seeds, p95 rank

@@ -63,6 +63,54 @@ object Models {
       |FROM f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // OLS GOODNESS OF FIT — R² for [[qLinregSources]]' per-source fits
+  // as PURE MOMENTS, no residual pass: R² = (nΣxy − ΣxΣy)² /
+  // ((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — the same one map-side moment
+  // aggregation learns the model AND scores it, which is exactly why
+  // moment-based fits are the 100 TB calibration workhorse. Emitted
+  // as exact integer ppm through DECIMAL(38,0)/HUGEINT (num² at
+  // sf0.1 is ~1e18 — ×1e6 overflows BIGINT, the DSIR lesson);
+  // degenerate sources (constant x or y) guard with greatest(...,1)
+  // on both engines. The intercept ships as the sign-split scaled
+  // rational (Sy·Sxx − Sx·Sxy)/den — no doubles anywhere.
+  def qOlsR2(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(col("source"),
+      size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("x"),
+      col("n_chars").as("y"))
+    t.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("anum"))
+      .select(col("source"), col("n"), col("num"), col("den"), col("deny"),
+        expr("cast(1000000 as decimal(38,0)) * num * num div " +
+          "greatest(cast(den as decimal(38,0)) * deny, 1)").cast("long").as("r2_ppm"),
+        expr("CASE WHEN anum >= 0 THEN (1000 * anum) div greatest(den, 1)" +
+          " ELSE -((1000 * (-anum)) div greatest(den, 1)) END").as("intercept_x1000"))
+      .orderBy(col("source"))
+  }
+
+  val qOlsR2Sql: String =
+    """WITH t AS (SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS x, n_chars AS y
+      |  FROM documents),
+      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM t GROUP BY source),
+      |f AS (SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |  n * syy - sy * sy AS deny, sy * sxx - sx * sxy AS anum FROM m)
+      |SELECT source, n, num, den, deny,
+      |  CAST((1000000::HUGEINT * num * num) // greatest(den::HUGEINT * deny, 1) AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN anum >= 0 THEN (1000 * anum) // greatest(den, 1)
+      |       ELSE -((1000 * (-anum)) // greatest(den, 1)) END AS BIGINT) AS intercept_x1000
+      |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // Naive-Bayes trainer: class priors (docs per lang) and the top-10
   // Laplace-smoothed token conditionals per class. The corpus pass
   // is ONE (lang, word) count aggregate; totals and the vocabulary
@@ -243,12 +291,14 @@ object Models {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_sources" -> (qLinregSources _),
+    "ml_ols_r2" -> (qOlsR2 _),
     "ml_nb_train" -> (qNbTrain _),
     "ml_kmeans_converge" -> (qKmeansConverge _),
   )
 
   val oracles: Map[String, String] = Map(
     "ml_linreg_sources" -> qLinregSourcesSql,
+    "ml_ols_r2" -> qOlsR2Sql,
     "ml_nb_train" -> qNbTrainSql,
     "ml_kmeans_converge" -> qKmeansConvergeSql,
   )

@@ -187,6 +187,45 @@ object Pipeline {
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // SHARD MANIFEST — the artifact a training job actually consumes
+  // from the packing stage: one row per shard with document/token/
+  // sequence totals, the id range, and an ORDER-INDEPENDENT
+  // integrity fingerprint (md5 over the sorted id list) the trainer
+  // verifies before reading the shard — a corrupted or
+  // partially-written shard fails the hash, not the loss curve.
+  // Per-shard partial aggregates; the id-list hash sorts INSIDE the
+  // aggregated array (collect_list order is partition-dependent,
+  // array_sort makes the fingerprint deterministic — per-shard doc
+  // lists are shard-sized metadata, not the corpus).
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % DefaultShardCount).as("shard"),
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(doc_id)), x -> cast(x as string))")))
+          .as("ids_md5"))
+      .withColumn("n_seqs", expr(s"(n_tokens + ${SeqBudget - 1}) div $SeqBudget"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("first_doc"), col("last_doc"), col("ids_md5"))
+      .orderBy(col("shard"))
+
+  val qShardManifestSql: String =
+    s"""WITH t AS (SELECT doc_id, doc_id % $DefaultShardCount AS shard,
+       |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((sum(n_tokens) + ${SeqBudget - 1}) // $SeqBudget AS BIGINT) AS n_seqs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS ids_md5
+       |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------
   // END-TO-END corpus pipeline — the integration the individual
   // operators exist for, composed as one declarative plan:
   //   quality filter  (rubric >= 0.75, drops low-score docs)
@@ -1281,6 +1320,7 @@ FROM j ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_kcenter" -> (qKcenter _),
+    "pipe_shard_manifest" -> (qShardManifest _),
     "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
@@ -1306,6 +1346,7 @@ FROM j ORDER BY source"""
   val oracles: Map[String, String] = Map(
     "samp_epoch_plan" -> qEpochPlanSql,
     "samp_kcenter" -> qKcenterSql,
+    "pipe_shard_manifest" -> qShardManifestSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

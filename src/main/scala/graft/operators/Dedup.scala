@@ -1667,6 +1667,47 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
   }
 
   // ---------------------------------------------------------------
+  // SHARD-LOCAL DEDUP COVERAGE — the design-decision audit behind
+  // "can we dedup within shards and skip the global shuffle?": for
+  // each candidate shard count, how many of the corpus's near-dup
+  // pairs land with BOTH members in one shard (id-hash sharding)
+  // versus straddling shards — the pairs shard-local dedup would
+  // MISS. The cross-shard fraction is the exact price of locality,
+  // per-mille, the number a 100 TB pipeline weighs against the
+  // global-shuffle cost before choosing. One pass over the memoized
+  // pair list (fixed-width longs) × a 4-row broadcast of shard
+  // counts; no text anywhere.
+  private val ShardSweep = Seq(4L, 8L, 16L, 32L)
+
+  def qShardLocal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = lshPairs(s, dir)
+    pairs.crossJoin(broadcast(ShardSweep.toDF("n_shards")))
+      .groupBy(col("n_shards"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("doc_a") % col("n_shards") === col("doc_b") % col("n_shards"), 1L)
+          .otherwise(0L)).as("n_within"))
+      .select(col("n_shards"), col("n_pairs"), col("n_within"),
+        (col("n_pairs") - col("n_within")).as("n_cross"),
+        expr("(n_pairs - n_within) * 1000 div greatest(n_pairs, 1)").as("missed_pm"))
+      .orderBy(col("n_shards"))
+  }
+
+  lazy val qShardLocalSql: String =
+    s"""WITH pr AS MATERIALIZED (
+SELECT doc_a, doc_b FROM (
+$qMinHashLshSql
+)),
+sw AS (SELECT unnest([${ShardSweep.mkString(", ")}]) AS n_shards),
+agg AS (SELECT s.n_shards, count(*) AS n_pairs,
+  CAST(sum(CASE WHEN p.doc_a % s.n_shards = p.doc_b % s.n_shards THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+  FROM pr p, sw s GROUP BY s.n_shards)
+SELECT CAST(n_shards AS BIGINT) AS n_shards, CAST(n_pairs AS BIGINT) AS n_pairs,
+  n_within, CAST(n_pairs - n_within AS BIGINT) AS n_cross,
+  CAST((n_pairs - n_within) * 1000 // greatest(n_pairs, 1) AS BIGINT) AS missed_pm
+FROM agg ORDER BY n_shards"""
+
+  // ---------------------------------------------------------------
   // QUALITY-AWARE CANONICAL PICK — [[qCanonical]]'s representative
   // rule upgraded from "longest text" to "best LANGUAGE-MODEL score"
   // (ties: longer, then smaller id): when a near-dup cluster mixes a
@@ -2294,6 +2335,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_label_prop" -> (qLabelProp _),
     "dedup_canonical" -> (qCanonical _),
     "dedup_canonical_quality" -> (qCanonicalQuality _),
+    "dedup_shard_local" -> (qShardLocal _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -2322,6 +2364,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_label_prop" -> qLabelPropSql,
     "dedup_canonical" -> qCanonicalSql,
     "dedup_canonical_quality" -> qCanonicalQualitySql,
+    "dedup_shard_local" -> qShardLocalSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

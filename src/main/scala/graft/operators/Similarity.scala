@@ -1585,6 +1585,52 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
        |FROM r WHERE rn = 1 AND cos >= $DecontamTau ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // SEMANTIC CLUSTERING VIA THE kNN GRAPH — the constructive
+  // counterpart of SemDeDup's pruning: threshold the kNN graph's
+  // edges (cosine ≥ 0.3 — above this corpus's random-pair band),
+  // symmetrize, and resolve CONNECTED COMPONENTS with the
+  // [[Dedup.resolveComponents]] pointer-jumping loop (O(log
+  // diameter) rounds of fixed-width long joins). The gated result is
+  // the cluster table (id, size, member range) — the "group related
+  // embeddings" operator a curation pipeline uses for topic-balanced
+  // sampling and cluster-level audits. Scale shape: the kNN
+  // construction is the already-swept Σbucket² candidate pipeline;
+  // everything after it is edge-count-sized.
+  private val SemClusterCosMin = 0.3
+
+  def qGraphComponents(s: SparkSession, dir: String): DataFrame = {
+    val e = qKnnGraph(s, dir)
+      .filter(col("cosine") >= SemClusterCosMin)
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val (labels, _) = Dedup.resolveComponents(sym)
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_member"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
+  lazy val qGraphComponentsSql: String =
+    s"""WITH kg AS MATERIALIZED (
+SELECT vec_id, neighbor, cosine FROM (
+$qKnnGraphSql
+)),
+e AS (SELECT vec_id AS src, neighbor AS dst FROM kg WHERE cosine >= $SemClusterCosMin),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  WITH RECURSIVE r(node, root) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.root FROM r JOIN sym s ON s.src = r.node
+  ) SELECT node, root FROM r),
+lab AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+  min(node) AS min_member, max(node) AS max_member
+FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
+
+  // ---------------------------------------------------------------
   // OOD / OUTLIER DETECTION — quantile-threshold filtering over the
   // embedding space: assign every vector to its nearest codebook
   // seed by EXACT integer squared distance (the ml_kmeans_converge
@@ -1677,6 +1723,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ood_detect" -> (qOodDetect _),
+    "sim_graph_components" -> (qGraphComponents _),
     "sim_decontaminate" -> (qDecontaminate _),
     "dedup_semantic" -> (qSemanticDedup _),
     "sim_rank_fusion" -> (qRankFusion _),
@@ -1702,6 +1749,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
 
   val oracles: Map[String, String] = Map(
     "sim_ood_detect" -> qOodDetectSql,
+    "sim_graph_components" -> qGraphComponentsSql,
     "sim_decontaminate" -> qDecontaminateSql,
     "dedup_semantic" -> qSemanticDedupSql,
     "sim_cascade_topk" -> qCascadeTopkSql,

@@ -567,6 +567,43 @@ object Relational2 {
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q40: value-RANGE window frame — the one window frame shape the
+  // board didn't exercise: per customer, orders within the TRAILING
+  // 90 DAYS of each order (RANGE BETWEEN, value-based — peers at
+  // equal dates are IN the frame, unlike ROWS BETWEEN which cuts
+  // mid-tie; exactly the "recent activity" feature window a
+  // temporal feature store computes). Spark expresses the interval
+  // frame as rangeBetween over the epoch-day integer (unix_date) —
+  // identical arithmetic to DuckDB's RANGE BETWEEN INTERVAL 90 DAYS
+  // on the DATE. One exchange+sort per customer partition; money
+  // rides as exact integer cents.
+  def q40RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ed"))
+      .rangeBetween(-90, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("ed"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("cents_win", sum(col("cents")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(expr("date_add(date '1970-01-01', cast(ed as int))"), "yyyy-MM-dd")
+          .as("order_date"),
+        col("n_win"), col("cents_win"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q40Sql: String =
+    """WITH t AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT o_orderkey, o_custkey, strftime(d, '%Y-%m-%d') AS order_date,
+      |  count(*) OVER w AS n_win,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_win
+      |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+      |  RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
   // q34: fixed-width histogram — the distribution profile every data
   // audit starts with: o_totalprice binned into $25k buckets with
   // count and exact min/max per bucket. Bucketing is pure integer
@@ -699,6 +736,7 @@ object Relational2 {
     "q21_range_join" -> (q21RangeJoin _),
     "q22_pivot" -> (q22Pivot _),
     "q33_unpivot" -> (q33Unpivot _),
+    "q40_range_frame" -> (q40RangeFrame _),
     "q23_grouping_sets" -> (q23GroupingSets _),
     "q24_explode_words" -> (q24ExplodeWords _),
     "q25_sketches" -> (q25Sketches _),
@@ -708,6 +746,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_range_frame" -> q40Sql,
     "q34_histogram" -> q34Sql,
     "q35_corr_exact" -> q35Sql,
     "q36_salted_join" -> q36Sql,

@@ -1585,6 +1585,35 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
        |FROM r WHERE rn = 1 AND cos >= $DecontamTau ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // CLUSTER-BALANCED SAMPLING — the embedding-space twin of the
+  // per-language [[Pipeline.qBalanced]] quota sampler: an equal
+  // deterministic quota from EVERY IVF cell (md5-ordered pick within
+  // the cell, vec_id tiebreak), so the sample covers the embedding
+  // space instead of mirroring its density — the "topic-balanced"
+  // selection curation runs after clustering. Reuses the shared
+  // assignment memo; one cell-partitioned rank window over
+  // fixed-width rows.
+  private val ClusterQuota = 10
+
+  def qClusterQuota(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assignMemo(s, dir).select(col("vec_id"), col("cid"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= ClusterQuota)
+      .select(col("cid"), col("pick_rank"), col("vec_id"))
+      .orderBy(col("cid"), col("pick_rank"))
+  }
+
+  val qClusterQuotaSql: String =
+    s"""WITH $assignCteSql,
+       |rk AS (SELECT cid, vec_id,
+       |  ROW_NUMBER() OVER (PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+       |  FROM asg)
+       |SELECT cid, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id
+       |FROM rk WHERE pick_rank <= $ClusterQuota ORDER BY cid, pick_rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // SEMANTIC CLUSTERING VIA THE kNN GRAPH — the constructive
   // counterpart of SemDeDup's pruning: threshold the kNN graph's
   // edges (cosine ≥ 0.3 — above this corpus's random-pair band),
@@ -1724,6 +1753,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ood_detect" -> (qOodDetect _),
     "sim_graph_components" -> (qGraphComponents _),
+    "samp_cluster_quota" -> (qClusterQuota _),
     "sim_decontaminate" -> (qDecontaminate _),
     "dedup_semantic" -> (qSemanticDedup _),
     "sim_rank_fusion" -> (qRankFusion _),
@@ -1750,6 +1780,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   val oracles: Map[String, String] = Map(
     "sim_ood_detect" -> qOodDetectSql,
     "sim_graph_components" -> qGraphComponentsSql,
+    "samp_cluster_quota" -> qClusterQuotaSql,
     "sim_decontaminate" -> qDecontaminateSql,
     "dedup_semantic" -> qSemanticDedupSql,
     "sim_cascade_topk" -> qCascadeTopkSql,

@@ -840,7 +840,81 @@ object Streams {
       |FROM hit h JOIN cum c2 ON c2.window_start = h.window_start AND c2.bin = h.bin
       |ORDER BY h.window_start, h.q_pm""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING DISTINCT-COUNT VIA HLL REGISTERS — the from-scratch
+  // [[graft.operators.Sketches]] HyperLogLog run as a REGULAR
+  // watermarked streaming aggregate: register = max(rho) per
+  // (closed hour, bucket) is an ordinary max agg, so the state per
+  // window is 64 fixed-width rows — the whole point of a mergeable
+  // sketch as streaming state (exact distinct state grows with the
+  // key universe; the register table cannot). The batch post-stage
+  // folds each closed window's registers through the integer-exact
+  // alpha estimate (the qHllEstimate arithmetic, absent buckets =
+  // register 0) and gates it against the exact per-window distinct
+  // count — per-window hourly cardinalities sit in HLL's
+  // linear-counting regime here, which the gated linear_regime flag
+  // states rather than hides (the qHllEstimate discipline).
+  def qStreamHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)").cast("long")
+    val closed = runBounded(s, dir, "append") { stream =>
+      stream
+        .withColumn("h", h)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), (col("h") % 64).as("bucket"))
+        .agg(max(expr("CASE WHEN h div 64 = 0 THEN 43 ELSE 43 - length(bin(h div 64)) END")
+          .cast("long")).as("register"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("bucket"), col("register"))
+    }.localCheckpoint()
+    val z = closed.groupBy(col("window_start")).agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - least(register, 30) AS INT))"))
+        + (lit(64L) - count(lit(1))) * (1L << 30)).as("denom_scaled"),
+      (sum(when(col("register") === 0, 1L).otherwise(0L))
+        + (lit(64L) - count(lit(1)))).as("v_zero"))
+    val exact = Tables.events(s, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("user_id"))
+      .groupBy(col("window_start"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    z.join(exact, Seq("window_start"))
+      .withColumn("hll_est",
+        expr("CAST(2904064 AS BIGINT) * CAST(1073741824 AS BIGINT) div (1000 * denom_scaled)"))
+      .select(col("window_start"), col("v_zero"), col("denom_scaled"),
+        col("hll_est"), col("n_exact"),
+        expr("abs(hll_est - n_exact) * 1000 div greatest(n_exact, 1)").as("err_pm"),
+        expr("CAST(CASE WHEN v_zero > 0 AND hll_est <= 160 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("linear_regime"))
+      .orderBy(col("window_start"))
+  }
+
+  val qStreamHllDistinctSql: String =
+    s"""WITH allev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM allev),
+      |hv AS (SELECT date_trunc('hour', ts) AS hr, user_id,
+      |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h FROM allev),
+      |agg AS (SELECT hr, h % 64 AS bucket,
+      |  max(CASE WHEN h // 64 = 0 THEN 43 ELSE 43 - length(bin(h // 64)) END) AS register
+      |  FROM hv GROUP BY 1, 2),
+      |closed AS MATERIALIZED (SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, bucket, register
+      |  FROM agg, wm WHERE hr + INTERVAL 1 HOUR <= w),
+      |z AS (SELECT window_start,
+      |  CAST(sum(1::BIGINT << (30 - least(register, 30))) + (64 - count(*)) * (1::BIGINT << 30) AS BIGINT) AS denom_scaled,
+      |  CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) + 64 - count(*) AS BIGINT) AS v_zero
+      |  FROM closed GROUP BY 1),
+      |ex AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM allev GROUP BY 1)
+      |SELECT z.window_start, z.v_zero, z.denom_scaled,
+      |  CAST(2904064::BIGINT * 1073741824 // (1000 * z.denom_scaled) AS BIGINT) AS hll_est,
+      |  ex.n_exact,
+      |  CAST(abs(2904064::BIGINT * 1073741824 // (1000 * z.denom_scaled) - ex.n_exact) * 1000
+      |    // greatest(ex.n_exact, 1) AS BIGINT) AS err_pm,
+      |  CAST(CASE WHEN z.v_zero > 0 AND 2904064::BIGINT * 1073741824 // (1000 * z.denom_scaled) <= 160
+      |    THEN 1 ELSE 0 END AS BIGINT) AS linear_regime
+      |FROM z JOIN ex USING (window_start) ORDER BY z.window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hll_distinct" -> (qStreamHllDistinct _),
     "stream_quantile" -> (qStreamQuantile _),
     "stream_drift" -> (qStreamDrift _),
     "stream_session_flatmap" -> (qStreamSessionFlatmap _),
@@ -857,6 +931,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_hll_distinct" -> qStreamHllDistinctSql,
     "stream_quantile" -> qStreamQuantileSql,
     "stream_drift" -> qStreamDriftSql,
     "stream_session_flatmap" -> qStreamSessionFlatmapSql,

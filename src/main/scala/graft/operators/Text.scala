@@ -491,6 +491,50 @@ object Text {
        |FROM tot t LEFT JOIN cov c USING (eval_id) ORDER BY t.eval_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // FEATURE HASHING — the hashing-trick text→vector bridge
+  // (Weinberger et al.): every word hashes to one of 64 dimensions
+  // with a hash-derived ±1 sign, counts accumulate per (doc, dim) —
+  // a fixed-width sparse document vector with NO vocabulary table,
+  // which is exactly why the trick scales (the 100 TB corpus never
+  // builds or broadcasts a dictionary; the "embedding" is pure
+  // map-side arithmetic). Signs make collisions cancel in
+  // expectation instead of biasing upward. Gated per doc: L1 mass,
+  // non-zeros, and an md5 fingerprint over the SORTED sparse
+  // (dim:value) encoding — the vector itself, order-independent.
+  // Zero-valued dims (full sign cancellation) are dropped on both
+  // engines before the fingerprint.
+  def qFeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), s"[$Re2Ws]+")).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), (col("h") % 64).as("dim"),
+        when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+    f.groupBy(col("doc_id"))
+      .agg(sum(abs(col("v"))).as("l1"), count(lit(1)).as("nnz"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(dim, v)))," +
+            " x -> concat(cast(x.dim as string), ':', cast(x.v as string)))")))
+          .as("vec_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFeatureHashingSql: String =
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h FROM w),
+      |f AS (SELECT doc_id, h % 64 AS dim,
+      |  CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM h GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(abs(v)) AS BIGINT) AS l1,
+      |  CAST(count(*) AS BIGINT) AS nnz,
+      |  md5(string_agg(CAST(dim AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY dim)) AS vec_md5
+      |FROM f WHERE v <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // REPETITION-based quality filter (the Gopher/MassiveText rules):
   // documents dominated by repeated n-grams or by one word are
   // low-quality for training. Per doc: duplicate-2-gram fraction
@@ -1845,6 +1889,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bpe_encode" -> (qBpeEncode _),
     "text_fertility" -> (qFertility _),
     "text_gram_coverage" -> (qGramCoverage _),
+    "text_feature_hashing" -> (qFeatureHashing _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
@@ -1871,6 +1916,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_fertility" -> qFertilitySql,
     "text_gram_coverage" -> qGramCoverageSql,
+    "text_feature_hashing" -> qFeatureHashingSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

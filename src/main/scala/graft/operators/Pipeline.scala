@@ -187,6 +187,53 @@ object Pipeline {
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // QUALITY-BUDGET CURVE — the trade a filtering decision actually
+  // is: for each candidate LM-score threshold, how many documents
+  // and tokens survive, per-mille of the corpus — the curve a
+  // pipeline owner reads to pick filtering strength (raise the bar
+  // until the token budget is hit, not past it). One pass over the
+  // checkpointed per-doc LM scores joined to token counts, swept by
+  // a 5-row broadcast (the dedup_threshold_sweep discipline moved to
+  // the quality axis). Exact integers everywhere.
+  private val BudgetThresholds = Seq(32000L, 33000L, 34000L, 35000L, 36000L)
+
+  def qBudgetCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+      .localCheckpoint() // one scoring pass feeds the 5-threshold sweep + totals
+    val tot = scored.agg(count(lit(1)).as("all_docs"), sum(col("n_tok")).as("all_toks"))
+    scored.crossJoin(broadcast(BudgetThresholds.toDF("thr_ppm")))
+      .filter(col("lm_score_ppm") >= col("thr_ppm"))
+      .groupBy(col("thr_ppm"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr_ppm"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000 div all_docs").as("docs_pm"),
+        expr("n_tokens * 1000 div all_toks").as("tokens_pm"))
+      .orderBy(col("thr_ppm"))
+  }
+
+  lazy val qBudgetCurveSql: String =
+    s"""WITH sc AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm FROM (
+${Text.qLmScoreSql}
+)),
+tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+j AS MATERIALIZED (SELECT sc.doc_id, sc.lm_score_ppm, tk.n_tok FROM sc JOIN tk USING (doc_id)),
+tot AS (SELECT count(*) AS all_docs, CAST(sum(n_tok) AS BIGINT) AS all_toks FROM j),
+sw AS (SELECT unnest([${BudgetThresholds.mkString(", ")}]) AS thr_ppm),
+agg AS (SELECT s.thr_ppm, count(*) AS n_docs, CAST(sum(j.n_tok) AS BIGINT) AS n_tokens
+  FROM j, sw s WHERE j.lm_score_ppm >= s.thr_ppm GROUP BY s.thr_ppm)
+SELECT CAST(a.thr_ppm AS BIGINT) AS thr_ppm, CAST(a.n_docs AS BIGINT) AS n_docs, a.n_tokens,
+  CAST(a.n_docs * 1000 // t.all_docs AS BIGINT) AS docs_pm,
+  CAST(a.n_tokens * 1000 // t.all_toks AS BIGINT) AS tokens_pm
+FROM agg a, tot t ORDER BY a.thr_ppm"""
+
+  // ---------------------------------------------------------------
   // SHARD MANIFEST — the artifact a training job actually consumes
   // from the packing stage: one row per shard with document/token/
   // sequence totals, the id range, and an ORDER-INDEPENDENT
@@ -1321,6 +1368,7 @@ FROM j ORDER BY source"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
+    "pipe_budget_curve" -> (qBudgetCurve _),
     "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
@@ -1347,6 +1395,7 @@ FROM j ORDER BY source"""
     "samp_epoch_plan" -> qEpochPlanSql,
     "samp_kcenter" -> qKcenterSql,
     "pipe_shard_manifest" -> qShardManifestSql,
+    "pipe_budget_curve" -> qBudgetCurveSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

@@ -535,6 +535,51 @@ object Text {
       |FROM f WHERE v <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // WORD BURSTINESS — variance-to-mean ratio of per-document counts
+  // for the top-20 corpus words (zeros included): VMR ≈ 1 is
+  // Poisson-like function-word behavior, VMR ≫ 1 is a bursty
+  // content/boilerplate word that concentrates in few documents —
+  // the classical keyword/topicality signal, here as exact integer
+  // moments: vmr_ppm = 1e6·(n·Σc² − (Σc)²) div (Σc·(n−1)). One
+  // (word, doc) partial agg then a vocabulary-sized moment rollup;
+  // nothing touches the corpus twice.
+  private val BurstTopK = 20
+
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), s"[$Re2Ws]+")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sq"))
+      .orderBy(col("total").desc, col("word")).limit(BurstTopK)
+      .crossJoin(broadcast(n))
+      .select(col("word"), col("df"), col("total"),
+        // DECIMAL(38,0)/HUGEINT: 1e6·n·Σc² passes 2^63 near sf1 (the
+        // DSIR overflow class, widened pre-emptively); numerator is
+        // non-negative by Cauchy-Schwarz so no sign-split is needed
+        expr("(cast(1000000 as decimal(38,0)) * (cast(n_docs as decimal(38,0)) * sq - cast(total as decimal(38,0)) * total))" +
+          " div (cast(total as decimal(38,0)) * (n_docs - 1))").cast("long")
+          .as("vmr_ppm"))
+      .orderBy(col("total").desc, col("word"))
+  }
+
+  val qBurstinessSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |pd AS (SELECT word, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+       |m AS (SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS total,
+       |  CAST(sum(c * c) AS BIGINT) AS sq FROM pd GROUP BY word
+       |  ORDER BY total DESC, word LIMIT $BurstTopK),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT m.word, m.df, m.total,
+       |  CAST((1000000::HUGEINT * (n.n_docs::HUGEINT * m.sq - m.total::HUGEINT * m.total))
+       |    // (m.total::HUGEINT * (n.n_docs - 1)) AS BIGINT) AS vmr_ppm
+       |FROM m, n ORDER BY m.total DESC, m.word""".stripMargin
+
+  // ---------------------------------------------------------------
   // REPETITION-based quality filter (the Gopher/MassiveText rules):
   // documents dominated by repeated n-grams or by one word are
   // low-quality for training. Per doc: duplicate-2-gram fraction
@@ -1890,6 +1935,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_fertility" -> (qFertility _),
     "text_gram_coverage" -> (qGramCoverage _),
     "text_feature_hashing" -> (qFeatureHashing _),
+    "text_burstiness" -> (qBurstiness _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
@@ -1917,6 +1963,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_fertility" -> qFertilitySql,
     "text_gram_coverage" -> qGramCoverageSql,
     "text_feature_hashing" -> qFeatureHashingSql,
+    "text_burstiness" -> qBurstinessSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

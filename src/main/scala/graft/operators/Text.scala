@@ -535,6 +535,39 @@ object Text {
       |FROM f WHERE v <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // LANGUAGE-ID CONFUSION MATRIX — the classifier EVAL gate for
+  // [[qLangId]]: labeled × predicted counts with per-label recall
+  // per-mille — the artifact that tells a pipeline owner which
+  // languages the heuristic confuses before routing corpus slices by
+  // its output (an off-diagonal cell is misrouted training data).
+  // One pass over the per-doc predictions, a langs² metadata rollup.
+  def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = qLangId(s, dir).select(col("labeled_lang"), col("predicted_lang"))
+    val byLabel = Window.partitionBy(col("labeled_lang"))
+    pred.groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_n", sum(col("n")).over(byLabel))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        expr("n * 1000 div label_n").as("recall_pm"),
+        when(col("labeled_lang") === col("predicted_lang"), 1L).otherwise(0L)
+          .as("diagonal"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  lazy val qLangidConfusionSql: String =
+    s"""WITH pr AS MATERIALIZED (
+SELECT labeled_lang, predicted_lang FROM (
+$qLangIdSql
+)),
+c AS (SELECT labeled_lang, predicted_lang, count(*) AS n FROM pr GROUP BY 1, 2),
+t AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS label_n FROM c GROUP BY 1)
+SELECT c.labeled_lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+  CAST(c.n * 1000 // t.label_n AS BIGINT) AS recall_pm,
+  CAST(CASE WHEN c.labeled_lang = c.predicted_lang THEN 1 ELSE 0 END AS BIGINT) AS diagonal
+FROM c JOIN t USING (labeled_lang)
+ORDER BY c.labeled_lang, c.predicted_lang"""
+
+  // ---------------------------------------------------------------
   // WORD BURSTINESS — variance-to-mean ratio of per-document counts
   // for the top-20 corpus words (zeros included): VMR ≈ 1 is
   // Poisson-like function-word behavior, VMR ≫ 1 is a bursty
@@ -1936,6 +1969,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_gram_coverage" -> (qGramCoverage _),
     "text_feature_hashing" -> (qFeatureHashing _),
     "text_burstiness" -> (qBurstiness _),
+    "text_langid_confusion" -> (qLangidConfusion _),
     "text_bpe_holdout" -> (qBpeHoldout _),
     "text_bpe_train_k" -> (qBpeTrainK _),
     "text_winnow_fp" -> (qWinnowFingerprint _),
@@ -1964,6 +1998,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_gram_coverage" -> qGramCoverageSql,
     "text_feature_hashing" -> qFeatureHashingSql,
     "text_burstiness" -> qBurstinessSql,
+    "text_langid_confusion" -> qLangidConfusionSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

@@ -1667,6 +1667,41 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
   }
 
   // ---------------------------------------------------------------
+  // DEGREE DISTRIBUTION — the graph-shape audit over the
+  // customer→part co-purchase edges (the HITS/PageRank substrate):
+  // per side, the exact (degree → node count) histogram. This is the
+  // number that decides every downstream graph plan — a heavy-tailed
+  // in-degree says "salt the hot parts before any join on part"
+  // (the maint_skew_report discipline applied to graph data), and a
+  // shifted distribution between snapshots is structural drift. Two
+  // 8-byte-key partial aggregates (degree per node, then nodes per
+  // degree); histogram-sized output.
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // one distinct pass feeds both sides
+    def hist(side: String, key: String) = edges
+      .groupBy(col(key).as("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit(side).as("side"), col("degree"), col("n_nodes"))
+    hist("customer", "c").unionAll(hist("part", "p"))
+      .orderBy(col("side"), col("degree"))
+  }
+
+  val qDegreeDistSql: String =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |cd AS (SELECT c AS node, count(*) AS degree FROM e GROUP BY c),
+      |pd AS (SELECT p AS node, count(*) AS degree FROM e GROUP BY p),
+      |h AS (SELECT 'customer' AS side, degree, count(*) AS n_nodes FROM cd GROUP BY degree
+      |  UNION ALL SELECT 'part', degree, count(*) FROM pd GROUP BY degree)
+      |SELECT side, CAST(degree AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes
+      |FROM h ORDER BY side, degree""".stripMargin
+
+  // ---------------------------------------------------------------
   // SHARD-LOCAL DEDUP COVERAGE — the design-decision audit behind
   // "can we dedup within shards and skip the global shuffle?": for
   // each candidate shard count, how many of the corpus's near-dup
@@ -2336,6 +2371,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_canonical" -> (qCanonical _),
     "dedup_canonical_quality" -> (qCanonicalQuality _),
     "dedup_shard_local" -> (qShardLocal _),
+    "graph_degree_dist" -> (qDegreeDist _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -2365,6 +2401,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_canonical" -> qCanonicalSql,
     "dedup_canonical_quality" -> qCanonicalQualitySql,
     "dedup_shard_local" -> qShardLocalSql,
+    "graph_degree_dist" -> qDegreeDistSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

@@ -132,6 +132,38 @@ object Temporal {
       |ORDER BY event_type, hour_of_day""".stripMargin
 
   // ---------------------------------------------------------------
+  // DAY-OF-WEEK PROFILE — [[qSeasonality]]'s calendar sibling: the
+  // weekday/weekend load shape per event type (the dimension
+  // capacity planning and drift checks read alongside hour-of-day).
+  // dayofweek is rendered as the ISO day NAME so neither engine's
+  // week-start numbering convention can silently shift the gate.
+  // Same one-partial-agg shape; 7·|types| metadata out.
+  def qDowProfile(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "EEEE").as("dow"),
+        ((dayofweek(col("ts")) + 5) % 7).cast("long").as("iso_idx"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("event_type"))
+    cnt.withColumn("type_n", sum(col("n")).over(tot))
+      .select(col("event_type"), col("iso_idx"), col("dow"), col("n"),
+        expr("n * 1000 div type_n").as("share_pm"),
+        when(col("iso_idx") >= 5, 1L).otherwise(0L).as("is_weekend"))
+      .orderBy(col("event_type"), col("iso_idx"))
+  }
+
+  val qDowProfileSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT event_type, dayname(ts) AS dow, (isodow(ts) - 1) AS iso_idx, count(*) AS n
+      |  FROM ev GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_n FROM c GROUP BY 1)
+      |SELECT c.event_type, CAST(c.iso_idx AS BIGINT) AS iso_idx, c.dow, CAST(c.n AS BIGINT) AS n,
+      |  CAST(c.n * 1000 // t.type_n AS BIGINT) AS share_pm,
+      |  CAST(CASE WHEN c.iso_idx >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+      |FROM c JOIN t USING (event_type)
+      |ORDER BY c.event_type, c.iso_idx""".stripMargin
+
+  // ---------------------------------------------------------------
   // sessionization: 30-minute-gap sessions per user, batch form
   // (lag + cumulative sum). The Structured Streaming stateful twin
   // lives in graft.streaming.
@@ -690,6 +722,7 @@ object Temporal {
     "asof_join" -> (qAsofJoin _),
     "asof_join_exec" -> (qAsofJoinExec _),
     "temporal_seasonality" -> (qSeasonality _),
+    "temporal_dow_profile" -> (qDowProfile _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -708,6 +741,7 @@ object Temporal {
     "asof_join" -> qAsofJoinSql,
     "asof_join_exec" -> qAsofJoinSql,
     "temporal_seasonality" -> qSeasonalitySql,
+    "temporal_dow_profile" -> qDowProfileSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

@@ -187,6 +187,57 @@ object Pipeline {
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // EFFECTIVE SAMPLE SIZE UNDER WEIGHT CLIPPING — the
+  // importance-sampling diagnostic a weighted-resampling plan ships
+  // with: ESS = (Σw)²/(n·Σw²) (as ppm of n) for the per-doc quality
+  // weights, RAW and CLIPPED at the ceil-rank p95 weight — the
+  // standard variance fix (truncated importance sampling): a few
+  // huge weights crater ESS, clipping trades a little bias for a
+  // usable sample. Exact integers through DECIMAL(38,0)/HUGEINT
+  // ((Σw)²·1e6 passes 2^63 — the DSIR overflow class); the p95 is
+  // the deterministic order statistic of the weight distribution
+  // (the sim_ood_detect discipline). Two gated rows: raw / clipped.
+  def qEssClip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Text.lmScored(s, dir)
+      .select(col("doc_id"), col("lm_score_ppm").as("w"))
+      .localCheckpoint() // one scoring pass; rank + both ESS variants read it
+    val n = w0.count()
+    val r = (95 * n + 99) / 100
+    val p95 = w0.withColumn("rn",
+        row_number().over(Window.orderBy(col("w"), col("doc_id"))))
+      .filter(col("rn") === r).select(col("w")).collect()(0).getLong(0)
+    def essRow(variant: String, wc: org.apache.spark.sql.Column) = w0
+      .select(wc.as("wv"))
+      .agg(count(lit(1)).as("n"), sum(col("wv")).as("sum_w"),
+        sum(col("wv") * col("wv")).as("sum_w2"))
+      .select(lit(variant).as("variant"), lit(p95).as("clip_at"),
+        col("n"), col("sum_w"), col("sum_w2"),
+        expr("cast(1000000 as decimal(38,0)) * sum_w * sum_w div " +
+          "(cast(n as decimal(38,0)) * sum_w2)").cast("long").as("ess_ppm"))
+    essRow("clipped", least(col("w"), lit(p95)))
+      .unionAll(essRow("raw", col("w")))
+      .orderBy(col("variant"))
+  }
+
+  lazy val qEssClipSql: String =
+    s"""WITH sc AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm AS w FROM (
+${Text.qLmScoreSql}
+)),
+n AS (SELECT count(*) AS n FROM sc),
+p AS (SELECT w AS clip_at FROM (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w, doc_id) AS rn FROM sc) t, n
+  WHERE t.rn = (95 * n.n + 99) // 100),
+v AS (SELECT 'raw' AS variant, w AS wv FROM sc
+  UNION ALL SELECT 'clipped', least(w, (SELECT clip_at FROM p)) FROM sc),
+agg AS (SELECT variant, count(*) AS n, CAST(sum(wv) AS BIGINT) AS sum_w,
+  CAST(sum(wv * wv) AS BIGINT) AS sum_w2 FROM v GROUP BY variant)
+SELECT variant, (SELECT clip_at FROM p) AS clip_at, CAST(n AS BIGINT) AS n, sum_w, sum_w2,
+  CAST((1000000::HUGEINT * sum_w * sum_w) // (n::HUGEINT * sum_w2) AS BIGINT) AS ess_ppm
+FROM agg ORDER BY variant"""
+
+  // ---------------------------------------------------------------
   // QUALITY-BUDGET CURVE — the trade a filtering decision actually
   // is: for each candidate LM-score threshold, how many documents
   // and tokens survive, per-mille of the corpus — the curve a
@@ -1369,6 +1420,7 @@ FROM j ORDER BY source"""
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
     "pipe_budget_curve" -> (qBudgetCurve _),
+    "samp_ess_clip" -> (qEssClip _),
     "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
@@ -1396,6 +1448,7 @@ FROM j ORDER BY source"""
     "samp_kcenter" -> qKcenterSql,
     "pipe_shard_manifest" -> qShardManifestSql,
     "pipe_budget_curve" -> qBudgetCurveSql,
+    "samp_ess_clip" -> qEssClipSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

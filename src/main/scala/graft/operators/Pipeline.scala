@@ -187,6 +187,73 @@ object Pipeline {
        |FROM o ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // CURATION FUNNEL — [[qPipelineE2e]] shows what SURVIVES; this
+  // shows WHERE the corpus went: per consecutive stage (raw →
+  // quality rubric → repetition rules → near-dup canonical), the
+  // exact docs/tokens remaining, share of raw per-mille, and the
+  // marginal drop each stage charges — the attribution chart a
+  // curation review reads before touching any threshold. Stages
+  // intersect cumulatively on doc_id exactly as the e2e pipeline
+  // composes them, so the last row reconciles with pipeline_e2e's
+  // totals by construction. Filter legs are the operators' own
+  // plans; the funnel adds only doc-id semi-joins and 4 metadata
+  // rows.
+  def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tok"))
+      .localCheckpoint() // one scan; every stage measures against it
+    val qual = Text.qQuality(s, dir)
+      .filter(col("quality_score") >= MinQuality).select("doc_id")
+    val rep = Text.qRepetition(s, dir).filter(col("keep")).select("doc_id")
+    val keep = Dedup.qCanonical(s, dir).select(col("kept_doc").as("doc_id"))
+    val stages = Seq[(String, DataFrame)](
+      ("0_raw", toks.select("doc_id")),
+      ("1_quality", qual),
+      ("2_repetition", qual.join(rep, "doc_id")),
+      ("3_canonical", qual.join(rep, "doc_id").join(keep, "doc_id")))
+    val rows = stages.map { case (name, ids) =>
+      val m = toks.join(ids, "doc_id")
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("t"))
+        .collect()(0)
+      (name, m.getLong(0), m.getLong(1))
+    }
+    val (rawN, rawT) = (rows.head._2, rows.head._3)
+    rows.zip((rawN, rawT) +: rows.map(r => (r._2, r._3)))
+      .map { case ((name, n, t), (pn, _)) =>
+        (name, n, t, n * 1000 / math.max(rawN, 1L), t * 1000 / math.max(rawT, 1L),
+          (pn - n) * 1000 / math.max(pn, 1L))
+      }
+      .toDF("stage", "n_docs", "n_tokens", "docs_pm", "tokens_pm", "drop_pm")
+      .orderBy(col("stage"))
+  }
+
+  lazy val qCurationFunnelSql: String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok FROM documents),
+qual AS MATERIALIZED (SELECT doc_id FROM (${Text.qQualitySql}) WHERE quality_score >= $MinQuality),
+rep AS MATERIALIZED (SELECT doc_id FROM (${Text.qRepetitionSql}) WHERE keep),
+keepd AS MATERIALIZED (SELECT kept_doc AS doc_id FROM (${Dedup.qCanonicalSql})),
+s0 AS (SELECT '0_raw' AS stage, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS t FROM toks),
+s1 AS (SELECT '1_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM toks JOIN qual USING (doc_id)),
+s2 AS (SELECT '2_repetition', count(*), CAST(sum(n_tok) AS BIGINT) FROM toks
+  JOIN qual USING (doc_id) JOIN rep USING (doc_id)),
+s3 AS (SELECT '3_canonical', count(*), CAST(sum(n_tok) AS BIGINT) FROM toks
+  JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN keepd USING (doc_id)),
+u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+l AS (SELECT stage, n, t,
+  coalesce(lag(n) OVER (ORDER BY stage), n) AS pn,
+  first_value(n) OVER (ORDER BY stage) AS rn,
+  first_value(t) OVER (ORDER BY stage) AS rt
+  FROM u)
+SELECT stage, CAST(n AS BIGINT) AS n_docs, t AS n_tokens,
+  CAST(n * 1000 // greatest(rn, 1) AS BIGINT) AS docs_pm,
+  CAST(t * 1000 // greatest(rt, 1) AS BIGINT) AS tokens_pm,
+  CAST((pn - n) * 1000 // greatest(pn, 1) AS BIGINT) AS drop_pm
+FROM l ORDER BY stage"""
+
+  // ---------------------------------------------------------------
   // EFFECTIVE SAMPLE SIZE UNDER WEIGHT CLIPPING — the
   // importance-sampling diagnostic a weighted-resampling plan ships
   // with: ESS = (Σw)²/(n·Σw²) (as ppm of n) for the per-doc quality
@@ -1421,6 +1488,7 @@ FROM j ORDER BY source"""
     "pipe_shard_manifest" -> (qShardManifest _),
     "pipe_budget_curve" -> (qBudgetCurve _),
     "samp_ess_clip" -> (qEssClip _),
+    "pipe_curation_funnel" -> (qCurationFunnel _),
     "samp_epoch_plan" -> (qEpochPlan _),
     "pipe_release_gate" -> (qReleaseGate _),
     "pipe_contam_report" -> (qContamReport _),
@@ -1449,6 +1517,7 @@ FROM j ORDER BY source"""
     "pipe_shard_manifest" -> qShardManifestSql,
     "pipe_budget_curve" -> qBudgetCurveSql,
     "samp_ess_clip" -> qEssClipSql,
+    "pipe_curation_funnel" -> qCurationFunnelSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

@@ -204,10 +204,16 @@ object Pipeline {
       .select(col("doc_id"),
         size(split(lower(trim(col("text"))), s"[${Text.Re2Ws}]+")).cast("long").as("n_tok"))
       .localCheckpoint() // one scan; every stage measures against it
+    // each leg is measured by SEVERAL of the four stage actions below
+    // (qual by three, rep by two) — checkpoint the doc-id-sized
+    // survivor lists once so no filter pipeline re-executes per stage
+    // (measured: 12.3s → the canonical leg's own cost at 10×)
     val qual = Text.qQuality(s, dir)
-      .filter(col("quality_score") >= MinQuality).select("doc_id")
+      .filter(col("quality_score") >= MinQuality).select("doc_id").localCheckpoint()
     val rep = Text.qRepetition(s, dir).filter(col("keep")).select("doc_id")
+      .localCheckpoint()
     val keep = Dedup.qCanonical(s, dir).select(col("kept_doc").as("doc_id"))
+      .localCheckpoint()
     val stages = Seq[(String, DataFrame)](
       ("0_raw", toks.select("doc_id")),
       ("1_quality", qual),

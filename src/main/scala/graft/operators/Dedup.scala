@@ -1702,6 +1702,85 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
       |FROM h ORDER BY side, degree""".stripMargin
 
   // ---------------------------------------------------------------
+  // K-CORE DECOMPOSITION — iterative peeling on the co-purchase
+  // graph: drop every node of degree < K, remove its edges, repeat
+  // to the fixpoint (the dense-subgraph primitive behind
+  // spam/boilerplate-ring mining and community seeding). K=25 sits
+  // just above this graph's median degree, so the peel CASCADES —
+  // each round's removals push more nodes under the bar (7 rounds to
+  // total core collapse at sf0.01: 2948 → 2619 → 2316 → 1869 → 1119
+  // → 90 → 0) — which is exactly the phenomenon the gated
+  // (round, nodes, pairs) trace exhibits. Loop discipline as CC/
+  // HITS: edges checkpointed per round (fixed-width longs), one
+  // degree partial-agg + two semi-joins per round, 1-row collect;
+  // the oracle unrolls the same rounds as chained MATERIALIZED CTEs
+  // and emits the strictly-decreasing prefix.
+  private val KcoreK = 25
+  private val KcoreMaxRounds = 10
+
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p0 = CcPartitions
+    var edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_partkey") + 10000000L).as("dst"))
+      .distinct()
+      .repartition(p0, col("src")).localCheckpoint()
+    var prevNodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct().count()
+    val trace = Array.newBuilder[(Long, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < KcoreMaxRounds && !done) {
+      r += 1
+      val deg = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= KcoreK).select(col("node"))
+        .repartition(p0, col("node")).localCheckpoint()
+      val nKeep = keep.count()
+      if (nKeep == prevNodes) done = true
+      else {
+        edges = edges
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .repartition(p0, col("src")).localCheckpoint()
+        trace += ((r.toLong, nKeep, edges.count()))
+        prevNodes = nKeep
+        if (nKeep == 0) done = true
+      }
+    }
+    trace.result().toSeq.toDF("round", "n_nodes", "n_pairs").orderBy(col("round"))
+  }
+
+  val qKcoreSql: String = {
+    val rounds = (1 to KcoreMaxRounds).map { r =>
+      val pe = s"e${r - 1}"
+      s"""d$r AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT src AS node FROM $pe UNION ALL SELECT dst FROM $pe) GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KcoreK),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM $pe e
+         |  JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node),
+         |m$r AS (SELECT $r AS round, (SELECT count(*) FROM k$r) AS n_nodes,
+         |  (SELECT count(*) FROM e$r) AS n_pairs)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KcoreMaxRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 10000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |n0 AS (SELECT count(*) AS n FROM (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0))),
+       |$rounds,
+       |alld AS (SELECT round, n_nodes, n_pairs,
+       |  coalesce(lag(n_nodes) OVER (ORDER BY round), (SELECT n FROM n0)) AS prev
+       |  FROM ($union))
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs
+       |FROM alld WHERE n_nodes < prev ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // SHARD-LOCAL DEDUP COVERAGE — the design-decision audit behind
   // "can we dedup within shards and skip the global shuffle?": for
   // each candidate shard count, how many of the corpus's near-dup
@@ -2372,6 +2451,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_canonical_quality" -> (qCanonicalQuality _),
     "dedup_shard_local" -> (qShardLocal _),
     "graph_degree_dist" -> (qDegreeDist _),
+    "graph_kcore" -> (qKcore _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -2402,6 +2482,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_canonical_quality" -> qCanonicalQualitySql,
     "dedup_shard_local" -> qShardLocalSql,
     "graph_degree_dist" -> qDegreeDistSql,
+    "graph_kcore" -> qKcoreSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

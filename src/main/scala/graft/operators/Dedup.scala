@@ -1702,6 +1702,55 @@ SELECT CAST(round AS BIGINT) AS round, delta, pr_max FROM alld, stop WHERE round
       |FROM h ORDER BY side, degree""".stripMargin
 
   // ---------------------------------------------------------------
+  // CLUSTER SOURCE PURITY — do near-dup clusters stay inside one
+  // source? A multi-source cluster is SYNDICATED content (the same
+  // article carried by several feeds) — the provenance signal that
+  // changes dedup policy (drop syndicated copies corpus-wide, but
+  // within-source near-dups may be boilerplate needing a different
+  // fix). Per multi-member cluster: distinct sources, the modal
+  // source's share per-mille (deterministic modal pick: count desc,
+  // source asc), and the syndicated flag. Doc-count-sized joins over
+  // the memoized labels; singletons are pure by construction and
+  // excluded.
+  def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val labeled = clusterLabels(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val bySrc = labeled.groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n").desc, col("source"))
+    bySrc
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .withColumn("n_sources", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("cluster_id"), col("n_members"), col("n_sources"),
+        col("source").as("modal_source"),
+        expr("n * 1000 div n_members").as("modal_share_pm"),
+        when(col("n_sources") > 1, 1L).otherwise(0L).as("syndicated"))
+      .orderBy(col("cluster_id"))
+  }
+
+  lazy val qClusterPuritySql: String =
+    s"""WITH labels AS (
+$qClustersSql
+),
+j AS (SELECT l.cluster_id, d.source FROM labels l JOIN documents d USING (doc_id)),
+bs AS (SELECT cluster_id, source, count(*) AS n FROM j GROUP BY 1, 2),
+agg AS (SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_members, count(*) AS n_sources FROM bs GROUP BY 1),
+md AS (SELECT cluster_id, source AS modal_source, n FROM (
+  SELECT cluster_id, source, n,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n DESC, source) AS rn FROM bs)
+  WHERE rn = 1)
+SELECT a.cluster_id, a.n_members, CAST(a.n_sources AS BIGINT) AS n_sources,
+  m.modal_source, CAST(m.n * 1000 // a.n_members AS BIGINT) AS modal_share_pm,
+  CAST(CASE WHEN a.n_sources > 1 THEN 1 ELSE 0 END AS BIGINT) AS syndicated
+FROM agg a JOIN md m USING (cluster_id)
+WHERE a.n_members > 1 ORDER BY a.cluster_id"""
+
+  // ---------------------------------------------------------------
   // K-CORE DECOMPOSITION — iterative peeling on the co-purchase
   // graph: drop every node of degree < K, remove its edges, repeat
   // to the fixpoint (the dense-subgraph primitive behind
@@ -2452,6 +2501,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_shard_local" -> (qShardLocal _),
     "graph_degree_dist" -> (qDegreeDist _),
     "graph_kcore" -> (qKcore _),
+    "dedup_cluster_purity" -> (qClusterPurity _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_exact" -> (qExact _),
     "dedup_minhash_lsh" -> (qMinHashLsh _),
@@ -2483,6 +2533,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_shard_local" -> qShardLocalSql,
     "graph_degree_dist" -> qDegreeDistSql,
     "graph_kcore" -> qKcoreSql,
+    "dedup_cluster_purity" -> qClusterPuritySql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_exact" -> qExactSql,
     "dedup_minhash_lsh" -> qMinHashLshSql,

@@ -164,6 +164,48 @@ object Temporal {
       |ORDER BY c.event_type, c.iso_idx""".stripMargin
 
   // ---------------------------------------------------------------
+  // USER LIFESPAN — the per-user cohort base table the retention
+  // matrix aggregates away: first/last event, lifespan in whole
+  // days (integer µs div — exact), distinct active days, and the
+  // activity density per-mille (active days over lifespan span) —
+  // the churn-modeling features a pipeline derives before any
+  // cohort rollup. One (user) partial agg + one distinct-day
+  // pre-agg; user-count-sized output.
+  def qUserLifespan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("d"))
+    val days = ev.select(col("user_id"), col("d")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .join(days, Seq("user_id"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("first_ts"), tsFmt).as("first_ts"),
+        date_format(col("last_ts"), tsFmt).as("last_ts"),
+        expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 86400000000")
+          .as("lifespan_days"),
+        col("active_days"),
+        expr("active_days * 1000 div ((unix_micros(last_ts) - unix_micros(first_ts)) div 86400000000 + 1)")
+          .as("density_pm"))
+      .orderBy(col("user_id"))
+  }
+
+  val qUserLifespanSql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CAST(ts AS DATE) AS d FROM events),
+       |days AS (SELECT user_id, CAST(count(DISTINCT d) AS BIGINT) AS active_days FROM ev GROUP BY 1),
+       |agg AS (SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+       |  FROM ev GROUP BY 1)
+       |SELECT a.user_id, CAST(a.n_events AS BIGINT) AS n_events,
+       |  strftime(a.first_ts, '$duckFmt') AS first_ts,
+       |  strftime(a.last_ts, '$duckFmt') AS last_ts,
+       |  CAST(date_diff('microsecond', a.first_ts, a.last_ts) // 86400000000 AS BIGINT) AS lifespan_days,
+       |  d.active_days,
+       |  CAST(d.active_days * 1000 // (date_diff('microsecond', a.first_ts, a.last_ts) // 86400000000 + 1) AS BIGINT) AS density_pm
+       |FROM agg a JOIN days d USING (user_id)
+       |ORDER BY a.user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // sessionization: 30-minute-gap sessions per user, batch form
   // (lag + cumulative sum). The Structured Streaming stateful twin
   // lives in graft.streaming.
@@ -723,6 +765,7 @@ object Temporal {
     "asof_join_exec" -> (qAsofJoinExec _),
     "temporal_seasonality" -> (qSeasonality _),
     "temporal_dow_profile" -> (qDowProfile _),
+    "temporal_user_lifespan" -> (qUserLifespan _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -742,6 +785,7 @@ object Temporal {
     "asof_join_exec" -> qAsofJoinSql,
     "temporal_seasonality" -> qSeasonalitySql,
     "temporal_dow_profile" -> qDowProfileSql,
+    "temporal_user_lifespan" -> qUserLifespanSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

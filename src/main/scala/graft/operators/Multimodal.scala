@@ -595,7 +595,71 @@ FROM agg ORDER BY doc_id"""
        |  md5(array_to_string(g, '')) AS sample_md5
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // VOICE-ACTIVITY SEGMENTS — [[qSilenceTrim]] keeps the outer
+  // envelope; this counts the voiced RUNS inside it (the VAD
+  // segmentation an audio pipeline uses to split a recording into
+  // utterances): per doc, segment count and longest segment in
+  // windows, from the same shared window/energy frame. Run starts
+  // are lag-detected per doc, run ids are the running sum of starts
+  // (the sessionize gap-cut discipline applied to the voiced flag);
+  // everything is exact integers over fixed-width rows — payloads
+  // never shuffle.
+  def qVadSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val f = audioWindows(s, dir)
+      .withColumn("v",
+        (col("energy") > lit(SilenceThr) * col("n_bytes")).cast("int"))
+      .withColumn("strt",
+        when(col("v") === 1 && coalesce(lag(col("v"), 1).over(w), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("run_id",
+        sum(col("strt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val segs = f.filter(col("v") === 1)
+      .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("longest_seg"))
+    f.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("v")).cast("long").as("voiced_windows"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("voiced_windows"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+      .orderBy(col("doc_id"))
+  }
+
+  // composed without stripMargin (embeds the already-stripped
+  // qAudioWindowsSql).
+  lazy val qVadSegmentsSql: String =
+    s"""WITH aw AS MATERIALIZED (
+SELECT doc_id, win_idx, n_bytes, energy FROM (
+$qAudioWindowsSql
+)),
+f AS (SELECT doc_id, win_idx,
+  CASE WHEN energy > $SilenceThr * n_bytes THEN 1 ELSE 0 END AS v
+  FROM aw),
+g AS (SELECT doc_id, win_idx, v,
+  CASE WHEN v = 1 AND coalesce(lag(v) OVER (PARTITION BY doc_id ORDER BY win_idx), 0) = 0
+       THEN 1 ELSE 0 END AS strt
+  FROM f),
+h AS (SELECT doc_id, win_idx, v,
+  sum(strt) OVER (PARTITION BY doc_id ORDER BY win_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM g),
+segs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(max(len) AS BIGINT) AS longest_seg FROM (
+  SELECT doc_id, run_id, count(*) AS len FROM h WHERE v = 1 GROUP BY 1, 2)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_windows, CAST(sum(v) AS BIGINT) AS voiced_windows
+  FROM h GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows, t.voiced_windows,
+  coalesce(s.n_segments, 0) AS n_segments, coalesce(s.longest_seg, 0) AS longest_seg
+FROM tot t LEFT JOIN segs s USING (doc_id) ORDER BY t.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_vad_segments" -> (qVadSegments _),
     "mm_resize" -> (qResize _),
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
@@ -608,6 +672,7 @@ FROM agg ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "mm_resize" -> qResizeSql,
+    "mm_vad_segments" -> qVadSegmentsSql,
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,

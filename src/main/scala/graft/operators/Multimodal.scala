@@ -571,15 +571,19 @@ FROM agg ORDER BY doc_id"""
   private val ResizeGrid = 64
 
   def qResize(s: SparkSession, dir: String): DataFrame = {
+    // bigint index math (the oracle's range() is BIGINT — i*length
+    // would wrap at ~34M chars in 32-bit), and the oracle's ord('')
+    // is -1 while ascii('') is 0, so the empty sample is guarded to
+    // 0 on BOTH engines (the qDecodeBatched benign-corpus lesson)
     val grid = expr(
       s"transform(sequence(0, ${ResizeGrid - 1})," +
-        s" i -> substring(text, cast(i * length(text) div $ResizeGrid as int) + 1, 1))")
+        s" i -> substring(text, cast(cast(i as bigint) * length(text) div $ResizeGrid as int) + 1, 1))")
     Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         grid.as("g"))
       .select(col("doc_id"), col("n_chars"),
         lit(ResizeGrid.toLong).as("resized_len"),
-        expr("aggregate(transform(g, c -> ascii(c)), 0L, (a, x) -> a + x)").as("checksum"),
+        expr("aggregate(transform(g, c -> CASE WHEN c = '' THEN 0 ELSE ascii(c) END), 0L, (a, x) -> a + x)").as("checksum"),
         md5(concat_ws("", col("g"))).as("sample_md5"))
       .orderBy(col("doc_id"))
   }
@@ -591,7 +595,7 @@ FROM agg ORDER BY doc_id"""
        |  FROM documents)
        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        |  CAST($ResizeGrid AS BIGINT) AS resized_len,
-       |  CAST(list_aggregate(list_transform(g, c -> ord(c)), 'sum') AS BIGINT) AS checksum,
+       |  CAST(list_aggregate(list_transform(g, c -> CASE WHEN c = '' THEN 0 ELSE ord(c) END), 'sum') AS BIGINT) AS checksum,
        |  md5(array_to_string(g, '')) AS sample_md5
        |FROM g ORDER BY doc_id""".stripMargin
 

@@ -186,7 +186,11 @@ object Temporal {
         expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 86400000000")
           .as("lifespan_days"),
         col("active_days"),
-        expr("active_days * 1000 div ((unix_micros(last_ts) - unix_micros(first_ts)) div 86400000000 + 1)")
+        // CALENDAR-day span, not whole-µs-day span: two events 20
+        // minutes apart across midnight span 2 calendar days but 0
+        // µs-days — the µs denominator read 200% "density" for
+        // exactly the bursty users the feature characterizes
+        expr("active_days * 1000 div (datediff(to_date(last_ts), to_date(first_ts)) + 1)")
           .as("density_pm"))
       .orderBy(col("user_id"))
   }
@@ -201,7 +205,7 @@ object Temporal {
        |  strftime(a.last_ts, '$duckFmt') AS last_ts,
        |  CAST(date_diff('microsecond', a.first_ts, a.last_ts) // 86400000000 AS BIGINT) AS lifespan_days,
        |  d.active_days,
-       |  CAST(d.active_days * 1000 // (date_diff('microsecond', a.first_ts, a.last_ts) // 86400000000 + 1) AS BIGINT) AS density_pm
+       |  CAST(d.active_days * 1000 // (date_diff('day', CAST(a.first_ts AS DATE), CAST(a.last_ts AS DATE)) + 1) AS BIGINT) AS density_pm
        |FROM agg a JOIN days d USING (user_id)
        |ORDER BY a.user_id""".stripMargin
 

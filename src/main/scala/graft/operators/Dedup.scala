@@ -216,8 +216,8 @@ object Dedup {
         col("sset").as("sset_b"), col("sig").as("sig_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         matches.as("n_match"),
-        (size(array_intersect(col("sset_a"), col("sset_b"))).cast("long") * 1000 /
-          size(array_union(col("sset_a"), col("sset_b"))).cast("long")).cast("long").as("jac_pm"))
+        expr("cast(size(array_intersect(sset_a, sset_b)) as bigint) * 1000 div " +
+          "cast(size(array_union(sset_a, sset_b)) as bigint)").as("jac_pm"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         expr(s"n_match * 1000 div $NumHashes").as("est_pm"), col("jac_pm"),
         (expr(s"n_match * 1000 div $NumHashes") - col("jac_pm")).as("err_pm"))

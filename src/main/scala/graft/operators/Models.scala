@@ -91,8 +91,9 @@ object Models {
       .select(col("source"), col("n"), col("num"), col("den"), col("deny"),
         expr("cast(1000000 as decimal(38,0)) * num * num div " +
           "greatest(cast(den as decimal(38,0)) * deny, 1)").cast("long").as("r2_ppm"),
-        expr("CASE WHEN anum >= 0 THEN (1000 * anum) div greatest(den, 1)" +
-          " ELSE -((1000 * (-anum)) div greatest(den, 1)) END").as("intercept_x1000"))
+        expr("CASE WHEN anum >= 0 THEN cast(1000 as decimal(38,0)) * anum div greatest(cast(den as decimal(38,0)), 1)" +
+          " ELSE -(cast(1000 as decimal(38,0)) * (-anum) div greatest(cast(den as decimal(38,0)), 1)) END")
+          .cast("long").as("intercept_x1000"))
       .orderBy(col("source"))
   }
 
@@ -106,8 +107,8 @@ object Models {
       |  n * syy - sy * sy AS deny, sy * sxx - sx * sxy AS anum FROM m)
       |SELECT source, n, num, den, deny,
       |  CAST((1000000::HUGEINT * num * num) // greatest(den::HUGEINT * deny, 1) AS BIGINT) AS r2_ppm,
-      |  CAST(CASE WHEN anum >= 0 THEN (1000 * anum) // greatest(den, 1)
-      |       ELSE -((1000 * (-anum)) // greatest(den, 1)) END AS BIGINT) AS intercept_x1000
+      |  CAST(CASE WHEN anum >= 0 THEN (1000::HUGEINT * anum) // greatest(den::HUGEINT, 1)
+      |       ELSE -((1000::HUGEINT * (-anum)) // greatest(den::HUGEINT, 1)) END AS BIGINT) AS intercept_x1000
       |FROM f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -181,6 +182,7 @@ object Models {
   // K×64 rows, the PQ-codebook metadata class, never the corpus.
   private val KmRounds = 4
   private val KmStride = 40 // seeds: vec_id % 40 == 7, the IVF codebook
+  private val KmK = 32 // fixed seed count (Similarity.CentroidK rule: K must not grow with the corpus)
 
   def qKmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -199,6 +201,7 @@ object Models {
     var asg = em0.localCheckpoint()
     var cents: Array[(Long, Array[Long])] = asg
       .filter(col("vec_id") % KmStride === 7)
+      .orderBy(col("vec_id")).limit(KmK)
       .select(col("vec_id"), col("xm")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
     val trace = Array.newBuilder[(Long, Long, Long, Long)]
@@ -282,7 +285,8 @@ object Models {
     s"""WITH em AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
        |  FROM embeddings),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $KmStride = 7),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $KmStride = 7
+       |  ORDER BY cid LIMIT $KmK),
        |$rounds
        |SELECT CAST(round AS BIGINT) AS round, CAST(n_changed AS BIGINT) AS n_changed,
        |  CAST(moved_mu AS BIGINT) AS moved_mu, CAST(n_cells AS BIGINT) AS n_cells

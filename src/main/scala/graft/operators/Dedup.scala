@@ -36,6 +36,17 @@ object Dedup {
   private val JaccardThreshold = 0.1
   private val CosineThreshold = 0.45
 
+  /** Driver-map cutover for [[qEmbedCosine]]'s pair scoring: up to
+    * this many corpus vectors the per-doc (v, nrm) table is collected
+    * into one primitive HashMap and closure-broadcast (~1 KB/vector
+    * at dim 64 → ≤ ~256 MB, measured ~10× cheaper than UnsafeRow
+    * DataFrame broadcasts at the gate SFs); beyond it the driver heap
+    * is the cliff, so scoring fetch-joins the materialized signatures
+    * table instead. Overridable (system property) so the spec and the
+    * 10× sweep can force the join form at small SF. */
+  private[operators] def embedBroadcastMaxVectors: Long =
+    sys.props.get("graft.embed.broadcastMaxVectors").map(_.toLong).getOrElse(250000L)
+
   /** Word 3-shingles with the len<3 whole-text fallback — THE
     * shingle convention every LSH/sketch/novelty consumer mirrors
     * (JVM twin of [[shinglesSqlCte]]; keep the two in lockstep). */
@@ -674,19 +685,30 @@ FROM com"""
       .join(broadcast(candClusters), col("cl") === col("cl_a"))
       .select(col("cl_b"), col("vec_id").as("ia"))
     val right = assigned.select(col("cl").as("cl_b"), col("vec_id").as("ib"))
-    val vecMap = new java.util.HashMap[Long, (Array[Double], Double)]()
-    assigned.select(col("vec_id"), col("v"), col("nrm")).collect().foreach { r =>
-      vecMap.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
-    }
-    val bcVecs = s.sparkContext.broadcast(vecMap)
+    val pairs = left.join(right, Seq("cl_b"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ia", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ib", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType)))
-    left.join(right, Seq("cl_b"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
-      .mapPartitions { it =>
+    // Size-gated cutover: below the cap the whole per-doc vector
+    // table rides as ONE compact primitive driver map (measured ~10×
+    // cheaper than UnsafeRow broadcasts at the gate SFs); above it
+    // the map no longer fits the driver, so the pair list fetch-joins
+    // the materialized signatures table instead — `shuffle_hash`
+    // pinned on the pair side so the corpus-sized vector table
+    // STREAMS through each fetch rather than being built/broadcast.
+    // Both paths run the identical dotJvm/roundJvm arithmetic, so the
+    // gated values cannot diverge at the cutover (asserted by the
+    // forced-join-path equality test in AnalyticsSpec).
+    val scored = if (assigned.count() <= embedBroadcastMaxVectors) {
+      val vecMap = new java.util.HashMap[Long, (Array[Double], Double)]()
+      assigned.select(col("vec_id"), col("v"), col("nrm")).collect().foreach { r =>
+        vecMap.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
+      }
+      val bcVecs = s.sparkContext.broadcast(vecMap)
+      pairs.mapPartitions { it =>
         val m = bcVecs.value
         it.flatMap { r =>
           val (a, b) = (r.getLong(0), r.getLong(1))
@@ -699,6 +721,30 @@ FROM com"""
           else Iterator.empty
         }
       }(org.apache.spark.sql.Encoders.row(pairSchema))
+    } else {
+      // The ia fetch shuffles only fixed-width pair keys against the
+      // streaming per-doc table; the ib fetch is the one unavoidable
+      // per-pair array shuffle (ball-pruned pair lists are orders of
+      // magnitude below the corpus, so |pairs|·dim ≪ N·dim).
+      val sigs = assigned.select(col("vec_id"), col("v"), col("nrm"))
+      val withA = pairs.hint("shuffle_hash")
+        .join(sigs.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), Seq("ia"))
+      withA.hint("shuffle_hash")
+        .join(sigs.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("va"), col("na"), col("vb"), col("nb"))
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val va = r.getSeq[Double](2).toArray
+            val vb = r.getSeq[Double](4).toArray
+            val cos = graft.functions.Vectors.dotJvm(va, vb) / (r.getDouble(3) * r.getDouble(5))
+            if (cos >= CosineThreshold)
+              Iterator.single(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+                graft.functions.Vectors.roundJvm(cos, 4)))
+            else Iterator.empty
+          }
+        }(org.apache.spark.sql.Encoders.row(pairSchema))
+    }
+    scored
       // tiny post-threshold pair list, checkpointed before the final
       // sort: the range exchange samples-then-reruns an
       // unmaterialized child — profiled as TWO ~100s-CPU kernel

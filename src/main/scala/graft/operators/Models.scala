@@ -32,10 +32,20 @@ object Models {
   // operators non-negative values, where truncate == floor. den = 0
   // (a source whose docs all have equal word counts) is guarded with
   // greatest(den, 1) on both engines.
-  def qLinregSources(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir).select(col("source"),
+  def qLinregSources(s: SparkSession, dir: String): DataFrame =
+    linregOf(Tables.documents(s, dir).select(col("source"),
       size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("x"),
-      col("n_chars").as("y"))
+      col("n_chars").as("y")))
+
+  /** The moment aggregation + scaled-slope emission behind
+    * [[qLinregSources]], factored over any (source, x, y) frame so
+    * the overflow fixture test can drive adversarial magnitudes
+    * through the exact expressions the gate runs. The 1000·num
+    * product is widened through DECIMAL(38,0) (HUGEINT on the
+    * oracle): num grows with n²·x·y and the raw-BIGINT form wraps
+    * silently one order of magnitude above the gate SFs (the DSIR /
+    * ols_r2 overflow class — see the audit table in PLANS.md). */
+  private[operators] def linregOf(t: DataFrame): DataFrame =
     t.groupBy(col("source")).agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -45,10 +55,10 @@ object Models {
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
       .select(col("source"), col("n"), col("num"), col("den"),
-        expr("CASE WHEN num >= 0 THEN (1000 * num) div greatest(den, 1)" +
-          " ELSE -((1000 * (-num)) div greatest(den, 1)) END").as("slope_x1000"))
+        expr("CASE WHEN num >= 0 THEN cast(1000 as decimal(38,0)) * num div greatest(cast(den as decimal(38,0)), 1)" +
+          " ELSE -(cast(1000 as decimal(38,0)) * (-num) div greatest(cast(den as decimal(38,0)), 1)) END")
+          .cast("long").as("slope_x1000"))
       .orderBy(col("source"))
-  }
 
   val qLinregSourcesSql: String =
     """WITH t AS (SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS x, n_chars AS y
@@ -58,8 +68,8 @@ object Models {
       |  CAST(sum(x * x) AS BIGINT) AS sxx FROM t GROUP BY source),
       |f AS (SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM m)
       |SELECT source, n, num, den,
-      |  CAST(CASE WHEN num >= 0 THEN (1000 * num) // greatest(den, 1)
-      |       ELSE -((1000 * (-num)) // greatest(den, 1)) END AS BIGINT) AS slope_x1000
+      |  CAST(CASE WHEN num >= 0 THEN (1000::HUGEINT * num) // greatest(den::HUGEINT, 1)
+      |       ELSE -((1000::HUGEINT * (-num)) // greatest(den::HUGEINT, 1)) END AS BIGINT) AS slope_x1000
       |FROM f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -73,10 +83,14 @@ object Models {
   // degenerate sources (constant x or y) guard with greatest(...,1)
   // on both engines. The intercept ships as the sign-split scaled
   // rational (Sy·Sxx − Sx·Sxy)/den — no doubles anywhere.
-  def qOlsR2(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir).select(col("source"),
+  def qOlsR2(s: SparkSession, dir: String): DataFrame =
+    olsR2Of(Tables.documents(s, dir).select(col("source"),
       size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("x"),
-      col("n_chars").as("y"))
+      col("n_chars").as("y")))
+
+  /** [[qOlsR2]] over any (source, x, y) frame — shared with the
+    * overflow fixture test (the [[linregOf]] discipline). */
+  private[operators] def olsR2Of(t: DataFrame): DataFrame =
     t.groupBy(col("source")).agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -95,7 +109,6 @@ object Models {
           " ELSE -(cast(1000 as decimal(38,0)) * (-anum) div greatest(cast(den as decimal(38,0)), 1)) END")
           .cast("long").as("intercept_x1000"))
       .orderBy(col("source"))
-  }
 
   val qOlsR2Sql: String =
     """WITH t AS (SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS x, n_chars AS y

@@ -271,15 +271,17 @@ FROM l ORDER BY stage"""
   // the deterministic order statistic of the weight distribution
   // (the sim_ood_detect discipline). Two gated rows: raw / clipped.
   def qEssClip(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w0 = Text.lmScored(s, dir)
       .select(col("doc_id"), col("lm_score_ppm").as("w"))
       .localCheckpoint() // one scoring pass; rank + both ESS variants read it
     val n = w0.count()
     val r = (95 * n + 99) / 100
-    val p95 = w0.withColumn("rn",
-        row_number().over(Window.orderBy(col("w"), col("doc_id"))))
-      .filter(col("rn") === r).select(col("w")).collect()(0).getLong(0)
+    // ceil-rank p95 via the distributed exact order-statistic path
+    // ([[OrderStats]]): identical (w, doc_id) positional semantics,
+    // no corpus-global row_number window (plan-asserted in
+    // ExtensionSpec)
+    val p95 = OrderStats.kthSmallest(
+      w0.select(col("w"), col("doc_id")), Seq("w", "doc_id"), r).getLong(0)
     def essRow(variant: String, wc: org.apache.spark.sql.Column) = w0
       .select(wc.as("wv"))
       .agg(count(lit(1)).as("n"), sum(col("wv")).as("sum_w"),

@@ -1914,17 +1914,34 @@ FROM f GROUP BY split ORDER BY split"""
   // order; the rollup gates each shard's exact bounds, floor-div
   // mean, and keep-rate per-mille — head keeps 1000‰, tail 0‰ at
   // the [[LmKeepPpm]] threshold, i.e. the shard cut and the
-  // threshold filter agree on this corpus. The global ntile window
-  // is a single-partition pass over doc-count rows here; at corpus
-  // scale the cut points come from the distributed percentile
-  // machinery (q32) and the bucketing becomes a map-side compare —
-  // noted rather than faked, since the gate needs the positional
-  // semantics.
+  // threshold filter agree on this corpus. ntile(3)'s positional
+  // cuts are re-expressed as TWO exact order statistics over
+  // (score DESC, doc_id) — the boundary rows at ranks ⌈n/3⌉-ish
+  // (ntile's front-loaded group sizes) fetched through the
+  // distributed [[OrderStats]] path — and the bucketing itself is a
+  // map-side tuple compare: identical output to the global ntile
+  // window with no single-partition WindowExec anywhere in the plan
+  // (plan-asserted in ExtensionSpec).
   def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("lm_score_ppm").desc, col("doc_id"))
-    lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"), col("keep"))
-      .withColumn("bkt", ntile(3).over(w))
+    val lm = lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"), col("keep"))
+      .withColumn("negs", -col("lm_score_ppm"))
+      .localCheckpoint() // one scoring pass: boundary ranks + rollup read it
+    val n = lm.count()
+    val q3 = n / 3
+    val rem = n % 3
+    val b1 = q3 + (if (rem >= 1) 1L else 0L) // ntile group sizes: first n%3 groups get +1
+    val b2 = b1 + q3 + (if (rem >= 2) 1L else 0L)
+    val ranked = OrderStats.rank(lm.select(col("negs"), col("doc_id")), Seq("negs", "doc_id"))
+    def cut(k: Long): (Long, Long) = {
+      val r = OrderStats.kth(ranked, k)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (c1s, c1d) = cut(b1)
+    val (c2s, c2d) = cut(b2)
+    lm.withColumn("bkt",
+        when(col("negs") < c1s || (col("negs") === c1s && col("doc_id") <= c1d), 1)
+          .when(col("negs") < c2s || (col("negs") === c2s && col("doc_id") <= c2d), 2)
+          .otherwise(3))
       .groupBy(col("bkt"))
       .agg(
         count(lit(1)).as("n_docs"),

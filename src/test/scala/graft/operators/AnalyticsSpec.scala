@@ -564,6 +564,13 @@ class AnalyticsSpec extends SparkSpec {
       s"state must hold exactly one open session per seen user: $st vs $nUsers users")
     assert(st.last * 10 < nEvents,
       s"state must be user-bounded, not event-bounded: ${st.last} vs $nEvents events")
+    // eviction, shown directly: sessions DID close and leave the
+    // store over the run — the final state is one open session per
+    // user, NOT open + all previously-closed sessions
+    val closedSessions = Streams.qStreamSessionFlatmap(spark, sfDir).count()
+    assert(closedSessions > 0, "the corpus must close at least one session")
+    assert(st.last < closedSessions + nUsers,
+      s"closed sessions must evict: state ${st.last} vs $closedSessions closed + $nUsers open")
     // the as-of enrich is a stream-static broadcast join — stateless
     // by construction, and the progress events prove it: zero
     // state-store rows in every micro-batch
@@ -1044,6 +1051,52 @@ class AnalyticsSpec extends SparkSpec {
     val all = Dedup.qEmbedCosine(spark, sfDir).count()
     assert(pairCounts.head == all,
       "the lowest tau equals the scored pair list (its own emission threshold)")
+  }
+
+  test("moment-fit scaled outputs survive adversarial magnitudes (Long-overflow audit fixture)") {
+    // exact line y = 2x at magnitudes where 1000·num and 10⁶·num² no
+    // longer fit a Long: the DECIMAL(38,0) widening must still emit
+    // the exact slope/intercept/R² (a raw-BIGINT product would wrap
+    // silently — the DSIR → ols_r2 → ess_clip lesson, now fixtured)
+    val m = 10L
+    val s1 = BigInt((1L to m).sum)
+    val s2 = BigInt((1L to m).map(i => i * i).sum)
+    val d = BigInt(m) * s2 - s1 * s1
+    // linreg fixture: a = b = 3.5e6 keeps every raw moment in BIGINT
+    // while 1000·num lands past Long.MaxValue
+    val a = 3500000L
+    val tSlope = spark.range(1, m + 1)
+      .selectExpr("'s' as source", s"id * $a as x", s"id * $a as y")
+    val num = BigInt(a) * BigInt(a) * d
+    assert(BigInt(1000) * num > BigInt(Long.MaxValue),
+      "fixture must actually exceed the raw-BIGINT 1000·num range")
+    val lr = Models.linregOf(tSlope).collect()(0)
+    assert(lr.getLong(1) == m && BigInt(lr.getLong(2)) == num && BigInt(lr.getLong(3)) == num)
+    assert(lr.getLong(4) == 1000L, s"exact slope×1000, got ${lr.getLong(4)}")
+    // R² fixture: smaller scale (anum's raw BIGINT products bound it)
+    // but 10⁶·num² still far past Long.MaxValue — the widened path
+    val c = 4000L
+    val tR2 = spark.range(1, m + 1)
+      .selectExpr("'s' as source", s"id * $c as x", s"id * $c as y")
+    val num2 = BigInt(c) * BigInt(c) * d
+    assert(BigInt(1000000) * num2 * num2 > BigInt(Long.MaxValue),
+      "fixture must exceed the raw-BIGINT 10⁶·num² range")
+    val r2 = Models.olsR2Of(tR2).collect()(0)
+    assert(r2.getLong(5) == 1000000L, s"perfect fit must gate R² = 1e6 ppm, got ${r2.getLong(5)}")
+    assert(r2.getLong(6) == 0L, s"zero intercept, got ${r2.getLong(6)}")
+  }
+
+  test("embed-cosine join-path scoring (forced cutover) matches the broadcast-map path") {
+    val viaMap = Dedup.qEmbedCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaMap.nonEmpty, "the gate corpus must produce scored pairs")
+    // force the above-cap fetch-join form and require identical output
+    System.setProperty("graft.embed.broadcastMaxVectors", "0")
+    try {
+      val viaJoin = Dedup.qEmbedCosine(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaJoin == viaMap, "cutover changed the gated pair scores")
+    } finally System.clearProperty("graft.embed.broadcastMaxVectors")
   }
 
   test("pagerank trace ends at an exact fixpoint or the round cap, ranks above the base") {

@@ -1100,4 +1100,38 @@ class ExtensionSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("requires option")),
       s"expected the provider's own error, got: $e")
   }
+
+  test("OrderStats finds exact ranks across range-partition boundaries") {
+    // adversarial frame: heavy value ties so the doc_id tiebreak is
+    // load-bearing, sized well past one partition
+    val df = spark.range(0, 997).selectExpr("id % 13 as w", "id as doc_id")
+    val sorted = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val ranked = OrderStats.rank(df, Seq("w", "doc_id"))
+    assert(ranked.total == 997L)
+    Seq(1L, 2L, 76L, 499L, 948L, 997L).foreach { k =>
+      val row = OrderStats.kth(ranked, k)
+      assert((row.getLong(0), row.getLong(1)) == sorted((k - 1).toInt), s"rank $k")
+    }
+    intercept[IllegalArgumentException](OrderStats.kth(ranked, 998L))
+    intercept[IllegalArgumentException](OrderStats.kth(ranked, 0L))
+  }
+
+  test("ess-clip and ccnet-buckets plan with no corpus-global window anywhere") {
+    // the final rollup plans must be window-free, and so must every
+    // frame OrderStats builds (RangePartitioning + partition-local
+    // sort replace the single-partition row_number/ntile window)
+    Seq(
+      "samp_ess_clip" -> Pipeline.qEssClip(spark, sfDir),
+      "text_ccnet_buckets" -> Text.qCcnetBuckets(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec"), s"$name rollup kept a window:\n" + plan)
+      assert(df.count() > 0, s"$name must still produce rows")
+    }
+    val ranked = OrderStats.rank(
+      Text.lmScored(spark, sfDir).selectExpr("lm_score_ppm as w", "doc_id"),
+      Seq("w", "doc_id"))
+    val rplan = ranked.ranged.queryExecution.executedPlan.toString
+    assert(!rplan.contains("WindowExec"), "rank frame must be window-free:\n" + rplan)
+  }
 }

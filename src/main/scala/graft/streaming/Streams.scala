@@ -51,8 +51,25 @@ object Streams {
     val schema = s.read.parquet(path).schema // ts arrives as long nanos
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    val link = streamDir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    // the events table may be ONE parquet file or a multi-file
+    // directory (the realistic layout — the r10 multi-file gate
+    // caught the single-file-only symlink returning an empty stream):
+    // symlink every data file into the monitored dir
+    val src = java.nio.file.Paths.get(path)
+    val srcFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(src)
+        try ls.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        finally ls.close()
+      } else List(src)
+    val links = srcFiles.zipWithIndex.map { case (f, i) =>
+      val l = streamDir.resolve(f"part-$i%05d.parquet")
+      java.nio.file.Files.createSymbolicLink(l, f.toAbsolutePath)
+      l
+    }
     try {
       val raw = s.readStream.schema(schema).parquet(streamDir.toString)
       val stream = if (rawTs) raw else Tables.fixEventTs(raw)
@@ -67,7 +84,7 @@ object Streams {
       out
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
-      java.nio.file.Files.deleteIfExists(link)
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(streamDir)
     }
   }

@@ -66,8 +66,14 @@ object Bench {
         // bench's job is the honest cold number.
         // Dedup.resetMemos also clears the shared keyed base registry
         // (Similarity's assign memo lives there)
-        graft.operators.Dedup.resetMemos()
-        graft.operators.Text.resetMemos()
+        // Dev-only SPARK_GRAFT_WARM=1 keeps memos across queries — the
+        // PRODUCTION number (signature/label/edge tables built once per
+        // corpus snapshot and shared). The driver never sets it, so
+        // round benches stay honest-cold and cross-round comparable.
+        if (!sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+          graft.operators.Dedup.resetMemos()
+          graft.operators.Text.resetMemos()
+        }
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

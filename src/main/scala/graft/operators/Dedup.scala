@@ -2398,6 +2398,101 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
         .select(col("c"), col("p")).distinct()
         .repartition(CcPartitions, col("c")))
 
+  // ---------------------------------------------------------------
+  // COMMON-NEIGHBOR PART SIMILARITY — item-item collaborative
+  // filtering's counting core on the co-purchase graph: two parts
+  // are similar when many customers bought both. The self-join on
+  // the customer key is the classic Σdeg² blowup, so the operator
+  // CAPS the contributing customer degree (a customer with hundreds
+  // of parts adds quadratic cost and near-zero per-pair signal —
+  // the LSH bucket-cap discipline applied to a graph); the cap is
+  // part of the contract and the oracle states the same. Top-N pairs
+  // ride TakeOrderedAndProject under the total (n_common DESC, p_a,
+  // p_b) order; jaccard per-mille over the capped part degrees is
+  // exact integer. Scale shape: one degree partial-agg + semi-join
+  // keeps only capped customers; the pair stream is fixed-width
+  // (c, p_a, p_b) longs with map-side-combined counting.
+  private val CnMaxCustDeg = 40L
+  private val CnTopN = 20
+
+  def qCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    // checkpointed: the capped edge list feeds BOTH self-join sides
+    // and the part-degree agg (three consumers of one filter pass)
+    val capped = e.join(
+        e.groupBy(col("c")).agg(count(lit(1)).as("d"))
+          .filter(col("d") <= CnMaxCustDeg).select(col("c")),
+        Seq("c"), "left_semi")
+      .localCheckpoint()
+    val deg = capped.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    capped.select(col("c"), col("p").as("p_a"))
+      .join(capped.select(col("c"), col("p").as("p_b")), Seq("c"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("p").as("p_a"), col("dp").as("deg_a")), "p_a")
+      .join(deg.select(col("p").as("p_b"), col("dp").as("deg_b")), "p_b")
+      .select(col("p_a"), col("p_b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("1000 * n_common div (deg_a + deg_b - n_common)").as("jaccard_pm"))
+      .orderBy(col("n_common").desc, col("p_a"), col("p_b"))
+      .limit(CnTopN)
+  }
+
+  val qCommonNeighborsSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ok AS (SELECT c FROM (SELECT c, count(*) AS d FROM e GROUP BY c) WHERE d <= $CnMaxCustDeg),
+       |ce AS MATERIALIZED (SELECT e.c, e.p FROM e JOIN ok USING (c)),
+       |deg AS (SELECT p, count(*) AS dp FROM ce GROUP BY p),
+       |pr AS (SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_common
+       |  FROM ce a JOIN ce b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+       |j AS (SELECT pr.p_a, pr.p_b, pr.n_common, da.dp AS deg_a, db.dp AS deg_b
+       |  FROM pr JOIN deg da ON da.p = pr.p_a JOIN deg db ON db.p = pr.p_b),
+       |r AS (SELECT j.*, ROW_NUMBER() OVER (ORDER BY n_common DESC, p_a, p_b) AS rn FROM j)
+       |SELECT CAST(p_a AS BIGINT) AS p_a, CAST(p_b AS BIGINT) AS p_b,
+       |  CAST(n_common AS BIGINT) AS n_common, CAST(deg_a AS BIGINT) AS deg_a,
+       |  CAST(deg_b AS BIGINT) AS deg_b,
+       |  CAST(1000 * n_common // (deg_a + deg_b - n_common) AS BIGINT) AS jaccard_pm
+       |FROM r WHERE rn <= $CnTopN ORDER BY n_common DESC, p_a, p_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // CROSS-SOURCE SYNDICATION MATRIX — where near-duplicate content
+  // FLOWS between sources: for each unordered source pair, the count
+  // of verified near-dup pairs connecting them. The diagonal is
+  // within-source duplication (template reuse); off-diagonal mass is
+  // carried/syndicated content — the corpus-level view whose
+  // per-cluster twin is [[qClusterPurity]]. Scale shape: the
+  // audit-sized pair list fetch-joins the per-doc source column with
+  // `shuffle_hash` pinned on the pair side (the corpus table
+  // STREAMS; the qEmbedCosine join-form orientation); the matrix is
+  // |sources|²-bounded metadata.
+  def qSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    lshPairs(s, dir)
+      .hint("shuffle_hash")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .hint("shuffle_hash")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", (col("source_a") =!= col("source_b")).cast("long"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped LSH SQL
+  lazy val qSourceMatrixSql: String =
+    s"""WITH p AS MATERIALIZED (
+SELECT doc_a, doc_b FROM (
+$qMinHashLshSql
+)),
+sdoc AS (SELECT doc_id, source FROM documents),
+j AS (SELECT least(a.source, b.source) AS source_a, greatest(a.source, b.source) AS source_b
+  FROM p JOIN sdoc a ON p.doc_a = a.doc_id JOIN sdoc b ON p.doc_b = b.doc_id)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS BIGINT) AS cross_source
+FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def qHits(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(s, dir)
     val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).cast("long").as("a1"))
@@ -2552,6 +2647,8 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> (qHits _),
     "graph_hits_converge" -> (qHitsConverge _),
+    "graph_common_neighbors" -> (qCommonNeighbors _),
+    "dedup_source_matrix" -> (qSourceMatrix _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
@@ -2583,6 +2680,8 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
 
   val oracles: Map[String, String] = Map(
     "graph_hits" -> qHitsSql,
+    "graph_common_neighbors" -> qCommonNeighborsSql,
+    "dedup_source_matrix" -> qSourceMatrixSql,
     "graph_hits_converge" -> qHitsConvergeSql,
     "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_cap_recall" -> qCapRecallSql,

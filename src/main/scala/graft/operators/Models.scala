@@ -306,11 +306,57 @@ object Models {
        |FROM ($union) ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // CALIBRATION / RELIABILITY TABLE — the check run before trusting
+  // any learned quality filter: bucket the model score and compare,
+  // per bucket, the PREDICTED level (mean score) with the OBSERVED
+  // positive rate. Here the en-trained LM score
+  // ([[Text.qLmScore]]'s lm_score_ppm) is the predictor and
+  // lang == 'en' the label, so a well-calibrated score shows en_pm
+  // rising monotonically through the bins — and a bin where it
+  // doesn't is exactly the miscalibration a reliability diagram
+  // exists to expose. Buckets are FIXED-WIDTH score bins (value
+  // histogram, map-side bucketing) rather than ntile deciles: the
+  // positional cut needs a corpus order statistic while the value
+  // bin is embarrassingly parallel — the [[graft.operators
+  // .OrderStats]] lesson applied at design time. Exact integers
+  // throughout (count, floor-div rates).
+  private val CalBinPpm = 250L
+
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("is_en")), "doc_id")
+      .groupBy(expr(s"lm_score_ppm div $CalBinPpm").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"),
+        sum(col("lm_score_ppm")).as("sum_ppm"))
+      .select(col("bin"), col("n_docs"), col("n_en"),
+        expr("1000 * n_en div n_docs").as("en_pm"),
+        expr("sum_ppm div n_docs").as("mean_score_ppm"))
+      .orderBy(col("bin"))
+
+  // composed without stripMargin: embeds the already-stripped
+  // qLmScoreSql (the `||`-continuation rule)
+  lazy val qCalibrationSql: String =
+    s"""WITH lm AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm FROM (
+${Text.qLmScoreSql}
+)),
+j AS (SELECT l.lm_score_ppm, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM lm l JOIN documents d USING (doc_id))
+SELECT CAST(lm_score_ppm // $CalBinPpm AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_en) AS BIGINT) AS n_en,
+  CAST(1000 * sum(is_en) // count(*) AS BIGINT) AS en_pm,
+  CAST(sum(lm_score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_sources" -> (qLinregSources _),
     "ml_ols_r2" -> (qOlsR2 _),
     "ml_nb_train" -> (qNbTrain _),
     "ml_kmeans_converge" -> (qKmeansConverge _),
+    "ml_calibration" -> (qCalibration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,5 +364,6 @@ object Models {
     "ml_ols_r2" -> qOlsR2Sql,
     "ml_nb_train" -> qNbTrainSql,
     "ml_kmeans_converge" -> qKmeansConvergeSql,
+    "ml_calibration" -> qCalibrationSql,
   )
 }

@@ -1767,7 +1767,64 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // SHARD A/B EMBEDDING DRIFT — the audit run before merging two
+  // embedding shards or trusting a re-embedding job: assign BOTH
+  // halves to the same coarse cells (the shared [[assignMemo]]
+  // structure), then per cell compare the exact µ-scaled integer
+  // centroids of the two halves. vec_id parity is the deterministic
+  // stand-in for "snapshot A vs snapshot B"; on this uniform corpus
+  // the halves agree closely, so l1_mu measures the sampling noise
+  // floor a REAL drift must clear. All integers: sign-split floor-div
+  // per-dim means (the kmeans Lloyd-update convention — Spark `div`
+  // truncates, DuckDB `//` floors, identical only on the sign-split
+  // form), L1 over dims, per-dim mean gap. Scale shape: one
+  // (cid, side, dim)-keyed partial aggregate (the Lloyd-update
+  // shape), then K·64-row metadata joins; cells missing one side
+  // report l1_mu = 0 (stated in the oracle identically).
+  def qAbDrift(s: SparkSession, dir: String): DataFrame = {
+    val a = assignMemo(s, dir).select(col("cid"), (col("vec_id") % 2).as("side"),
+      expr("transform(v, x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"))
+    val dims = a.select(col("cid"), col("side"), posexplode(col("xm")).as(Seq("d", "x")))
+    val mu = dims.groupBy(col("cid"), col("side"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cid"), col("side"), col("d"),
+        expr("CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx) div n) END").as("mu"))
+    val l1 = mu.filter(col("side") === 0).select(col("cid"), col("d"), col("mu").as("ma"))
+      .join(mu.filter(col("side") === 1)
+        .select(col("cid"), col("d"), col("mu").as("mb")), Seq("cid", "d"))
+      .groupBy(col("cid")).agg(sum(abs(col("ma") - col("mb"))).as("l1"))
+    a.groupBy(col("cid")).agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .join(l1, Seq("cid"), "left")
+      .select(col("cid"), col("n_a"), col("n_b"),
+        coalesce(col("l1"), lit(0L)).as("l1_mu"),
+        expr("coalesce(l1, 0) div 64").as("mean_gap_mu"))
+      .orderBy(col("cid"))
+  }
+
+  val qAbDriftSql: String =
+    s"""WITH $assignCteSql,
+       |ax AS MATERIALIZED (SELECT a.vec_id, a.cid, a.vec_id % 2 AS side,
+       |  list_transform(e.v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+       |  FROM asg a JOIN e USING (vec_id)),
+       |dims AS (SELECT cid, side, dd, xm[dd+1] AS x FROM ax, (SELECT unnest(range(64)) AS dd)),
+       |mu AS (SELECT cid, side, dd,
+       |  CASE WHEN sum(x) >= 0 THEN sum(x) // count(*) ELSE -((-sum(x)) // count(*)) END AS mu
+       |  FROM dims GROUP BY 1, 2, 3),
+       |l1 AS (SELECT a.cid, CAST(sum(abs(a.mu - b.mu)) AS BIGINT) AS l1
+       |  FROM mu a JOIN mu b ON a.cid = b.cid AND a.dd = b.dd AND a.side = 0 AND b.side = 1
+       |  GROUP BY a.cid),
+       |cnt AS (SELECT cid, CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM ax GROUP BY cid)
+       |SELECT cnt.cid, cnt.n_a, cnt.n_b,
+       |  CAST(coalesce(l1.l1, 0) AS BIGINT) AS l1_mu,
+       |  CAST(coalesce(l1.l1, 0) // 64 AS BIGINT) AS mean_gap_mu
+       |FROM cnt LEFT JOIN l1 USING (cid) ORDER BY cnt.cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ab_drift" -> (qAbDrift _),
     "sim_ood_detect" -> (qOodDetect _),
     "sim_graph_components" -> (qGraphComponents _),
     "samp_cluster_quota" -> (qClusterQuota _),
@@ -1795,6 +1852,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ab_drift" -> qAbDriftSql,
     "sim_ood_detect" -> qOodDetectSql,
     "sim_graph_components" -> qGraphComponentsSql,
     "samp_cluster_quota" -> qClusterQuotaSql,

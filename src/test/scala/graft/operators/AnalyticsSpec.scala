@@ -1053,6 +1053,60 @@ class AnalyticsSpec extends SparkSpec {
       "the lowest tau equals the scored pair list (its own emission threshold)")
   }
 
+  test("calibration bins partition the corpus and the LM score separates en") {
+    val rows = Models.qCalibration(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "bins must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "positives bounded by bin size")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+      // mean score must actually fall inside the bin's value range
+      assert(r.getLong(4) / 250L == r.getLong(0), s"bin ${r.getLong(0)} mean outside bin")
+    }
+    // the reliability signal itself: the top bin is en-dominated, the
+    // bottom bin en-free (the en-trained LM scores en higher)
+    assert(rows.last.getLong(3) > rows.head.getLong(3),
+      "en rate must rise from the bottom to the top bin")
+  }
+
+  test("common-neighbor pairs are cap-consistent and jaccard-bounded") {
+    val rows = Dedup.qCommonNeighbors(spark, sfDir).collect()
+    assert(rows.length == 20, s"top-20 contract, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "unordered pair convention p_a < p_b")
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+        "common neighbors bounded by either part's capped degree")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "rows must arrive in descending n_common order")
+  }
+
+  test("source matrix accounts for every near-dup pair exactly once") {
+    val rows = Dedup.qSourceMatrix(spark, sfDir).collect()
+    val nPairs = Dedup.qMinHashLsh(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs,
+      "matrix cells must partition the verified pair list")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered source pair convention")
+      assert((r.getLong(3) == 1L) == (r.getString(0) != r.getString(1)))
+    }
+  }
+
+  test("A/B drift halves partition every cell and gaps recount driver-side") {
+    val rows = Similarity.qAbDrift(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nVecs,
+      "parity halves must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(r.getLong(4) == r.getLong(3) / 64L, "mean gap = l1 div 64")
+    }
+    assert(rows.exists(r => r.getLong(3) > 0L),
+      "some cell must show a nonzero sampling-noise floor")
+  }
+
   test("moment-fit scaled outputs survive adversarial magnitudes (Long-overflow audit fixture)") {
     // exact line y = 2x at magnitudes where 1000·num and 10⁶·num² no
     // longer fit a Long: the DECIMAL(38,0) widening must still emit

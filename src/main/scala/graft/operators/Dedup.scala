@@ -2601,22 +2601,29 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
         .select(col("c"), col("h"), abs(col("h") - col("ph")).as("dh"))
         .localCheckpoint()
       // deltas stay LAZY: map-only sums over the two checkpointed
-      // score frames, accumulated as 1-row frames and evaluated in
-      // ONE job after the loop — the per-round 2-row collect was a
-      // third job per round on a loop that is pure per-job fixed
-      // overhead at test SF. Early exit moves to the oracle's own
-      // stop-filter semantics below (identical output: after a
-      // zero-delta round the lattice is at its fixpoint, so every
-      // later round's delta is 0 too).
-      val dH = hNext.agg(coalesce(sum(col("dh")), lit(0L)).as("delta_hub"))
-      val dA = aNext.agg(coalesce(sum(col("da")), lit(0L)).as("delta_auth"))
-      deltaFrames += dH.crossJoin(dA)
-        .select(lit(r.toLong).as("round"), col("delta_hub"), col("delta_auth"))
+      // score frames, accumulated as tagged 1-row frames and
+      // evaluated in ONE job after the loop — the per-round 2-row
+      // collect was a third job per round on a loop that is pure
+      // per-job fixed overhead at test SF. (No crossJoin to pair the
+      // two sides: a 1-row broadcast per round costs more KeyLock
+      // time than it saves — the sides re-pair driver-side.) Early
+      // exit moves to the oracle's own stop-filter semantics below
+      // (identical output: after a zero-delta round the lattice is at
+      // its fixpoint, so every later round's delta is 0 too).
+      deltaFrames += hNext
+        .agg(coalesce(sum(col("dh")), lit(0L)).as("d"))
+        .select(lit(r.toLong).as("round"), lit("h").as("side"), col("d"))
+      deltaFrames += aNext
+        .agg(coalesce(sum(col("da")), lit(0L)).as("d"))
+        .select(lit(r.toLong).as("round"), lit("a").as("side"), col("d"))
       auth = aNext.select(col("p"), col("a"))
       hub = hNext.select(col("c"), col("h"))
     }
-    val all = deltaFrames.reduce(_ unionAll _).collect()
-      .map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).sortBy(_._1)
+    val raw = deltaFrames.reduce(_ unionAll _).collect()
+      .map(t => (t.getLong(0), t.getString(1), t.getLong(2)))
+    val all = raw.filter(_._2 == "h").sortBy(_._1).map { case (rd, _, dh) =>
+      (rd, dh, raw.find(t => t._1 == rd && t._2 == "a").get._3)
+    }
     val firstZero = all.indexWhere(t => t._2 == 0L && t._3 == 0L)
     val upto = if (firstZero < 0) all else all.take(firstZero + 1)
     upto.toSeq.toDF("round", "delta_hub", "delta_auth").orderBy(col("round"))

@@ -219,12 +219,16 @@ object Pipeline {
       ("1_quality", qual),
       ("2_repetition", qual.join(rep, "doc_id")),
       ("3_canonical", qual.join(rep, "doc_id").join(keep, "doc_id")))
+    // all four stage measurements union into ONE collected job (was
+    // four sequential 1-row collects — the hits-converge job-overhead
+    // lesson); every leg reads the checkpointed survivor lists
     val rows = stages.map { case (name, ids) =>
-      val m = toks.join(ids, "doc_id")
-        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("t"))
-        .collect()(0)
-      (name, m.getLong(0), m.getLong(1))
-    }
+        toks.join(ids, "doc_id")
+          .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("t"))
+          .select(lit(name).as("stage"), col("n"), col("t"))
+      }.reduce(_ unionAll _).collect()
+      .map(m => (m.getString(0), m.getLong(1), m.getLong(2)))
+      .sortBy(_._1).toSeq
     val (rawN, rawT) = (rows.head._2, rows.head._3)
     rows.zip((rawN, rawT) +: rows.map(r => (r._2, r._3)))
       .map { case ((name, n, t), (pn, _)) =>

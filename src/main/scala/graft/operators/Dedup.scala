@@ -55,6 +55,12 @@ object Dedup {
       (0 to ws.length - 3).iterator.map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
     else Iterator(ws.mkString(" "))
 
+  /** The memoized word-shingle signature base, exposed to
+    * [[Text.qBoilerplate]] (the same memo the LSH family shares —
+    * one shingle kernel pass per corpus). */
+  private[operators] def wordBase(s: SparkSession, dir: String): DataFrame =
+    memoBase("word", s, dir)(wordSignatures(s, dir))
+
   private[operators] val shinglesSqlCte =
     """w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id,

@@ -662,7 +662,90 @@ SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows, t.voiced_windows,
   coalesce(s.n_segments, 0) AS n_segments, coalesce(s.longest_seg, 0) AS longest_seg
 FROM tot t LEFT JOIN segs s USING (doc_id) ORDER BY t.doc_id"""
 
+  // ---------------------------------------------------------------
+  // AUDIO FINGERPRINT — the landmark/constellation scheme (the
+  // Shazam-class audio-dedup primitive) over the shared
+  // [[audioWindows]] frame: local ENERGY PEAKS are landmarks
+  // (strictly greater than both neighbors — plateaus excluded
+  // identically on both engines via the -1-defaulted lag/lead);
+  // consecutive landmark pairs hash (Δwin, e₁ mod 16, e₂ mod 16)
+  // through md5 to a fixed-width long — robust to absolute gain,
+  // sensitive to rhythm. The gate emits per doc the landmark count,
+  // pair-hash count, how many of its hashes appear in OTHER docs
+  // (the audio near-dup candidate signal — [[Text.qBoilerplate]]'s
+  // shape on audio), and an order-independent fingerprint checksum
+  // (Σ h mod 1e9+7 — exact under any partition order). Scale shape:
+  // windows partition by doc_id (no global window), the hash df
+  // table is fingerprint-vocabulary-sized, every joined column 8
+  // bytes.
+  def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val lm = audioWindows(s, dir)
+      .withColumn("pe", lag(col("energy"), 1, -1L).over(dw))
+      .withColumn("ne", lead(col("energy"), 1, -1L).over(dw))
+      .filter(col("energy") > col("pe") && col("energy") > col("ne"))
+      .select(col("doc_id"), col("win_idx"), col("energy"))
+      .localCheckpoint() // one landmark pass feeds pairs AND the per-doc count
+    val pairs = lm
+      .withColumn("nw", lead(col("win_idx"), 1).over(dw))
+      .withColumn("nE", lead(col("energy"), 1).over(dw))
+      .filter(col("nw").isNotNull)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(":",
+          col("nw") - col("win_idx"), col("energy") % 16, col("nE") % 16)), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val shared = pairs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val pm = pairs.join(shared, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(col("h") % 1000000007L).as("fp_sum"))
+    val ld = lm.groupBy(col("doc_id")).agg(count(lit(1)).as("n_landmarks"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(ld, Seq("doc_id"), "left")
+      .join(pm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_landmarks"), lit(0L)).as("n_landmarks"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped window SQL
+  lazy val qAudioFingerprintSql: String =
+    s"""WITH aw AS MATERIALIZED (
+SELECT doc_id, win_idx, energy FROM (
+$qAudioWindowsSql
+)),
+lm AS MATERIALIZED (SELECT doc_id, win_idx, energy FROM (
+  SELECT doc_id, win_idx, energy,
+    coalesce(lag(energy) OVER dw, -1) AS pe,
+    coalesce(lead(energy) OVER dw, -1) AS ne
+  FROM aw WINDOW dw AS (PARTITION BY doc_id ORDER BY win_idx))
+  WHERE energy > pe AND energy > ne),
+pr AS MATERIALIZED (SELECT doc_id,
+  ('0x' || substr(md5(CAST(nw - win_idx AS VARCHAR) || ':' ||
+    CAST(energy % 16 AS VARCHAR) || ':' || CAST(ne2 % 16 AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, win_idx, energy,
+      lead(win_idx) OVER dw AS nw, lead(energy) OVER dw AS ne2
+    FROM lm WINDOW dw AS (PARTITION BY doc_id ORDER BY win_idx))
+  WHERE nw IS NOT NULL),
+shared AS (SELECT h, count(DISTINCT doc_id) AS nd FROM pr GROUP BY h),
+pm AS (SELECT pr.doc_id, count(*) AS n_pairs,
+  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared,
+  sum(h % 1000000007) AS fp_sum FROM pr JOIN shared USING (h) GROUP BY pr.doc_id),
+ld AS (SELECT doc_id, count(*) AS n_landmarks FROM lm GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(ld.n_landmarks, 0) AS BIGINT) AS n_landmarks,
+  CAST(coalesce(pm.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(pm.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(coalesce(pm.fp_sum, 0) AS BIGINT) AS fp_sum
+FROM documents d LEFT JOIN ld USING (doc_id) LEFT JOIN pm USING (doc_id)
+ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> (qAudioFingerprint _),
     "mm_vad_segments" -> (qVadSegments _),
     "mm_resize" -> (qResize _),
     "mm_decode_header" -> (qDecodeHeader _),
@@ -675,6 +758,7 @@ FROM tot t LEFT JOIN segs s USING (doc_id) ORDER BY t.doc_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint" -> qAudioFingerprintSql,
     "mm_resize" -> qResizeSql,
     "mm_vad_segments" -> qVadSegmentsSql,
     "mm_decode_header" -> qDecodeHeaderSql,

@@ -1976,7 +1976,54 @@ SELECT CASE bkt WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle' ELSE '3_tail' END AS
   CAST(1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS keep_pm
 FROM b GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------
+  // CROSS-DOC BOILERPLATE PROFILE — the complement of the WITHIN-doc
+  // repetition rubric: how much of each document's shingle set is
+  // CORPUS-repeated (nav bars, license headers, templates — content
+  // that n-gram LMs memorize and near-dedup under-counts because no
+  // single pair clears the pair threshold). df is counted over the
+  // distinct word-3-shingle sets of the shared [[Dedup.wordBase]]
+  // kernel pass, shingles carried as md5-derived 15-hex longs (the
+  // string-array-through-joins 10× cost rule; df over the hash
+  // domain, collision-tolerant like the minhash convention, and the
+  // oracle hashes identically). A shingle in more than [[BpDfCap]]
+  // docs is boilerplate; the gate emits per doc the distinct-shingle
+  // count, boilerplate count, max df and the per-mille. Scale shape:
+  // one exploded fixed-width (doc_id, h) table checkpointed, one
+  // vocab-sized df aggregate, one hash join back — every column 8
+  // bytes.
+  private val BpDfCap = 3L
+
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val hs = Dedup.wordBase(s, dir)
+      .select(col("doc_id"), explode(col("sset")).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint() // one explode pass feeds the df table AND the rollup
+    val dfTab = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    hs.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > BpDfCap, 1L).otherwise(0L)).as("n_common"),
+        max(col("df")).as("max_df"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"), col("max_df"),
+        expr("1000 * n_common div n_shingles").as("bp_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBoilerplateSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |hs AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(s2), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s2 FROM sh)),
+       |dfv AS (SELECT h, count(*) AS df FROM hs GROUP BY h)
+       |SELECT hs.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN dfv.df > $BpDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST(max(dfv.df) AS BIGINT) AS max_df,
+       |  CAST(1000 * sum(CASE WHEN dfv.df > $BpDfCap THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS bp_pm
+       |FROM hs JOIN dfv USING (h) GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (qBoilerplate _),
     "text_ccnet_buckets" -> (qCcnetBuckets _),
     "text_lm_score" -> (qLmScore _),
     "text_bm25" -> (qBm25 _),
@@ -2006,6 +2053,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> qBoilerplateSql,
     "text_ccnet_buckets" -> qCcnetBucketsSql,
     "text_lm_score" -> qLmScoreSql,
     "text_bm25" -> qBm25Sql,

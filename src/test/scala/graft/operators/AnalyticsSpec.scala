@@ -1107,6 +1107,31 @@ class AnalyticsSpec extends SparkSpec {
       "some cell must show a nonzero sampling-noise floor")
   }
 
+  test("boilerplate profile covers every doc and flags corpus-repeated shingles") {
+    val rows = Text.qBoilerplate(spark, sfDir).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "boilerplate shingles bounded by the doc's set")
+      assert(r.getLong(3) >= 1L, "every shingle occurs at least in its own doc")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert((r.getLong(2) > 0L) == (r.getLong(3) > 3L),
+        "n_common > 0 exactly when the doc holds a df>cap shingle")
+    }
+    assert(rows.exists(_.getLong(2) > 0L), "the corpus must contain boilerplate mass")
+  }
+
+  test("audio fingerprint pairs chain the landmarks; checksum recounts driver-side") {
+    val rows = Multimodal.qAudioFingerprint(spark, sfDir).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == math.max(r.getLong(1) - 1, 0L),
+        s"doc ${r.getLong(0)}: consecutive pairs must chain the landmarks")
+      assert(r.getLong(3) <= r.getLong(2), "shared hashes bounded by the doc's pairs")
+      assert(r.getLong(4) >= 0L)
+      if (r.getLong(2) == 0L) assert(r.getLong(4) == 0L, "no pairs -> zero checksum")
+    }
+  }
+
   test("moment-fit scaled outputs survive adversarial magnitudes (Long-overflow audit fixture)") {
     // exact line y = 2x at magnitudes where 1000·num and 10⁶·num² no
     // longer fit a Long: the DECIMAL(38,0) widening must still emit

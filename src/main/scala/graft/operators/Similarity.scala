@@ -1055,6 +1055,61 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor, adot FROM rk
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PQ DISTORTION PROFILE — the quantization-quality audit run
+  // before trusting any PQ index: per vector, the exact cosine
+  // between the vector and its PQ reconstruction (the same
+  // [[pqReconstruct]] encode the ADC path uses), emitted as
+  // distortion ppm (10⁶ − cos₆·10⁶, exact integers since the cosine
+  // is 6-dp-rounded first) and rolled into fixed-width 1%-ppm
+  // buckets — a value histogram (map-side bucketing, the
+  // ml_calibration discipline), never a positional decile. A fat
+  // high-distortion tail says the codebook under-fits and ADC
+  // recall will sag — the number that decides PqK before any
+  // recall measurement. Scale shape: one map-only encode kernel
+  // (codebook broadcast, K·dim metadata), one histogram aggregate.
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val cb = pqCodebook(s, dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("dist_ppm", LongType)))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val v = row.getSeq[Double](1).toArray
+          val r = pqReconstruct(cb, v)
+          val cos = Vectors.round6Jvm(Vectors.dotJvm(v, r) /
+            (math.sqrt(Vectors.dotJvm(v, v)) * math.sqrt(Vectors.dotJvm(r, r))))
+          Row(row.getLong(0), 1000000L - math.round(cos * 1e6))
+        }
+      }(Encoders.row(schema))
+      .groupBy(expr("dist_ppm div 10000").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dist_ppm")).as("min_ppm"),
+        max(col("dist_ppm")).as("max_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Reuses [[pqSqlCtes]]' n/cb/sub/enc/rec chain; the unreferenced
+    * probes/scored/rk CTEs are pruned by the planner (the qClusters
+    * asg precedent). */
+  val qPqDistortionSql: String =
+    s"""$pqSqlCtes,
+       |nn AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nv FROM n),
+       |per AS (SELECT nn.vec_id,
+       |  1000000 - CAST(round(round((${Vectors.dotSql("nn.v", "r.r")}) /
+       |    (nn.nv * ${Vectors.normSql("r.r")}), 6) * 1000000) AS BIGINT) AS dist_ppm
+       |  FROM rec r JOIN nn ON nn.vec_id = r.vec_id)
+       |SELECT CAST(dist_ppm // 10000 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(min(dist_ppm) AS BIGINT) AS min_ppm,
+       |  CAST(max(dist_ppm) AS BIGINT) AS max_ppm
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qPqRerankSql: String =
     s"""$pqSqlCtes,
        |cand AS (SELECT qid, vec_id FROM rk WHERE rank <= $PqRerankK),
@@ -1824,6 +1879,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
        |FROM cnt LEFT JOIN l1 USING (cid) ORDER BY cnt.cid""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_distortion" -> (qPqDistortion _),
     "sim_ab_drift" -> (qAbDrift _),
     "sim_ood_detect" -> (qOodDetect _),
     "sim_graph_components" -> (qGraphComponents _),
@@ -1852,6 +1908,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_distortion" -> qPqDistortionSql,
     "sim_ab_drift" -> qAbDriftSql,
     "sim_ood_detect" -> qOodDetectSql,
     "sim_graph_components" -> qGraphComponentsSql,

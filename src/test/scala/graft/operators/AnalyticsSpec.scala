@@ -1132,6 +1132,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("PQ distortion buckets partition the corpus with consistent bounds") {
+    val rows = Similarity.qPqDistortion(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "buckets must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "min <= max within a bucket")
+      assert(r.getLong(2) / 10000L == r.getLong(0) && r.getLong(3) / 10000L == r.getLong(0),
+        s"bucket ${r.getLong(0)} bounds outside its value range")
+      assert(r.getLong(2) >= 0L && r.getLong(3) <= 2000000L, "distortion in [0, 2e6] ppm")
+    }
+    assert(rows.length > 1, "uniform vectors must spread across distortion buckets")
+  }
+
   test("moment-fit scaled outputs survive adversarial magnitudes (Long-overflow audit fixture)") {
     // exact line y = 2x at magnitudes where 1000·num and 10⁶·num² no
     // longer fit a Long: the DECIMAL(38,0) widening must still emit

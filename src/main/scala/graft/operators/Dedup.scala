@@ -2577,9 +2577,10 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
     var auth = edgesByP.select(col("p")).distinct()
       .select(col("p"), lit(1000000L).as("a"))
       .repartition(p0, col("p")).localCheckpoint()
-    val deltaFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 0
-    while (r < HitsMaxRounds) {
+    var done = false
+    while (r < HitsMaxRounds && !done) {
       r += 1
       // the previous score rides each checkpoint so the convergence
       // delta is a map-only sum over it (the fused CC changed-count
@@ -2606,33 +2607,25 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
         .join(hub.withColumnRenamed("h", "ph"), "c")
         .select(col("c"), col("h"), abs(col("h") - col("ph")).as("dh"))
         .localCheckpoint()
-      // deltas stay LAZY: map-only sums over the two checkpointed
-      // score frames, accumulated as tagged 1-row frames and
-      // evaluated in ONE job after the loop — the per-round 2-row
-      // collect was a third job per round on a loop that is pure
-      // per-job fixed overhead at test SF. (No crossJoin to pair the
-      // two sides: a 1-row broadcast per round costs more KeyLock
-      // time than it saves — the sides re-pair driver-side.) Early
-      // exit moves to the oracle's own stop-filter semantics below
-      // (identical output: after a zero-delta round the lattice is at
-      // its fixpoint, so every later round's delta is 0 too).
-      deltaFrames += hNext
-        .agg(coalesce(sum(col("dh")), lit(0L)).as("d"))
-        .select(lit(r.toLong).as("round"), lit("h").as("side"), col("d"))
-      deltaFrames += aNext
-        .agg(coalesce(sum(col("da")), lit(0L)).as("d"))
-        .select(lit(r.toLong).as("round"), lit("a").as("side"), col("d"))
+      // one action reads both deltas: map-only sums over the two
+      // EAGERLY-checkpointed score frames (cached blocks — the agg
+      // costs ~ms), unioned into a 2-row collect. The early exit is
+      // load-bearing at scale: a graph that hits its fixpoint at
+      // round k must not pay rounds k+1..max of corpus-scale
+      // shuffles to discard them driver-side (an r10 review finding
+      // reversed the short-lived lazy-trace form that did exactly
+      // that). No crossJoin pairing — a 1-row broadcast per round
+      // costs more KeyLock time than it saves.
+      val ds = aNext.agg(coalesce(sum(col("da")), lit(0L)).as("d"))
+        .unionAll(hNext.agg(coalesce(sum(col("dh")), lit(0L)).as("d")))
+        .collect()
+      val (dAuth, dHub) = (ds(0).getLong(0), ds(1).getLong(0))
+      rounds += ((r.toLong, dHub, dAuth))
       auth = aNext.select(col("p"), col("a"))
       hub = hNext.select(col("c"), col("h"))
+      done = dHub == 0L && dAuth == 0L
     }
-    val raw = deltaFrames.reduce(_ unionAll _).collect()
-      .map(t => (t.getLong(0), t.getString(1), t.getLong(2)))
-    val all = raw.filter(_._2 == "h").sortBy(_._1).map { case (rd, _, dh) =>
-      (rd, dh, raw.find(t => t._1 == rd && t._2 == "a").get._3)
-    }
-    val firstZero = all.indexWhere(t => t._2 == 0L && t._3 == 0L)
-    val upto = if (firstZero < 0) all else all.take(firstZero + 1)
-    upto.toSeq.toDF("round", "delta_hub", "delta_auth").orderBy(col("round"))
+    rounds.toSeq.toDF("round", "delta_hub", "delta_auth").orderBy(col("round"))
   }
 
   val qHitsConvergeSql: String = {

@@ -194,8 +194,7 @@ object Models {
   // (cid, dim)-keyed partial aggregate; the collected update is
   // K×64 rows, the PQ-codebook metadata class, never the corpus.
   private val KmRounds = 4
-  private val KmStride = 40 // seeds: vec_id % 40 == 7, the IVF codebook
-  private val KmK = 32 // fixed seed count (Similarity.CentroidK rule: K must not grow with the corpus)
+
 
   def qKmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -212,9 +211,7 @@ object Models {
         lit(-1L).as("cid"), lit(0L).as("chg"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     var asg = em0.localCheckpoint()
-    var cents: Array[(Long, Array[Long])] = asg
-      .filter(col("vec_id") % KmStride === 7)
-      .orderBy(col("vec_id")).limit(KmK)
+    var cents: Array[(Long, Array[Long])] = Similarity.strideSeeds(asg)
       .select(col("vec_id"), col("xm")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
     val trace = Array.newBuilder[(Long, Long, Long, Long)]
@@ -298,8 +295,8 @@ object Models {
     s"""WITH em AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
        |  FROM embeddings),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $KmStride = 7
-       |  ORDER BY cid LIMIT $KmK),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % ${Similarity.SeedStride} = 7
+       |  ORDER BY cid LIMIT ${Similarity.SeedK}),
        |$rounds
        |SELECT CAST(round AS BIGINT) AS round, CAST(n_changed AS BIGINT) AS n_changed,
        |  CAST(moved_mu AS BIGINT) AS moved_mu, CAST(n_cells AS BIGINT) AS n_cells

@@ -695,6 +695,11 @@ FROM tot t LEFT JOIN segs s USING (doc_id) ORDER BY t.doc_id"""
         conv(substring(md5(concat_ws(":",
           col("nw") - col("win_idx"), col("energy") % 16, col("nE") % 16)), 1, 15), 16, 10)
           .cast("long").as("h"))
+      // checkpointed: the df aggregate AND the probe side of the
+      // count-attach join both read it — without this the pair
+      // window + md5 kernel plans under BOTH join children (the
+      // groupBy+join double-scan rule)
+      .localCheckpoint()
     val shared = pairs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val pm = pairs.join(shared, "h")
       .groupBy(col("doc_id"))

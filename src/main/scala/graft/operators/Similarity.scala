@@ -324,7 +324,7 @@ object Similarity {
   // cluster structure), which is IVF's worst case; on real clustered
   // embeddings with trained centroids and nprobe>1 the same plan is
   // the standard high-recall configuration.
-  private val CentroidStride = 40 // vec_id % 40 == 7 -> the codebook seeds
+  private[operators] val SeedStride = 40 // vec_id % 40 == 7 -> the codebook seeds
   // Fixed trained-codebook size. The stride is only the stand-in for a
   // trained coarse quantizer; without the cap K = n/40 grows with the
   // corpus and the codebook collect, the broadcast, and the K·N
@@ -333,7 +333,17 @@ object Similarity {
   // [[graft.operators.Dedup.embedVecsAndCents]] rule: a predicate form
   // would silently empty on a shifted id space). Oracles cap
   // identically (ORDER BY cid LIMIT K).
-  private val CentroidK = 32
+  private[operators] val SeedK = 32
+
+  /** The K smallest stride seeds of a frame carrying `vec_id` — THE
+    * stand-in trained codebook. One constant + one helper across
+    * every consumer (IVF assign, probe cells, semantic dedup, OOD,
+    * k-means) so no site can reintroduce uncapped K = n/40 growth or
+    * diverge from its oracle's `% 40 = 7 ORDER BY cid LIMIT 32`
+    * twin (r10 review finding — the cap was previously pasted at
+    * five sites under three names). */
+  private[operators] def strideSeeds(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % SeedStride === 7).orderBy(col("vec_id")).limit(SeedK)
 
   /** Nearest-centroid assignment as a map-side partial aggregate
     * (max over (ccos, -cid) structs), not a row_number window: the
@@ -365,8 +375,7 @@ object Similarity {
     // [[graft.functions.Vectors.round6Jvm]] rounding as the
     // expression form. The codebook collect is K·dim doubles (the
     // PQ-codebook metadata class; production trains a fixed K).
-    val centArr = e.filter(col("vec_id") % CentroidStride === 7)
-      .orderBy(col("vec_id")).limit(CentroidK).collect()
+    val centArr = strideSeeds(e).collect()
       .map { r =>
         val cv = r.getSeq[Double](1).toArray
         (r.getLong(0), cv, math.sqrt(Vectors.dotJvm(cv, cv)))
@@ -428,8 +437,8 @@ object Similarity {
   private val assignCteSql: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 7
-       |  ORDER BY cid LIMIT $CentroidK),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $SeedStride = 7
+       |  ORDER BY cid LIMIT $SeedK),
        |sc AS (SELECT n.vec_id, c.cid,
        |  round((${Vectors.dotSql("n.v", "c.cv")}) / (n.nrm * c.cn), 6) AS ccos
        |  FROM n, c),
@@ -915,8 +924,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
-    val cents = e.filter(col("vec_id") % CentroidStride === 7)
-      .orderBy(col("vec_id")).limit(CentroidK)
+    val cents = strideSeeds(e)
       .select(col("vec_id").as("qcid"), col("v").as("cv"), col("nrm").as("cn"))
     val probes = e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -984,8 +992,8 @@ object Similarity {
       .map(i => s"(s.sv[$i]-c.cs[$i])*(s.sv[$i]-c.cs[$i])").mkString(" + ")
     s"""WITH ebase AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM ebase),
-       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 7
-       |  ORDER BY cid LIMIT $CentroidK),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $SeedStride = 7
+       |  ORDER BY cid LIMIT $SeedK),
        |sc AS (SELECT n.vec_id, cents.cid,
        |  round((${Vectors.dotSql("n.v", "cents.cv")}) / (n.nrm * cents.cn), 6) AS ccos
        |  FROM n, cents),
@@ -1542,8 +1550,7 @@ FROM r WHERE rank <= $FusionTopK ORDER BY qid, rank"""
     DotF64.register(s)
     val cents = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
-      .filter(col("vec_id") % CentroidStride === 7)
-      .orderBy(col("vec_id")).limit(CentroidK)
+      .transform(strideSeeds)
       .select(col("vec_id").as("cid"), col("cv"),
         sqrt(DotF64.dot(col("cv"), col("cv"))).as("cn"))
     // per-vector centroid cosine re-derived off the checkpointed
@@ -1750,8 +1757,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   // window. At 100 TB the exact per-cell sort becomes the
   // [[Sketches.qQuantileSketch]] histogram estimate — same
   // decision, sketch-sized state.
-  private val OodStride = 40 // seeds: vec_id % 40 == 7, the IVF codebook convention
-  private val OodK = 32 // fixed seed-set size (the [[CentroidK]] rule)
+
 
   def qOodDetect(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -1762,8 +1768,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
         expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .localCheckpoint() // one scan: seeds + the assignment kernel
-    val cents = em.filter(col("vec_id") % OodStride === 7)
-      .orderBy(col("vec_id")).limit(OodK)
+    val cents = strideSeeds(em)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     val aSchema = StructType(Seq(
@@ -1805,8 +1810,8 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     s"""WITH em AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
        |  FROM embeddings),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $OodStride = 7
-       |  ORDER BY cid LIMIT $OodK),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % $SeedStride = 7
+       |  ORDER BY cid LIMIT $SeedK),
        |a AS MATERIALIZED (SELECT vec_id, cid, d2 FROM (
        |  SELECT e.vec_id, c.cid, $dist AS d2,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $dist ASC, c.cid ASC) AS rn
@@ -1840,15 +1845,20 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   def qAbDrift(s: SparkSession, dir: String): DataFrame = {
     val a = assignMemo(s, dir).select(col("cid"), (col("vec_id") % 2).as("side"),
       expr("transform(v, x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("xm"))
+    // ONE (cid, d)-keyed aggregate with per-side conditional sums —
+    // the side-0/side-1 self-join form planned the N·64 explode +
+    // partial agg under both join children (r10 review finding)
     val dims = a.select(col("cid"), col("side"), posexplode(col("xm")).as(Seq("d", "x")))
-    val mu = dims.groupBy(col("cid"), col("side"), col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .select(col("cid"), col("side"), col("d"),
-        expr("CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx) div n) END").as("mu"))
-    val l1 = mu.filter(col("side") === 0).select(col("cid"), col("d"), col("mu").as("ma"))
-      .join(mu.filter(col("side") === 1)
-        .select(col("cid"), col("d"), col("mu").as("mb")), Seq("cid", "d"))
-      .groupBy(col("cid")).agg(sum(abs(col("ma") - col("mb"))).as("l1"))
+    val mu = dims.groupBy(col("cid"), col("d"))
+      .agg(sum(when(col("side") === 0, col("x"))).as("sxa"),
+        count(when(col("side") === 0, true)).as("na"),
+        sum(when(col("side") === 1, col("x"))).as("sxb"),
+        count(when(col("side") === 1, true)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0) // cells missing a side drop (as the join did)
+      .select(col("cid"),
+        expr("CASE WHEN sxa >= 0 THEN sxa div na ELSE -((-sxa) div na) END").as("ma"),
+        expr("CASE WHEN sxb >= 0 THEN sxb div nb ELSE -((-sxb) div nb) END").as("mb"))
+    val l1 = mu.groupBy(col("cid")).agg(sum(abs(col("ma") - col("mb"))).as("l1"))
     a.groupBy(col("cid")).agg(
         sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))

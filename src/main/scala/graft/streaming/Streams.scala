@@ -65,12 +65,16 @@ object Streams {
           .sortBy(_.getFileName.toString)
         finally ls.close()
       } else List(src)
-    val links = srcFiles.zipWithIndex.map { case (f, i) =>
-      val l = streamDir.resolve(f"part-$i%05d.parquet")
-      java.nio.file.Files.createSymbolicLink(l, f.toAbsolutePath)
-      l
-    }
+    // links are created INSIDE the try so a partial failure still
+    // sweeps whatever was already linked (the finally deletes every
+    // entry that made it into the buffer)
+    val links = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     try {
+      srcFiles.zipWithIndex.foreach { case (f, i) =>
+        val l = streamDir.resolve(f"part-$i%05d.parquet")
+        java.nio.file.Files.createSymbolicLink(l, f.toAbsolutePath)
+        links += l
+      }
       val raw = s.readStream.schema(schema).parquet(streamDir.toString)
       val stream = if (rawTs) raw else Tables.fixEventTs(raw)
       val q = build(stream).writeStream

@@ -2022,7 +2022,98 @@ FROM b GROUP BY 1 ORDER BY 1"""
        |  CAST(1000 * sum(CASE WHEN dfv.df > $BpDfCap THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS bp_pm
        |FROM hs JOIN dfv USING (h) GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // LANG-ID CONFIDENCE MARGIN — the classifier-confidence audit
+  // beside [[qLangidConfusion]]'s accuracy view: per predicted
+  // language, the distribution of the top1−top2 marker-count margin.
+  // A zero margin is a coin-flip resolved only by the deterministic
+  // tie order (es/fr share markers, so ambiguity is structural, not
+  // hypothetical) — the docs a pipeline routes to a heavier model;
+  // margin ≥ 3 is the confident mass it can trust cheaply. CJK and
+  // marker-free (und) docs carry no margin and are excluded (stated
+  // identically in the oracle). One map-only kernel (the qLangId
+  // count walk emitting (predicted, margin)), one per-lang rollup;
+  // exact integers (floor-div mean).
+  def qLangidMargin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("predicted_lang", StringType),
+      StructField("margin", LongType)))
+    val langNames = markers.map(_._1).toArray
+    val nLangs = langNames.length
+    val markerSets = markers.map { case (_, ms) => ms.toSet }.toArray
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val text = r.getString(1)
+          var cjk = false
+          var ci = 0
+          while (ci < text.length && !cjk) {
+            val c = text.charAt(ci)
+            if (c >= 0x4e00 && c <= 0x9fff) cjk = true
+            ci += 1
+          }
+          if (cjk) Iterator.empty
+          else {
+            val counts = new Array[Int](nLangs)
+            duckWords(text).foreach { w =>
+              var li = 0
+              while (li < nLangs) {
+                if (markerSets(li)(w)) counts(li) += 1
+                li += 1
+              }
+            }
+            val sorted = counts.sorted
+            val best = sorted(nLangs - 1)
+            if (best == 0) Iterator.empty
+            else Iterator.single(Row(
+              langNames(counts.indexOf(best)),
+              (best - sorted(nLangs - 2)).toLong))
+          }
+        }
+      }(Encoders.row(schema))
+      // full margin HISTOGRAM per predicted language (tail capped at
+      // 8+ so the row count is fixed, the value-bucket discipline) —
+      // the shape a routing threshold is read off of, not one summary
+      // row
+      .groupBy(col("predicted_lang"), least(col("margin"), lit(8L)).as("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"), max(col("margin")).as("max_margin"))
+      .orderBy(col("predicted_lang"), col("margin_bin"))
+  }
+
+  val qLangidMarginSql: String = {
+    val countExprs = markers.map { case (lang, ms) =>
+      s"len(list_filter(ws, w -> w IN ${sqlList(ms)})) AS c_$lang"
+    }.mkString(",\n    ")
+    val srt = markers.map { case (l, _) => s"c_$l" }.mkString("list_sort([", ", ", "])")
+    val pick = markers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN c_$lang = best THEN '$lang' ELSE $acc END"
+    }
+    val n = markers.length
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS cjk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, cjk,
+       |    $countExprs
+       |  FROM t),
+       |b AS (SELECT *, $srt AS srt FROM c),
+       |m AS (SELECT doc_id, srt[$n] AS best, CAST(srt[$n] - srt[${n - 1}] AS BIGINT) AS margin,
+       |  ${markers.map { case (l, _) => s"c_$l" }.mkString(", ")}
+       |  FROM b WHERE cjk = 0 AND srt[$n] > 0),
+       |p AS (SELECT $pick AS predicted_lang, margin FROM m)
+       |SELECT predicted_lang, CAST(least(margin, 8) AS BIGINT) AS margin_bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(margin) AS BIGINT) AS max_margin
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_margin" -> (qLangidMargin _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_ccnet_buckets" -> (qCcnetBuckets _),
     "text_lm_score" -> (qLmScore _),
@@ -2064,6 +2155,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_feature_hashing" -> qFeatureHashingSql,
     "text_burstiness" -> qBurstinessSql,
     "text_langid_confusion" -> qLangidConfusionSql,
+    "text_langid_margin" -> qLangidMarginSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

@@ -1109,6 +1109,23 @@ class AnalyticsSpec extends SparkSpec {
       "some cell must show a nonzero sampling-noise floor")
   }
 
+  test("langid margin histogram buckets are consistent and exclude und/CJK docs") {
+    val rows = Text.qLangidMargin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getLong(1)
+      assert(bin >= 0L && bin <= 8L, "bins are capped at 8+")
+      assert(r.getLong(2) >= 1L, "empty buckets are not emitted")
+      if (bin < 8L) assert(r.getLong(3) == bin, "below the cap the bin IS the margin")
+      else assert(r.getLong(3) >= 8L, "the 8+ tail holds the true max")
+      assert(r.getString(0).nonEmpty && r.getString(0) != "und",
+        "marker-free docs carry no margin and are excluded")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total > 0L && total <= graft.Tables.documents(spark, sfDir).count(),
+      "histogram mass is a strict subset of the corpus (CJK/und excluded)")
+  }
+
   test("boilerplate profile covers every doc and flags corpus-repeated shingles") {
     val rows = Text.qBoilerplate(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())

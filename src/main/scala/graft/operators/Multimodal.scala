@@ -159,7 +159,14 @@ object Multimodal {
   // corpus; a codec plugs in at the same seam).
   private val PHashWindows = 64
 
-  def qPHash(s: SparkSession, dir: String): DataFrame = {
+  def qPHash(s: SparkSession, dir: String): DataFrame =
+    phashFrame(s, dir).orderBy(col("doc_id"))
+
+  /** Unordered (doc_id, phash_lo, phash_hi) frame — the shared
+    * kernel behind [[qPHash]] and the banded near-dup candidate
+    * generator [[qPhashBuckets]]. Raw input repartitioned before the
+    * per-doc window walk (the narrow-scan CPU rule). */
+  private def phashFrame(s: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("phash_lo", LongType),
@@ -167,6 +174,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val nw = PHashWindows
     payloads(s, dir).select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
@@ -193,7 +201,78 @@ object Multimodal {
           Row(r.getLong(0), lo, hi)
         }
       }(enc)
-      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // BANDED pHash NEAR-DUP — the LSH scale path for image near-dup
+  // (the exact analog of text MinHash banding): split the 64-bit
+  // perceptual hash into 4×16-bit bands, bucket-join docs sharing
+  // any band value, verify candidates by exact hamming distance
+  // ≤ [[PhashHamMax]]. Only fixed-width (band_idx, band_val, doc_id)
+  // rows ever shuffle — never payloads, never the corpus — and the
+  // per-doc hash table broadcasts to the pair stream (the join-
+  // orientation rule). Band math stays in non-negative integer
+  // `div`/`%` (hash halves hold 32 bits each, so both engines agree
+  // exactly). A true near-dup collides in ≥1 band with probability
+  // 1−(1−(1−h/64)^16)^4 — at h ≤ 12 that is ≥ 0.87, the standard
+  // banding trade documented for dedup_minhash_lsh.
+  private val PhashBands = 4
+  private val PhashHamMax = 12
+
+  def qPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    // tiny fixed-width frame, consumed twice (bands + verify join):
+    // checkpoint once so the payload kernel runs once
+    val ph = phashFrame(s, dir).localCheckpoint()
+    val bands = ph.select(col("doc_id"),
+      posexplode(array(
+        col("phash_lo") % 65536,
+        expr("phash_lo div 65536"),
+        col("phash_hi") % 65536,
+        expr("phash_hi div 65536"))).as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    cand
+      .join(broadcast(ph.select(col("doc_id").as("doc_a"),
+        col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"))), "doc_a")
+      .join(broadcast(ph.select(col("doc_id").as("doc_b"),
+        col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      // audit-sized survivor list; checkpoint before the sort (the
+      // winnow-pairs double-run rule)
+      .localCheckpoint()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // lazy: composes qPHashSql, which initializes later in the object
+  lazy val qPhashBucketsSql: String = {
+    val base = qPHashSql.split("\nSELECT doc_id,")(0) // the shared CTE chain
+    s"""$base,
+       |ph AS (SELECT doc_id,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+1] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_lo,
+       |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_hi
+       |  FROM bits),
+       |bands AS (
+       |  SELECT doc_id, t.b AS band_idx,
+       |    CASE t.b WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+       |             WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS band_val
+       |  FROM ph, range($PhashBands) t(b)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+       |  FROM bands a JOIN bands c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       |  WHERE a.doc_id < c.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared_bands,
+       |  CAST(bit_count(xor(pa.phash_lo, pb.phash_lo)) + bit_count(xor(pa.phash_hi, pb.phash_hi)) AS BIGINT) AS hamming
+       |FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b
+       |WHERE bit_count(xor(pa.phash_lo, pb.phash_lo)) + bit_count(xor(pa.phash_hi, pb.phash_hi)) <= $PhashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val qPHashSql: String =
@@ -756,6 +835,7 @@ ORDER BY d.doc_id"""
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
+    "mm_phash_buckets" -> (qPhashBuckets _),
     "mm_hist_dedup" -> (qHistDedup _),
     "mm_audio_windows" -> (qAudioWindows _),
     "mm_frame_sample" -> (qFrameSample _),
@@ -769,6 +849,7 @@ ORDER BY d.doc_id"""
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,
+    "mm_phash_buckets" -> qPhashBucketsSql,
     "mm_hist_dedup" -> qHistDedupSql,
     "mm_audio_windows" -> qAudioWindowsSql,
     "mm_frame_sample" -> qFrameSampleSql,

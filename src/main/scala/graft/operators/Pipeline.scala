@@ -644,6 +644,97 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |FROM events ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // K-ANONYMITY AUDIT — the third leg of the privacy layer (beside
+  // [[qRedact]]/[[qPseudonymize]]): before a record set with
+  // quasi-identifiers leaves its trust boundary, measure how many
+  // records sit in QI-equivalence groups smaller than k. QI here =
+  // (nation, market segment, $1k account-balance bucket) — the
+  // classic linkage-attack triple. Output is the group-size
+  // histogram (tail capped at 5+, the value-bucket discipline): the
+  // k_bin=1 row is the uniquely re-identifiable mass a release gate
+  // blocks on. Two hash aggregates (QI shuffle, then a k-bounded
+  // rollup), no window, no state — the shape survives any corpus
+  // size. floor() before the cast (DuckDB rounds, Spark truncates;
+  // balances go negative).
+  def qKAnon(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(least(col("k"), lit(5L)).as("k_bin"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_records"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bin"))
+
+  val qKAnonSql: String =
+    """WITH qi AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      |  FROM customer),
+      |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS k
+      |      FROM qi GROUP BY 1, 2, 3)
+      |SELECT CAST(least(k, 5) AS BIGINT) AS k_bin,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_records,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SOURCE-CONCENTRATION AUDIT (Lorenz curve + Gini) — how unequally
+  // the token budget is spread across sources: the number a mixing
+  // policy (samp_domain_mix / samp_temperature) is tuned against,
+  // and the release-gate check that one crawl domain hasn't quietly
+  // become half the corpus. Per source: token mass, ascending rank,
+  // cumulative (Lorenz) share; plus the corpus Gini, all in exact
+  // integer per-mille. The corpus-sized work is one groupBy(source)
+  // token rollup (map-side partial); every window runs over the
+  // |sources| rows that survive it — bounded by design, the same
+  // class as qShuffleOrder's 16-row offset table. The Gini numerator
+  // Σ(2i−n−1)·tok is n²·tok_max-ish, so it rides through
+  // DECIMAL(38,0)/HUGEINT on both engines (the DSIR overflow
+  // lesson); all operands non-negative after the ascending sort, so
+  // integer div = floor on both.
+  def qSourceGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("tok"))
+    val asc = Window.orderBy(col("tok"), col("source"))
+    val full = asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bySrc
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("tot", sum(col("tok")).over(full))
+      .withColumn("cum", sum(col("tok")).over(cum))
+      .withColumn("gnum", sum((lit(2L) * col("i") - col("n") - lit(1L)) * col("tok")).over(full))
+      .select(col("source"), col("tok").as("n_tokens"), col("i").as("rank_asc"),
+        expr("1000 * cum div tot").as("cum_share_pm"),
+        expr("cast(1000 as decimal(38,0)) * cast(gnum as decimal(38,0)) div (cast(n as decimal(38,0)) * cast(tot as decimal(38,0)))")
+          .cast("long").as("gini_pm"))
+      .orderBy(col("rank_asc"))
+  }
+
+  val qSourceGiniSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS t
+      |  FROM documents),
+      |s AS (SELECT source, CAST(sum(t) AS BIGINT) AS tok FROM d GROUP BY 1),
+      |r AS (SELECT source, tok,
+      |  CAST(row_number() OVER (ORDER BY tok, source) AS BIGINT) AS i,
+      |  CAST(count(*) OVER () AS BIGINT) AS n,
+      |  CAST(sum(tok) OVER () AS BIGINT) AS tot,
+      |  CAST(sum(tok) OVER (ORDER BY tok, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM s),
+      |g AS (SELECT *, CAST(sum((2*i - n - 1) * tok) OVER () AS HUGEINT) AS gnum FROM r)
+      |SELECT source, tok AS n_tokens, i AS rank_asc,
+      |  CAST(1000 * cum // tot AS BIGINT) AS cum_share_pm,
+      |  CAST(1000::HUGEINT * gnum // (n::HUGEINT * tot::HUGEINT) AS BIGINT) AS gini_pm
+      |FROM g ORDER BY rank_asc""".stripMargin
+
+  // ---------------------------------------------------------------
   // TRAIN/VAL/TEST SPLIT — the 80/10/10 hash split every training
   // pipeline runs before anything else, with the per-language class
   // balance that audits split bias. Membership is a pure row-local
@@ -1512,6 +1603,8 @@ FROM j ORDER BY source"""
     "pipe_curriculum" -> (qCurriculum _),
     "samp_weighted" -> (qWeightedSample _),
     "pii_redact" -> (qRedact _),
+    "pii_kanon" -> (qKAnon _),
+    "pipe_source_gini" -> (qSourceGini _),
     "pipeline_partial_merge" -> (qPartialMerge _),
     "samp_stratified" -> (qStratified _),
     "samp_domain_mix" -> (qDomainMix _),
@@ -1540,6 +1633,8 @@ FROM j ORDER BY source"""
     "pipe_curriculum" -> qCurriculumSql,
     "samp_weighted" -> qWeightedSampleSql,
     "pii_redact" -> qRedactSql,
+    "pii_kanon" -> qKAnonSql,
+    "pipe_source_gini" -> qSourceGiniSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,
     "samp_domain_mix" -> qDomainMixSql,

@@ -1109,6 +1109,52 @@ class AnalyticsSpec extends SparkSpec {
       "some cell must show a nonzero sampling-noise floor")
   }
 
+  test("phash banding: pairs share a band and hamming recounts against mm_phash") {
+    val hashes = Multimodal.qPHash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def bands(h: (Long, Long)): Set[(Int, Long)] = Set(
+      0 -> h._1 % 65536, 1 -> h._1 / 65536, 2 -> h._2 % 65536, 3 -> h._2 / 65536)
+    val rows = Multimodal.qPhashBuckets(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the corpus must contain phash near-dups")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "canonical pair order")
+      val (ha, hb) = (hashes(a), hashes(b))
+      val shared = bands(ha).intersect(bands(hb)).size.toLong
+      assert(r.getLong(2) == shared && shared >= 1L, s"pair ($a,$b) shared bands")
+      val ham = java.lang.Long.bitCount(ha._1 ^ hb._1) + java.lang.Long.bitCount(ha._2 ^ hb._2)
+      assert(r.getLong(3) == ham.toLong && ham <= 12, s"pair ($a,$b) hamming")
+    }
+  }
+
+  test("k-anonymity histogram partitions the customer table") {
+    val rows = Pipeline.qKAnon(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == graft.Tables.customer(spark, sfDir).count())
+    rows.foreach { r =>
+      val bin = r.getLong(0)
+      assert(bin >= 1L && bin <= 5L)
+      if (bin < 5L) {
+        assert(r.getLong(3) == bin, "below the cap the bin IS the group size")
+        assert(r.getLong(2) == r.getLong(1) * bin, "records = groups * k")
+      } else assert(r.getLong(3) >= 5L)
+    }
+    assert(rows.exists(_.getLong(0) == 1L), "synthetic QIs must expose singleton groups")
+  }
+
+  test("source gini: Lorenz curve is monotone, closes at 1000, gini is one corpus constant") {
+    val rows = Pipeline.qSourceGini(spark, sfDir).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(2)).toSeq == (1L to n).toSeq, "ranks are dense ascending")
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(identity).toSeq,
+      "token mass ascends with rank")
+    val shares = rows.map(_.getLong(3))
+    assert(shares.toSeq == shares.sortBy(identity).toSeq && shares.last == 1000L,
+      "cumulative shares are monotone and close at 1000pm")
+    assert(rows.map(_.getLong(4)).distinct.length == 1, "gini is a corpus constant")
+    val g = rows.head.getLong(4)
+    assert(g >= 0L && g < 1000L)
+  }
+
   test("langid margin histogram buckets are consistent and exclude und/CJK docs") {
     val rows = Text.qLangidMargin(spark, sfDir).collect()
     assert(rows.nonEmpty)

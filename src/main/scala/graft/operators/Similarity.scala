@@ -610,6 +610,57 @@ object Similarity {
        |SELECT cid, d, n_members, centroid_micro FROM up ORDER BY cid, d""".stripMargin
 
   // ---------------------------------------------------------------
+  // PER-LABEL CENTROID DRIFT — the embedding-space class-balance
+  // audit: how far each label's centroid sits from the corpus
+  // centroid (L1 in micro-units, plus the worst dimension). The
+  // shard/batch version of this is how training pipelines catch a
+  // feature-extractor version skew or a class collapsing into the
+  // mean before it poisons a run. Exact integers end to end (the
+  // [[lloydMicroUpdate]] conventions): components scale to
+  // round(v·1e6) BIGINTs so the Σ is order-free, centroids are
+  // floor'd micro-unit means, and the corpus centroid derives from
+  // the SAME per-label sums (one corpus-sized exchange of map-side
+  // partial sums, |labels|·64 rows after it; the global rollup and
+  // the broadcast-join back are label-bounded metadata).
+  def qLabelDrift(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "value")))
+      .select(col("label"), col("d").cast("long").as("d"),
+        round(col("value") * 1000000).cast("long").as("sv"))
+      .groupBy(col("label"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("ssum"))
+      .localCheckpoint() // consumed twice: per-label + global rollup
+    val lab = bySrc.select(col("label"), col("d"),
+      col("n").as("n_vecs"),
+      floor(col("ssum").cast("double") / col("n")).cast("long").as("c_lab"))
+    val glob = bySrc.groupBy(col("d"))
+      .agg(floor(sum(col("ssum")).cast("double") / sum(col("n"))).cast("long").as("c_all"))
+    lab.join(broadcast(glob), "d")
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        sum(abs(col("c_lab") - col("c_all"))).as("l1_drift_micro"),
+        max(abs(col("c_lab") - col("c_all"))).as("max_dim_drift_micro"))
+      .orderBy(col("label"))
+  }
+
+  val qLabelDriftSql: String =
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT CAST(label AS BIGINT) AS label, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |ls AS (SELECT label, d, count(*) AS n, CAST(sum(sv) AS BIGINT) AS ssum
+       |  FROM ex GROUP BY 1, 2),
+       |lc AS (SELECT label, d, n AS n_vecs,
+       |  CAST(floor(ssum::DOUBLE / n) AS BIGINT) AS c_lab FROM ls),
+       |gc AS (SELECT d, CAST(floor(CAST(sum(ssum) AS BIGINT)::DOUBLE / sum(n)) AS BIGINT) AS c_all
+       |  FROM ls GROUP BY 1)
+       |SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+       |  CAST(sum(abs(c_lab - c_all)) AS BIGINT) AS l1_drift_micro,
+       |  CAST(max(abs(c_lab - c_all)) AS BIGINT) AS max_dim_drift_micro
+       |FROM lc JOIN gc USING (d) GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
   // Symmetric per-vector int8 quantization — the storage/bandwidth
   // step before ANN at scale (4x smaller vectors, SIMD-int dot
   // products). Map-only: scale = maxabs/127 per vector, code =
@@ -1915,6 +1966,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_ivf_retrain_stats" -> (qIvfRetrainStats _),
     "sim_recall_report" -> (qRecallReport _),
     "sim_kmeans_step" -> (qKmeansStep _),
+    "sim_label_drift" -> (qLabelDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1944,5 +1996,6 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_ivf_retrain_stats" -> qIvfRetrainStatsSql,
     "sim_recall_report" -> qRecallReportSql,
     "sim_kmeans_step" -> qKmeansStepSql,
+    "sim_label_drift" -> qLabelDriftSql,
   )
 }

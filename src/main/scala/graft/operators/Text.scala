@@ -2112,7 +2112,53 @@ FROM b GROUP BY 1 ORDER BY 1"""
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // ZIPF RANK-FREQUENCY AUDIT — the corpus-health fingerprint: the
+  // top-K words by frequency with their rank, count, share of the
+  // top-1 count, and the Zipf product rank·freq normalized to the
+  // top-1 (per-mille). Natural text holds rank·freq roughly constant
+  // (zipf_pm ≈ 1000); template/boilerplate-heavy or deduplicated-
+  // to-death corpora bow the curve, and THIS is the audit that shows
+  // it — all in exact integers (no log-log regression: libm is
+  // banned from gated values, and the normalized product carries the
+  // same signal). Scale shape: one vocab-bounded groupBy(word) with
+  // map-side partials, then TakeOrderedAndProject for the top K (no
+  // global sort materializes); the K-row frame hosts the windows.
+  private val ZipfTopK = 30
+
+  def qZipfRatio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(ZipfTopK)
+    val desc = Window.orderBy(col("freq").desc, col("word"))
+    val full = desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("rank", row_number().over(desc).cast("long"))
+      .withColumn("f1", max(col("freq")).over(full))
+      .select(col("rank"), col("word"), col("freq"),
+        expr("1000 * freq div f1").as("share_pm"),
+        expr("1000 * (rank * freq) div f1").as("zipf_pm"))
+      .orderBy(col("rank"))
+  }
+
+  val qZipfRatioSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1
+       |      ORDER BY freq DESC, word LIMIT $ZipfTopK),
+       |r AS (SELECT word, freq,
+       |  CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+       |  CAST(max(freq) OVER () AS BIGINT) AS f1 FROM f)
+       |SELECT rank, word, freq,
+       |  CAST(1000 * freq // f1 AS BIGINT) AS share_pm,
+       |  CAST(1000 * (rank * freq) // f1 AS BIGINT) AS zipf_pm
+       |FROM r ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_ratio" -> (qZipfRatio _),
     "text_langid_margin" -> (qLangidMargin _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_ccnet_buckets" -> (qCcnetBuckets _),
@@ -2156,6 +2202,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_burstiness" -> qBurstinessSql,
     "text_langid_confusion" -> qLangidConfusionSql,
     "text_langid_margin" -> qLangidMarginSql,
+    "text_zipf_ratio" -> qZipfRatioSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

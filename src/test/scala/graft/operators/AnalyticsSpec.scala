@@ -1109,6 +1109,31 @@ class AnalyticsSpec extends SparkSpec {
       "some cell must show a nonzero sampling-noise floor")
   }
 
+  test("zipf audit: dense ranks, descending freq, top-1 normalizations") {
+    val rows = Text.qZipfRatio(spark, sfDir).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 30L).toSeq, "dense ranks")
+    val freqs = rows.map(_.getLong(2))
+    assert(freqs.toSeq == freqs.sortBy(-_).toSeq, "frequency descends with rank")
+    val f1 = freqs.head
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1000L * r.getLong(2) / f1, "share recounts")
+      assert(r.getLong(4) == 1000L * r.getLong(0) * r.getLong(2) / f1, "zipf product recounts")
+    }
+    assert(rows.head.getLong(3) == 1000L && rows.head.getLong(4) == 1000L)
+  }
+
+  test("label drift: per-label centroids recount against the global centroid") {
+    val rows = Similarity.qLabelDrift(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "labels partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), "L1 dominates the worst dimension")
+      assert(r.getLong(3) >= 0L)
+    }
+    assert(rows.exists(_.getLong(2) > 0L), "some label must sit off the corpus centroid")
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -2461,6 +2461,62 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
        |FROM r WHERE rn <= $CnTopN ORDER BY n_common DESC, p_a, p_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // DEGREE ASSORTATIVITY — the bipartite mixing audit: across the
+  // co-purchase EDGES, does a high-degree customer connect to
+  // high-degree (popular) parts? Pearson correlation of the endpoint
+  // degrees (deg(c), deg(p)) per edge — positive = assortative
+  // (heavy buyers chase bestsellers: hub-hub shuffle skew, the pairs
+  // that blow up Σdeg² self-joins), negative = disassortative (hubs
+  // fan out to the tail). This is the ONE number to read before
+  // picking the [[qCommonNeighbors]] degree cap or a salting plan —
+  // assortative graphs concentrate join work on hub×hub cells.
+  // Exact-moment correlation (the q35 discipline: moments accumulate
+  // order-free as DECIMAL(38,0)/HUGEINT, the closed form is one
+  // fixed double chain over exact inputs, 4-dp round; means gate as
+  // integer per-mille through decimal `div`). Scale shape: the
+  // degree aggregates reuse the memo's c-partitioning (dc is
+  // exchange-free), one shuffle on p for the dy attach, then a
+  // map-side total aggregate to a single row.
+  def qDegreeAssort(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = copurchaseEdges(s, dir)
+    val dc = e.groupBy(col("c")).agg(count(lit(1)).as("dx"))
+    val dp = e.groupBy(col("p")).agg(count(lit(1)).as("dy"))
+    val m = e.join(dc, "c").join(dp, "p")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    m.select(col("n").as("n_edges"),
+        expr("cast(1000 * sx div n as bigint)").as("mean_cust_deg_pm"),
+        expr("cast(1000 * sy div n as bigint)").as("mean_part_deg_pm"),
+        round((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4).as("assortativity"))
+  }
+
+  val qDegreeAssortSql: String =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |dc AS (SELECT c, count(*) AS dx FROM e GROUP BY c),
+      |dp AS (SELECT p, count(*) AS dy FROM e GROUP BY p),
+      |j AS (SELECT dx, dy FROM e JOIN dc USING (c) JOIN dp USING (p)),
+      |m AS (SELECT count(*) AS n, sum(dx::HUGEINT) AS sx, sum(dy::HUGEINT) AS sy,
+      |  sum(dx::HUGEINT * dy) AS sxy, sum(dx::HUGEINT * dx) AS sxx,
+      |  sum(dy::HUGEINT * dy) AS syy FROM j)
+      |SELECT CAST(n AS BIGINT) AS n_edges,
+      |  CAST(1000 * sx // n AS BIGINT) AS mean_cust_deg_pm,
+      |  CAST(1000 * sy // n AS BIGINT) AS mean_part_deg_pm,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS assortativity
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
   // CROSS-SOURCE SYNDICATION MATRIX — where near-duplicate content
   // FLOWS between sources: for each unordered source pair, the count
   // of verified near-dup pairs connecting them. The diagonal is
@@ -2654,6 +2710,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_hits" -> (qHits _),
     "graph_hits_converge" -> (qHitsConverge _),
     "graph_common_neighbors" -> (qCommonNeighbors _),
+    "graph_degree_assort" -> (qDegreeAssort _),
     "dedup_source_matrix" -> (qSourceMatrix _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
@@ -2687,6 +2744,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
   val oracles: Map[String, String] = Map(
     "graph_hits" -> qHitsSql,
     "graph_common_neighbors" -> qCommonNeighborsSql,
+    "graph_degree_assort" -> qDegreeAssortSql,
     "dedup_source_matrix" -> qSourceMatrixSql,
     "graph_hits_converge" -> qHitsConvergeSql,
     "dedup_ensemble" -> qDedupEnsembleSql,

@@ -763,7 +763,50 @@ object Temporal {
        |       THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
        |FROM sc ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MARKOV TRANSITION MATRIX — the first-order behavioral model of
+  // the event stream: for each (from_type → to_type) step in a
+  // user's time-ordered sequence, the count and the row-normalized
+  // transition probability in exact per-mille. This is the sequence
+  // audit a pipeline reads before session modeling: self-loop mass =
+  // burstiness per type, the view→click / click→purchase cells are
+  // the funnel's local form, and a drifted matrix between snapshots
+  // is the cheapest behavioral-change alarm. Scale shape: ONE
+  // user-partitioned lead() window (the sessionize exchange — no
+  // global window anywhere), a map-side-combined count to the
+  // |types|² matrix, and the row totals via a window hosted on that
+  // metadata-sized frame. Probabilities gate as integer `div`
+  // per-mille (non-negative operands).
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        expr("1000 * n div row_total").as("p_pm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |st AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM ev),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |  CAST(1000 * n // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_pm
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_markov" -> (qMarkovTransitions _),
     "temporal_drift" -> (qDrift _),
     "asof_join" -> (qAsofJoin _),
     "asof_join_exec" -> (qAsofJoinExec _),
@@ -784,6 +827,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_markov" -> qMarkovTransitionsSql,
     "temporal_drift" -> qDriftSql,
     "asof_join" -> qAsofJoinSql,
     "asof_join_exec" -> qAsofJoinSql,

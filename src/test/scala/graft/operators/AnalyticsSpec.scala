@@ -1134,6 +1134,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0L), "some label must sit off the corpus centroid")
   }
 
+  test("markov transitions: rows partition the step stream and p_pm recounts") {
+    val rows = Temporal.qMarkovTransitions(spark, sfDir).collect()
+    // Σn over the matrix = total steps = events − one last event per user
+    val ev = graft.Tables.events(spark, sfDir)
+    val steps = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == steps, "matrix cells partition the step stream")
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val tot = g.head.getLong(3)
+      assert(g.map(_.getLong(2)).sum == tot, "row_total recounts as the row's cell sum")
+      g.foreach(r => assert(r.getLong(4) == 1000L * r.getLong(2) / tot, "p_pm recounts"))
+    }
+  }
+
+  test("degree assortativity: bounded correlation over all copurchase edges") {
+    val r = Dedup.qDegreeAssort(spark, sfDir).collect().head
+    val edges = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().count()
+    assert(r.getLong(0) == edges, "n_edges recounts the distinct (c, p) edge set")
+    assert(r.getLong(1) >= 1000L && r.getLong(2) >= 1000L,
+      "every endpoint has degree >= 1, so per-mille means are >= 1000")
+    val a = r.getDouble(3)
+    assert(a >= -1.0 && a <= 1.0, s"Pearson correlation out of bounds: $a")
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

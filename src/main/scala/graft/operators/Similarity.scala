@@ -492,6 +492,52 @@ object Similarity {
        |FROM cc, t ORDER BY cid""".stripMargin
 
   // ---------------------------------------------------------------
+  // IVF CELL LABEL PURITY — does the coarse quantizer's geometry
+  // agree with the labels? Per cell: member count, how many distinct
+  // labels land in it, the majority label, and its share in exact
+  // per-mille. This is the supervised twin of [[qIvfCellStats]]'
+  // balance audit — a pure cell (one dominant label) means
+  // cell-restricted search ([[qIvfTopk]], the semantic-decontaminate
+  // path) rarely crosses a class boundary; purity collapsing toward
+  // 1/|labels| means the embedding space ignores the labels and the
+  // index needs retraining. Scale shape: the shared [[assignMemo]]
+  // (vec_id, cid) stream joins the label column on the vec_id key
+  // (one co-partitioned exchange), combines map-side to the
+  // |cells|·|labels| matrix, and every window below runs on that
+  // metadata-sized frame. The majority argmax is the assign stage's
+  // own (n desc, label asc) tiebreak discipline.
+  def qIvfPurity(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cl = assignMemo(s, dir).select(col("vec_id"), col("cid"))
+      .join(lab, "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+    val per = Window.partitionBy(col("cid"))
+    cl.withColumn("n_members", sum(col("n")).over(per))
+      .withColumn("n_labels", count(lit(1)).over(per))
+      .withColumn("rn", row_number().over(per.orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_members"), col("n_labels").cast("long").as("n_labels"),
+        col("label").as("maj_label"),
+        expr("1000 * n div n_members").as("purity_pm"))
+      .orderBy(col("cid"))
+  }
+
+  val qIvfPuritySql: String =
+    s"""WITH $assignCteSql,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |cl AS (SELECT a.cid, l.label, CAST(count(*) AS BIGINT) AS n
+       |  FROM asg a JOIN lab l USING (vec_id) GROUP BY 1, 2),
+       |w AS (SELECT cid, label, n,
+       |    CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members,
+       |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_labels,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+       |  FROM cl)
+       |SELECT cid, n_members, n_labels, label AS maj_label,
+       |  CAST(1000 * n // n_members AS BIGINT) AS purity_pm
+       |FROM w WHERE rn = 1 ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
   // K-MEANS → IVF COMPOSITION — one Lloyd iteration FEEDING the
   // index it trains: assign the corpus to the seed (stride) codebook,
   // update every centroid as the exact-integer member mean
@@ -1967,6 +2013,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_recall_report" -> (qRecallReport _),
     "sim_kmeans_step" -> (qKmeansStep _),
     "sim_label_drift" -> (qLabelDrift _),
+    "sim_ivf_purity" -> (qIvfPurity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1997,5 +2044,6 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_recall_report" -> qRecallReportSql,
     "sim_kmeans_step" -> qKmeansStepSql,
     "sim_label_drift" -> qLabelDriftSql,
+    "sim_ivf_purity" -> qIvfPuritySql,
   )
 }

@@ -2157,7 +2157,57 @@ FROM b GROUP BY 1 ORDER BY 1"""
        |  CAST(1000 * (rank * freq) // f1 AS BIGINT) AS zipf_pm
        |FROM r ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CHARACTER-CLASS COMPOSITION — the per-language byte-level
+  // profile a multilingual pipeline reads before tokenizer training:
+  // what fraction of each language's character mass is letters,
+  // digits, whitespace, or other (punctuation/symbols/non-Latin).
+  // A lang bucket whose letter share collapses or whose "other"
+  // share spikes is mislabeled data, markup leakage, or a decoder
+  // bug — this is the cheapest corpus-intake alarm there is. Class
+  // counts are regexp_replace LENGTH DIFFS (the [[qQuality]]
+  // punct-ratio convention — codegen'd, no HOF loops), summed per
+  // lang with map-side partials to a |langs|-row frame; shares gate
+  // as integer `div` per-mille over non-negative totals.
+  def qCharclass(s: SparkSession, dir: String): DataFrame = {
+    def stripped(pat: String) =
+      length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+    Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).as("n"),
+        stripped("[a-zA-Z]").as("let"),
+        stripped("[0-9]").as("dig"),
+        stripped(s"[$Re2Ws]").as("sp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_chars_total"),
+        sum(col("let")).as("sl"), sum(col("dig")).as("sd"), sum(col("sp")).as("ss"))
+      .select(col("lang"), col("n_docs"), col("n_chars_total"),
+        expr("1000 * sl div n_chars_total").as("letter_pm"),
+        expr("1000 * sd div n_chars_total").as("digit_pm"),
+        expr("1000 * ss div n_chars_total").as("space_pm"),
+        expr("1000 * (n_chars_total - sl - sd - ss) div n_chars_total").as("other_pm"))
+      .orderBy(col("lang"))
+  }
+
+  val qCharclassSql: String =
+    """WITH t AS (SELECT lang, length(text) AS n,
+      |    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS let,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+      |    length(text) - length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS sp
+      |  FROM documents),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS n_chars_total, CAST(sum(let) AS BIGINT) AS sl,
+      |    CAST(sum(dig) AS BIGINT) AS sd, CAST(sum(sp) AS BIGINT) AS ss
+      |  FROM t GROUP BY lang)
+      |SELECT lang, n_docs, n_chars_total,
+      |  CAST(1000 * sl // n_chars_total AS BIGINT) AS letter_pm,
+      |  CAST(1000 * sd // n_chars_total AS BIGINT) AS digit_pm,
+      |  CAST(1000 * ss // n_chars_total AS BIGINT) AS space_pm,
+      |  CAST(1000 * (n_chars_total - sl - sd - ss) // n_chars_total AS BIGINT) AS other_pm
+      |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_charclass" -> (qCharclass _),
     "text_zipf_ratio" -> (qZipfRatio _),
     "text_langid_margin" -> (qLangidMargin _),
     "text_boilerplate" -> (qBoilerplate _),
@@ -2203,6 +2253,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_langid_confusion" -> qLangidConfusionSql,
     "text_langid_margin" -> qLangidMarginSql,
     "text_zipf_ratio" -> qZipfRatioSql,
+    "text_charclass" -> qCharclassSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,
     "text_winnow_fp" -> qWinnowFingerprintSql,

@@ -1161,6 +1161,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(a >= -1.0 && a <= 1.0, s"Pearson correlation out of bounds: $a")
   }
 
+  test("charclass profile: shares are a partition of the char mass per lang") {
+    val rows = Text.qCharclass(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "lang rows partition the corpus")
+    val chars = docs.agg(sum(length(col("text")))).first().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == chars, "char totals partition the char mass")
+    rows.foreach { r =>
+      val shares = (3 to 6).map(r.getLong)
+      shares.foreach(p => assert(p >= 0L && p <= 1000L))
+      // four floor'd per-milles of an exact partition lose < 4 units
+      val s = shares.sum
+      assert(s >= 997L && s <= 1000L, s"floor'd shares must nearly close: $s")
+      assert(r.getLong(3) > r.getLong(4), "text is letter-dominated over digits")
+    }
+  }
+
+  test("ivf purity: majority bounded by membership and cells partition the corpus") {
+    val rows = Similarity.qIvfPurity(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "cells partition the corpus")
+    rows.foreach { r =>
+      val (members, labels, pm) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(labels >= 1L && labels <= members)
+      // majority share is at least the uniform share and at most 1000
+      assert(pm >= 1000L / labels - 1 && pm <= 1000L,
+        s"purity $pm out of [uniform, 1000] for $labels labels")
+      if (labels == 1L) assert(pm == 1000L, "single-label cell must be fully pure")
+    }
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

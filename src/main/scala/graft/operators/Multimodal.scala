@@ -448,7 +448,10 @@ FROM agg ORDER BY doc_id"""
   private val FrameStride = 4
   private val CutThreshold = 1500L
 
-  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+  /** The sampled-frame feature stream with its cut flags — shared by
+    * [[qFrameSample]] (the per-frame gate) and [[qSceneSegments]]
+    * (the per-scene rollup). */
+  private def frameCuts(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", LongType),
@@ -488,8 +491,10 @@ FROM agg ORDER BY doc_id"""
       .withColumn("delta",
         coalesce(abs(col("checksum") - lag(col("checksum"), 1).over(w)), lit(0L)))
       .withColumn("cut", when(col("delta") > CutThreshold, 1L).otherwise(0L))
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    frameCuts(s, dir).orderBy(col("doc_id"), col("frame_idx"))
 
   val qFrameSampleSql: String =
     s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -513,6 +518,47 @@ FROM agg ORDER BY doc_id"""
        |SELECT doc_id, frame_idx, n_bytes, checksum, b_min, b_max, delta,
        |  CASE WHEN delta > $CutThreshold THEN 1::BIGINT ELSE 0::BIGINT END AS cut
        |FROM d ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SCENE SEGMENTATION — the rollup the cut flags exist FOR: group
+  // the sampled-frame stream into scenes at each cut boundary
+  // (scene_idx = running cut count per doc, the sessionize
+  // running-sum idiom applied to frames) and emit per-scene extent
+  // and byte statistics — the video twin of [[qVadSegments]]' audio
+  // segmentation, and the unit a real pipeline samples keyframes
+  // from (one representative frame per SCENE, not per stride,
+  // dedups slideshow-like content for free). Scale shape: the
+  // shared [[frameCuts]] kernel (map-only over payloads), one
+  // doc-partitioned running-sum window, one map-side-combined
+  // rollup; the mean gates as integer `div` on non-negative sums.
+  def qSceneSegments(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frameCuts(s, dir)
+      .withColumn("scene_idx", sum(col("cut")).over(w))
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("first_frame"),
+        max(col("frame_idx")).as("last_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("checksum")).as("sum_checksum"))
+      .select(col("doc_id"), col("scene_idx"), col("first_frame"), col("last_frame"),
+        col("n_frames"), expr("sum_checksum div n_frames").as("mean_checksum"))
+      .orderBy(col("doc_id"), col("scene_idx"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped frame SQL
+  lazy val qSceneSegmentsSql: String =
+    s"""WITH fr AS MATERIALIZED (
+$qFrameSampleSql
+),
+sc AS (SELECT doc_id, frame_idx, checksum,
+  CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_idx
+  FROM fr)
+SELECT doc_id, scene_idx, CAST(min(frame_idx) AS BIGINT) AS first_frame,
+  CAST(max(frame_idx) AS BIGINT) AS last_frame, CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(CAST(sum(checksum) AS BIGINT) // count(*) AS BIGINT) AS mean_checksum
+FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_idx"""
 
   // ---------------------------------------------------------------
   // HISTOGRAM-SIGNATURE NEAR-DUP — media dedup over the multimodal
@@ -839,6 +885,7 @@ ORDER BY d.doc_id"""
     "mm_hist_dedup" -> (qHistDedup _),
     "mm_audio_windows" -> (qAudioWindows _),
     "mm_frame_sample" -> (qFrameSample _),
+    "mm_scene_segments" -> (qSceneSegments _),
     "mm_silence_trim" -> (qSilenceTrim _),
   )
 
@@ -853,5 +900,6 @@ ORDER BY d.doc_id"""
     "mm_hist_dedup" -> qHistDedupSql,
     "mm_audio_windows" -> qAudioWindowsSql,
     "mm_frame_sample" -> qFrameSampleSql,
+    "mm_scene_segments" -> qSceneSegmentsSql,
     "mm_silence_trim" -> qSilenceTrimSql)
 }

@@ -805,7 +805,75 @@ object Temporal {
       |  CAST(1000 * n // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_pm
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DAILY-SERIES AUTOCORRELATION — the time-series health statistic
+  // behind [[qSeasonality]]'s profile: Pearson correlation of each
+  // event type's daily count series against itself at lag 1 (daily
+  // momentum) and lag 7 (weekly rhythm). A strong lag-7 / weak lag-1
+  // pattern is weekly seasonality; both collapsing to ~0 on a
+  // snapshot that used to show rhythm means the upstream producer's
+  // clock or sampling broke — the alarm this audit exists for.
+  // Lagged pairs come from an equi-join of the daily-count table
+  // against itself on (type, day+lag) — no global window, gaps
+  // pair nothing by construction; the q35 exact-moment discipline
+  // (DECIMAL/HUGEINT sums, one fixed double chain, 4-dp round), with
+  // degenerate (constant) series filtered out in exact decimal on
+  // both engines so no NaN ever gates. Scale shape: the corpus
+  // collapses map-side to |types|·|days| rows; everything after is
+  // metadata.
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny; feeds both sides of both lag joins
+    val m = Seq(1, 7).map { lg =>
+      val a = daily.select(col("event_type"),
+        expr(s"timestampadd(DAY, $lg, day)").as("jday"), col("cnt").as("x"))
+      val b = daily.select(col("event_type"), col("day").as("jday"), col("cnt").as("y"))
+      a.join(b, Seq("event_type", "jday"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .withColumn("lag_days", lit(lg.toLong))
+    }.reduce(_ unionAll _)
+    val nD = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    m.filter(expr("cast(n as decimal(38,0)) * sxx - sx * sx > 0") &&
+        expr("cast(n as decimal(38,0)) * syy - sy * sy > 0"))
+      .select(col("event_type"), col("lag_days"), col("n").as("n_pairs"),
+        round((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4).as("autocorr"))
+      .orderBy(col("event_type"), col("lag_days"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, 1 AS lag_days, a.cnt AS x, b.cnt AS y
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 1 DAY
+      |  UNION ALL
+      |  SELECT a.event_type, 7, a.cnt, b.cnt
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 7 DAY),
+      |m AS (SELECT event_type, lag_days, count(*) AS n,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y) AS sxy,
+      |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS autocorr
+      |FROM m WHERE n::HUGEINT * sxx - sx * sx > 0 AND n::HUGEINT * syy - sy * sy > 0
+      |ORDER BY event_type, lag_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_autocorr" -> (qAutocorr _),
     "temporal_markov" -> (qMarkovTransitions _),
     "temporal_drift" -> (qDrift _),
     "asof_join" -> (qAsofJoin _),
@@ -827,6 +895,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_autocorr" -> qAutocorrSql,
     "temporal_markov" -> qMarkovTransitionsSql,
     "temporal_drift" -> qDriftSql,
     "asof_join" -> qAsofJoinSql,

@@ -1191,6 +1191,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scene segments: contiguous frame cover recounting frame_sample's cuts") {
+    val frames = Multimodal.qFrameSample(spark, sfDir).collect()
+    val scenes = Multimodal.qSceneSegments(spark, sfDir).collect()
+    assert(scenes.map(_.getLong(4)).sum == frames.length,
+      "scene frame counts partition the sampled-frame stream")
+    // per doc: scene count = cuts + 1, and scenes tile the frame range
+    val cutsByDoc = frames.groupBy(_.getLong(0)).map { case (d, fs) =>
+      d -> fs.map(_.getLong(7)).sum
+    }
+    scenes.groupBy(_.getLong(0)).foreach { case (d, ss) =>
+      assert(ss.length.toLong == cutsByDoc(d) + 1, s"doc $d: scenes != cuts+1")
+      val sorted = ss.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(2) == 0L, "first scene starts at frame 0")
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2), "scenes must not overlap")
+      }
+    }
+  }
+
+  test("autocorr: bounded, and lag pairs recount from the daily table") {
+    val rows = Temporal.qAutocorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Seq(1L, 7L).contains(r.getLong(1)))
+      val a = r.getDouble(3)
+      assert(a >= -1.0 && a <= 1.0, s"autocorr out of bounds: $a")
+    }
+    // recount lag-1 pair count for one type from the daily counts
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSet
+    val typ = rows.head.getString(0)
+    val expected = daily.count { case (t, ms) =>
+      t == typ && daily.contains((t, ms + 86400000L))
+    }
+    val got = rows.find(r => r.getString(0) == typ && r.getLong(1) == 1L)
+    assert(got.exists(_.getLong(2) == expected.toLong), "lag-1 n_pairs recounts")
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

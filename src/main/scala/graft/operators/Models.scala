@@ -348,7 +348,57 @@ SELECT CAST(lm_score_ppm // $CalBinPpm AS BIGINT) AS bin,
   CAST(sum(lm_score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
 FROM j GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------
+  // POWER-ITERATION STEP — one distributed step of the classical
+  // top-eigenvector iteration on the corpus's (uncentered) second
+  // moment: v₁ = (XᵀX)·v₀ with the deterministic all-ones seed,
+  // which reduces to Cv[d] = Σ_vec x[d]·(Σ_e x[e]) — i.e. per-vector
+  // component SUM attached by a vec-partitioned window, then one
+  // map-side-combined aggregate per dimension. This is the kernel
+  // distributed PCA is made of (the full algorithm repeats this step
+  // and renormalizes); it gates exactly because components ride as
+  // round(x·1e6) micro-ints, the per-dimension products accumulate
+  // in DECIMAL(38,0)/HUGEINT (product ~6e13/vec — BIGINT wraps at
+  // ~sf100 corpus counts, the overflow-audit class), and the output
+  // is the sign-split per-mille of the max |component| — no sqrt, no
+  // norm, no doubles anywhere. Scale shape: one exchange on vec_id
+  // for the window, a 64-row aggregate; the max-normalization
+  // windows host on the 64-row frame.
+  def qPowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x") * 1000000).cast("long").as("sv"))
+    val cv = ex
+      .withColumn("p", sum(col("sv")).over(Window.partitionBy(col("vec_id"))))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(sv as decimal(38,0)) * p")).as("c"))
+    cv.withColumn("m", max(abs(col("c"))).over(Window.partitionBy()))
+      .select(col("d"), col("n_vecs"),
+        expr("cast(CASE WHEN c >= 0 THEN (cast(1000 as decimal(38,0)) * c) div m" +
+          " ELSE -((cast(1000 as decimal(38,0)) * (-c)) div m) END as bigint)").as("c_pm"))
+      .orderBy(col("d"))
+  }
+
+  val qPowerIterationSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d),
+       |wp AS (SELECT vec_id, d, sv,
+       |  CAST(sum(sv) OVER (PARTITION BY vec_id) AS BIGINT) AS p FROM ex),
+       |cv AS (SELECT d, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  sum(sv::HUGEINT * p) AS c FROM wp GROUP BY d),
+       |mx AS (SELECT max(abs(c)) AS m FROM cv)
+       |SELECT d, n_vecs,
+       |  CAST(CASE WHEN c >= 0 THEN (1000::HUGEINT * c) // m
+       |    ELSE -((1000::HUGEINT * (-c)) // m) END AS BIGINT) AS c_pm
+       |FROM cv, mx ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_power_iteration" -> (qPowerIteration _),
     "ml_linreg_sources" -> (qLinregSources _),
     "ml_ols_r2" -> (qOlsR2 _),
     "ml_nb_train" -> (qNbTrain _),
@@ -357,6 +407,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_power_iteration" -> qPowerIterationSql,
     "ml_linreg_sources" -> qLinregSourcesSql,
     "ml_ols_r2" -> qOlsR2Sql,
     "ml_nb_train" -> qNbTrainSql,

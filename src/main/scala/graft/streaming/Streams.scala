@@ -934,7 +934,72 @@ object Streams {
       |    THEN 1 ELSE 0 END AS BIGINT) AS linear_regime
       |FROM z JOIN ex USING (window_start) ORDER BY z.window_start""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STREAMING CDC APPLY — materialize a change stream into a keyed
+  // store with last-write-wins semantics: every event is an upsert
+  // on its user key, `error` is the tombstone (a deleted entity
+  // leaves the store), and the winner is decided by (ts, event_id) —
+  // compared EXPLICITLY in the state function, never by arrival
+  // order, because micro-batch iterator order is not a contract.
+  // This is the streaming half of [[graft.operators.Maintenance
+  // .qMergeUpsert]]: the same MERGE semantics, kept incrementally
+  // current by keyed state instead of re-planned per snapshot — the
+  // shape a feature store or serving mirror actually runs. State is
+  // one fixed-width row per live key, partitioned by user_id; update
+  // mode emits the evolving row and the final state per key is
+  // selected by the monotone applied-op count (the qStatefulCounts
+  // discipline). Oracle: batch LWW row_number over the same total
+  // order, tombstones filtered last.
+  def qStreamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val updated = runBounded(s, dir, "update") { stream =>
+      import s.implicits._
+      stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String, Double, Long)]) =>
+            var (ts, eid, tpe, v, n) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0.0, 0L))
+            rows.foreach { case (_, rts, rid, rtp, rv) =>
+              n += 1
+              if (rts > ts || (rts == ts && rid > eid)) {
+                ts = rts; eid = rid; tpe = rtp; v = rv
+              }
+            }
+            state.update((ts, eid, tpe, v, n))
+            (user, ts, tpe, v, n)
+        }
+        .toDF("user_id", "ts_us", "last_type", "last_value", "n_ops")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_ops").desc)
+    updated
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("last_type") =!= "error")
+      .select(col("user_id"), col("last_type"),
+        round(col("last_value"), 2).as("last_value"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamCdcApplySql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+      |  FROM events),
+      |lww AS (SELECT user_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      |  FROM ev)
+      |SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, n_ops
+      |FROM lww WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply" -> (qStreamCdcApply _),
     "stream_hll_distinct" -> (qStreamHllDistinct _),
     "stream_quantile" -> (qStreamQuantile _),
     "stream_drift" -> (qStreamDrift _),
@@ -952,6 +1017,7 @@ object Streams {
     "stream_static_join" -> (qStreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cdc_apply" -> qStreamCdcApplySql,
     "stream_hll_distinct" -> qStreamHllDistinctSql,
     "stream_quantile" -> qStreamQuantileSql,
     "stream_drift" -> qStreamDriftSql,

@@ -1231,6 +1231,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exists(_.getLong(2) == expected.toLong), "lag-1 n_pairs recounts")
   }
 
+  test("cdc apply: live store = users whose last op is not a tombstone, ops recount") {
+    val rows = graft.streaming.Streams.qStreamCdcApply(spark, sfDir).collect()
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val expectLive = byUser.filter { case (_, es) =>
+      es.maxBy(e => (e._2, e._3))._4 != "error"
+    }
+    assert(rows.length == expectLive.size, "store holds exactly the non-tombstoned keys")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(4) == byUser(u).length.toLong, "n_ops counts every change for the key")
+      assert(r.getString(1) == expectLive(u).maxBy(e => (e._2, e._3))._4, "LWW winner type")
+      assert(r.getString(1) != "error")
+    }
+  }
+
+  test("power iteration: normalization hits 1000 and components recount driver-side") {
+    val rows = Models.qPowerIteration(spark, sfDir).collect()
+    assert(rows.length == 64 && rows.map(_.getLong(0)).toSeq == (0L until 64L).toSeq)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.forall(_.getLong(1) == n), "every dimension sees every vector")
+    assert(rows.map(r => math.abs(r.getLong(2))).max == 1000L,
+      "the max-|component| dimension must normalize to exactly 1000")
+    // recount two dimensions exactly from the raw vectors
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray.map(x => math.round(x * 1e6)))
+    val c = Array(0, 63).map { d =>
+      d -> vecs.map(v => BigInt(v(d)) * BigInt(v.sum)).sum
+    }.toMap
+    val m = (0 until 64).map(d => vecs.map(v => BigInt(v(d)) * BigInt(v.sum)).sum.abs).max
+    c.foreach { case (d, cd) =>
+      val pm = if (cd >= 0) (BigInt(1000) * cd) / m else -((BigInt(1000) * -cd) / m)
+      assert(rows(d).getLong(2) == pm.toLong, s"dimension $d component recounts")
+    }
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

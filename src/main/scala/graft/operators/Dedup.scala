@@ -2555,6 +2555,79 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS BIGINT) AS cross_source
 FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------
+  // SOURCE MODULARITY OF THE NEAR-DUP GRAPH — the normalized
+  // complement of [[qSourceMatrix]]'s raw counts: Newman modularity
+  // of the near-dup edge set under the SOURCE partition. Per source,
+  // Q_c = e_c/m − (d_c/2m)² — positive contribution means the
+  // source's documents near-duplicate each OTHER more than degree
+  // chance predicts (template farms), mass lost to the cross terms
+  // is syndication. Exact rational out: contrib_ppm = sign-split
+  // 10⁶·(4m·e_c − d_c²) div 4m² through DECIMAL(38,0)/HUGEINT (the
+  // overflow convention — d_c² grows with pair density), zero-edge
+  // guard via greatest(m,1) on both engines. Scale shape: the
+  // audit-sized pair list fetch-joins the per-doc source column with
+  // `shuffle_hash` pinned on the pair side (the corpus table
+  // streams); degrees come from the pair list alone; the rollup is
+  // |sources|-bounded metadata and m rides a 1-row broadcast.
+  def qSourceModularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir)
+    val sd = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val tot = pairs.agg(count(lit(1)).as("m"))
+    val ei = pairs
+      .hint("shuffle_hash")
+      .join(sd.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .hint("shuffle_hash")
+      .join(sd.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .filter(col("sa") === col("sb"))
+      .select(col("sa").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("e_intra"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("dg"))
+    val ds = sd.join(deg, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dg")), lit(0L)).as("d_sum"))
+    ds.join(ei, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", expr(
+        "cast(4 as decimal(38,0)) * m * e_intra - cast(d_sum as decimal(38,0)) * d_sum"))
+      .withColumn("den", expr(
+        "cast(4 as decimal(38,0)) * greatest(m, 1) * greatest(m, 1)"))
+      .select(col("source"), col("n_docs"), col("e_intra"), col("d_sum"),
+        expr("cast(CASE WHEN num >= 0 THEN (cast(1000000 as decimal(38,0)) * num) div den" +
+          " ELSE -((cast(1000000 as decimal(38,0)) * (-num)) div den) END as bigint)")
+          .as("contrib_ppm"))
+      .orderBy(col("source"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped LSH SQL
+  lazy val qSourceModularitySql: String =
+    s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+$qMinHashLshSql
+)),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+sd AS (SELECT doc_id, source FROM documents),
+ei AS (SELECT a.source, CAST(count(*) AS BIGINT) AS e_intra
+  FROM p JOIN sd a ON p.doc_a = a.doc_id JOIN sd b ON p.doc_b = b.doc_id
+  WHERE a.source = b.source GROUP BY 1),
+deg AS (SELECT doc_id, count(*) AS dg FROM (
+  SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p) GROUP BY 1),
+ds AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(d.dg), 0) AS BIGINT) AS d_sum
+  FROM sd s LEFT JOIN deg d USING (doc_id) GROUP BY 1),
+f AS (SELECT ds.source, ds.n_docs, CAST(coalesce(ei.e_intra, 0) AS BIGINT) AS e_intra,
+  ds.d_sum FROM ds LEFT JOIN ei USING (source)),
+n AS (SELECT source, n_docs, e_intra, d_sum,
+  4::HUGEINT * m * e_intra - d_sum::HUGEINT * d_sum AS num,
+  4::HUGEINT * greatest(m, 1) * greatest(m, 1) AS den FROM f, mm)
+SELECT source, n_docs, e_intra, d_sum,
+  CAST(CASE WHEN num >= 0 THEN (1000000::HUGEINT * num) // den
+    ELSE -((1000000::HUGEINT * (-num)) // den) END AS BIGINT) AS contrib_ppm
+FROM n ORDER BY source"""
+
   def qHits(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(s, dir)
     val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).cast("long").as("a1"))
@@ -2712,6 +2785,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_common_neighbors" -> (qCommonNeighbors _),
     "graph_degree_assort" -> (qDegreeAssort _),
     "dedup_source_matrix" -> (qSourceMatrix _),
+    "graph_source_modularity" -> (qSourceModularity _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
@@ -2746,6 +2820,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_common_neighbors" -> qCommonNeighborsSql,
     "graph_degree_assort" -> qDegreeAssortSql,
     "dedup_source_matrix" -> qSourceMatrixSql,
+    "graph_source_modularity" -> qSourceModularitySql,
     "graph_hits_converge" -> qHitsConvergeSql,
     "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_cap_recall" -> qCapRecallSql,

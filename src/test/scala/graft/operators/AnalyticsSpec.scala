@@ -1288,14 +1288,64 @@ class AnalyticsSpec extends SparkSpec {
       0 -> h._1 % 65536, 1 -> h._1 / 65536, 2 -> h._2 % 65536, 3 -> h._2 / 65536)
     val rows = Multimodal.qPhashBuckets(spark, sfDir).collect()
     assert(rows.nonEmpty, "the corpus must contain phash near-dups")
+    // bucket sizes over the whole corpus: a shared band is KEPT iff
+    // its bucket is within the cap
+    val bucketSize = hashes.toSeq.flatMap { case (id, h) => bands(h).map(_ -> id) }
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.size }
     rows.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       assert(a < b, "canonical pair order")
       val (ha, hb) = (hashes(a), hashes(b))
-      val shared = bands(ha).intersect(bands(hb)).size.toLong
-      assert(r.getLong(2) == shared && shared >= 1L, s"pair ($a,$b) shared bands")
+      val shared = bands(ha).intersect(bands(hb))
+      val keptShared = shared.count(bucketSize(_) <= Multimodal.PhashBucketCap).toLong
+      assert(r.getLong(2) == keptShared && keptShared >= 1L, s"pair ($a,$b) kept shared bands")
+      assert(r.getLong(3) == shared.size - keptShared, s"pair ($a,$b) capped-band audit")
       val ham = java.lang.Long.bitCount(ha._1 ^ hb._1) + java.lang.Long.bitCount(ha._2 ^ hb._2)
-      assert(r.getLong(3) == ham.toLong && ham <= 12, s"pair ($a,$b) hamming")
+      assert(r.getLong(4) == ham.toLong && ham <= 12, s"pair ($a,$b) hamming")
+    }
+  }
+
+  test("phash bucket cap binds on a skewed corpus and the audit column records it") {
+    import spark.implicits._
+    // 12 identical docs (one hot pHash -> every band bucket over the
+    // cap) + 2 probe docs whose text swaps two chars across a window
+    // boundary in the SECOND half: phash_lo and band 3 stay equal to
+    // the hot cluster (their buckets hold all 14 docs), band 2 flips
+    // (its probe bucket holds only the 2 probes). Verified fixture
+    // arithmetic: hamming(hot, probe) = 2, hamming(probe, probe) = 0.
+    val base = "the quick brown fox jumps over the lazy dog and runs far away now "
+    val hotText = (base * 2).take(128)
+    val probeText = {
+      val s = hotText.toCharArray
+      val t = s(65); s(65) = s(66); s(66) = t
+      new String(s)
+    }
+    val docs = (0 until 12).map(i => (i.toLong, hotText)) ++
+      Seq((100L, probeText), (101L, probeText))
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_skew").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'fixture' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val hashes = Multimodal.qPHash(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(hashes(0L)._1 == hashes(100L)._1, "fixture: lo bands shared with the hot cluster")
+      assert(hashes(0L)._2 != hashes(100L)._2, "fixture: a hi band differs")
+      // every hot-cluster band bucket exceeds the cap
+      assert(12 > Multimodal.PhashBucketCap)
+      val rows = Multimodal.qPhashBuckets(spark, dir).collect()
+      // uncapped banding would emit all 14*13/2 = 91 pairs (hamming
+      // <= 2 everywhere); the cap suppresses every pair that only
+      // shares over-cap buckets, leaving exactly the probe pair
+      assert(rows.length == 1, s"cap must bind: got ${rows.length} pairs")
+      val r = rows.head
+      assert(r.getLong(0) == 100L && r.getLong(1) == 101L)
+      assert(r.getLong(2) == 1L, "found via the one under-cap band bucket")
+      assert(r.getLong(3) == 3L, "three shared bands were capped -- audit is visible")
+      assert(r.getLong(4) == 0L, "identical probes")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
 

@@ -97,7 +97,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMean = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","mean":$totalMean,"calibration_sec":[$calBefore,$calAfter],"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
+    // self-identifying mode stamp (r10 ADVICE): a warm-memo run is
+    // not comparable with the cold per-round record, so the JSON says
+    // which one it was instead of relying on the environment
+    val mode = if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) "warm" else "cold"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","mode":"$mode","mean":$totalMean,"calibration_sec":[$calBefore,$calAfter],"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2555,9 +2555,12 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
       .agg(count(lit(1)).as("n"),
         sum(col("dx").cast(dec)).as("sx"),
         sum(col("dy").cast(dec)).as("sy"),
-        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
-        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
-        sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+        // one operand widened BEFORE the product (the oracle
+        // multiplies as dx::HUGEINT * dy): a hub degree > ~3e9 would
+        // wrap the raw BIGINT per-row product on this side only
+        sum(col("dx").cast(dec) * col("dy")).as("sxy"),
+        sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy")).as("syy"))
     val nD = col("n").cast("double")
     val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
       col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))

@@ -284,8 +284,12 @@ FROM l ORDER BY stage"""
     // ([[OrderStats]]): identical (w, doc_id) positional semantics,
     // no corpus-global row_number window (plan-asserted in
     // ExtensionSpec)
-    val p95 = OrderStats.kthSmallest(
-      w0.select(col("w"), col("doc_id")), Seq("w", "doc_id"), r).getLong(0)
+    // empty-corpus guard (r10 ADVICE): rank 0 has no row to fetch;
+    // clip-at 0 leaves the degenerate aggregate rows unchanged
+    val p95 =
+      if (n == 0) 0L
+      else OrderStats.kthSmallest(
+        w0.select(col("w"), col("doc_id")), Seq("w", "doc_id"), r).getLong(0)
     def essRow(variant: String, wc: org.apache.spark.sql.Column) = w0
       .select(wc.as("wv"))
       .agg(count(lit(1)).as("n"), sum(col("wv")).as("sum_w"),
@@ -709,7 +713,12 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       .withColumn("n", count(lit(1)).over(full))
       .withColumn("tot", sum(col("tok")).over(full))
       .withColumn("cum", sum(col("tok")).over(cum))
-      .withColumn("gnum", sum((lit(2L) * col("i") - col("n") - lit(1L)) * col("tok")).over(full))
+      // the weight (2i-n-1) is widened to decimal BEFORE the product:
+      // at large corpora n_sources·total_tokens approaches 2^63 and a
+      // raw BIGINT term would wrap on the Spark side only (the oracle
+      // multiplies as HUGEINT) — r10 ADVICE, the linreg/ols class
+      .withColumn("gnum", sum((lit(2L) * col("i") - col("n") - lit(1L))
+        .cast("decimal(38,0)") * col("tok")).over(full))
       .select(col("source"), col("tok").as("n_tokens"), col("i").as("rank_asc"),
         expr("1000 * cum div tot").as("cum_share_pm"),
         expr("cast(1000 as decimal(38,0)) * cast(gnum as decimal(38,0)) div (cast(n as decimal(38,0)) * cast(tot as decimal(38,0)))")
@@ -728,7 +737,7 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |  CAST(sum(tok) OVER () AS BIGINT) AS tot,
       |  CAST(sum(tok) OVER (ORDER BY tok, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM s),
-      |g AS (SELECT *, CAST(sum((2*i - n - 1) * tok) OVER () AS HUGEINT) AS gnum FROM r)
+      |g AS (SELECT *, CAST(sum((2*i - n - 1)::HUGEINT * tok) OVER () AS HUGEINT) AS gnum FROM r)
       |SELECT source, tok AS n_tokens, i AS rank_asc,
       |  CAST(1000 * cum // tot AS BIGINT) AS cum_share_pm,
       |  CAST(1000::HUGEINT * gnum // (n::HUGEINT * tot::HUGEINT) AS BIGINT) AS gini_pm

@@ -835,9 +835,11 @@ object Temporal {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-          sum((col("x") * col("y")).cast(dec)).as("sxy"),
-          sum((col("x") * col("x")).cast(dec)).as("sxx"),
-          sum((col("y") * col("y")).cast(dec)).as("syy"))
+          // widen-then-multiply (oracle: x::HUGEINT * y) — a daily
+          // count > ~3e9 would wrap the raw BIGINT product here only
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
         .withColumn("lag_days", lit(lg.toLong))
     }.reduce(_ unionAll _)
     val nD = col("n").cast("double")

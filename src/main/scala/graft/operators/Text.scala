@@ -1931,13 +1931,20 @@ FROM f GROUP BY split ORDER BY split"""
     val rem = n % 3
     val b1 = q3 + (if (rem >= 1) 1L else 0L) // ntile group sizes: first n%3 groups get +1
     val b2 = b1 + q3 + (if (rem >= 2) 1L else 0L)
-    val ranked = OrderStats.rank(lm.select(col("negs"), col("doc_id")), Seq("negs", "doc_id"))
-    def cut(k: Long): (Long, Long) = {
-      val r = OrderStats.kth(ranked, k)
-      (r.getLong(0), r.getLong(1))
-    }
-    val (c1s, c1d) = cut(b1)
-    val (c2s, c2d) = cut(b2)
+    // degenerate-input guard (r10 ADVICE): an empty corpus has no
+    // boundary ranks to fetch (OrderStats.kth rejects k < 1) — any
+    // cut values leave the empty frame empty, matching the old
+    // global-window form's behavior
+    val ((c1s, c1d), (c2s, c2d)) =
+      if (n == 0) ((0L, 0L), (0L, 0L))
+      else {
+        val ranked = OrderStats.rank(lm.select(col("negs"), col("doc_id")), Seq("negs", "doc_id"))
+        def cut(k: Long): (Long, Long) = {
+          val r = OrderStats.kth(ranked, k)
+          (r.getLong(0), r.getLong(1))
+        }
+        (cut(b1), cut(b2))
+      }
     lm.withColumn("bkt",
         when(col("negs") < c1s || (col("negs") === c1s && col("doc_id") <= c1d), 1)
           .when(col("negs") < c2s || (col("negs") === c2s && col("doc_id") <= c2d), 2)

@@ -1134,4 +1134,25 @@ class ExtensionSpec extends SparkSpec {
     val rplan = ranked.ranged.queryExecution.executedPlan.toString
     assert(!rplan.contains("WindowExec"), "rank frame must be window-free:\n" + rplan)
   }
+
+  test("ess-clip and ccnet-buckets survive an empty corpus (no boundary rank to fetch)") {
+    // r10 ADVICE: the OrderStats cutover made n = 0 throw from the
+    // rank fetch where the old global-window form returned an empty
+    // frame; the guards must restore that
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_docs").toString
+    graft.Tables.documents(spark, sfDir).limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      assert(Text.qCcnetBuckets(spark, dir).count() == 0L,
+        "ccnet buckets on an empty corpus is an empty frame")
+      val ess = Pipeline.qEssClip(spark, dir).collect()
+      assert(ess.length == 2, "the two variant rows still exist")
+      ess.foreach { r =>
+        assert(r.getLong(1) == 0L, "clip_at degenerates to 0")
+        assert(r.getLong(2) == 0L, "n = 0")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

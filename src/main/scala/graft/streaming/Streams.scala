@@ -104,8 +104,39 @@ object Streams {
     * dedup grows with every distinct key — asserted in the spec,
     * tabulated in PLANS.md. */
   private[graft] def stateRowsPerBatch(
-      s: SparkSession, dir: String, nFiles: Int, mode: String = "append")(
-      build: DataFrame => DataFrame): Seq[Long] = {
+      s: SparkSession, dir: String, nFiles: Int, mode: String = "append",
+      groupSize: Int = 1)(
+      build: DataFrame => DataFrame): Seq[Long] =
+    streamProgress(s, dir, nFiles, mode, groupSize)(build)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+
+  /** Per-micro-batch rows dropped as late by the watermark — the
+    * companion evidence stream to [[stateRowsPerBatch]] (a shuffled
+    * within-batch arrival order must evict state WITHOUT discarding
+    * data: the watermark only advances between batches). */
+  private[graft] def lateDropsPerBatch(
+      s: SparkSession, dir: String, nFiles: Int, mode: String = "append",
+      groupSize: Int = 1)(
+      build: DataFrame => DataFrame): Seq[Long] =
+    streamProgress(s, dir, nFiles, mode, groupSize)(build)
+      .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+
+  /** Shared runner behind the evidence helpers: stages `nFiles`
+    * time-contiguous files and streams them `groupSize` per
+    * micro-batch. With groupSize > 1 the files WITHIN each batch
+    * group carry REVERSED modification times (FileStreamSource orders
+    * by mtime), so a batch's files arrive anti-chronologically while
+    * the groups themselves stay chronological — the realistic
+    * multi-file-per-trigger layout (the r10 8-file gate exposed
+    * discovery; this exercises ordering). Watermarks must be
+    * indifferent: the watermark advances on the batch's MAX event
+    * time, after the batch completes, so within-batch order can
+    * neither drop rows as late nor change the eviction plateau
+    * (asserted in the spec). */
+  private def streamProgress(
+      s: SparkSession, dir: String, nFiles: Int, mode: String,
+      groupSize: Int)(
+      build: DataFrame => DataFrame): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
     val base = java.nio.file.Files.createTempDirectory("graft_staged_")
@@ -126,22 +157,28 @@ object Streams {
           .find(f => f.getName.startsWith("part-")).get
         val target = watch.resolve(f"ev_$b%02d.parquet")
         java.nio.file.Files.move(part.toPath, target)
-        // FileStreamSource orders by modification time: pin strictly
-        // increasing mtimes so batch order is the time order
-        target.toFile.setLastModified(1000000000000L + b * 60000L)
+        // FileStreamSource orders by modification time: group order
+        // is the time order, but WITHIN a group the mtimes are
+        // reversed so the files of one micro-batch arrive
+        // anti-chronologically (groupSize == 1 degenerates to the
+        // strictly-increasing single-file schedule)
+        val g = (b - 1) / groupSize
+        val posInGroup = (b - 1) % groupSize
+        val slotsInGroup = math.min(groupSize, nFiles - g * groupSize)
+        val slot = g * groupSize + (slotsInGroup - 1 - posInGroup)
+        target.toFile.setLastModified(1000000000000L + slot * 60000L)
       }
       val schema = s.read.parquet(watch.toString).schema
       val q = build(
-          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", groupSize.toString)
             .parquet(watch.toString))
         .writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .start()
       try {
         q.processAllAvailable()
-        q.recentProgress.toSeq
-          .filter(_.numInputRows > 0)
-          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
       } finally q.stop()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevPartitions)

@@ -547,6 +547,32 @@ class AnalyticsSpec extends SparkSpec {
       s"watermarked state $bounded must stay below the unbounded total ${unbounded.last}")
   }
 
+  test("watermark eviction holds under shuffled multi-file batch groups") {
+    import graft.streaming.Streams
+    // r10 item 7: the 8-file gate exercised multi-file DISCOVERY;
+    // this drives ORDERING — 8 time-contiguous files arriving 2 per
+    // micro-batch with reversed mtimes inside each group, so every
+    // batch reads its files anti-chronologically. The watermark only
+    // advances between batches (on the batch max event time), so the
+    // shuffled arrival must neither drop data as late nor break the
+    // eviction plateau.
+    def hourlyWm(st: org.apache.spark.sql.DataFrame) =
+      st.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    val grouped = Streams.stateRowsPerBatch(spark, sfDir, 8, "append", groupSize = 2)(hourlyWm)
+    assert(grouped.size >= 4, s"8 files at 2/trigger must yield >=4 data batches: $grouped")
+    val totalGroups = graft.Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(grouped.max * 2 < totalGroups,
+      s"state must stay at the in-flight horizon at EVERY batch: $grouped vs $totalGroups groups")
+    // and nothing was discarded as late: within-batch disorder is
+    // invisible to the watermark by construction
+    val drops = Streams.lateDropsPerBatch(spark, sfDir, 8, "append", groupSize = 2)(hourlyWm)
+    assert(drops.nonEmpty && drops.forall(_ == 0L),
+      s"no row may be dropped as late under within-batch shuffle: $drops")
+  }
+
   test("session flatMap state is user-bounded; stream-static as-of join holds no state") {
     import graft.streaming.Streams
     val ev = graft.Tables.events(spark, sfDir)

@@ -45,31 +45,39 @@ object Models {
     * oracle): num grows with n²·x·y and the raw-BIGINT form wraps
     * silently one order of magnitude above the gate SFs (the DSIR /
     * ols_r2 overflow class — see the audit table in PLANS.md). */
-  private[operators] def linregOf(t: DataFrame): DataFrame =
+  private[operators] def linregOf(t: DataFrame): DataFrame = {
+    // every moment accumulates in DECIMAL(38,0) (HUGEINT on the
+    // oracle) and the raw num/den DIAGNOSTIC columns ship as
+    // decimal-backed strings (r10 item 6): num ~ n²·x̄·ȳ wraps BIGINT
+    // around sf100, and a gated output column must not carry a known
+    // wrap horizon even when the ratio computed from it is exact
+    val dec = "decimal(38,0)"
     t.groupBy(col("source")).agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
       .select(col("source"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
-      .select(col("source"), col("n"), col("num"), col("den"),
-        expr("CASE WHEN num >= 0 THEN cast(1000 as decimal(38,0)) * num div greatest(cast(den as decimal(38,0)), 1)" +
-          " ELSE -(cast(1000 as decimal(38,0)) * (-num) div greatest(cast(den as decimal(38,0)), 1)) END")
+      .select(col("source"), col("n"),
+        col("num").cast("string").as("num"), col("den").cast("string").as("den"),
+        expr("CASE WHEN num >= 0 THEN cast(1000 as decimal(38,0)) * num div greatest(den, 1)" +
+          " ELSE -(cast(1000 as decimal(38,0)) * (-num) div greatest(den, 1)) END")
           .cast("long").as("slope_x1000"))
       .orderBy(col("source"))
+  }
 
   val qLinregSourcesSql: String =
     """WITH t AS (SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS x, n_chars AS y
       |  FROM documents),
-      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-      |  CAST(sum(x * x) AS BIGINT) AS sxx FROM t GROUP BY source),
+      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(x::HUGEINT) AS sx,
+      |  sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y) AS sxy,
+      |  sum(x::HUGEINT * x) AS sxx FROM t GROUP BY source),
       |f AS (SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM m)
-      |SELECT source, n, num, den,
-      |  CAST(CASE WHEN num >= 0 THEN (1000::HUGEINT * num) // greatest(den::HUGEINT, 1)
-      |       ELSE -((1000::HUGEINT * (-num)) // greatest(den::HUGEINT, 1)) END AS BIGINT) AS slope_x1000
+      |SELECT source, n, CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
+      |  CAST(CASE WHEN num >= 0 THEN (1000::HUGEINT * num) // greatest(den, 1)
+      |       ELSE -((1000::HUGEINT * (-num)) // greatest(den, 1)) END AS BIGINT) AS slope_x1000
       |FROM f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -90,38 +98,46 @@ object Models {
 
   /** [[qOlsR2]] over any (source, x, y) frame — shared with the
     * overflow fixture test (the [[linregOf]] discipline). */
-  private[operators] def olsR2Of(t: DataFrame): DataFrame =
+  private[operators] def olsR2Of(t: DataFrame): DataFrame = {
+    // the linregOf widening discipline: decimal moments end-to-end,
+    // raw num/den/deny diagnostics as decimal-backed strings (anum
+    // never ships — it only feeds the intercept rational)
+    val dec = "decimal(38,0)"
     t.groupBy(col("source")).agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
       .select(col("source"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("anum"))
-      .select(col("source"), col("n"), col("num"), col("den"), col("deny"),
+      .select(col("source"), col("n"),
+        col("num").cast("string").as("num"), col("den").cast("string").as("den"),
+        col("deny").cast("string").as("deny"),
         expr("cast(1000000 as decimal(38,0)) * num * num div " +
-          "greatest(cast(den as decimal(38,0)) * deny, 1)").cast("long").as("r2_ppm"),
-        expr("CASE WHEN anum >= 0 THEN cast(1000 as decimal(38,0)) * anum div greatest(cast(den as decimal(38,0)), 1)" +
-          " ELSE -(cast(1000 as decimal(38,0)) * (-anum) div greatest(cast(den as decimal(38,0)), 1)) END")
+          "greatest(den * deny, 1)").cast("long").as("r2_ppm"),
+        expr("CASE WHEN anum >= 0 THEN cast(1000 as decimal(38,0)) * anum div greatest(den, 1)" +
+          " ELSE -(cast(1000 as decimal(38,0)) * (-anum) div greatest(den, 1)) END")
           .cast("long").as("intercept_x1000"))
       .orderBy(col("source"))
+  }
 
   val qOlsR2Sql: String =
     """WITH t AS (SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS x, n_chars AS y
       |  FROM documents),
-      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-      |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-      |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM t GROUP BY source),
+      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(x::HUGEINT) AS sx,
+      |  sum(y::HUGEINT) AS sy, sum(x::HUGEINT * y) AS sxy,
+      |  sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy FROM t GROUP BY source),
       |f AS (SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
       |  n * syy - sy * sy AS deny, sy * sxx - sx * sxy AS anum FROM m)
-      |SELECT source, n, num, den, deny,
-      |  CAST((1000000::HUGEINT * num * num) // greatest(den::HUGEINT * deny, 1) AS BIGINT) AS r2_ppm,
-      |  CAST(CASE WHEN anum >= 0 THEN (1000::HUGEINT * anum) // greatest(den::HUGEINT, 1)
-      |       ELSE -((1000::HUGEINT * (-anum)) // greatest(den::HUGEINT, 1)) END AS BIGINT) AS intercept_x1000
+      |SELECT source, n, CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
+      |  CAST(deny AS VARCHAR) AS deny,
+      |  CAST((1000000::HUGEINT * num * num) // greatest(den * deny, 1) AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN anum >= 0 THEN (1000::HUGEINT * anum) // greatest(den, 1)
+      |       ELSE -((1000::HUGEINT * (-anum)) // greatest(den, 1)) END AS BIGINT) AS intercept_x1000
       |FROM f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------

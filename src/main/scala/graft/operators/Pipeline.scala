@@ -290,12 +290,17 @@ FROM l ORDER BY stage"""
       if (n == 0) 0L
       else OrderStats.kthSmallest(
         w0.select(col("w"), col("doc_id")), Seq("w", "doc_id"), r).getLong(0)
+    // sums accumulate in decimal and the raw sum_w/sum_w2 diagnostic
+    // columns ship as decimal-backed strings (r10 item 6): Σw² is
+    // ~1e12·n_docs and wraps BIGINT around sf100 — no gated column
+    // may carry a known wrap horizon
     def essRow(variant: String, wc: org.apache.spark.sql.Column) = w0
       .select(wc.as("wv"))
-      .agg(count(lit(1)).as("n"), sum(col("wv")).as("sum_w"),
-        sum(col("wv") * col("wv")).as("sum_w2"))
+      .agg(count(lit(1)).as("n"), sum(col("wv").cast("decimal(38,0)")).as("sum_w"),
+        sum(col("wv").cast("decimal(38,0)") * col("wv")).as("sum_w2"))
       .select(lit(variant).as("variant"), lit(p95).as("clip_at"),
-        col("n"), col("sum_w"), col("sum_w2"),
+        col("n"), col("sum_w").cast("string").as("sum_w"),
+        col("sum_w2").cast("string").as("sum_w2"),
         expr("cast(1000000 as decimal(38,0)) * sum_w * sum_w div " +
           "(cast(n as decimal(38,0)) * sum_w2)").cast("long").as("ess_ppm"))
     essRow("clipped", least(col("w"), lit(p95)))
@@ -314,9 +319,10 @@ p AS (SELECT w AS clip_at FROM (
   WHERE t.rn = (95 * n.n + 99) // 100),
 v AS (SELECT 'raw' AS variant, w AS wv FROM sc
   UNION ALL SELECT 'clipped', least(w, (SELECT clip_at FROM p)) FROM sc),
-agg AS (SELECT variant, count(*) AS n, CAST(sum(wv) AS BIGINT) AS sum_w,
-  CAST(sum(wv * wv) AS BIGINT) AS sum_w2 FROM v GROUP BY variant)
-SELECT variant, (SELECT clip_at FROM p) AS clip_at, CAST(n AS BIGINT) AS n, sum_w, sum_w2,
+agg AS (SELECT variant, count(*) AS n, sum(wv::HUGEINT) AS sum_w,
+  sum(wv::HUGEINT * wv) AS sum_w2 FROM v GROUP BY variant)
+SELECT variant, (SELECT clip_at FROM p) AS clip_at, CAST(n AS BIGINT) AS n,
+  CAST(sum_w AS VARCHAR) AS sum_w, CAST(sum_w2 AS VARCHAR) AS sum_w2,
   CAST((1000000::HUGEINT * sum_w * sum_w) // (n::HUGEINT * sum_w2) AS BIGINT) AS ess_ppm
 FROM agg ORDER BY variant"""
 

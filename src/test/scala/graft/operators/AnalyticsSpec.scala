@@ -1467,16 +1467,19 @@ class AnalyticsSpec extends SparkSpec {
     val s1 = BigInt((1L to m).sum)
     val s2 = BigInt((1L to m).map(i => i * i).sum)
     val d = BigInt(m) * s2 - s1 * s1
-    // linreg fixture: a = b = 3.5e6 keeps every raw moment in BIGINT
-    // while 1000·num lands past Long.MaxValue
-    val a = 3500000L
+    // linreg fixture: a = 3.5e9 pushes even the RAW moment Σx² past
+    // Long.MaxValue — the r11 end-to-end decimal moments (and the
+    // string-shipped num/den diagnostics) must stay exact
+    val a = 3500000000L
     val tSlope = spark.range(1, m + 1)
       .selectExpr("'s' as source", s"id * $a as x", s"id * $a as y")
     val num = BigInt(a) * BigInt(a) * d
+    assert(BigInt(a) * BigInt(a) * s2 > BigInt(Long.MaxValue),
+      "fixture must exceed the raw-BIGINT moment range (sxx itself wraps)")
     assert(BigInt(1000) * num > BigInt(Long.MaxValue),
       "fixture must actually exceed the raw-BIGINT 1000·num range")
     val lr = Models.linregOf(tSlope).collect()(0)
-    assert(lr.getLong(1) == m && BigInt(lr.getLong(2)) == num && BigInt(lr.getLong(3)) == num)
+    assert(lr.getLong(1) == m && BigInt(lr.getString(2)) == num && BigInt(lr.getString(3)) == num)
     assert(lr.getLong(4) == 1000L, s"exact slope×1000, got ${lr.getLong(4)}")
     // R² fixture: smaller scale (anum's raw BIGINT products bound it)
     // but 10⁶·num² still far past Long.MaxValue — the widened path

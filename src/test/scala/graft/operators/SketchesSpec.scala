@@ -60,8 +60,8 @@ class SketchesSpec extends SparkSpec {
     val sxx = xs.map(t => t._1 * t._1).sum
     val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
     assert(fits.head.getLong(1) == n)
-    assert(fits.head.getLong(2) == num, "slope numerator")
-    assert(fits.head.getLong(3) == den, "slope denominator")
+    assert(fits.head.getString(2).toLong == num, "slope numerator")
+    assert(fits.head.getString(3).toLong == den, "slope denominator")
     val slope = if (num >= 0) 1000 * num / math.max(den, 1L)
                 else -(1000 * -num / math.max(den, 1L))
     assert(fits.head.getLong(4) == slope)

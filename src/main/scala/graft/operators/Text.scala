@@ -1836,9 +1836,19 @@ FROM f GROUP BY split ORDER BY split"""
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScored(s, dir).orderBy(col("doc_id"))
 
-  /** The per-doc scored frame behind [[qLmScore]] (unsorted) —
-    * shared with the CCNet bucketing rollup. */
-  private[operators] def lmScored(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc scored frame behind [[qLmScore]] (unsorted),
+    * memoized per (session, dir) through the shared keyed registry
+    * ([[Dedup.memoBase]], the lshPairs discipline; [[Dedup
+    * .resetMemos]] drops it so the bench stays honest-cold): the
+    * corpus bigram explode + three count joins is the shared prefix
+    * of SIX consumers (lm_score, ccnet_buckets, ess_clip,
+    * calibration, quality_budget, the dedup LM tier) and each was
+    * paying its own scoring pass (r10 item 8 — measured ~1.2s/pass
+    * at sf0.1, ~6s across the board in one Verify session). */
+  private[operators] def lmScored(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoBase("lm_scored", s, dir)(buildLmScored(s, dir))
+
+  private def buildLmScored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

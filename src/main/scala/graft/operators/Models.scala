@@ -398,6 +398,58 @@ FROM j GROUP BY 1 ORDER BY 1"""
       .orderBy(col("d"))
   }
 
+  // ---------------------------------------------------------------
+  // BATCH PERCEPTRON STEP — one distributed subgradient update of a
+  // linear classifier (labels < 5 vs >= 5 on the embedding table),
+  // the training-loop primitive that, unlike logistic regression,
+  // needs NO transcendental in the gated values: scores, the
+  // misclassification test and the gradient are all exact integers
+  // on µ-scaled vectors. Under the all-ones w₀ (the qPowerIteration
+  // seed convention): score(x) = Σ_d x_d, misclassified iff
+  // y·score ≤ 0 (ties count as errors — the subgradient convention),
+  // gradient g_d = Σ_miscl y·x_d summed in DECIMAL(38,0)/HUGEINT
+  // (the moment-widening rule), emitted sign-split as per-mille of
+  // max |g| — no output column carries a wrap horizon. Scale shape:
+  // one (vec_id)-partitioned window for the scores, one 64-group
+  // partial aggregate for the gradient; per-dim n_miscl is the
+  // GLOBAL misclassified count repeated (self-checking: every
+  // misclassified vector contributes to every dimension).
+  def qPerceptronStep(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        when(col("label") < 5, 1L).otherwise(-1L).as("y"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("y"), col("d").cast("long").as("d"),
+        round(col("x") * 1000000).cast("long").as("sv"))
+    val grad = ex
+      .withColumn("p", sum(col("sv")).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("y") * col("p") <= 0)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_miscl"),
+        sum(expr("cast(y * sv as decimal(38,0))")).as("g"))
+    grad.withColumn("m", greatest(max(abs(col("g"))).over(Window.partitionBy()), lit(1)))
+      .select(col("d"), col("n_miscl"),
+        expr("cast(CASE WHEN g >= 0 THEN (cast(1000 as decimal(38,0)) * g) div m" +
+          " ELSE -((cast(1000 as decimal(38,0)) * (-g)) div m) END as bigint)").as("g_pm"))
+      .orderBy(col("d"))
+  }
+
+  val qPerceptronStepSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, y, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d),
+       |wp AS (SELECT vec_id, y, d, sv,
+       |  CAST(sum(sv) OVER (PARTITION BY vec_id) AS BIGINT) AS p FROM ex),
+       |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_miscl,
+       |  sum(y::HUGEINT * sv) AS g FROM wp WHERE y * p <= 0 GROUP BY d),
+       |mx AS (SELECT greatest(max(abs(g)), 1) AS m FROM g)
+       |SELECT d, n_miscl,
+       |  CAST(CASE WHEN g >= 0 THEN (1000::HUGEINT * g) // m
+       |    ELSE -((1000::HUGEINT * (-g)) // m) END AS BIGINT) AS g_pm
+       |FROM g, mx ORDER BY d""".stripMargin
+
   val qPowerIterationSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, d.d AS d,
@@ -415,6 +467,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_power_iteration" -> (qPowerIteration _),
+    "ml_perceptron_step" -> (qPerceptronStep _),
     "ml_linreg_sources" -> (qLinregSources _),
     "ml_ols_r2" -> (qOlsR2 _),
     "ml_nb_train" -> (qNbTrain _),
@@ -424,6 +477,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
     "ml_power_iteration" -> qPowerIterationSql,
+    "ml_perceptron_step" -> qPerceptronStepSql,
     "ml_linreg_sources" -> qLinregSourcesSql,
     "ml_ols_r2" -> qOlsR2Sql,
     "ml_nb_train" -> qNbTrainSql,

@@ -909,7 +909,98 @@ SELECT d.doc_id, CAST(coalesce(ld.n_landmarks, 0) AS BIGINT) AS n_landmarks,
 FROM documents d LEFT JOIN ld USING (doc_id) LEFT JOIN pm USING (doc_id)
 ORDER BY d.doc_id"""
 
+  // ---------------------------------------------------------------
+  // VIDEO NEAR-DUP — cross-doc near-duplicate detection over the
+  // FRAME DIMENSION (the video twin of [[qPhashBuckets]]' whole-image
+  // banding): each doc's sampled frames ([[frameCuts]]' stride-4
+  // 64-byte frames — where a real pipeline plugs per-frame pHashes)
+  // hash to fixed-width longs; docs sharing a frame hash become
+  // candidates; candidates verify by EXACT frame-set Jaccard ≥ τ.
+  // This is how video dedup actually ships (content-ID style):
+  // frame-level fingerprints catch re-encodes, trims and overlays
+  // that whole-file hashing misses. Discipline stack, all inherited:
+  //  - per-(hash) bucket df cap (the minhash/pHash Σbucket² rule) so
+  //    a boilerplate frame (black frame, silence) can't go quadratic;
+  //  - candidate pairs carry only fixed-width longs; the verify
+  //    intersection streams the (doc, hash) table through two hash
+  //    joins restricted to the candidate pairs (never all pairs);
+  //  - exact integer per-mille Jaccard out (1000·|∩| div |∪|).
+  private[operators] val VideoDfCap = 16
+  private val VideoTauPm = 300L
+
+  def qVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val fhs = frameCuts(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(":",
+          col("checksum"), col("n_bytes"), col("b_min"), col("b_max"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      // one frame kernel pass: the df cap, the per-doc counts, the
+      // candidate join and BOTH verify fetches read this table
+      .localCheckpoint()
+    val cnt = fhs.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val kept = fhs
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("nd") <= VideoDfCap)
+      .select(col("h"), col("doc_id"))
+    val cand = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact |A ∩ B| over the FULL sets (the cap only bounds candidate
+    // generation, never the verify): candidate pairs stream against
+    // the per-doc hash table — fixed-width longs only
+    val inter = cand
+      .join(fhs.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(fhs.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(cnt.select(col("doc_id").as("doc_a"), col("nf").as("n_frames_a"))), "doc_a")
+      .join(broadcast(cnt.select(col("doc_id").as("doc_b"), col("nf").as("n_frames_b"))), "doc_b")
+      .withColumn("jaccard_pm",
+        expr("1000 * n_common div (n_frames_a + n_frames_b - n_common)"))
+      .filter(col("jaccard_pm") >= VideoTauPm)
+      .select(col("doc_a"), col("doc_b"), col("n_frames_a"), col("n_frames_b"),
+        col("n_common"), col("jaccard_pm"))
+      .localCheckpoint() // tiny survivor list; the winnow-pairs sort rule
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qVideoNeardupSql: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |fr AS (SELECT doc_id, hx, n,
+       |  unnest(range(0, (n + ${FrameBytes - 1}) // $FrameBytes, $FrameStride)) AS f FROM b),
+       |sl AS (SELECT doc_id, f, CAST(f * $FrameBytes AS BIGINT) AS lo,
+       |  least(f * $FrameBytes + $FrameBytes, n) AS hi, hx FROM fr),
+       |vals AS (SELECT doc_id, f, lo, hi,
+       |  list_transform(range(lo, hi), i -> ('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))::BIGINT) AS vs
+       |  FROM sl),
+       |feat AS (SELECT doc_id, hi - lo AS n_bytes, list_aggregate(vs, 'sum') AS checksum,
+       |  list_aggregate(vs, 'min') AS b_min, list_aggregate(vs, 'max') AS b_max FROM vals),
+       |fh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |  ('0x' || substr(md5(CAST(checksum AS VARCHAR) || ':' || CAST(n_bytes AS VARCHAR)
+       |    || ':' || CAST(b_min AS VARCHAR) || ':' || CAST(b_max AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM feat),
+       |okh AS (SELECT h FROM fh GROUP BY h HAVING count(*) <= $VideoDfCap),
+       |cnt AS (SELECT doc_id, count(*) AS nf FROM fh GROUP BY doc_id),
+       |kept AS (SELECT fh.* FROM fh JOIN okh USING (h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c JOIN fh a ON a.doc_id = c.doc_a
+       |  JOIN fh b ON b.doc_id = c.doc_b AND b.h = a.h GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(ca.nf AS BIGINT) AS n_frames_a,
+       |  CAST(cb.nf AS BIGINT) AS n_frames_b, n_common,
+       |  CAST(1000 * n_common // (ca.nf + cb.nf - n_common) AS BIGINT) AS jaccard_pm
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE 1000 * n_common // (ca.nf + cb.nf - n_common) >= $VideoTauPm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_neardup" -> (qVideoNeardup _),
     "mm_audio_fingerprint" -> (qAudioFingerprint _),
     "mm_vad_segments" -> (qVadSegments _),
     "mm_resize" -> (qResize _),
@@ -925,6 +1016,7 @@ ORDER BY d.doc_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_video_neardup" -> qVideoNeardupSql,
     "mm_audio_fingerprint" -> qAudioFingerprintSql,
     "mm_resize" -> qResizeSql,
     "mm_vad_segments" -> qVadSegmentsSql,

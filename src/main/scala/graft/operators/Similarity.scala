@@ -490,6 +490,55 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // FILTERED ANN — metadata-filtered vector search (the "WHERE
+  // label = x" tier every vector store ships): each probe retrieves
+  // its top-3 among vectors sharing the probe's LABEL, searched only
+  // inside the probe's coarse cell (nprobe=1, the [[qIvfTopk]]
+  // shape). PRE-filter semantics: the label predicate applies before
+  // ranking — post-filtering an unfiltered k-list under-fills
+  // whenever the filter is selective (here ~1/10), which is exactly
+  // why engines push the filter into the cell scan. Scale shape: one
+  // broadcast of the (qid, qcid, qlabel, qv) probe metadata, the
+  // corpus streams through a hash join on (cell, label) keys; in a
+  // real index `label` is a stored column of the inverted list, so
+  // the label attach join disappears. Oracle mirrors the cell bound
+  // and the label equality exactly.
+  def qFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val assign = assignMemo(s, dir).join(lab, "vec_id")
+    val probes = assign.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+        col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qn"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assign.join(broadcast(probes),
+        col("cid") === col("qcid") && col("label") === col("qlabel") &&
+          col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("qlabel").as("label"), col("rank"),
+        col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qFilteredTopkSql: String =
+    s"""WITH $assignCteSql,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |al AS (SELECT a.vec_id, a.cid, l.label FROM asg a JOIN lab l USING (vec_id)),
+       |probes AS (SELECT al.vec_id AS qid, al.cid AS qcid, al.label AS qlabel,
+       |  n.v AS qv, n.nrm AS qn
+       |  FROM al JOIN n ON al.vec_id = n.vec_id WHERE al.vec_id % $QueryStride = 0),
+       |cand AS (SELECT p.qid, p.qlabel, al.vec_id,
+       |  round((${Vectors.dotSql("n.v", "p.qv")}) / (n.nrm * p.qn), 6) AS cos
+       |  FROM al JOIN n ON al.vec_id = n.vec_id
+       |  JOIN probes p ON al.cid = p.qcid AND al.label = p.qlabel AND al.vec_id <> p.qid),
+       |r AS (SELECT qid, qlabel, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
+       |SELECT qid, qlabel AS label, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // IVF CELL-BALANCE AUDIT — the index-health statistic every IVF
   // deployment monitors: per-cell membership plus its share of the
   // corpus in exact parts-per-million (integer div on non-negative
@@ -2031,6 +2080,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_hard_negatives" -> (qHardNegatives _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
+    "sim_filtered_topk" -> (qFilteredTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_hamming_topk" -> (qHammingTopk _),
     "sim_cascade_topk" -> (qCascadeTopk _),
@@ -2063,6 +2113,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
+    "sim_filtered_topk" -> qFilteredTopkSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_hamming_topk" -> qHammingTopkSql,
     "sim_pq_topk" -> qPqTopkSql,

@@ -608,6 +608,36 @@ class AnalyticsSpec extends SparkSpec {
       s"stream-static as-of join must hold no state rows: $asof")
   }
 
+  test("video near-dup: jaccard recounts from frame sets, tau and cap bind") {
+    val rows = Multimodal.qVideoNeardup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the corpus must contain frame-level near-dups")
+    // frame-hash sets recomputed independently from mm_frame_sample
+    val sets = Multimodal.qFrameSample(spark, sfDir)
+      .selectExpr("doc_id",
+        "conv(substring(md5(concat_ws(':', checksum, n_bytes, b_min, b_max)), 1, 15), 16, 10) as h")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "canonical pair order")
+      val (sa, sb) = (sets(a), sets(b))
+      val ni = sa.intersect(sb).size.toLong
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size, s"($a,$b) set sizes")
+      assert(r.getLong(4) == ni, s"($a,$b) intersection")
+      val jpm = 1000L * ni / (sa.size + sb.size - ni)
+      assert(r.getLong(5) == jpm && jpm >= 300L, s"($a,$b) jaccard_pm")
+    }
+    // the df cap bounds candidate generation: no surviving pair may
+    // owe its DISCOVERY solely to an over-cap hash — every pair must
+    // share at least one hash whose corpus df is within the cap
+    val df = sets.values.toSeq.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+    rows.foreach { r =>
+      val shared = sets(r.getLong(0)).intersect(sets(r.getLong(1)))
+      assert(shared.exists(df(_) <= Multimodal.VideoDfCap),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) reachable only through over-cap buckets")
+    }
+  }
+
   test("multi-probe IVF is cell-bounded, hash-joined, and lifts recall over nprobe=1") {
     val np = 4
     val topk = Similarity.ivfTopkN(spark, sfDir, np)
@@ -642,6 +672,52 @@ class AnalyticsSpec extends SparkSpec {
         col("qid") === col("aq") && col("neighbor") === col("an")).count()
     }
     assert(hits(np) >= hits(1), "nprobe=4 lost corpus-level recall vs nprobe=1")
+  }
+
+  test("perceptron step: misclassified set recounts driver-side, gradient normalizes to 1000") {
+    val rows = Models.qPerceptronStep(spark, sfDir).collect()
+    assert(rows.length == 64, "one row per dimension")
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 64L), "dims dense ascending")
+    // n_miscl is the one global count repeated on every row
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    val nMiscl = rows.head.getLong(1)
+    // driver-side recount of the subgradient set under w0 = all-ones
+    val expected = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("case when label < 5 then 1L else -1L end as y",
+        "aggregate(transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as long)), 0L, (a, x) -> a + x) as p")
+      .collect().count(r => r.getLong(0) * r.getLong(1) <= 0L)
+    assert(nMiscl == expected, s"misclassified count $nMiscl != driver recount $expected")
+    assert(nMiscl > 0L && nMiscl < graft.Tables.embeddings(spark, sfDir).count(),
+      "a random corpus must be neither perfectly split nor fully wrong under w0")
+    val gpm = rows.map(_.getLong(2))
+    assert(gpm.forall(g => g >= -1000L && g <= 1000L), "per-mille bounds")
+    assert(gpm.map(math.abs).max == 1000L, "the max-|g| dim normalizes to exactly 1000")
+  }
+
+  test("filtered ANN pre-filters inside the cell: labels match, ranks dense, filter binds") {
+    val rows = Similarity.qFilteredTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      // every neighbor carries the probe's own label (pre-filter)
+      rs.foreach { r =>
+        assert(r.getLong(1) == labels(qid), s"probe $qid label mismatch")
+        assert(labels(r.getLong(3)) == labels(qid), s"neighbor of $qid crosses the filter")
+      }
+      // ranks dense from 1 in cosine-desc order (row_number is int)
+      assert(rs.map(_.getInt(2).toLong).sorted.toSeq == (1L to rs.length).toSeq)
+      val cos = rs.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cosine descends with rank")
+    }
+    // the filter BINDS: at ~1/10 label selectivity some filtered list
+    // must contain a neighbor absent from the unfiltered cell top-3 —
+    // the case where post-filtering an unfiltered k-list under-fills
+    val unfiltered = Similarity.qIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.exists(r => !unfiltered.contains((r.getLong(0), r.getLong(3)))),
+      "pre-filter must surface neighbors post-filtering would miss")
   }
 
   test("ivfpq stage-1 pair count is cell-bounded, not corpus-bounded") {

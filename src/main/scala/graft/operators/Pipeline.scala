@@ -1601,7 +1601,78 @@ FROM j ORDER BY source"""
       s" FROM ($union) ORDER BY round"
   }
 
+  // ---------------------------------------------------------------
+  // TOKEN-BUDGET WATERFILLING — the allocation step behind every
+  // "cap the over-represented sources" mixing decision: given a
+  // global token budget B (here 90% of the corpus, so the cap must
+  // bind), find the unique cap c such that sources below c keep
+  // every token and sources above it are clipped to c, with
+  // Σ alloc ≤ B maximal. Computed EXACTLY in one pass of window
+  // prefix sums over the (tok, source)-sorted source table: at
+  // boundary rank i, c_i = (B − prefix_{i−1}) div (n − i + 1), and
+  // the true boundary is the single row with
+  // lag(tok) ≤ c_i < tok_i (waterfilling's uniqueness; both engines
+  // evaluate the same integer conditions, and a negative c_i on an
+  // invalid row fails the lag(tok) ≤ c_i test under truncation AND
+  // floor, so the truncate-vs-floor divergence below zero never
+  // selects a row). No iteration, no driver loop — the classic
+  // sequential waterfill collapses into sort + prefix sum + one
+  // 1-row broadcast back. Output per source: tokens, allocation,
+  // kept per-mille, capped flag.
+  private val WaterfillBudgetNum = 9L // B = 9/10 of corpus tokens
+  private val WaterfillBudgetDen = 10L
+
+  def qWaterfillBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("tok"))
+    val asc = Window.orderBy(col("tok"), col("source"))
+    val full = asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r = bySrc
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("b", expr(s"$WaterfillBudgetNum * sum(tok) over () div $WaterfillBudgetDen"))
+      .withColumn("prefix", coalesce(sum(col("tok")).over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ptok", lag(col("tok"), 1, 0L).over(asc))
+      .localCheckpoint() // |sources| rows; boundary row + final join read it
+    val cap = r
+      .withColumn("ci", expr("(b - prefix) div (n - i + 1)"))
+      .filter(col("ci") >= col("ptok") && col("ci") < col("tok"))
+      .select(col("i").as("ki"), col("ci").as("cap"))
+    r.crossJoin(broadcast(cap))
+      .select(col("source"), col("tok").as("n_tokens"), col("i").as("rank_asc"),
+        when(col("i") < col("ki"), col("tok")).otherwise(col("cap")).as("alloc_tokens"),
+        expr("1000 * (CASE WHEN i < ki THEN tok ELSE cap END) div greatest(tok, 1)").as("kept_pm"),
+        (col("i") >= col("ki")).as("capped"))
+      .orderBy(col("rank_asc"))
+  }
+
+  val qWaterfillBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(t) AS BIGINT) AS tok FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST($WaterfillBudgetNum * sum(tok) // $WaterfillBudgetDen AS BIGINT) AS b FROM s),
+       |r AS (SELECT source, tok,
+       |  CAST(row_number() OVER (ORDER BY tok, source) AS BIGINT) AS i,
+       |  CAST(coalesce(sum(tok) OVER (ORDER BY tok, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+       |  CAST(coalesce(lag(tok) OVER (ORDER BY tok, source), 0) AS BIGINT) AS ptok
+       |  FROM s),
+       |cc AS (SELECT r.*, (b - prefix) // (n - i + 1) AS ci FROM r, tot),
+       |k AS (SELECT i AS ki, ci AS cap FROM cc WHERE ci >= ptok AND ci < tok)
+       |SELECT source, tok AS n_tokens, i AS rank_asc,
+       |  CAST(CASE WHEN i < ki THEN tok ELSE cap END AS BIGINT) AS alloc_tokens,
+       |  CAST(1000 * (CASE WHEN i < ki THEN tok ELSE cap END) // greatest(tok, 1) AS BIGINT) AS kept_pm,
+       |  i >= ki AS capped
+       |FROM cc, k ORDER BY rank_asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_waterfill_budget" -> (qWaterfillBudget _),
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
     "pipe_budget_curve" -> (qBudgetCurve _),
@@ -1650,6 +1721,7 @@ FROM j ORDER BY source"""
     "pii_redact" -> qRedactSql,
     "pii_kanon" -> qKAnonSql,
     "pipe_source_gini" -> qSourceGiniSql,
+    "pipe_waterfill_budget" -> qWaterfillBudgetSql,
     "pipeline_partial_merge" -> qPartialMergeSql,
     "samp_stratified" -> qStratifiedSql,
     "samp_domain_mix" -> qDomainMixSql,

@@ -539,6 +539,39 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // SAMPLE COVERAGE AUDIT — does a subsample still cover the
+  // embedding space? The check run before trusting any
+  // subsample-derived statistic (eval sets, coreset distillation,
+  // sampled k-means retrains): assign the corpus to its coarse
+  // cells, mark the deterministic 1-in-7 sample (vec_id % 7 — the
+  // samp_* hash-membership discipline), and report per cell the
+  // member count, sampled count, coverage flag and exact per-mille
+  // sample rate. Uncovered or under-sampled cells mean the sample is
+  // blind to a region of the space — the geometric twin of
+  // [[qIvfCellStats]]' balance audit. One partial aggregate over the
+  // shared assignment; nothing corpus-sized moves.
+  private val CoverageStride = 7
+
+  def qSampleCoverage(s: SparkSession, dir: String): DataFrame =
+    assignMemo(s, dir).select(col("vec_id"), col("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("vec_id") % CoverageStride === 0, 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("cid"), col("n_members"), col("n_sampled"),
+        (col("n_sampled") > 0).as("covered"),
+        expr("1000 * n_sampled div n_members").as("sample_pm"))
+      .orderBy(col("cid"))
+
+  val qSampleCoverageSql: String =
+    s"""WITH $assignCteSql,
+       |cc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN vec_id % $CoverageStride = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |  FROM asg GROUP BY cid)
+       |SELECT cid, n_members, n_sampled, n_sampled > 0 AS covered,
+       |  CAST(1000 * n_sampled // n_members AS BIGINT) AS sample_pm
+       |FROM cc ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
   // IVF CELL-BALANCE AUDIT — the index-health statistic every IVF
   // deployment monitors: per-cell membership plus its share of the
   // corpus in exact parts-per-million (integer div on non-negative
@@ -2081,6 +2114,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_filtered_topk" -> (qFilteredTopk _),
+    "samp_cell_coverage" -> (qSampleCoverage _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_hamming_topk" -> (qHammingTopk _),
     "sim_cascade_topk" -> (qCascadeTopk _),
@@ -2114,6 +2148,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_filtered_topk" -> qFilteredTopkSql,
+    "samp_cell_coverage" -> qSampleCoverageSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_hamming_topk" -> qHammingTopkSql,
     "sim_pq_topk" -> qPqTopkSql,

@@ -674,6 +674,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(hits(np) >= hits(1), "nprobe=4 lost corpus-level recall vs nprobe=1")
   }
 
+  test("waterfill budget: cap is unique, allocation exhausts the budget up to the cap remainder") {
+    val rows = Pipeline.qWaterfillBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val toks = rows.map(_.getLong(1))
+    val allocs = rows.map(_.getLong(3))
+    val b = 9L * toks.sum / 10L
+    assert(allocs.sum <= b, "allocation may not exceed the budget")
+    val capped = rows.filter(_.getBoolean(5))
+    val uncapped = rows.filterNot(_.getBoolean(5))
+    assert(capped.nonEmpty, "a 90% budget must cap at least one source")
+    val cap = capped.head.getLong(3)
+    assert(capped.forall(_.getLong(3) == cap), "every capped source gets the same water level")
+    assert(uncapped.forall(r => r.getLong(3) == r.getLong(1) && r.getLong(1) <= cap),
+      "uncapped sources keep every token and sit below the water level")
+    assert(capped.forall(_.getLong(1) > cap), "capped sources exceed the water level")
+    // maximality: raising the cap by 1 would burst the budget
+    assert(allocs.sum + capped.length > b, "cap+1 must exceed the budget")
+    rows.foreach(r => assert(r.getLong(4) == 1000L * r.getLong(3) / math.max(r.getLong(1), 1L)))
+  }
+
+  test("sample coverage partitions the corpus and recounts the 1-in-7 sample") {
+    val rows = Similarity.qSampleCoverage(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val nSampled = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == n, "cells partition the corpus")
+    assert(rows.map(_.getLong(2)).sum == nSampled, "sampled counts close against the stride")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getBoolean(3) == (r.getLong(2) > 0L))
+      assert(r.getLong(4) == 1000L * r.getLong(2) / r.getLong(1))
+    }
+  }
+
   test("perceptron step: misclassified set recounts driver-side, gradient normalizes to 1000") {
     val rows = Models.qPerceptronStep(spark, sfDir).collect()
     assert(rows.length == 64, "one row per dimension")

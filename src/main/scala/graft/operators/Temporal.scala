@@ -28,6 +28,48 @@ object Temporal {
   private val SessionGapUs = 1800000000L // 30 min
 
   // ---------------------------------------------------------------
+  // SCD2 HISTORY BUILD — the slowly-changing-dimension type-2 table
+  // every lakehouse derives from an event stream: per user, collapse
+  // consecutive same-status events and emit one VALIDITY INTERVAL per
+  // status change (valid_from = the change event's time, valid_to =
+  // the next change's time, open interval marked `current`). The
+  // batch twin of [[graft.streaming.Streams]]' CDC apply: merge_upsert
+  // keeps only the latest state, SCD2 keeps the full history — the
+  // form point-in-time joins and training-data snapshots read.
+  // Deterministic under the (ts, event_id) total order (the CDC
+  // last-write-wins convention); one user-partitioned window chain,
+  // no global sort, timestamps out as µs strings.
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("status"),
+        date_format(col("ts"), tsFmt).as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), tsFmt), lit("current")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val qScd2Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+       |ch AS (SELECT user_id, event_type, ts, event_id FROM (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt FROM ev)
+       |  WHERE pt IS NULL OR pt <> event_type),
+       |v AS (SELECT user_id, event_type, ts,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt FROM ch)
+       |SELECT user_id, CAST(version AS BIGINT) AS version, event_type AS status,
+       |  strftime(ts, '$duckFmt') AS valid_from,
+       |  coalesce(strftime(vt, '$duckFmt'), 'current') AS valid_to,
+       |  vt IS NULL AS is_current
+       |FROM v ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------
   // as-of join: each purchase matched to the latest click at-or-before
   // it for the same user.
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -875,6 +917,7 @@ object Temporal {
       |ORDER BY event_type, lag_days""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_scd2" -> (qScd2 _),
     "temporal_autocorr" -> (qAutocorr _),
     "temporal_markov" -> (qMarkovTransitions _),
     "temporal_drift" -> (qDrift _),
@@ -897,6 +940,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_scd2" -> qScd2Sql,
     "temporal_autocorr" -> qAutocorrSql,
     "temporal_markov" -> qMarkovTransitionsSql,
     "temporal_drift" -> qDriftSql,

@@ -674,6 +674,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(hits(np) >= hits(1), "nprobe=4 lost corpus-level recall vs nprobe=1")
   }
 
+  test("scd2 history: versions chain, statuses alternate, one current row per user") {
+    val rows = Temporal.qScd2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = graft.Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.size == users, "every user with events has a history")
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to vs.length), s"user $u versions dense")
+      // consecutive versions change status (same-status runs collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2), s"user $u kept a no-op version")
+          assert(a.getString(4) == b.getString(3),
+            s"user $u: version close time must equal the next version's open time")
+        case _ =>
+      }
+      assert(sorted.last.getString(4) == "current" && sorted.last.getBoolean(5))
+      assert(sorted.init.forall(!_.getBoolean(5)), s"user $u has more than one current row")
+    }
+  }
+
   test("waterfill budget: cap is unique, allocation exhausts the budget up to the cap remainder") {
     val rows = Pipeline.qWaterfillBudget(spark, sfDir).collect()
     assert(rows.nonEmpty)

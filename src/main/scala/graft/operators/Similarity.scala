@@ -539,6 +539,188 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // MMR DIVERSIFIED TOP-K — maximal marginal relevance, the
+  // diversified-retrieval operator RAG stacks run instead of plain
+  // top-k when near-duplicate hits waste the context window: greedily
+  // pick argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). λ = 0.7 rides
+  // as the EXACT integer pair (7, 3) over µ-scaled 6-dp cosines, so
+  // every score is an integer and the greedy argmax gates exactly
+  // cross-engine (no float weight arithmetic anywhere). The k = 3
+  // greedy loop is UNROLLED into three relational argmax stages (the
+  // qKmeansConverge chain discipline) — each stage one per-probe
+  // window rank over the cell-bounded candidate list, candidate↔
+  // selected similarities recomputed per stage against the ≤2
+  // already-picked vectors (never a full pairwise matrix). Scale
+  // shape: candidates stay IVF-cell-bounded (the qIvfTopk join),
+  // selected-set metadata is 1-row-per-probe broadcast joins.
+  private val MmrLambdaNum = 7L // λ = 0.7 as the integer pair (7, 3)
+  private val MmrLambdaRest = 3L
+
+  def qMmrTopk(s: SparkSession, dir: String): DataFrame = {
+    val assign = assignMemo(s, dir)
+    val probes = assign.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    def simInt(v1: Column, n1: Column, v2: Column, n2: Column): Column =
+      round(round(DotF64.dot(v1, v2) / (n1 * n2), 6) * 1000000, 0).cast("long")
+    val cand = assign.join(broadcast(probes),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+        simInt(col("v"), col("nrm"), col("qv"), col("qn")).as("rel"))
+      .localCheckpoint() // three greedy stages re-read the scored list
+    val byScore = (sc: Column) => Window.partitionBy(col("qid"))
+      .orderBy(sc.desc, col("vec_id"))
+    val s1 = cand
+      .withColumn("rn", row_number().over(byScore(col("rel"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("v1"), col("v").as("v1v"),
+        col("nrm").as("v1n"), (lit(MmrLambdaNum) * col("rel")).as("score1"))
+    val st2 = cand.join(s1, "qid").filter(col("vec_id") =!= col("v1"))
+      .withColumn("score",
+        lit(MmrLambdaNum) * col("rel") -
+          lit(MmrLambdaRest) * simInt(col("v"), col("nrm"), col("v1v"), col("v1n")))
+    val s2 = st2
+      .withColumn("rn", row_number().over(byScore(col("score"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("v2"), col("v").as("v2v"),
+        col("nrm").as("v2n"), col("score").as("score2"))
+    val st3 = cand.join(s1, "qid").join(s2, "qid")
+      .filter(col("vec_id") =!= col("v1") && col("vec_id") =!= col("v2"))
+      .withColumn("score",
+        lit(MmrLambdaNum) * col("rel") -
+          lit(MmrLambdaRest) * greatest(
+            simInt(col("v"), col("nrm"), col("v1v"), col("v1n")),
+            simInt(col("v"), col("nrm"), col("v2v"), col("v2n"))))
+    val s3 = st3
+      .withColumn("rn", row_number().over(byScore(col("score"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("v3"), col("score").as("score3"))
+    s1.select(col("qid"), lit(1L).as("rank"), col("v1").as("vec_id"), col("score1").as("mmr_score"))
+      .unionAll(s2.select(col("qid"), lit(2L).as("rank"), col("v2").as("vec_id"), col("score2").as("mmr_score")))
+      .unionAll(s3.select(col("qid"), lit(3L).as("rank"), col("v3").as("vec_id"), col("score3").as("mmr_score")))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qMmrTopkSql: String = {
+    def sim(a: String, b: String, na: String, nb: String) =
+      s"CAST(round(round((${Vectors.dotSql(a, b)}) / ($na * $nb), 6) * 1000000, 0) AS BIGINT)"
+    s"""WITH $assignCteSql,
+       |probes AS (SELECT a.vec_id AS qid, a.cid AS qcid, n.v AS qv, n.nrm AS qn
+       |  FROM asg a JOIN n ON a.vec_id = n.vec_id WHERE a.vec_id % $QueryStride = 0),
+       |cand AS MATERIALIZED (SELECT p.qid, n.vec_id, n.v, n.nrm,
+       |  ${sim("n.v", "p.qv", "n.nrm", "p.qn")} AS rel
+       |  FROM asg a JOIN n ON a.vec_id = n.vec_id
+       |  JOIN probes p ON a.cid = p.qcid AND n.vec_id <> p.qid),
+       |s1 AS (SELECT qid, vec_id AS v1, v AS v1v, nrm AS v1n, $MmrLambdaNum * rel AS score1 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+       |  FROM cand) t WHERE rn = 1),
+       |s2 AS (SELECT qid, vec_id AS v2, v AS v2v, nrm AS v2n, score AS score2 FROM (
+       |  SELECT c.qid, c.vec_id, c.v, c.nrm,
+       |    $MmrLambdaNum * c.rel - $MmrLambdaRest * ${sim("c.v", "s1.v1v", "c.nrm", "s1.v1n")} AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid
+       |      ORDER BY $MmrLambdaNum * c.rel - $MmrLambdaRest * ${sim("c.v", "s1.v1v", "c.nrm", "s1.v1n")} DESC,
+       |        c.vec_id) AS rn
+       |  FROM cand c JOIN s1 USING (qid) WHERE c.vec_id <> s1.v1) t WHERE rn = 1),
+       |s3 AS (SELECT qid, vec_id AS v3, score AS score3 FROM (
+       |  SELECT c.qid, c.vec_id,
+       |    $MmrLambdaNum * c.rel - $MmrLambdaRest * greatest(
+       |      ${sim("c.v", "s1.v1v", "c.nrm", "s1.v1n")},
+       |      ${sim("c.v", "s2.v2v", "c.nrm", "s2.v2n")}) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid
+       |      ORDER BY $MmrLambdaNum * c.rel - $MmrLambdaRest * greatest(
+       |        ${sim("c.v", "s1.v1v", "c.nrm", "s1.v1n")},
+       |        ${sim("c.v", "s2.v2v", "c.nrm", "s2.v2n")}) DESC, c.vec_id) AS rn
+       |  FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+       |  WHERE c.vec_id <> s1.v1 AND c.vec_id <> s2.v2) t WHERE rn = 1)
+       |SELECT qid, 1::BIGINT AS rank, v1 AS vec_id, score1 AS mmr_score FROM s1
+       |UNION ALL SELECT qid, 2, v2, score2 FROM s2
+       |UNION ALL SELECT qid, 3, v3, score3 FROM s3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // COHEN'S KAPPA — chance-corrected agreement between two labelers,
+  // THE inter-annotator metric every labeling pipeline gates on.
+  // Here the two "annotators" are the stored label and the geometry
+  // (each vector's cell-majority label): does unsupervised structure
+  // agree with supervision beyond chance? Exact rational arithmetic
+  // end-to-end: with a = #agreements, n = corpus, and
+  // p = Σ_k rowA_k·rowB_k the chance-agreement mass,
+  // κ = (a/n − p/n²)/(1 − p/n²) = (a·n − p)/(n² − p) — emitted
+  // sign-split as exact ppm through DECIMAL(38,0)/HUGEINT (n² wraps
+  // BIGINT past ~3e9 rows; no doubles, no libm). Output is the
+  // per-label confusion marginals (true count, predicted count,
+  // diagonal agreement) with the corpus-constant κ repeated —
+  // self-describing like the perceptron's n_miscl. Scale shape: the
+  // shared assignment, one (cid, label) partial agg for majorities
+  // (K·|labels| metadata), one label-grain agg for marginals.
+  def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val al = assignMemo(s, dir).select(col("vec_id"), col("cid")).join(lab, "vec_id")
+    val per = Window.partitionBy(col("cid"))
+    val maj = al.groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(per.orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("maj_label"))
+    val both = al.join(broadcast(maj), "cid")
+      .select(col("label"), col("maj_label"))
+      .localCheckpoint() // marginals + diagonal + totals all read it
+    val conf = both.groupBy(col("label")).agg(
+      count(lit(1)).as("n_true"),
+      sum(when(col("label") === col("maj_label"), 1L).otherwise(0L)).as("n_agree"))
+    val pred = both.groupBy(col("maj_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tot = conf.join(pred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .localCheckpoint() // tiny |labels| frame; the global sums re-read it
+    val dec = "decimal(38,0)"
+    val g = tot.agg(
+        sum(col("n_true")).as("n"),
+        sum(col("n_agree")).as("a"),
+        sum(col("n_true").cast(dec) * col("n_pred")).as("p"))
+      .select(
+        expr("CASE WHEN cast(a as decimal(38,0)) * n - p >= 0" +
+          " THEN (cast(1000000 as decimal(38,0)) * (cast(a as decimal(38,0)) * n - p))" +
+          " div greatest(cast(n as decimal(38,0)) * n - p, 1)" +
+          " ELSE -((cast(1000000 as decimal(38,0)) * (p - cast(a as decimal(38,0)) * n))" +
+          " div greatest(cast(n as decimal(38,0)) * n - p, 1)) END")
+          .cast("long").as("kappa_ppm"))
+    tot.crossJoin(broadcast(g))
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_agree"), col("kappa_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val qCohensKappaSql: String =
+    s"""WITH $assignCteSql,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |al AS (SELECT a.vec_id, a.cid, l.label FROM asg a JOIN lab l USING (vec_id)),
+       |cl AS (SELECT cid, label, count(*) AS n FROM al GROUP BY 1, 2),
+       |mj AS (SELECT cid, label AS maj_label FROM (
+       |  SELECT cid, label, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+       |  FROM cl) t WHERE rn = 1),
+       |bo AS (SELECT al.label, mj.maj_label FROM al JOIN mj USING (cid)),
+       |ct AS (SELECT label, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN label = maj_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM bo GROUP BY label),
+       |cp AS (SELECT maj_label AS label, CAST(count(*) AS BIGINT) AS n_pred FROM bo GROUP BY 1),
+       |tot AS (SELECT coalesce(ct.label, cp.label) AS label,
+       |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+       |  coalesce(n_agree, 0) AS n_agree
+       |  FROM ct FULL JOIN cp ON ct.label = cp.label),
+       |g AS (SELECT CAST(sum(n_true) AS HUGEINT) AS n, CAST(sum(n_agree) AS HUGEINT) AS a,
+       |  sum(n_true::HUGEINT * n_pred) AS p FROM tot),
+       |k AS (SELECT CAST(CASE WHEN a * n - p >= 0
+       |    THEN (1000000::HUGEINT * (a * n - p)) // greatest(n * n - p, 1)
+       |    ELSE -((1000000::HUGEINT * (p - a * n)) // greatest(n * n - p, 1)) END AS BIGINT) AS kappa_ppm
+       |  FROM g)
+       |SELECT label, n_true, n_pred, n_agree, kappa_ppm
+       |FROM tot, k ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
   // SAMPLE COVERAGE AUDIT — does a subsample still cover the
   // embedding space? The check run before trusting any
   // subsample-derived statistic (eval sets, coreset distillation,
@@ -2115,6 +2297,8 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_ivf_topk" -> (qIvfTopk _),
     "sim_filtered_topk" -> (qFilteredTopk _),
     "samp_cell_coverage" -> (qSampleCoverage _),
+    "ml_cohens_kappa" -> (qCohensKappa _),
+    "sim_mmr_topk" -> (qMmrTopk _),
     "sim_quantize_int8" -> (qQuantizeInt8 _),
     "sim_hamming_topk" -> (qHammingTopk _),
     "sim_cascade_topk" -> (qCascadeTopk _),
@@ -2149,6 +2333,8 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_filtered_topk" -> qFilteredTopkSql,
     "samp_cell_coverage" -> qSampleCoverageSql,
+    "ml_cohens_kappa" -> qCohensKappaSql,
+    "sim_mmr_topk" -> qMmrTopkSql,
     "sim_quantize_int8" -> qQuantizeInt8Sql,
     "sim_hamming_topk" -> qHammingTopkSql,
     "sim_pq_topk" -> qPqTopkSql,

@@ -1783,4 +1783,87 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("MMR top-k matches an exact driver-side greedy replay and diversity binds") {
+    import graft.functions.Vectors
+    val out = Similarity.qMmrTopk(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // replay the greedy MMR exactly: same cells, same 6-dp-then-ppm
+    // integer cosines, same (7, 3) integer weights, same tiebreaks
+    val asg = Similarity.assignToCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val byCell = asg.groupBy(_._2)
+    def simInt(v1: Array[Double], n1: Double, v2: Array[Double], n2: Double): Long = {
+      val r6 = Vectors.round6Jvm(Vectors.dotJvm(v1, v2) / (n1 * n2))
+      BigDecimal.valueOf(r6 * 1000000d)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    var diversityBinds = false
+    asg.filter(_._1 % 50 == 0).foreach { case (qid, qcid, qv, qn) =>
+      val cand = byCell(qcid).filter(_._1 != qid)
+        .map { case (id, _, v, n) => (id, v, n, simInt(v, n, qv, qn)) }
+      if (cand.nonEmpty) {
+        val got = out.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getLong(3)))
+        var picked = List.empty[(Long, Array[Double], Double)]
+        val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var rest = cand
+        while (picked.length < 3 && rest.nonEmpty) {
+          val scored = rest.map { case (id, v, n, rel) =>
+            val pen = if (picked.isEmpty) 0L
+              else picked.map(p => simInt(v, n, p._2, p._3)).max
+            (id, v, n, 7L * rel - 3L * pen)
+          }
+          val best = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+          expect += ((best._1, best._4))
+          picked = picked :+ ((best._1, best._2, best._3))
+          rest = rest.filter(_._1 != best._1)
+        }
+        assert(got.toSeq == expect.toSeq, s"probe $qid greedy replay mismatch")
+        // diversity binds when the MMR list deviates from plain rel order
+        val relOrder = cand.sortBy(c => (-c._4, c._1)).take(3).map(_._1).toSeq
+        if (got.map(_._1).toSeq != relOrder) diversityBinds = true
+      }
+    }
+    assert(diversityBinds,
+      "λ=0.7 must reorder at least one probe's list vs plain top-k by relevance")
+  }
+
+  test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
+    val rows = Similarity.qCohensKappa(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asg = Similarity.assignToCentroids(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // cell-majority label, ties to the smaller label
+    val maj = asg.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.groupBy(m => labels(m._1)).map { case (l, g) => (l, g.length) }
+        .minBy { case (l, n) => (-n, l) }._1
+    }
+    val pairs = asg.map { case (id, cid) => (labels(id), maj(cid)) }
+    val nTrue = pairs.groupBy(_._1).map { case (l, g) => l -> g.length.toLong }
+    val nPred = pairs.groupBy(_._2).map { case (l, g) => l -> g.length.toLong }
+    val nAgree = pairs.groupBy(_._1)
+      .map { case (l, g) => l -> g.count(p => p._1 == p._2).toLong }
+    val n = BigInt(pairs.length)
+    val a = BigInt(pairs.count(p => p._1 == p._2))
+    val p = (nTrue.keySet ++ nPred.keySet).toSeq
+      .map(l => BigInt(nTrue.getOrElse(l, 0L)) * BigInt(nPred.getOrElse(l, 0L))).sum
+    val num = BigInt(1000000) * (a * n - p)
+    val den = (n * n - p).max(BigInt(1))
+    val kappa = if (num >= 0) num / den else -((-num) / den)
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == nTrue.getOrElse(l, 0L), s"label $l n_true")
+      assert(r.getLong(2) == nPred.getOrElse(l, 0L), s"label $l n_pred")
+      assert(r.getLong(3) == nAgree.getOrElse(l, 0L), s"label $l n_agree")
+      assert(r.getLong(4) == kappa.toLong, s"label $l kappa_ppm")
+    }
+    assert(rows.map(_.getLong(0)).toSet == (nTrue.keySet ++ nPred.keySet),
+      "full-join marginals: every label present on either axis appears")
+    val k = rows.head.getLong(4)
+    assert(k > -1000000L && k < 1000000L, "kappa strictly inside (-1, 1) on random labels")
+  }
 }

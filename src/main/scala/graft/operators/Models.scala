@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.Vectors
 
 /** Distributed model TRAINING as exact relational algebra — the two
   * classical fits whose sufficient statistics are integer moments,
@@ -450,6 +451,115 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    ELSE -((1000::HUGEINT * (-g)) // m) END AS BIGINT) AS g_pm
        |FROM g, mx ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // EXACT ROC AUC — the eval metric every classifier pipeline gates
+  // on, computed as the Mann–Whitney rank statistic with NO floats:
+  // score(x) = Σ_d round(x_d·1e6) (the [[qPerceptronStep]] integer
+  // margin under the all-ones w₀), y = [label < 5]. With per-score
+  // counts (n_pos_s, n_neg_s), C = Σ_s n_pos_s·negBelow(s) the
+  // concordant pairs and T = Σ_s n_pos_s·n_neg_s the tied pairs,
+  // AUC = (C + T/2)/(n₊·n₋) — emitted as
+  // auc_ppm = (10⁶·(2C + T)) div (2·n₊·n₋), all integer, plus the
+  // raw pair counts as DECIMAL(38,0)-backed strings (C ~ n² wraps
+  // BIGINT past ~3e9 rows — the r10 item-6 no-wrap-horizon rule).
+  //
+  // Scale shape (the OrderStats discipline — a corpus-global
+  // row_number window is the one plan that can't survive 100×): one
+  // map-only scoring kernel, one groupBy(score) partial agg, then
+  // the global "negatives strictly below" prefix sum runs as
+  // range-partition → P per-partition neg totals to the driver →
+  // broadcast offsets → one partition-local accumulation kernel
+  // emitting P metadata rows. No global sort, no corpus collect.
+  def qAucExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.TaskContext
+    val p = s.sparkContext.defaultParallelism
+    val e = Tables.embeddings(s, dir).select(
+      when(col("label") < 5, 1L).otherwise(0L).as("y"),
+      col("embedding").cast("array<double>").as("v"))
+    // per-vector integer margin in one kernel (the HOF-loop rule):
+    // same per-element round(x·1e6) as the perceptron's sv column
+    val scoreSchema = StructType(Seq(
+      StructField("y", LongType), StructField("s", LongType)))
+    val scored = e.repartition(p)
+      .mapPartitions { it =>
+        it.map { r =>
+          val v = r.getSeq[Double](1)
+          var acc = 0L
+          var i = 0
+          while (i < v.length) {
+            acc += Vectors.roundJvm(v(i) * 1000000d, 0).toLong
+            i += 1
+          }
+          Row(r.getLong(0), acc)
+        }
+      }(Encoders.row(scoreSchema))
+    val grouped = scored.groupBy(col("s")).agg(
+      sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val ranged = grouped.repartitionByRange(p, col("s")).localCheckpoint()
+    val partNeg = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(sum(col("n_neg")).as("neg"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val outSchema = StructType(Seq(
+      StructField("n_pos", LongType), StructField("n_neg", LongType),
+      StructField("concordant", StringType), StructField("tied", StringType),
+      StructField("auc_ppm", LongType)))
+    if (partNeg.isEmpty) return s.createDataFrame(
+      s.sparkContext.emptyRDD[Row], outSchema) // degenerate-input rule
+    // driver prefix over P counters -> negatives strictly below pid
+    var below = 0L
+    val offsets: Map[Int, Long] = partNeg.map { case (pid, c) =>
+      val entry = pid -> below
+      below += c
+      entry
+    }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val partSchema = StructType(Seq(
+      StructField("np", LongType), StructField("nn", LongType),
+      StructField("c", DecimalType(38, 0)), StructField("t", DecimalType(38, 0))))
+    val parts = ranged.sortWithinPartitions(col("s"))
+      .mapPartitions { it =>
+        var cum = BigInt(bc.value.getOrElse(TaskContext.getPartitionId(), 0L))
+        var c = BigInt(0); var t = BigInt(0); var np = 0L; var nn = 0L
+        it.foreach { r =>
+          val pos = r.getLong(1); val neg = r.getLong(2)
+          c += BigInt(pos) * cum
+          t += BigInt(pos) * BigInt(neg)
+          np += pos; nn += neg; cum += neg
+        }
+        Iterator.single(Row(np, nn,
+          new java.math.BigDecimal(c.bigInteger), new java.math.BigDecimal(t.bigInteger)))
+      }(Encoders.row(partSchema))
+    parts.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("c")).as("c"), sum(col("t")).as("t"))
+      .select(col("n_pos"), col("n_neg"),
+        col("c").cast("string").as("concordant"), col("t").cast("string").as("tied"),
+        expr("cast((cast(1000000 as decimal(38,0)) * (2 * c + t))" +
+          " div greatest(cast(2 as decimal(38,0)) * n_pos * n_neg, 1) as bigint)")
+          .as("auc_ppm"))
+  }
+
+  val qAucExactSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, min(y) AS y,
+       |  CAST(sum(CAST(round(v[d.d + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d
+       |  GROUP BY vec_id),
+       |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(1 - y) AS BIGINT) AS n_neg FROM ex GROUP BY s),
+       |w AS (SELECT n_pos, n_neg, CAST(coalesce(sum(n_neg) OVER (ORDER BY s
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cb
+       |  FROM g),
+       |t AS (SELECT CAST(sum(n_pos) AS HUGEINT) AS np, CAST(sum(n_neg) AS HUGEINT) AS nn,
+       |  CAST(coalesce(sum(n_pos::HUGEINT * cb), 0) AS HUGEINT) AS c,
+       |  CAST(coalesce(sum(n_pos::HUGEINT * n_neg), 0) AS HUGEINT) AS t FROM w)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |  CAST(c AS VARCHAR) AS concordant, CAST(t AS VARCHAR) AS tied,
+       |  CAST((1000000::HUGEINT * (2 * c + t)) // greatest(2 * np * nn, 1) AS BIGINT) AS auc_ppm
+       |FROM t""".stripMargin
+
   val qPowerIterationSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, d.d AS d,
@@ -473,6 +583,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_nb_train" -> (qNbTrain _),
     "ml_kmeans_converge" -> (qKmeansConverge _),
     "ml_calibration" -> (qCalibration _),
+    "ml_auc_exact" -> (qAucExact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,5 +594,6 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_nb_train" -> qNbTrainSql,
     "ml_kmeans_converge" -> qKmeansConvergeSql,
     "ml_calibration" -> qCalibrationSql,
+    "ml_auc_exact" -> qAucExactSql,
   )
 }

@@ -1829,6 +1829,62 @@ class AnalyticsSpec extends SparkSpec {
       "λ=0.7 must reorder at least one probe's list vs plain top-k by relevance")
   }
 
+  test("exact AUC matches a BigInt pairwise driver recount and the rank identity") {
+    import graft.functions.Vectors
+    val rows = Models.qAucExact(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // driver-side score recount with the identical per-element rounding
+    val scored = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(label as long) as label", "cast(embedding as array<double>) as v")
+      .collect().map { row =>
+        val v = row.getSeq[Double](1)
+        (if (row.getLong(0) < 5) 1 else 0,
+          v.map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).sum)
+      }
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    assert(r.getLong(0) == pos.length.toLong && r.getLong(1) == neg.length.toLong)
+    // O(n²) pairwise truth at the test SF — the statistic itself
+    var c = BigInt(0); var t = BigInt(0)
+    val negSorted = neg.sorted
+    pos.foreach { p =>
+      // binary search bounds: negatives strictly below / equal
+      val lo = negSorted.search(p)(Ordering.Long) match {
+        case scala.collection.Searching.Found(i) =>
+          var j = i; while (j > 0 && negSorted(j - 1) == p) j -= 1; j
+        case scala.collection.Searching.InsertionPoint(i) => i
+      }
+      var hi = lo
+      while (hi < negSorted.length && negSorted(hi) == p) hi += 1
+      c += BigInt(lo)
+      t += BigInt(hi - lo)
+    }
+    assert(BigInt(r.getString(2)) == c, "concordant pairs")
+    assert(BigInt(r.getString(3)) == t, "tied pairs")
+    val expected = (BigInt(1000000) * (2 * c + t)) /
+      (BigInt(2) * pos.length * neg.length).max(BigInt(1))
+    assert(r.getLong(4) == expected.toLong, "auc_ppm")
+    assert(r.getLong(4) > 0L && r.getLong(4) < 1000000L,
+      "a random linear scorer is neither perfect nor perfectly wrong")
+    // rank identity cross-check: C + T/2 == Σ rank(pos) − n₊(n₊+1)/2
+    // over midranks — equivalent statement of Mann–Whitney U
+    val all = scored.map(x => (x._2, x._1)).sortBy(_._1)
+    var i = 0
+    var uFromRanks = BigInt(0)
+    while (i < all.length) {
+      var j = i
+      while (j < all.length && all(j)._1 == all(i)._1) j += 1
+      val nPosGroup = (i until j).count(k => all(k)._2 == 1)
+      // midrank of the tied block, doubled to stay integral
+      val midrank2 = BigInt(i + 1 + j) // (i+1 + j) = 2·avg rank
+      uFromRanks += BigInt(nPosGroup) * midrank2
+      i = j
+    }
+    val np = BigInt(pos.length)
+    assert(uFromRanks - np * (np + 1) == 2 * c + t, "rank-sum identity")
+  }
+
   test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
     val rows = Similarity.qCohensKappa(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -560,6 +560,96 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |  CAST((1000000::HUGEINT * (2 * c + t)) // greatest(2 * np * nn, 1) AS BIGINT) AS auc_ppm
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // GINI DECISION-STUMP SPLIT — the tree-learner training primitive:
+  // per dimension, the threshold minimizing weighted Gini impurity of
+  // the y = [label < 5] split, exactly. With l/r the side totals and
+  // l₊ l₋ r₊ r₋ the class counts, weighted impurity =
+  // 2(l₊l₋r + r₊r₋l)/(l·r·n) — a pure rational whose ppm floor goes
+  // through DECIMAL(38,0)/HUGEINT (numerator ~ n³; no wrap at 1e11
+  // rows, no libm, no float). Candidate thresholds are the 15 inner
+  // boundaries of a 16-bucket equi-width quantization of the
+  // µ-scaled feature (bucket arithmetic all non-negative, so Spark
+  // `div` / DuckDB `//` agree); the gated statement is the argmin of
+  // the ppm-floored impurity with bucket-index tiebreak. Degenerate
+  // sides (l = 0 or r = 0) are excluded; a constant dimension
+  // therefore emits no row. Scale shape: one corpus pass for per-dim
+  // min/max (64 metadata rows, broadcast back), one partial-agg pass
+  // onto the (64 dim × 16 bucket) histogram, then every window runs
+  // on 16-row partitions — nothing downstream touches the corpus.
+  def qGiniSplit(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .select(col("y"), col("d").cast("long").as("d"),
+        round(col("x") * 1000000).cast("long").as("sv"))
+    val mm = ex.groupBy(col("d"))
+      .agg(min(col("sv")).as("smin"), max(col("sv")).as("smax"))
+    val hist = ex.join(broadcast(mm), "d")
+      .withColumn("b", least(lit(15L),
+        expr("(sv - smin) * 16 div (smax - smin + 1)")))
+      .groupBy(col("d"), col("b"))
+      .agg(sum(col("y")).as("bp"), sum(lit(1L) - col("y")).as("bn"))
+    val wCum = Window.partitionBy(col("d")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("d"))
+    val dec = "decimal(38,0)"
+    val curve = hist
+      .withColumn("l_pos", sum(col("bp")).over(wCum))
+      .withColumn("l_neg", sum(col("bn")).over(wCum))
+      .withColumn("r_pos", sum(col("bp")).over(wTot) - col("l_pos"))
+      .withColumn("r_neg", sum(col("bn")).over(wTot) - col("l_neg"))
+      .filter(col("b") < 15) // b is the left-inclusive boundary index
+      .withColumn("l", col("l_pos") + col("l_neg"))
+      .withColumn("r", col("r_pos") + col("r_neg"))
+      .filter(col("l") > 0 && col("r") > 0)
+      .withColumn("impurity_ppm", expr(
+        s"cast((cast(2000000 as $dec) * (cast(l_pos as $dec) * l_neg * r" +
+          s" + cast(r_pos as $dec) * r_neg * l))" +
+          s" div (cast(l as $dec) * r * (l + r)) as bigint)"))
+    curve.join(broadcast(mm), "d")
+      .withColumn("tau",
+        col("smin") + expr("(b + 1) * (smax - smin + 1) div 16") - 1)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("d"))
+        .orderBy(col("impurity_ppm"), col("b"))))
+      .filter(col("rn") === 1)
+      .select(col("d"), col("b").as("split_bucket"), col("tau"),
+        col("l_pos"), col("l_neg"), col("r_pos"), col("r_neg"),
+        col("impurity_ppm"))
+      .orderBy(col("d"))
+  }
+
+  val qGiniSplitSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT y, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d),
+       |mm AS (SELECT d, min(sv) AS smin, max(sv) AS smax FROM ex GROUP BY d),
+       |hist AS (SELECT ex.d, least(15, (sv - smin) * 16 // (smax - smin + 1)) AS b,
+       |  CAST(sum(y) AS BIGINT) AS bp, CAST(sum(1 - y) AS BIGINT) AS bn
+       |  FROM ex JOIN mm ON ex.d = mm.d GROUP BY 1, 2),
+       |cum AS (SELECT d, b, bp, bn,
+       |  CAST(sum(bp) OVER (PARTITION BY d ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS l_pos,
+       |  CAST(sum(bn) OVER (PARTITION BY d ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS l_neg,
+       |  CAST(sum(bp) OVER (PARTITION BY d) AS BIGINT) AS tp,
+       |  CAST(sum(bn) OVER (PARTITION BY d) AS BIGINT) AS tn FROM hist),
+       |curve AS (SELECT d, b, l_pos, l_neg,
+       |  tp - l_pos AS r_pos, tn - l_neg AS r_neg,
+       |  l_pos + l_neg AS l, tp + tn - l_pos - l_neg AS r FROM cum WHERE b < 15),
+       |sc AS (SELECT d, b, l_pos, l_neg, r_pos, r_neg,
+       |  CAST((2000000::HUGEINT * (l_pos::HUGEINT * l_neg * r + r_pos::HUGEINT * r_neg * l))
+       |    // (l::HUGEINT * r * (l + r)) AS BIGINT) AS impurity_ppm
+       |  FROM curve WHERE l > 0 AND r > 0),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+       |  ORDER BY impurity_ppm, b) AS rn FROM sc)
+       |SELECT best.d, b AS split_bucket,
+       |  smin + (b + 1) * (smax - smin + 1) // 16 - 1 AS tau,
+       |  l_pos, l_neg, r_pos, r_neg, impurity_ppm
+       |FROM best JOIN mm ON best.d = mm.d WHERE rn = 1 ORDER BY best.d""".stripMargin
+
   val qPowerIterationSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, d.d AS d,
@@ -584,6 +674,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_kmeans_converge" -> (qKmeansConverge _),
     "ml_calibration" -> (qCalibration _),
     "ml_auc_exact" -> (qAucExact _),
+    "ml_gini_split" -> (qGiniSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +686,6 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_kmeans_converge" -> qKmeansConvergeSql,
     "ml_calibration" -> qCalibrationSql,
     "ml_auc_exact" -> qAucExactSql,
+    "ml_gini_split" -> qGiniSplitSql,
   )
 }

@@ -1885,6 +1885,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(uFromRanks - np * (np + 1) == 2 * c + t, "rank-sum identity")
   }
 
+  test("Gini stump split matches a brute-force BigInt recount per dimension") {
+    import graft.functions.Vectors
+    val rows = Models.qGiniSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val data = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(label as long) as label", "cast(embedding as array<double>) as v")
+      .collect().map { r =>
+        (if (r.getLong(0) < 5) 1L else 0L,
+          r.getSeq[Double](1).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong))
+      }
+    val dims = data.head._2.length
+    val expected = (0 until dims).flatMap { d =>
+      val sv = data.map { case (y, v) => (y, v(d)) }
+      val smin = sv.map(_._2).min; val smax = sv.map(_._2).max
+      val range = smax - smin + 1
+      val hist = sv.groupBy { case (_, x) => math.min(15L, (x - smin) * 16 / range) }
+      val cand = (0L until 15L).flatMap { b =>
+        val left = hist.filter(_._1 <= b).values.flatten
+        val right = hist.filter(_._1 > b).values.flatten
+        val (lp, ln) = (left.count(_._1 == 1L).toLong, left.count(_._1 == 0L).toLong)
+        val (rp, rn) = (right.count(_._1 == 1L).toLong, right.count(_._1 == 0L).toLong)
+        val (l, r) = (lp + ln, rp + rn)
+        if (l == 0 || r == 0) None
+        else Some((b, lp, ln, rp, rn,
+          (BigInt(2000000) * (BigInt(lp) * ln * r + BigInt(rp) * rn * l) /
+            (BigInt(l) * r * (l + r))).toLong))
+      }
+      if (cand.isEmpty) None
+      else {
+        val best = cand.minBy { case (b, _, _, _, _, ppm) => (ppm, b) }
+        Some((d.toLong, best._1, smin + (best._1 + 1) * range / 16 - 1,
+          best._2, best._3, best._4, best._5, best._6))
+      }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq == expected,
+      "per-dim best split mismatch vs brute force")
+    // the split is non-trivial somewhere: impurity strictly below the
+    // unsplit Gini 2·n₊n₋/n² for at least one dimension
+    val np = data.count(_._1 == 1L).toLong; val n = data.length.toLong
+    val rootPpm = (BigInt(2000000) * np * (n - np) / (BigInt(n) * n)).toLong
+    assert(rows.exists(_.getLong(7) < rootPpm),
+      "some dimension must beat the root impurity")
+  }
+
   test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
     val rows = Similarity.qCohensKappa(spark, sfDir).collect()
     assert(rows.nonEmpty)

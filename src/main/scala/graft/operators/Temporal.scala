@@ -916,7 +916,71 @@ object Temporal {
       |FROM m WHERE n::HUGEINT * sxx - sx * sx > 0 AND n::HUGEINT * syy - sy * sy > 0
       |ORDER BY event_type, lag_days""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CUSUM CHANGE-POINT DETECTOR — the classical sequential
+  // mean-shift alarm on each event type's observed-day count series
+  // (the drift detector a producer-health monitor runs per source).
+  // The textbook recurrence S⁺_t = max(0, S⁺_{t-1} + (x_t − μ))
+  // looks inherently sequential, but collapses to window algebra via
+  // the prefix identity S⁺_t = P_t − min(0, min_{j≤t} P_j) (and the
+  // mirrored S⁻ with max), where P is the running sum of deviations.
+  // Exactness: deviations are scaled by n_days — d_t = nd·x_t − tot
+  // — so μ never divides anything; every gated value is an integer
+  // (the ml_gini_split no-division discipline). Alarms fire when the
+  // scaled statistic exceeds $CusumK·tot ⇔ raw CUSUM > $CusumK·μ·nd/nd
+  // … i.e. k mean-days of accumulated excess. Scale shape: corpus
+  // collapses map-side to the |types|·|days| daily table; both
+  // windows are type-partitioned metadata windows (the qAutocorr
+  // class). Window sums of BIGINT ride decimal only on the oracle
+  // side (HUGEINT) and re-cast — magnitudes are nd·x ≤ ~4e13 at
+  // 1e11 rows/type, wrap-free.
+  private val CusumK = 2L // alarm at > 2 mean-days of excess
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wp = wt.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("cnt")).over(wt))
+      .withColumn("p", sum(col("nd") * col("cnt") - col("tot")).over(wp))
+      .withColumn("s_up", col("p") - least(lit(0L), min(col("p")).over(wp)))
+      .withColumn("s_dn", greatest(lit(0L), max(col("p")).over(wp)) - col("p"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("nd").as("n_days"), col("s_up"), col("s_dn"),
+        when(col("s_up") > lit(CusumK) * col("tot"), 1L).otherwise(0L).as("alarm_up"),
+        when(col("s_dn") > lit(CusumK) * col("tot"), 1L).otherwise(0L).as("alarm_dn"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qCusumSql: String =
+    s"""WITH daily AS (SELECT event_type,
+       |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, day, cnt,
+       |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+       |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+       |  FROM daily),
+       |p AS (SELECT event_type, day, cnt, nd, tot,
+       |  CAST(sum(nd * cnt - tot) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM t),
+       |s AS (SELECT event_type, day, cnt, nd, tot, p,
+       |  p - least(0, CAST(min(p) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS s_up,
+       |  greatest(0, CAST(max(p) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) - p AS s_dn
+       |  FROM p)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, nd AS n_days,
+       |  s_up, s_dn,
+       |  CASE WHEN s_up > $CusumK * tot THEN 1::BIGINT ELSE 0::BIGINT END AS alarm_up,
+       |  CASE WHEN s_dn > $CusumK * tot THEN 1::BIGINT ELSE 0::BIGINT END AS alarm_dn
+       |FROM s ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_cusum" -> (qCusum _),
     "temporal_scd2" -> (qScd2 _),
     "temporal_autocorr" -> (qAutocorr _),
     "temporal_markov" -> (qMarkovTransitions _),
@@ -940,6 +1004,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_cusum" -> qCusumSql,
     "temporal_scd2" -> qScd2Sql,
     "temporal_autocorr" -> qAutocorrSql,
     "temporal_markov" -> qMarkovTransitionsSql,

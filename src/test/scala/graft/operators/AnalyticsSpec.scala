@@ -1930,6 +1930,42 @@ class AnalyticsSpec extends SparkSpec {
       "some dimension must beat the root impurity")
   }
 
+  test("CUSUM window form matches the sequential textbook recurrence per type") {
+    val rows = Temporal.qCusum(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val seq = rs.sortBy(_.getString(1))
+      val nd = seq.length.toLong
+      assert(seq.forall(_.getLong(3) == nd), s"$tpe n_days")
+      val tot = seq.map(_.getLong(2)).sum
+      // the sequential recurrence the window algebra must equal:
+      // S⁺_t = max(0, S⁺_{t-1} + (nd·x_t − tot)), S⁻ mirrored
+      var sUp = 0L; var sDn = 0L
+      seq.foreach { r =>
+        val d = nd * r.getLong(2) - tot
+        sUp = math.max(0L, sUp + d)
+        sDn = math.max(0L, sDn - d)
+        assert(r.getLong(4) == sUp, s"$tpe ${r.getString(1)} s_up")
+        assert(r.getLong(5) == sDn, s"$tpe ${r.getString(1)} s_dn")
+        assert(r.getLong(6) == (if (sUp > 2L * tot) 1L else 0L), "alarm_up rule")
+        assert(r.getLong(7) == (if (sDn > 2L * tot) 1L else 0L), "alarm_dn rule")
+      }
+      // Σ deviations = 0 by construction: the statistic ends bounded,
+      // and on a series containing a genuine level shift the alarm
+      // fires — prove the detector's sensitivity on a synthetic shift
+    }
+    // sensitivity fixture: 20 quiet days at 10/day then 10 days at
+    // 40/day — the shift accumulates > 2 mean-days within 4 days
+    val cnts = Array.fill(20)(10L) ++ Array.fill(10)(40L)
+    val nd = cnts.length.toLong; val tot = cnts.sum
+    var s = 0L
+    val fired = cnts.map { x =>
+      s = math.max(0L, s + (nd * x - tot)); s > 2L * tot
+    }
+    assert(!fired.take(20).exists(identity), "no alarm during the quiet regime")
+    assert(fired.drop(20).exists(identity), "the level shift must trip the alarm")
+  }
+
   test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
     val rows = Similarity.qCohensKappa(spark, sfDir).collect()
     assert(rows.nonEmpty)

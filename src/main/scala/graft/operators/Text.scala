@@ -2223,7 +2223,137 @@ FROM b GROUP BY 1 ORDER BY 1"""
       |  CAST(1000 * (n_chars_total - sl - sd - ss) // n_chars_total AS BIGINT) AS other_pm
       |FROM a ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RAKE KEYWORD EXTRACTION — Rapid Automatic Keyword Extraction
+  // (Rose et al. 2010), the unsupervised per-document keyphrase
+  // operator: candidate phrases are the maximal runs between
+  // stopwords/punctuation; each word scores degree/frequency over
+  // the doc's own phrase set (degree = Σ length of phrases
+  // containing it); a phrase scores the sum of its words' scores.
+  // Exactness: the gated phrase score is Σ_w (1000·deg_w div freq_w)
+  // — floor-per-word then sum, identical on both engines
+  // (non-negative div rule); no float ratio anywhere. Phrase
+  // boundaries: any non-alnum run OR a \b-delimited stopword becomes
+  // a delimiter (the \b assertions fully disambiguate the
+  // alternation, so Java-regex and RE2 agree). Top-3 phrases per doc
+  // by (score desc, phrase asc). Scale shape: everything is
+  // doc-local — two explodes, one (doc, word) partial agg, one
+  // broadcast-free doc+word equi-join, one per-doc window over that
+  // doc's phrase types; no corpus-global structure at all.
+  def qKeywords(s: SparkSession, dir: String): DataFrame = {
+    // Phrase extraction is ONE single-pass kernel (the
+    // Dedup.ngramSignatures rule — the equivalent Catalyst
+    // regexp_replace chain measured 46s CPU at 10×: Java-regex
+    // backtracking over the stopword alternation, per-phrase
+    // trim/collapse replaces, and the whole subtree planned under
+    // both join children). The kernel is the character-level
+    // equivalent of the oracle's regex pipeline: maximal [a-z0-9]
+    // runs are words, whitespace separates words inside a phrase,
+    // any other char OR a stopword run breaks the phrase — \b in the
+    // oracle only matches at alnum/non-alnum transitions, so
+    // "stopword run" and "\b-delimited stopword" coincide exactly.
+    // Checkpointed once: stats and phrase types both consume it.
+    val stopSet = stopwords.toSet
+    val pwSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phrase", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("plen", org.apache.spark.sql.types.LongType)))
+    val pw = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        import org.apache.spark.sql.Row
+        it.flatMap { r =>
+          val docId = r.getLong(0)
+          val t = duckTrimSpaces(r.getString(1)).toLowerCase(java.util.Locale.ROOT)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val words = scala.collection.mutable.ArrayBuffer.empty[String]
+          val sb = new java.lang.StringBuilder
+          def flushPhrase(): Unit = {
+            if (words.nonEmpty) {
+              val phrase = words.mkString(" ")
+              val plen = words.length.toLong
+              words.foreach(w => out += Row(docId, phrase, w, plen))
+              words.clear()
+            }
+          }
+          def flushWord(breakPhrase: Boolean): Unit = {
+            if (sb.length > 0) {
+              val w = sb.toString
+              sb.setLength(0)
+              if (stopSet.contains(w)) flushPhrase() else words += w
+            }
+            if (breakPhrase) flushPhrase()
+          }
+          var i = 0
+          while (i < t.length) {
+            val c = t.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+            else if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')
+              flushWord(breakPhrase = false)
+            else flushWord(breakPhrase = true)
+            i += 1
+          }
+          flushWord(breakPhrase = true)
+          out
+        }
+      }(org.apache.spark.sql.Encoders.row(pwSchema))
+      .localCheckpoint()
+    val stats = pw.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    // score phrase TYPES once per doc (occurrences share the score),
+    // while freq/deg above count every occurrence — RAKE semantics.
+    // n_in_phrase = the word's multiplicity within ONE instance of
+    // the phrase string, so it must come from the distinct types,
+    // not the occurrence rows (a twice-occurring phrase would
+    // double its own score otherwise)
+    val types = pw.select(col("doc_id"), col("phrase")).distinct()
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("phrase"), col("word"))
+      .agg(count(lit(1)).as("n_in_phrase"))
+    val scored = types.join(stats, Seq("doc_id", "word"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(sum(col("n_in_phrase") * expr("1000 * deg div freq")).as("score_pm"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_pm").desc, col("phrase"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("score_pm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val qKeywordsSql: String = {
+    val stopAlt = stopwords.mkString("|")
+    s"""WITH ph0 AS (SELECT doc_id, unnest(str_split(
+       |    regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 \t\n\f\r]+', '|', 'g'),
+       |      '\\b($stopAlt)\\b', '|', 'g'), '|')) AS raw FROM documents),
+       |ph AS (SELECT doc_id, regexp_replace(
+       |    regexp_replace(raw, '^[ \t\n\f\r]+|[ \t\n\f\r]+$$', '', 'g'),
+       |    '[ \t\n\f\r]+', ' ', 'g') AS phrase FROM ph0),
+       |pw AS (SELECT doc_id, phrase, unnest(str_split(phrase, ' ')) AS word,
+       |    CAST(len(str_split(phrase, ' ')) AS BIGINT) AS plen
+       |  FROM ph WHERE phrase <> ''),
+       |stats AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1, 2),
+       |pt AS (SELECT DISTINCT doc_id, phrase FROM ph WHERE phrase <> ''),
+       |ptw AS (SELECT doc_id, phrase, unnest(str_split(phrase, ' ')) AS word FROM pt),
+       |tw AS (SELECT doc_id, phrase, word, CAST(count(*) AS BIGINT) AS n_in_phrase
+       |  FROM ptw GROUP BY 1, 2, 3),
+       |sc AS (SELECT tw.doc_id, tw.phrase,
+       |    CAST(sum(n_in_phrase * (1000 * deg // freq)) AS BIGINT) AS score_pm
+       |  FROM tw JOIN stats ON tw.doc_id = stats.doc_id AND tw.word = stats.word
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, phrase, score_pm, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score_pm DESC, phrase) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_pm
+       |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> (qKeywords _),
     "text_charclass" -> (qCharclass _),
     "text_zipf_ratio" -> (qZipfRatio _),
     "text_langid_margin" -> (qLangidMargin _),
@@ -2270,6 +2400,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
     "text_langid_confusion" -> qLangidConfusionSql,
     "text_langid_margin" -> qLangidMarginSql,
     "text_zipf_ratio" -> qZipfRatioSql,
+    "text_keywords" -> qKeywordsSql,
     "text_charclass" -> qCharclassSql,
     "text_bpe_train_k" -> qBpeTrainKSql,
     "text_bpe_holdout" -> qBpeHoldoutSql,

@@ -1966,6 +1966,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(fired.drop(20).exists(identity), "the level shift must trip the alarm")
   }
 
+  test("RAKE keywords: the kernel matches an independent regex-pipeline replay") {
+    val rows = Text.qKeywords(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent replay of the ORACLE's regex pipeline (not the
+    // kernel's character scan): punctuation → '|', \b-stopword → '|',
+    // split, trim/collapse, then RAKE deg/freq scoring
+    val stop = "the|a|an|and|or|of|to|in|is|it"
+    val expected = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect().flatMap { r =>
+        val docId = r.getLong(0)
+        val t = {
+          val x = r.getString(1)
+          var b = 0; var e = x.length
+          while (b < e && x.charAt(b) == ' ') b += 1
+          while (e > b && x.charAt(e - 1) == ' ') e -= 1
+          x.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+        }
+        val phrases = t.replaceAll("[^a-z0-9 \t\n\f\r]+", "|")
+          .replaceAll(s"\\b($stop)\\b", "|")
+          .split("\\|", -1)
+          .map(_.replaceAll("^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
+            .replaceAll("[ \t\n\f\r]+", " "))
+          .filter(_.nonEmpty)
+        if (phrases.isEmpty) Seq.empty[(Long, Long, String, Long)]
+        else {
+          val occWords = phrases.flatMap { p =>
+            val ws = p.split(" "); ws.map(w => (w, ws.length.toLong))
+          }
+          val freq = occWords.groupBy(_._1).map { case (w, g) => w -> g.length.toLong }
+          val deg = occWords.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+          phrases.distinct.map { p =>
+            val score = p.split(" ").map(w => 1000L * deg(w) / freq(w)).sum
+            (p, score)
+          }.sortBy { case (p, sc) => (-sc, p) }.take(3).zipWithIndex
+            .map { case ((p, sc), i) => (docId, i + 1L, p, sc) }.toSeq
+        }
+      }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq == expected.toSeq, "RAKE top-3 mismatch vs regex replay")
+    // multi-word phrases must outrank their parts somewhere: RAKE's
+    // signature bias toward longer collocations
+    assert(rows.exists(r => r.getLong(1) == 1L && r.getString(2).contains(" ")),
+      "some document's top keyword should be a multi-word phrase")
+  }
+
   test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
     val rows = Similarity.qCohensKappa(spark, sfDir).collect()
     assert(rows.nonEmpty)

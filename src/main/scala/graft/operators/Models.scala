@@ -470,19 +470,20 @@ FROM j GROUP BY 1 ORDER BY 1"""
   // range-partition → P per-partition neg totals to the driver →
   // broadcast offsets → one partition-local accumulation kernel
   // emitting P metadata rows. No global sort, no corpus collect.
-  def qAucExact(s: SparkSession, dir: String): DataFrame = {
+  /** (y = [label < 5], s = Σ_d round(x_d·1e6)) per vector — the
+    * integer linear margin under the all-ones w₀, one map-only
+    * kernel (the HOF-loop rule); same per-element rounding as the
+    * perceptron's sv column. Shared by [[qAucExact]] and
+    * [[qPrCurve]]. */
+  private def scoredMargin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    import org.apache.spark.TaskContext
-    val p = s.sparkContext.defaultParallelism
     val e = Tables.embeddings(s, dir).select(
       when(col("label") < 5, 1L).otherwise(0L).as("y"),
       col("embedding").cast("array<double>").as("v"))
-    // per-vector integer margin in one kernel (the HOF-loop rule):
-    // same per-element round(x·1e6) as the perceptron's sv column
     val scoreSchema = StructType(Seq(
       StructField("y", LongType), StructField("s", LongType)))
-    val scored = e.repartition(p)
+    e.repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { r =>
           val v = r.getSeq[Double](1)
@@ -495,6 +496,14 @@ FROM j GROUP BY 1 ORDER BY 1"""
           Row(r.getLong(0), acc)
         }
       }(Encoders.row(scoreSchema))
+  }
+
+  def qAucExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.TaskContext
+    val p = s.sparkContext.defaultParallelism
+    val scored = scoredMargin(s, dir)
     val grouped = scored.groupBy(col("s")).agg(
       sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
     val ranged = grouped.repartitionByRange(p, col("s")).localCheckpoint()
@@ -650,6 +659,67 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |  l_pos, l_neg, r_pos, r_neg, impurity_ppm
        |FROM best JOIN mm ON best.d = mm.d WHERE rn = 1 ORDER BY best.d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PRECISION/RECALL CURVE — the operating-point table read off
+  // before picking a filter threshold: at each exact score-decile
+  // threshold τ_k (k = 1..9, ceil-rank convention — the k·n/10-th
+  // smallest margin under the repo's positional-percentile rule),
+  // classify ŷ = [s ≥ τ_k] and report TP/FP/FN plus
+  // precision/recall/F1 as exact integer ppm (F1 = 2TP/(2TP+FP+FN)
+  // — the harmonic mean IS a rational, no float ever). Thresholds
+  // come from [[OrderStats]] (range-partition + one partition-local
+  // sort per rank — no corpus-global window); the per-threshold
+  // counts are one conditional aggregation of the per-score count
+  // table against the 9 broadcast thresholds. TP+FP ≥ 1 always
+  // (each τ is an attained score), so no division guard is needed.
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredMargin(s, dir)
+    val grouped = scored.groupBy(col("s")).agg(
+        sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+      .localCheckpoint() // threshold counting + the n₊ total both read it
+    val ranked = OrderStats.rank(scored.select(col("s")), Seq("s"))
+    val n = ranked.total
+    if (n == 0) return grouped.select(lit(0L).as("k"), lit(0L).as("tau"),
+      col("n_pos").as("tp"), col("n_neg").as("fp"), lit(0L).as("fn"),
+      lit(0L).as("precision_ppm"), lit(0L).as("recall_ppm"),
+      lit(0L).as("f1_ppm")).limit(0)
+    val taus = (1L to 9L).map(k => (k, OrderStats.kth(ranked, (k * n + 9) / 10).getLong(0)))
+    val tauDf = s.createDataFrame(taus).toDF("k", "tau")
+    grouped.crossJoin(broadcast(tauDf))
+      .filter(col("s") >= col("tau"))
+      .groupBy(col("k"), col("tau"))
+      .agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("fp"))
+      .crossJoin(broadcast(grouped.agg(sum(col("n_pos")).as("np"))))
+      .select(col("k"), col("tau"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        expr("1000000 * tp div (tp + fp)").as("precision_ppm"),
+        expr("1000000 * tp div greatest(np, 1)").as("recall_ppm"),
+        expr("2000000 * tp div greatest(2 * tp + fp + np - tp, 1)").as("f1_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val qPrCurveSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, min(y) AS y,
+       |  CAST(sum(CAST(round(v[d.d + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d
+       |  GROUP BY vec_id),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np FROM ex),
+       |r AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rn FROM ex),
+       |ks AS (SELECT CAST(k.k AS BIGINT) AS k FROM (SELECT unnest(range(1, 10)) AS k) k),
+       |tau AS (SELECT ks.k, r.s AS tau FROM ks, nn, r
+       |  WHERE r.rn = (ks.k * nn.n + 9) // 10),
+       |c AS (SELECT t.k, t.tau,
+       |  CAST(sum(CASE WHEN ex.s >= t.tau THEN ex.y ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN ex.s >= t.tau THEN 1 - ex.y ELSE 0 END) AS BIGINT) AS fp
+       |  FROM tau t, ex GROUP BY 1, 2)
+       |SELECT c.k, c.tau, c.tp, c.fp, np - tp AS fn,
+       |  CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       |  CAST(1000000 * tp // greatest(np, 1) AS BIGINT) AS recall_ppm,
+       |  CAST(2000000 * tp // greatest(2 * tp + fp + np - tp, 1) AS BIGINT) AS f1_ppm
+       |FROM c, nn ORDER BY c.k""".stripMargin
+
   val qPowerIterationSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, d.d AS d,
@@ -675,6 +745,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_calibration" -> (qCalibration _),
     "ml_auc_exact" -> (qAucExact _),
     "ml_gini_split" -> (qGiniSplit _),
+    "ml_pr_curve" -> (qPrCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -687,5 +758,6 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_calibration" -> qCalibrationSql,
     "ml_auc_exact" -> qAucExactSql,
     "ml_gini_split" -> qGiniSplitSql,
+    "ml_pr_curve" -> qPrCurveSql,
   )
 }

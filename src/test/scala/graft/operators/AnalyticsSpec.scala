@@ -2011,6 +2011,35 @@ class AnalyticsSpec extends SparkSpec {
       "some document's top keyword should be a multi-word phrase")
   }
 
+  test("PR curve matches a driver recount at the exact decile thresholds") {
+    import graft.functions.Vectors
+    val rows = Models.qPrCurve(spark, sfDir).collect()
+    assert(rows.length == 9)
+    val scored = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(label as long) as label", "cast(embedding as array<double>) as v")
+      .collect().map { r =>
+        (if (r.getLong(0) < 5) 1L else 0L,
+          r.getSeq[Double](1).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).sum)
+      }
+    val n = scored.length.toLong
+    val np = scored.count(_._1 == 1L).toLong
+    val sorted = scored.map(_._2).sorted
+    (1L to 9L).zip(rows).foreach { case (k, r) =>
+      val tau = sorted(((k * n + 9) / 10 - 1).toInt)
+      val tp = scored.count(x => x._2 >= tau && x._1 == 1L).toLong
+      val fp = scored.count(x => x._2 >= tau && x._1 == 0L).toLong
+      assert(r.getLong(0) == k && r.getLong(1) == tau, s"threshold $k")
+      assert(r.getLong(2) == tp && r.getLong(3) == fp && r.getLong(4) == np - tp)
+      assert(r.getLong(5) == 1000000L * tp / (tp + fp), s"precision k=$k")
+      assert(r.getLong(6) == 1000000L * tp / np, s"recall k=$k")
+      assert(r.getLong(7) == 2000000L * tp / (2 * tp + fp + (np - tp)), s"f1 k=$k")
+    }
+    // recall is monotone non-increasing in the threshold index
+    val rec = rows.map(_.getLong(6))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b }, "recall monotone")
+    assert(rec.head > rec.last, "the curve must actually move across deciles")
+  }
+
   test("Cohen's kappa matches an exact BigInt driver recount of the confusion marginals") {
     val rows = Similarity.qCohensKappa(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -2352,7 +2352,89 @@ FROM b GROUP BY 1 ORDER BY 1"""
        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // FORCAST READABILITY — the reading-grade quality signal a
+  // pretraining filter thresholds on. Flesch/Kincaid need sentence
+  // boundaries, which web-extracted and OCR'd corpora (and this one:
+  // zero `[.!?]` in the whole table) often lack; FORCAST (Caylor &
+  // Sticht 1973) is the readability formula defined WITHOUT them:
+  // grade = 20 − M/10 where M = monosyllabic words per 150-word
+  // sample, i.e. grade = 20 − 15·(n_mono/n_words). Centi-scaled to
+  // the exact integer forcast_cpm = 2000 − ⌊1500·n_mono/n_words⌋
+  // (operands non-negative, so Spark `div` and DuckDB `//` agree;
+  // n_mono ≤ n_words bounds it to [500, 2000] — no wrap horizon).
+  // Syllables are the standard vowel-group heuristic: maximal
+  // [aeiouy]+ runs per word, min 1 (an all-consonant or all-digit
+  // word counts one). syll_per_100w = ⌊100·n_syll/n_words⌋ rides
+  // along as the syllable-density companion.
+  //
+  // Scale shape: entirely doc-local — ONE single-pass character
+  // kernel per document (words, vowel runs, and the monosyllable
+  // test in the same scan; the per-word HOF/regex equivalent is the
+  // measured-interpreted class the qKeywords note documents), no
+  // shuffle but the final deterministic orderBy. Docs with no words
+  // drop out (mirrored WHERE in the oracle).
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_words", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_syll", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_mono", org.apache.spark.sql.types.LongType)))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        import org.apache.spark.sql.Row
+        it.flatMap { r =>
+          val t = duckTrimSpaces(r.getString(1)).toLowerCase(java.util.Locale.ROOT)
+          var w = 0L; var y = 0L; var m = 0L
+          var inWord = false; var inVowel = false; var syl = 0L
+          def isAlnum(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+          def isVowel(c: Char) = c == 'a' || c == 'e' || c == 'i' || c == 'o' ||
+            c == 'u' || c == 'y'
+          def endWord(): Unit = if (inWord) {
+            val sy = math.max(1L, syl)
+            w += 1; y += sy; if (sy == 1L) m += 1
+            inWord = false; inVowel = false; syl = 0L
+          }
+          var i = 0
+          while (i < t.length) {
+            val c = t.charAt(i)
+            if (isAlnum(c)) {
+              inWord = true
+              if (isVowel(c)) { if (!inVowel) { syl += 1; inVowel = true } }
+              else inVowel = false
+            } else endWord()
+            i += 1
+          }
+          endWord()
+          if (w == 0L) Iterator.empty
+          else Iterator.single(Row(r.getLong(0), w, y, m))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_mono"),
+        expr("(100 * n_syll) div n_words").as("syll_per_100w"),
+        (lit(2000L) - expr("(1500 * n_mono) div n_words")).as("forcast_cpm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qReadabilitySql: String =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(trim(text)), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |sy AS (SELECT doc_id,
+      |    greatest(1, len(regexp_extract_all(word, '[aeiouy]+'))) AS syl FROM w),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(syl) AS BIGINT) AS n_syll,
+      |    CAST(count(*) FILTER (syl = 1) AS BIGINT) AS n_mono
+      |  FROM sy GROUP BY 1)
+      |SELECT doc_id, n_words, n_syll, n_mono,
+      |  CAST((100 * n_syll) // n_words AS BIGINT) AS syll_per_100w,
+      |  CAST(2000 - ((1500 * n_mono) // n_words) AS BIGINT) AS forcast_cpm
+      |FROM a WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (qReadability _),
     "text_keywords" -> (qKeywords _),
     "text_charclass" -> (qCharclass _),
     "text_zipf_ratio" -> (qZipfRatio _),
@@ -2387,6 +2469,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> qReadabilitySql,
     "text_boilerplate" -> qBoilerplateSql,
     "text_ccnet_buckets" -> qCcnetBucketsSql,
     "text_lm_score" -> qLmScoreSql,

@@ -2077,4 +2077,51 @@ class AnalyticsSpec extends SparkSpec {
     val k = rows.head.getLong(4)
     assert(k > -1000000L && k < 1000000L, "kappa strictly inside (-1, 1) on random labels")
   }
+
+  test("FORCAST readability matches an independent regex replay of the oracle pipeline") {
+    val rows = Text.qReadability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay via Java regexes (the kernel uses none), mirroring the
+    // oracle: words = [a-z0-9]+ runs of lower(trim), syllables =
+    // max(1, count of [aeiouy]+ runs per word)
+    val syllRe = java.util.regex.Pattern.compile("[aeiouy]+")
+    val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+    val expected = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect().flatMap { r =>
+        val t = {
+          val x = r.getString(1)
+          var b = 0; var e = x.length
+          while (b < e && x.charAt(b) == ' ') b += 1
+          while (e > b && x.charAt(e - 1) == ' ') e -= 1
+          x.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+        }
+        val wm = wordRe.matcher(t)
+        val sylls = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (wm.find()) {
+          val sm = syllRe.matcher(wm.group())
+          var c = 0L
+          while (sm.find()) c += 1
+          sylls += math.max(1L, c)
+        }
+        if (sylls.isEmpty) None
+        else {
+          val w = sylls.length.toLong
+          val y = sylls.sum
+          val m = sylls.count(_ == 1L).toLong
+          Some((r.getLong(0), w, y, m, 100L * y / w, 2000L - 1500L * m / w))
+        }
+      }.sortBy(_._1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq == expected.toSeq,
+      "readability kernel mismatch vs regex replay")
+    // structural bounds: monosyllables are a subset of words, every
+    // word carries >= 1 syllable, and FORCAST stays inside its
+    // algebraic range [500, 2000]
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(2) >= r.getLong(1))
+      assert(r.getLong(5) >= 500L && r.getLong(5) <= 2000L)
+    }
+    assert(rows.map(_.getLong(5)).distinct.length > 1,
+      "the grade must actually vary across documents")
+  }
 }

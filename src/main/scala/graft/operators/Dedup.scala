@@ -2851,7 +2851,103 @@ stop AS (SELECT coalesce(min(round), $HitsMaxRounds) AS k FROM alld WHERE delta_
 SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHERE round <= k ORDER BY round"""
   }
 
+  // ---------------------------------------------------------------
+  // BFS LEVEL EXPANSION — breadth-first reach from the hottest part
+  // on the bipartite co-purchase graph (customers | parts offset by
+  // 10⁷, the [[qPagerankConverge]] id convention): how much of the
+  // graph is within k hops of the best-selling item is the
+  // neighborhood-size primitive behind recommendation fan-out
+  // budgets and blast-radius estimates. Seed = the max-degree part
+  // (smallest id on ties — deterministic); 4 synchronous frontier
+  // rounds; a node's level is its FIRST discovery (the visited
+  // anti-join). Gated per level: node count, min/max id, and the id
+  // sum as a DECIMAL(38,0)-backed string (no wrap horizon).
+  //
+  // Scale shape: the textbook distributed BFS — the undirected edge
+  // list is repartitioned by src ONCE and checkpointed
+  // (loop-invariant, every round's frontier join co-locates on it);
+  // each frontier is repartitioned on the node key BEFORE its
+  // dropDuplicates so dedup and the visited anti-join share one
+  // exchange; frontier and visited are checkpointed per round so the
+  // plan never grows (the [[qPagerankConverge]] loop discipline).
+  // Driver traffic is 5 one-row stat reads — never a node list. The
+  // oracle unrolls the same 4 rounds as MATERIALIZED chained CTEs.
+  private val BfsRounds = 4
+
+  def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p0 = CcPartitions
+    val edges = copurchaseEdges(s, dir)
+      .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    val eb = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p0, col("src")).localCheckpoint()
+    val seed = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node")).limit(1).select(col("node"))
+      .localCheckpoint()
+    def levelStats(level: Long, f: DataFrame): Row = {
+      val r = f.agg(count(lit(1)).as("n"),
+        coalesce(min(col("node")), lit(-1L)).as("mn"),
+        coalesce(max(col("node")), lit(-1L)).as("mx"),
+        coalesce(sum(col("node").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sm")).first()
+      Row(level, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger.toString)
+    }
+    val out = scala.collection.mutable.ArrayBuffer(levelStats(0L, seed))
+    var visited = seed
+    var frontier = seed
+    var lvl = 0
+    while (lvl < BfsRounds) {
+      lvl += 1
+      val next = eb.join(frontier, eb("src") === frontier("node"))
+        .select(col("dst").as("node"))
+        .repartition(p0, col("node")).dropDuplicates("node")
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      out += levelStats(lvl.toLong, next)
+      visited = visited.unionAll(next)
+        .repartition(p0, col("node")).localCheckpoint()
+      frontier = next
+    }
+    val schema = StructType(Seq(
+      StructField("level", LongType), StructField("n_nodes", LongType),
+      StructField("min_node", LongType), StructField("max_node", LongType),
+      StructField("sum_node", StringType)))
+    s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+      .orderBy(col("level"))
+  }
+
+  val qBfsLevelsSql: String = {
+    val lvls = (1 to BfsRounds).map { k =>
+      val seen = (0 until k).map(j => s"SELECT node FROM l$j").mkString(" UNION ALL ")
+      s"""l$k AS MATERIALIZED (SELECT DISTINCT eb.dst AS node
+         |  FROM eb JOIN l${k - 1} ON eb.src = l${k - 1}.node
+         |  WHERE eb.dst NOT IN ($seen))""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to BfsRounds).map { k =>
+      s"""SELECT $k AS level, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(coalesce(min(node), -1) AS BIGINT) AS min_node,
+         |  CAST(coalesce(max(node), -1) AS BIGINT) AS max_node,
+         |  CAST(CAST(coalesce(sum(node), 0) AS HUGEINT) AS VARCHAR) AS sum_node
+         |FROM l$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |eb AS MATERIALIZED (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT dst AS node FROM edges
+       |  GROUP BY dst ORDER BY count(*) DESC, dst LIMIT 1),
+       |$lvls
+       |SELECT * FROM (
+       |$sel
+       |) ORDER BY level""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_levels" -> (qBfsLevels _),
     "graph_hits" -> (qHits _),
     "graph_hits_converge" -> (qHitsConverge _),
     "graph_common_neighbors" -> (qCommonNeighbors _),
@@ -2888,6 +2984,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs_levels" -> qBfsLevelsSql,
     "graph_hits" -> qHitsSql,
     "graph_common_neighbors" -> qCommonNeighborsSql,
     "graph_degree_assort" -> qDegreeAssortSql,

@@ -2124,4 +2124,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(5)).distinct.length > 1,
       "the grade must actually vary across documents")
   }
+
+  test("BFS levels match a driver-side breadth-first replay") {
+    val rows = Dedup.qBfsLevels(spark, sfDir).collect()
+    assert(rows.length == 5, "levels 0..4, one row each")
+    val edges = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey") + 10000000L).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val seed = edges.groupBy(_._2).map { case (p, g) => (p, g.length) }
+      .minBy { case (p, d) => (-d, p) }._1
+    var visited = Set(seed)
+    var frontier = Set(seed)
+    val expect = scala.collection.mutable.ArrayBuffer(Set(seed))
+    (1 to 4).foreach { _ =>
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      expect += next
+      visited ++= next
+      frontier = next
+    }
+    rows.zip(expect).zipWithIndex.foreach { case ((r, lvl), i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert(r.getLong(1) == lvl.size.toLong, s"level $i size")
+      assert(r.getLong(2) == (if (lvl.isEmpty) -1L else lvl.min), s"level $i min")
+      assert(r.getLong(3) == (if (lvl.isEmpty) -1L else lvl.max), s"level $i max")
+      assert(BigInt(r.getString(4)) == lvl.foldLeft(BigInt(0))(_ + _), s"level $i sum")
+    }
+    // bipartite: levels must alternate part-side (>= 1e7) and
+    // customer-side (< 1e7)
+    rows.foreach { r =>
+      val lvl = r.getLong(0)
+      if (r.getLong(1) > 0L) {
+        val partSide = lvl % 2 == 0
+        assert((r.getLong(2) >= 10000000L) == partSide, s"level $lvl side")
+        assert((r.getLong(3) >= 10000000L) == partSide, s"level $lvl side")
+      }
+    }
+    assert(rows.map(_.getLong(1)).sum > 1L, "the frontier must actually expand")
+  }
 }

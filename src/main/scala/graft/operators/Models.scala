@@ -735,7 +735,139 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    ELSE -((1000::HUGEINT * (-c)) // m) END AS BIGINT) AS c_pm
        |FROM cv, mx ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // FEATURE CORRELATION MATRIX — Pearson correlation of every
+  // embedding-dimension pair (64 dims → 2016 pairs), the redundancy
+  // map read before PCA/whitening/feature pruning. Exactness is the
+  // [[Relational2.q35CorrExact]] convention: all sufficient
+  // statistics (n, Σx_d, Σx_d², Σx_a·x_b over µ-scaled integers
+  // sv = round(x·10⁶)) are EXACT — DECIMAL(38,0) here, HUGEINT in
+  // the oracle — and corr is then one fixed chain of double ops over
+  // exact inputs, identical on both engines, rounded to 4 dp.
+  //
+  // Scale shape: the naive plan (explode to (vec_id, d, sv),
+  // self-join on vec_id) shuffles the corpus ×64 and multiplies in
+  // the join — the oracle does exactly that, Spark must NOT. Here
+  // ALL 2081 sufficient statistics accumulate in ONE single-pass
+  // mapPartitions kernel with constant-size state (64+64+2016
+  // accumulators; per-row pair products ≤ 10¹² accumulate in Long
+  // and fold into BigInt every 4M rows, so no per-partition row
+  // bound — the no-wrap-horizon rule), emitting ≤ 2081 rows per
+  // partition. Everything downstream is metadata: one partial-agg
+  // exchange, two broadcast joins of 64-row frames. Output size is
+  // corpus-independent (2016 rows).
+  def qCorrPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val d = Vectors.Dim
+    val nPairs = d * (d - 1) / 2
+    val statSchema = StructType(Seq(
+      StructField("da", LongType), StructField("db", LongType),
+      StructField("v", DecimalType(38, 0))))
+    val FlushEvery = 4000000
+    val stats = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .mapPartitions { it =>
+        val sx = Array.fill(d)(BigInt(0)); val sxL = new Array[Long](d)
+        val sxx = Array.fill(d)(BigInt(0)); val sxxL = new Array[Long](d)
+        val sxy = Array.fill(nPairs)(BigInt(0)); val sxyL = new Array[Long](nPairs)
+        val sv = new Array[Long](d)
+        var n = 0L; var sinceFlush = 0
+        def flush(): Unit = {
+          var i = 0
+          while (i < d) { sx(i) += sxL(i); sxL(i) = 0L
+            sxx(i) += sxxL(i); sxxL(i) = 0L; i += 1 }
+          i = 0
+          while (i < nPairs) { sxy(i) += sxyL(i); sxyL(i) = 0L; i += 1 }
+          sinceFlush = 0
+        }
+        it.foreach { r =>
+          val v = r.getSeq[Double](0)
+          var i = 0
+          while (i < d) {
+            sv(i) = Vectors.roundJvm(v(i) * 1000000d, 0).toLong
+            sxL(i) += sv(i); sxxL(i) += sv(i) * sv(i)
+            i += 1
+          }
+          var a = 0; var k = 0
+          while (a < d) {
+            var b = a + 1
+            while (b < d) { sxyL(k) += sv(a) * sv(b); k += 1; b += 1 }
+            a += 1
+          }
+          n += 1; sinceFlush += 1
+          if (sinceFlush == FlushEvery) flush()
+        }
+        flush()
+        def dec(x: BigInt) = new java.math.BigDecimal(x.bigInteger)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        if (n > 0L) {
+          out += Row(-1L, -1L, dec(BigInt(n)))
+          var i = 0
+          while (i < d) {
+            out += Row(i.toLong, -1L, dec(sx(i)))
+            out += Row(i.toLong, i.toLong, dec(sxx(i)))
+            i += 1
+          }
+          var a = 0; var k = 0
+          while (a < d) {
+            var b = a + 1
+            while (b < d) { out += Row(a.toLong, b.toLong, dec(sxy(k))); k += 1; b += 1 }
+            a += 1
+          }
+        }
+        out.iterator
+      }(Encoders.row(statSchema))
+      .groupBy(col("da"), col("db")).agg(sum(col("v")).as("v"))
+      .localCheckpoint()
+    val n = stats.filter(col("da") === -1L)
+      .select(col("v").as("n"))
+    val perDimX = stats.filter(col("da") >= 0L && col("db") === -1L)
+      .select(col("da").as("dd"), col("v").as("sx"))
+    val perDimXX = stats.filter(col("da") >= 0L && col("da") === col("db"))
+      .select(col("da").as("dd"), col("v").as("sxx"))
+    val perDim = perDimX.join(perDimXX, "dd")
+    val pairs = stats.filter(col("da") >= 0L && col("db") > col("da"))
+      .select(col("da"), col("db"), col("v").as("sxy"))
+    pairs
+      .join(broadcast(perDim.select(col("dd").as("da"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))), "da")
+      .join(broadcast(perDim.select(col("dd").as("db"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))), "db")
+      .crossJoin(broadcast(n))
+      .select(col("da"), col("db"), col("n").cast("long").as("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sxa").cast("double") * col("sxb").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxxa").cast("double") -
+            col("sxa").cast("double") * col("sxa").cast("double")) *
+           sqrt(col("n").cast("double") * col("sxxb").cast("double") -
+            col("sxb").cast("double") * col("sxb").cast("double"))), 4)
+          .as("corr_4dp"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val qCorrPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+       |m AS (SELECT d, sum(sv::HUGEINT) AS sx, sum(sv::HUGEINT * sv) AS sxx
+       |  FROM ex GROUP BY d),
+       |cp AS (SELECT a.d AS da, b.d AS db, sum(a.sv::HUGEINT * b.sv) AS sxy
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d < b.d GROUP BY 1, 2)
+       |SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+       |  CAST(n AS BIGINT) AS n,
+       |  round((n::DOUBLE * sxy::DOUBLE - ma.sx::DOUBLE * mb.sx::DOUBLE) /
+       |    (sqrt(n::DOUBLE * ma.sxx::DOUBLE - ma.sx::DOUBLE * ma.sx::DOUBLE) *
+       |     sqrt(n::DOUBLE * mb.sxx::DOUBLE - mb.sx::DOUBLE * mb.sx::DOUBLE)), 4)
+       |    AS corr_4dp
+       |FROM cp JOIN m ma ON ma.d = cp.da JOIN m mb ON mb.d = cp.db, nn
+       |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_corr_pairs" -> (qCorrPairs _),
     "ml_power_iteration" -> (qPowerIteration _),
     "ml_perceptron_step" -> (qPerceptronStep _),
     "ml_linreg_sources" -> (qLinregSources _),
@@ -749,6 +881,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_corr_pairs" -> qCorrPairsSql,
     "ml_power_iteration" -> qPowerIterationSql,
     "ml_perceptron_step" -> qPerceptronStepSql,
     "ml_linreg_sources" -> qLinregSourcesSql,

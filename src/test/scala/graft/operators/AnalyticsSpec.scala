@@ -2165,4 +2165,43 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum > 1L, "the frontier must actually expand")
   }
+
+  test("correlation matrix matches native corr and a BigInt moment recount") {
+    import graft.functions.Vectors
+    val rows = Models.qCorrPairs(spark, sfDir).collect()
+    val d = Vectors.Dim
+    assert(rows.length == d * (d - 1) / 2, "one row per unordered dim pair")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (for (a <- 0 until d; b <- a + 1 until d) yield (a.toLong, b.toLong)).toSeq)
+    // exact BigInt recount of the sufficient statistics for a probe
+    // pair, then the same double chain — independent of the kernel
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(embedding as array<double>) as v").collect()
+      .map(_.getSeq[Double](0).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).toArray)
+    val n = BigInt(vecs.length)
+    def corrOf(a: Int, b: Int): Double = {
+      val sxa = vecs.foldLeft(BigInt(0))((s, v) => s + v(a))
+      val sxb = vecs.foldLeft(BigInt(0))((s, v) => s + v(b))
+      val sxxa = vecs.foldLeft(BigInt(0))((s, v) => s + BigInt(v(a)) * v(a))
+      val sxxb = vecs.foldLeft(BigInt(0))((s, v) => s + BigInt(v(b)) * v(b))
+      val sxy = vecs.foldLeft(BigInt(0))((s, v) => s + BigInt(v(a)) * v(b))
+      (n.toDouble * sxy.toDouble - sxa.toDouble * sxb.toDouble) /
+        (math.sqrt(n.toDouble * sxxa.toDouble - sxa.toDouble * sxa.toDouble) *
+         math.sqrt(n.toDouble * sxxb.toDouble - sxb.toDouble * sxb.toDouble))
+    }
+    val byPair = rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(3)).toMap
+    Seq((0, 1), (0, d - 1), (d / 2, d / 2 + 1)).foreach { case (a, b) =>
+      assert(math.abs(byPair((a, b)) - corrOf(a, b)) < 5e-5,
+        s"pair ($a,$b): kernel ${byPair((a, b))} vs recount ${corrOf(a, b)}")
+    }
+    // and against Spark's native streaming corr (approximate, on the
+    // raw doubles rather than the µ-scaled ints)
+    val native = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(embedding as array<double>) as v")
+      .agg(corr(expr("v[0]"), expr("v[1]"))).first().getDouble(0)
+    assert(math.abs(byPair((0, 1)) - native) < 1e-3,
+      s"pair (0,1): ${byPair((0, 1))} vs native $native")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    assert(rows.forall(_.getLong(2) == vecs.length.toLong), "n on every row")
+  }
 }

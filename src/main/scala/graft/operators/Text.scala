@@ -2433,7 +2433,61 @@ FROM b GROUP BY 1 ORDER BY 1"""
       |  CAST(2000 - ((1500 * n_mono) // n_words) AS BIGINT) AS forcast_cpm
       |FROM a WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // LABEL-ASSOCIATION ODDS RATIOS — which tokens are over- or
+  // under-represented in one label slice (here lang = 'en') relative
+  // to the rest: the feature-selection / domain-signature primitive
+  // behind classifier-based quality filters and contamination
+  // tracing. Per token, with a/b = docs containing it in/out of the
+  // slice and c/d the complements, the Haldane–Anscombe-smoothed
+  // odds ratio (a+1)(d+1)/((b+1)(c+1)) — smoothing keeps zero cells
+  // finite AND the arithmetic integer; gated as or_ppm through
+  // DECIMAL(38,0)/HUGEINT (degree-2 products — no wrap below ~10¹⁶
+  // docs). No libm: the odds RATIO is the rational the log-odds
+  // score monotonically wraps (the lift-not-PMI rule).
+  //
+  // Scale shape: token presence is doc-LOCAL — array_distinct over
+  // the split inside the projection (one pass per doc, no
+  // (doc, token) dedup exchange), then ONE map-side-combined
+  // conditional aggregate to |vocab| rows; class totals are a 1-row
+  // broadcast. Output is vocab-bounded, corpus-independent.
+  def qLabelOdds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tot = docs.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ne"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+    val dec = "decimal(38,0)"
+    docs
+      .select((col("lang") === "en").as("en"),
+        explode(array_distinct(words(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("n_en"),
+        sum(when(!col("en"), 1L).otherwise(0L)).as("n_rest"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("n_en"), col("n_rest"),
+        expr(s"cast((cast(1000000 as $dec) * (n_en + 1) * (nr - n_rest + 1))" +
+          s" div (cast(n_rest + 1 as $dec) * (ne - n_en + 1)) as bigint)")
+          .as("or_ppm"))
+      .orderBy(col("or_ppm").desc, col("token"))
+  }
+
+  val qLabelOddsSql: String =
+    """WITH dt AS (SELECT doc_id, lang = 'en' AS en,
+      |    unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ne,
+      |    CAST(count(*) FILTER (lang <> 'en') AS BIGINT) AS nr FROM documents),
+      |t AS (SELECT token, CAST(count(*) FILTER (en) AS BIGINT) AS n_en,
+      |    CAST(count(*) FILTER (NOT en) AS BIGINT) AS n_rest
+      |  FROM dt WHERE token <> '' GROUP BY token)
+      |SELECT token, n_en, n_rest,
+      |  CAST((1000000::HUGEINT * (n_en + 1) * (nr - n_rest + 1)) //
+      |    ((n_rest + 1)::HUGEINT * (ne - n_en + 1)) AS BIGINT) AS or_ppm
+      |FROM t, tot ORDER BY or_ppm DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_label_odds" -> (qLabelOdds _),
     "text_readability" -> (qReadability _),
     "text_keywords" -> (qKeywords _),
     "text_charclass" -> (qCharclass _),
@@ -2469,6 +2523,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_label_odds" -> qLabelOddsSql,
     "text_readability" -> qReadabilitySql,
     "text_boilerplate" -> qBoilerplateSql,
     "text_ccnet_buckets" -> qCcnetBucketsSql,

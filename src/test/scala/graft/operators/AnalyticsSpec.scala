@@ -2204,4 +2204,31 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
     assert(rows.forall(_.getLong(2) == vecs.length.toLong), "n on every row")
   }
+
+  test("label odds ratios match a BigInt presence recount") {
+    val rows = Text.qLabelOdds(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("lang = 'en' as en", "text").collect()
+      .map(r => (r.getBoolean(0),
+        r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+").filter(_.nonEmpty).toSet))
+    val ne = docs.count(_._1).toLong
+    val nr = docs.count(!_._1).toLong
+    val counts = docs.flatMap { case (en, toks) => toks.map(t => (t, en)) }
+      .groupBy(_._1).map { case (t, g) =>
+        t -> (g.count(_._2).toLong, g.count(!_._2).toLong)
+      }
+    val expect = counts.map { case (t, (a, b)) =>
+      val or = BigInt(1000000) * (BigInt(a) + 1) * (BigInt(nr - b) + 1) /
+        ((BigInt(b) + 1) * (BigInt(ne - a) + 1))
+      (t, a, b, or.toLong)
+    }.toSeq.sortBy { case (t, _, _, or) => (-or, t) }
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == expect, "odds-ratio table mismatch vs driver recount")
+    // the ranking must separate: some token enriched in the slice,
+    // some depleted (odds ratio straddles 1.0 = 1e6 ppm)
+    assert(rows.head.getLong(3) > 1000000L && rows.last.getLong(3) < 1000000L,
+      "odds ratios must straddle 1.0")
+  }
 }

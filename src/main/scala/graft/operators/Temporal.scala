@@ -979,7 +979,106 @@ object Temporal {
        |  CASE WHEN s_dn > $CusumK * tot THEN 1::BIGINT ELSE 0::BIGINT END AS alarm_dn
        |FROM s ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RFM SEGMENTATION — the recency/frequency/monetary quintile grid,
+  // the classical user-value segmentation every growth/curation
+  // pipeline derives from an event log. Per purchasing user: recency
+  // = whole days from their last purchase to the corpus's latest
+  // purchase (exact µs div), frequency = purchase count, monetary =
+  // Σ⌊value·100⌋ integer cents (the moneySum discipline — floor, not
+  // round: identical on identical doubles). Each metric is cut into
+  // EXACT quintiles at ranks ⌈k·n/5⌉ under the total order
+  // (metric, user_id) — the tiebreak makes the cut unambiguous on
+  // ties, so both engines place every user identically. Scores 1–5
+  // (recency inverted: recent = 5); gated output = the ≤125-row
+  // segment grid with user counts and segment revenue as a
+  // DECIMAL(38,0)-backed string (no wrap horizon).
+  //
+  // Scale shape: one map-side-combined per-user aggregate collapses
+  // the corpus; the 12 quintile thresholds come from the distributed
+  // [[OrderStats]] exact-rank path (range exchange + partition-local
+  // scans — no corpus-global sort window); scoring is a broadcast
+  // compare against 12 threshold literals; the final grid is a tiny
+  // partial agg. Driver traffic: 12 one-row rank fetches + one max.
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("r_score", LongType), StructField("f_score", LongType),
+      StructField("m_score", LongType), StructField("n_users", LongType),
+      StructField("money_cents", StringType)))
+    val pu = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val agg = pu.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("freq"), sum(col("cents")).as("money"),
+        max(col("us")).as("last_us"))
+      .localCheckpoint()
+    val muRow = agg.agg(max(col("last_us"))).first()
+    if (muRow.isNullAt(0)) // degenerate-input rule: no purchases
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val mu = muRow.getLong(0)
+    val users = agg.select(col("user_id"),
+        expr(s"(${mu}L - last_us) div 86400000000").as("rec"),
+        col("freq"), col("money"))
+      .localCheckpoint()
+    // quintile thresholds per metric: ranks ceil(k*n/5), k = 1..4,
+    // under (metric, user_id); a user's quintile = 1 + #{thresholds
+    // strictly below them in that order}
+    def quintile(metric: String): Column = {
+      val r = OrderStats.rank(users.select(col(metric), col("user_id")),
+        Seq(metric, "user_id"))
+      val n = r.total
+      (1 to 4).foldLeft(lit(1L)) { (acc, k) =>
+        val t = OrderStats.kth(r, (k * n + 4) / 5)
+        val (tv, tu) = (t.getLong(0), t.getLong(1))
+        acc + when(col(metric) > tv ||
+          (col(metric) === tv && col("user_id") > tu), 1L).otherwise(0L)
+      }
+    }
+    users
+      .select((lit(6L) - quintile("rec")).as("r_score"),
+        quintile("freq").as("f_score"), quintile("money").as("m_score"),
+        col("money"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("money").cast("decimal(38,0)")).cast("string").as("money_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val qRfmSql: String = {
+    val ths = (for (m <- Seq("rec", "freq", "money"); k <- 1 to 4) yield
+      s"""t$m$k AS (SELECT $m AS tv, user_id AS tu FROM u ORDER BY $m, user_id
+         |  LIMIT 1 OFFSET ((SELECT ($k*n+4)//5 FROM nn) - 1))""".stripMargin)
+      .mkString(",\n")
+    def score(m: String) = (1 to 4).map(k =>
+      s"(CASE WHEN u.$m > t$m$k.tv OR (u.$m = t$m$k.tv AND u.user_id > t$m$k.tu)" +
+        " THEN 1 ELSE 0 END)").mkString(" + ")
+    val crosses = (for (m <- Seq("rec", "freq", "money"); k <- 1 to 4)
+      yield s"t$m$k").mkString(", ")
+    s"""WITH pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |  CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS freq,
+       |  CAST(sum(cents) AS BIGINT) AS money, max(epoch_us(ts)) AS last_us
+       |  FROM pu GROUP BY 1),
+       |mx AS (SELECT max(last_us) AS mu FROM agg),
+       |u AS (SELECT user_id, CAST((mu - last_us) // 86400000000 AS BIGINT) AS rec,
+       |  freq, money FROM agg, mx),
+       |nn AS (SELECT count(*) AS n FROM u),
+       |$ths,
+       |sc AS (SELECT u.user_id, u.money,
+       |  CAST(6 - (1 + ${score("rec")}) AS BIGINT) AS r_score,
+       |  CAST(1 + ${score("freq")} AS BIGINT) AS f_score,
+       |  CAST(1 + ${score("money")} AS BIGINT) AS m_score
+       |  FROM u, $crosses)
+       |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(CAST(sum(money) AS HUGEINT) AS VARCHAR) AS money_cents
+       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_rfm" -> (qRfm _),
     "temporal_cusum" -> (qCusum _),
     "temporal_scd2" -> (qScd2 _),
     "temporal_autocorr" -> (qAutocorr _),
@@ -1004,6 +1103,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_rfm" -> qRfmSql,
     "temporal_cusum" -> qCusumSql,
     "temporal_scd2" -> qScd2Sql,
     "temporal_autocorr" -> qAutocorrSql,

@@ -2231,4 +2231,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getLong(3) > 1000000L && rows.last.getLong(3) < 1000000L,
       "odds ratios must straddle 1.0")
   }
+
+  test("RFM segment grid matches a driver quintile replay") {
+    val rows = Temporal.qRfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pu = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "unix_micros(ts) as us",
+        "cast(floor(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = pu.groupBy(_._1).map { case (u, g) =>
+      (u, g.map(_._2).max, g.length.toLong, g.map(_._3).sum)
+    }.toArray
+    val mu = byUser.map(_._2).max
+    val users = byUser.map { case (u, lastUs, f, m) =>
+      (u, (mu - lastUs) / 86400000000L, f, m)
+    }
+    val n = users.length
+    def quint(metric: ((Long, Long, Long, Long)) => Long): Map[Long, Long] = {
+      val sorted = users.map(x => (metric(x), x._1)).sorted
+      val ths = (1 to 4).map(k => sorted((((k.toLong * n + 4) / 5) - 1).toInt))
+      val ord = implicitly[Ordering[(Long, Long)]]
+      users.map(x => x._1 ->
+        (1L + ths.count(t => ord.gt((metric(x), x._1), t)))).toMap
+    }
+    val (qr, qf, qm) = (quint(_._2), quint(_._3), quint(_._4))
+    val expect = users.groupBy(x => (6L - qr(x._1), qf(x._1), qm(x._1)))
+      .map { case (k, g) => (k._1, k._2, k._3, g.length.toLong,
+        g.foldLeft(BigInt(0))(_ + _._4)) }
+      .toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      BigInt(r.getString(4)))).toSeq == expect, "RFM grid mismatch vs driver replay")
+    // quintiles are exact: per metric, each score bucket within 1 of n/5
+    Seq(qr, qf, qm).foreach { q =>
+      val sizes = q.values.groupBy(identity).map(_._2.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles: $sizes")
+    }
+    // the most recent purchaser must land in the top recency score
+    val freshest = users.minBy(x => (x._2, x._1))._1
+    assert(6L - qr(freshest) == 5L, "latest purchaser gets r_score 5")
+    assert(rows.map(_.getLong(3)).sum == n.toLong, "grid partitions all users")
+  }
 }

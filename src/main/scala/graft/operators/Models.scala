@@ -866,7 +866,118 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |FROM cp JOIN m ma ON ma.d = cp.da JOIN m mb ON mb.d = cp.db, nn
        |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DETERMINISTIC POISSON BOOTSTRAP — the at-scale bootstrap: a true
+  // with-replacement resample needs global coordination, so
+  // production systems draw each row's multiplicity in resample b
+  // i.i.d. Poisson(1) (Chamandy et al., "Estimating Uncertainty for
+  // Massive Data Streams", Google 2012) and every statistic becomes
+  // one map-side-combined pass. Randomness is the engine-shared hash
+  // convention (ONE md5 of the salted event id → 60-bit int mod
+  // 2³¹−1, then the minhash integer mix (1+2b)·h+(17+b) per
+  // resample); multiplicity = inverse-CDF lookup of u = mix mod 10⁶
+  // against the 6 fixed integer thresholds ⌊10⁶·CDF_Poisson(1)(k)⌋ =
+  // 367879/735759/919699/981012/996340/999406 (documented constants
+  // — no runtime libm). Statistic: mean purchase value in exact
+  // centi-cents, (100·Σcx) div Σc through DECIMAL(38,0)/HUGEINT;
+  // resample sums ship as decimal strings (no wrap horizon). lo/hi =
+  // the 4th/29th order statistics of the 32 resample means (the
+  // ⌈0.1·32⌉/⌈0.9·32⌉ percentile convention), tie-broken by b.
+  //
+  // Scale shape: ONE single-pass kernel with constant state (32
+  // Long accumulator pairs, BigInt-folded every 4M rows), ≤32 rows
+  // per partition out; everything downstream (the 32-row agg, the
+  // rank window) is metadata. No row explosion, no second corpus
+  // pass, no driver collect.
+  private val BootstrapB = 32
+  private val PoissonCdfPm = Array(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val bN = BootstrapB
+    val thr = PoissonCdfPm
+    val statSchema = StructType(Seq(
+      StructField("b", LongType), StructField("n", DecimalType(38, 0)),
+      StructField("s", DecimalType(38, 0))))
+    val FlushEvery = 4000000
+    val parts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 100).cast("long").as("x"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = Array.fill(bN)(BigInt(0)); val nL = new Array[Long](bN)
+        val sm = Array.fill(bN)(BigInt(0)); val sL = new Array[Long](bN)
+        var sinceFlush = 0
+        def flush(): Unit = {
+          var b = 0
+          while (b < bN) { n(b) += nL(b); nL(b) = 0L; sm(b) += sL(b); sL(b) = 0L; b += 1 }
+          sinceFlush = 0
+        }
+        var any = false
+        it.foreach { r =>
+          any = true
+          val h = Dedup.md5Mod(md, r.getLong(0).toString + ":bs", 2147483647L)
+          val x = r.getLong(1)
+          var b = 0
+          while (b < bN) {
+            val u = ((1L + 2L * b) * h + (17L + b)) % 2147483647L % 1000000L
+            var c = 0L
+            var j = 0
+            while (j < thr.length) { if (u >= thr(j)) c += 1L; j += 1 }
+            nL(b) += c; sL(b) += c * x
+            b += 1
+          }
+          sinceFlush += 1
+          if (sinceFlush == FlushEvery) flush()
+        }
+        flush()
+        def dec(v: BigInt) = new java.math.BigDecimal(v.bigInteger)
+        if (!any) Iterator.empty
+        else (0 until bN).iterator.map(b => Row(b.toLong, dec(n(b)), dec(sm(b))))
+      }(Encoders.row(statSchema))
+    val agg = parts.groupBy(col("b"))
+      .agg(sum(col("n")).as("nd"), sum(col("s")).as("sd"))
+      .select(col("b"), col("nd").cast("long").as("n_events"),
+        col("sd").cast("string").as("sum_cents"),
+        expr("cast((cast(100 as decimal(38,0)) * sd) div greatest(nd, 1) as bigint)")
+          .as("mean_cc"))
+    val rnW = Window.orderBy(col("mean_cc"), col("b"))
+    val full = rnW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg // 32-row frame: the rank window is metadata, never corpus
+      .withColumn("rn", row_number().over(rnW))
+      .withColumn("lo_cc", max(when(col("rn") === 4, col("mean_cc"))).over(full))
+      .withColumn("hi_cc", max(when(col("rn") === 29, col("mean_cc"))).over(full))
+      .select(col("b"), col("n_events"), col("sum_cents"), col("mean_cc"),
+        col("lo_cc"), col("hi_cc"))
+      .orderBy(col("b"))
+  }
+
+  val qBootstrapCiSql: String = {
+    val cases = PoissonCdfPm
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH pu AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase'),
+       |h AS (SELECT x, ('0x' || substr(md5(event_id::VARCHAR || ':bs'), 1, 15))::BIGINT
+       |    % 2147483647 AS h FROM pu),
+       |bs AS (SELECT bb.b AS b, x,
+       |  ((1 + 2 * bb.b) * h + (17 + bb.b)) % 2147483647 % 1000000 AS u
+       |  FROM h, (SELECT unnest(range($BootstrapB)) AS b) bb),
+       |c AS (SELECT b, x, ($cases) AS c FROM bs),
+       |a AS (SELECT b, CAST(sum(c) AS BIGINT) AS n_events,
+       |  CAST(sum(c::HUGEINT * x) AS HUGEINT) AS s FROM c GROUP BY b),
+       |m AS (SELECT CAST(b AS BIGINT) AS b, n_events, CAST(s AS VARCHAR) AS sum_cents,
+       |  CAST((100::HUGEINT * s) // greatest(n_events, 1) AS BIGINT) AS mean_cc FROM a),
+       |r AS (SELECT *, row_number() OVER (ORDER BY mean_cc, b) AS rn FROM m)
+       |SELECT b, n_events, sum_cents, mean_cc,
+       |  CAST(max(CASE WHEN rn = 4 THEN mean_cc END) OVER () AS BIGINT) AS lo_cc,
+       |  CAST(max(CASE WHEN rn = 29 THEN mean_cc END) OVER () AS BIGINT) AS hi_cc
+       |FROM r ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_bootstrap_ci" -> (qBootstrapCi _),
     "ml_corr_pairs" -> (qCorrPairs _),
     "ml_power_iteration" -> (qPowerIteration _),
     "ml_perceptron_step" -> (qPerceptronStep _),
@@ -881,6 +992,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_bootstrap_ci" -> qBootstrapCiSql,
     "ml_corr_pairs" -> qCorrPairsSql,
     "ml_power_iteration" -> qPowerIterationSql,
     "ml_perceptron_step" -> qPerceptronStepSql,

@@ -2272,4 +2272,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(6L - qr(freshest) == 5L, "latest purchaser gets r_score 5")
     assert(rows.map(_.getLong(3)).sum == n.toLong, "grid partitions all users")
   }
+
+  test("Poisson bootstrap matches a driver resample replay and brackets the point mean") {
+    val rows = Models.qBootstrapCi(spark, sfDir).collect()
+    assert(rows.length == 32)
+    val pu = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id", "cast(floor(value * 100) as long) as x").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val thr = Array(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    def md5Mod(s2: String): Long = {
+      md.reset()
+      val d = md.digest(s2.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      ((h << 4) | ((d(7) >> 4) & 0xfL)) % 2147483647L
+    }
+    val stats = (0 until 32).map { b =>
+      var n = BigInt(0); var s2 = BigInt(0)
+      pu.foreach { case (id, x) =>
+        val h = md5Mod(id.toString + ":bs")
+        val u = ((1L + 2L * b) * h + (17L + b)) % 2147483647L % 1000000L
+        val c = thr.count(u >= _).toLong
+        n += c; s2 += BigInt(c) * x
+      }
+      (b.toLong, n, s2, (BigInt(100) * s2 / n.max(BigInt(1))).toLong)
+    }
+    val sortedMeans = stats.map(x => (x._4, x._1)).sorted
+    val (lo, hi) = (sortedMeans(3)._1, sortedMeans(28)._1)
+    rows.zip(stats).foreach { case (r, (b, n, s2, m)) =>
+      assert(r.getLong(0) == b && r.getLong(1) == n.toLong, s"resample $b counts")
+      assert(BigInt(r.getString(2)) == s2 && r.getLong(3) == m, s"resample $b sums")
+      assert(r.getLong(4) == lo && r.getLong(5) == hi, s"resample $b CI")
+    }
+    // Poisson(1) preserves mass in expectation: resample sizes
+    // average to ~n, and the 10-90 band brackets the point estimate
+    val avgN = stats.map(_._2).sum / 32
+    assert((avgN - pu.length).abs.toDouble <= 0.05 * pu.length,
+      s"mean resample size $avgN vs n ${pu.length}")
+    val pointMean = BigInt(100) * pu.map(x => BigInt(x._2)).sum / BigInt(pu.length)
+    assert(lo <= pointMean.toLong && pointMean.toLong <= hi,
+      s"CI [$lo, $hi] must bracket the point mean $pointMean")
+    assert(lo < hi, "the interval must have width")
+  }
 }

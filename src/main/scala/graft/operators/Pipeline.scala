@@ -1671,7 +1671,55 @@ FROM j ORDER BY source"""
        |  i >= ki AS capped
        |FROM cc, k ORDER BY rank_asc""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PARETO FRONTIER (skyline) — the multi-objective selection
+  // operator: the documents no other document dominates on BOTH
+  // axes (here maximize token count AND distinct-token count — the
+  // length-vs-lexical-richness trade every curation mix negotiates).
+  // The classical SQL skyline is a NOT-EXISTS self-join (the oracle
+  // brute-checks the spec that way); at corpus scale the 2-D skyline
+  // collapses relationally: group by w with max(d), suffix-max over
+  // the DESCENDING w groups, then a row is on the frontier iff it
+  // tops its own w group AND beats every higher-w group's best d —
+  // equal-(w,d) rows co-survive (dominance needs a strict axis).
+  //
+  // Scale shape: per-doc metrics are map-only; the corpus collapses
+  // in ONE partial agg to |distinct w| rows (bounded by max document
+  // length, not corpus size — the [[Text.qZipfRatio]]
+  // metric-cardinality window class), where the suffix-max window
+  // runs; the frontier test is a broadcast join of that group frame
+  // back onto the doc stream. No self-join, no corpus window.
+  def qParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val sp = split(lower(trim(col("text"))), "[ \t\n\f\r]+")
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), size(sp).cast("long").as("w"),
+        size(array_distinct(sp)).cast("long").as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.orderBy(col("w").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sfx = t.groupBy(col("w")).agg(max(col("d")).as("maxd"))
+      .withColumn("hi", coalesce(max(col("maxd")).over(wDesc), lit(-1L)))
+    t.join(broadcast(sfx), "w")
+      .filter(col("d") === col("maxd") && col("d") > col("hi"))
+      .select(col("doc_id"), col("w").as("n_tokens"), col("d").as("n_distinct"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+  }
+
+  val qParetoFrontierSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS w,
+      |  CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS d
+      |  FROM documents),
+      |g AS (SELECT w, max(d) AS maxd FROM t GROUP BY w),
+      |sfx AS (SELECT w, maxd, coalesce(max(maxd) OVER (ORDER BY w DESC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS hi FROM g)
+      |SELECT t.doc_id, t.w AS n_tokens, t.d AS n_distinct
+      |FROM t JOIN sfx ON t.w = sfx.w
+      |WHERE t.d = sfx.maxd AND t.d > sfx.hi
+      |ORDER BY n_tokens, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_pareto_frontier" -> (qParetoFrontier _),
     "pipe_waterfill_budget" -> (qWaterfillBudget _),
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
@@ -1703,6 +1751,7 @@ FROM j ORDER BY source"""
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_pareto_frontier" -> qParetoFrontierSql,
     "samp_epoch_plan" -> qEpochPlanSql,
     "samp_kcenter" -> qKcenterSql,
     "pipe_shard_manifest" -> qShardManifestSql,

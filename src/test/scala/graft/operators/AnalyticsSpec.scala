@@ -2317,4 +2317,34 @@ class AnalyticsSpec extends SparkSpec {
       s"CI [$lo, $hi] must bracket the point mean $pointMean")
     assert(lo < hi, "the interval must have width")
   }
+
+  test("Pareto frontier matches the brute-force dominance definition") {
+    val rows = Pipeline.qParetoFrontier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val t = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect().map { r =>
+        // JVM-side replay of the words() split: DuckDB-style trim
+        // (spaces only) + the RE2 \s class, keeping trailing empties
+        val x = r.getString(1)
+        var b = 0; var e = x.length
+        while (b < e && x.charAt(b) == ' ') b += 1
+        while (e > b && x.charAt(e - 1) == ' ') e -= 1
+        val toks = x.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+", -1)
+        (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong)
+      }
+    val brute = t.filter { a =>
+      !t.exists(b => b._2 >= a._2 && b._3 >= a._3 &&
+        (b._2 > a._2 || b._3 > a._3))
+    }.sortBy(x => (x._2, x._1))
+    assert(rows.toSeq == brute.toSeq, "frontier mismatch vs O(n^2) dominance scan")
+    // no frontier point dominates another (mutual non-dominance)
+    rows.foreach { a =>
+      rows.foreach { b =>
+        assert(a == b || !(b._2 >= a._2 && b._3 >= a._3 &&
+          (b._2 > a._2 || b._3 > a._3)), s"$b dominates $a on the frontier")
+      }
+    }
+  }
 }

@@ -2279,7 +2279,99 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
        |  CAST(coalesce(l1.l1, 0) // 64 AS BIGINT) AS mean_gap_mu
        |FROM cnt LEFT JOIN l1 USING (cid) ORDER BY cnt.cid""".stripMargin
 
+  // ---------------------------------------------------------------
+  // MRR@10 — mean reciprocal rank of the first SAME-LABEL neighbor
+  // in the IVF top-10: the ranking-quality twin of [[qRecallReport]]
+  // (recall counts hits anywhere in the list; MRR weights WHERE the
+  // first hit lands — the metric retrieval/RAG stacks actually
+  // report). Exactness trick: every reciprocal rank 1/r for r ≤ 10
+  // is an exact multiple of 1/2520 (lcm 1..10), so the per-probe
+  // contribution ships as the integer rr_x2520 = 2520/r and
+  // mrr_ppm = (10⁶·Σ n_r·rr_r) div (2520·n_probes) gates with zero
+  // float arithmetic — no NDCG log discount needed (the no-libm
+  // rule). Probes whose top-10 has no same-label neighbor land in
+  // the first_rank = 0 bucket and contribute 0.
+  //
+  // Scale shape: the [[qIvfTopk]] candidate pipeline (broadcast
+  // probes onto the cell-bucketed assignment memo, per-probe rank
+  // window) with labels attached by one corpus join before ranking;
+  // the rank-histogram collapse leaves ≤ 11 rows, where the
+  // summary window runs.
+  private val MrrK = 10
+  private val MrrLcm = 2520L // lcm(1..10)
+
+  def qMrrAt10(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val assign = assignMemo(s, dir)
+    val probes = assign.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    // rank on the array-free [[qIvfTopk]] pipeline FIRST (broadcast
+    // probes onto the memo's cell buckets — no corpus exchange), then
+    // attach labels to the (|probes|·10)-row fixed-width top list;
+    // joining labels onto `assign` up front shuffled the 64-double
+    // arrays through the exchange and measured 4.4s at 10× vs this
+    // form's 2.5s (the arrays-through-joins rule)
+    val top = assign.join(broadcast(probes),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= MrrK)
+      .select(col("qid"), col("vec_id"), col("rank"))
+      .hint("shuffle_hash") // pin the small top list as build side
+    val first = top
+      .join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("qid"), col("lab").as("qlab")), "qid")
+      .filter(col("lab") === col("qlab"))
+      .groupBy(col("qid")).agg(min(col("rank")).as("fr"))
+    val hist = probes.select(col("qid"))
+      .join(first, Seq("qid"), "left")
+      .select(coalesce(col("fr"), lit(0)).cast("long").as("first_rank"))
+      .groupBy(col("first_rank")).agg(count(lit(1)).as("n_probes"))
+      .withColumn("rr_x2520",
+        expr(s"case when first_rank > 0 then $MrrLcm div first_rank else 0L end"))
+    val ord = Window.orderBy(col("first_rank"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist // <= 11-row frame: the summary window is metadata
+      .withColumn("num", sum(col("n_probes") * col("rr_x2520")).over(full))
+      .withColumn("tot", sum(col("n_probes")).over(full))
+      .select(col("first_rank"), col("n_probes"), col("rr_x2520"),
+        // decimal-widened: 10⁶·num ~ 2.5e9·n wraps BIGINT near 4e9
+        // probes; DECIMAL(38,0)/HUGEINT on both engines instead
+        expr(s"cast((cast(1000000 as decimal(38,0)) * num)" +
+          s" div ($MrrLcm * cast(tot as decimal(38,0))) as bigint)").as("mrr_ppm"))
+      .orderBy(col("first_rank"))
+  }
+
+  val qMrrAt10Sql: String =
+    s"""WITH $assignCteSql,
+       |l AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+       |al AS (SELECT asg.vec_id, asg.cid, n.v, n.nrm, l.lab
+       |  FROM asg JOIN n ON asg.vec_id = n.vec_id JOIN l ON asg.vec_id = l.vec_id),
+       |probes AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn, lab AS qlab
+       |  FROM al WHERE vec_id % $QueryStride = 0),
+       |cand AS (SELECT p.qid, a.vec_id, a.lab, p.qlab,
+       |  round((${Vectors.dotSql("a.v", "p.qv")}) / (a.nrm * p.qn), 6) AS cos
+       |  FROM al a JOIN probes p ON a.cid = p.qcid AND a.vec_id <> p.qid),
+       |rk AS (SELECT qid, lab, qlab,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand),
+       |fr AS (SELECT qid, min(rank) AS fr FROM rk
+       |  WHERE rank <= $MrrK AND lab = qlab GROUP BY qid),
+       |h AS (SELECT CAST(coalesce(fr.fr, 0) AS BIGINT) AS first_rank,
+       |  CAST(count(*) AS BIGINT) AS n_probes
+       |  FROM probes LEFT JOIN fr ON probes.qid = fr.qid GROUP BY 1),
+       |r AS (SELECT first_rank, n_probes,
+       |  CAST(CASE WHEN first_rank > 0 THEN $MrrLcm // first_rank ELSE 0 END AS BIGINT) AS rr_x2520
+       |  FROM h)
+       |SELECT first_rank, n_probes, rr_x2520,
+       |  CAST((1000000::HUGEINT * sum(n_probes::HUGEINT * rr_x2520) OVER ())
+       |    // ($MrrLcm::HUGEINT * sum(n_probes::HUGEINT) OVER ()) AS BIGINT) AS mrr_ppm
+       |FROM r ORDER BY first_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mrr_at10" -> (qMrrAt10 _),
     "sim_pq_distortion" -> (qPqDistortion _),
     "sim_ab_drift" -> (qAbDrift _),
     "sim_ood_detect" -> (qOodDetect _),
@@ -2315,6 +2407,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_mrr_at10" -> qMrrAt10Sql,
     "sim_pq_distortion" -> qPqDistortionSql,
     "sim_ab_drift" -> qAbDriftSql,
     "sim_ood_detect" -> qOodDetectSql,

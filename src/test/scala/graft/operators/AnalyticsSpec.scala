@@ -2347,4 +2347,39 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("MRR@10 matches a driver ranking replay over the shared assignment") {
+    import graft.functions.Vectors
+    val out = Similarity.qMrrAt10(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) as lab").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asg = Similarity.assignToCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val byCell = asg.groupBy(_._2)
+    val firstRanks = asg.filter(_._1 % 50 == 0).map { case (qid, cid, qv, qn) =>
+      val ranked = byCell(cid).filter(_._1 != qid)
+        .map { case (vid, _, v, nrm) =>
+          (vid, Vectors.round6Jvm(Vectors.dotJvm(v, qv) / (nrm * qn)))
+        }
+        .sortBy { case (vid, cos) => (-cos, vid) }
+        .take(10)
+      val idx = ranked.indexWhere { case (vid, _) => labels(vid) == labels(qid) }
+      if (idx < 0) 0L else idx + 1L
+    }
+    val hist = firstRanks.groupBy(identity).map { case (r, g) => r -> g.length.toLong }
+    val num = firstRanks.filter(_ > 0L).map(r => BigInt(2520L / r)).sum
+    val mrr = (BigInt(1000000) * num / (BigInt(2520) * firstRanks.length)).toLong
+    assert(out.map(_.getLong(0)).toSet == hist.keySet, "rank-bucket closure")
+    out.foreach { r =>
+      val fr = r.getLong(0)
+      assert(r.getLong(1) == hist(fr), s"bucket $fr count")
+      assert(r.getLong(2) == (if (fr > 0) 2520L / fr else 0L), s"bucket $fr rr")
+      if (fr > 0) assert(r.getLong(2) * fr <= 2520L && 2520L % fr == 0L)
+      assert(r.getLong(3) == mrr, s"bucket $fr mrr_ppm")
+    }
+    assert(mrr > 0L && mrr < 1000000L, "MRR strictly inside (0, 1) on random labels")
+  }
 }

@@ -976,7 +976,82 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |FROM r ORDER BY b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // WINSORIZED + TRIMMED MEAN — the robust-aggregation primitive: a
+  // heavy-tailed metric's plain mean is one outlier away from
+  // useless, so production reporting clamps at the 5th/95th
+  // percentile (winsorize) or drops the tails (trim). Thresholds are
+  // EXACT order statistics at ceil-ranks ⌈n/20⌉ and ⌈19n/20⌉ under
+  // the total order (x, event_id) — the [[Temporal.qRfm]] tiebreak
+  // discipline, so tie rows split identically on both engines and
+  // n_trim = hi_rank − lo_rank − 1 structurally. All arithmetic
+  // integer cents through DECIMAL(38,0)/HUGEINT; the winsorized sum
+  // ships as a decimal string (no wrap horizon).
+  //
+  // Scale shape: two [[OrderStats]] rank fetches on ONE shared
+  // range-partitioned frame (one exchange + P-row metadata reads —
+  // no global sort window, no percentile_approx fuzz), then a single
+  // conditional aggregate pass against the two broadcast threshold
+  // literals. Output: one row.
+  def qWinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("n", LongType), StructField("t_lo", LongType),
+      StructField("t_hi", LongType), StructField("wins_sum", StringType),
+      StructField("wins_mean_cc", LongType), StructField("n_trim", LongType),
+      StructField("trim_mean_cc", LongType)))
+    val pu = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100).cast("long").as("x"), col("event_id"))
+    val ranked = OrderStats.rank(pu, Seq("x", "event_id"))
+    val n = ranked.total
+    if (n == 0L) // degenerate-input rule: no purchases
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val lo = OrderStats.kth(ranked, (n + 19) / 20)
+    val hi = OrderStats.kth(ranked, (19 * n + 19) / 20)
+    val (tlo, tlu) = (lo.getLong(0), lo.getLong(1))
+    val (thi, thu) = (hi.getLong(0), hi.getLong(1))
+    val dec = "decimal(38,0)"
+    val inTrim = (col("x") > tlo || (col("x") === tlo && col("event_id") > tlu)) &&
+      (col("x") < thi || (col("x") === thi && col("event_id") < thu))
+    ranked.ranged
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col("x"), lit(tlo)), lit(thi)).cast(dec)).as("ws"),
+        sum(when(inTrim, 1L).otherwise(0L)).as("n_trim"),
+        sum(when(inTrim, col("x")).otherwise(0L).cast(dec)).as("ts"))
+      .select(col("n"), lit(tlo).as("t_lo"), lit(thi).as("t_hi"),
+        col("ws").cast("string").as("wins_sum"),
+        expr(s"cast((cast(100 as $dec) * ws) div greatest(n, 1) as bigint)")
+          .as("wins_mean_cc"),
+        col("n_trim"),
+        expr(s"cast((cast(100 as $dec) * ts) div greatest(n_trim, 1) as bigint)")
+          .as("trim_mean_cc"))
+  }
+
+  val qWinsorizedMeanSql: String =
+    """WITH pu AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'),
+      |nn AS (SELECT count(*) AS n FROM pu),
+      |tlo AS (SELECT x AS tv, event_id AS tu FROM pu ORDER BY x, event_id
+      |  LIMIT 1 OFFSET ((SELECT (n + 19) // 20 FROM nn) - 1)),
+      |thi AS (SELECT x AS tv, event_id AS tu FROM pu ORDER BY x, event_id
+      |  LIMIT 1 OFFSET ((SELECT (19 * n + 19) // 20 FROM nn) - 1)),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN x < tlo.tv THEN tlo.tv WHEN x > thi.tv THEN thi.tv
+      |    ELSE x END::HUGEINT) AS HUGEINT) AS ws,
+      |  CAST(count(*) FILTER ((x > tlo.tv OR (x = tlo.tv AND event_id > tlo.tu))
+      |    AND (x < thi.tv OR (x = thi.tv AND event_id < thi.tu))) AS BIGINT) AS n_trim,
+      |  CAST(sum(x::HUGEINT) FILTER ((x > tlo.tv OR (x = tlo.tv AND event_id > tlo.tu))
+      |    AND (x < thi.tv OR (x = thi.tv AND event_id < thi.tu))) AS HUGEINT) AS ts,
+      |  CAST(min(tlo.tv) AS BIGINT) AS t_lo, CAST(min(thi.tv) AS BIGINT) AS t_hi
+      |  FROM pu, tlo, thi)
+      |SELECT n, t_lo, t_hi, CAST(ws AS VARCHAR) AS wins_sum,
+      |  CAST((100::HUGEINT * ws) // greatest(n, 1) AS BIGINT) AS wins_mean_cc,
+      |  n_trim, CAST((100::HUGEINT * ts) // greatest(n_trim, 1) AS BIGINT) AS trim_mean_cc
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_winsorized_mean" -> (qWinsorizedMean _),
     "ml_bootstrap_ci" -> (qBootstrapCi _),
     "ml_corr_pairs" -> (qCorrPairs _),
     "ml_power_iteration" -> (qPowerIteration _),
@@ -992,6 +1067,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_winsorized_mean" -> qWinsorizedMeanSql,
     "ml_bootstrap_ci" -> qBootstrapCiSql,
     "ml_corr_pairs" -> qCorrPairsSql,
     "ml_power_iteration" -> qPowerIterationSql,

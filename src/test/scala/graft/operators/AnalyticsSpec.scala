@@ -2382,4 +2382,33 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(mrr > 0L && mrr < 1000000L, "MRR strictly inside (0, 1) on random labels")
   }
+
+  test("winsorized/trimmed mean matches a driver order-statistics replay") {
+    val r = Models.qWinsorizedMean(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val pu = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("cast(floor(value * 100) as long) as x", "event_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted
+    val n = pu.length.toLong
+    val lo = pu((((n + 19) / 20) - 1).toInt)
+    val hi = pu((((19 * n + 19) / 20) - 1).toInt)
+    val ws = pu.map(p => BigInt(math.min(math.max(p._1, lo._1), hi._1))).sum
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val trim = pu.filter(p => ord.gt(p, lo) && ord.lt(p, hi))
+    assert(row.getLong(0) == n && row.getLong(1) == lo._1 && row.getLong(2) == hi._1)
+    assert(BigInt(row.getString(3)) == ws)
+    assert(row.getLong(4) == (BigInt(100) * ws / n).toLong, "winsorized mean")
+    assert(row.getLong(5) == trim.length.toLong)
+    // the trim count is structural: exactly the rows strictly
+    // between the two rank positions
+    assert(trim.length.toLong == (19 * n + 19) / 20 - (n + 19) / 20 - 1)
+    val ts = trim.map(p => BigInt(p._1)).sum
+    assert(row.getLong(6) == (BigInt(100) * ts / math.max(trim.length, 1)).toLong)
+    // robustness direction: clamping a right-skewed metric pulls the
+    // mean down vs the plain mean
+    val plain = BigInt(100) * pu.map(p => BigInt(p._1)).sum / n
+    assert(row.getLong(4) <= plain.toLong, "winsorizing must not raise a right-skewed mean")
+  }
 }

@@ -107,6 +107,71 @@ object Temporal {
        |FROM m ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // NEAREST as-of join (pandas merge_asof direction='nearest'): each
+  // purchase matched to the CLOSEST click in time, either side — the
+  // sensor-fusion / attribution variant of [[qAsofJoin]] (which is
+  // direction='backward'). Backward candidate = the at-or-before
+  // window carry; forward candidate = the mirrored at-or-after frame
+  // (a second sort order where purchases sort before clicks at equal
+  // ts, so an equal-ts click is visible to BOTH directions); the
+  // winner is the smaller µs gap, ties to backward (stated
+  // convention, mirrored in the oracle's CASE order). One shuffle on
+  // the user key, two partition-local sorts — no self-join, no point
+  // lookups, the same plan shape at any key cardinality.
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), lit(1) - col("side"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val gb = unix_micros(col("ts")) - unix_micros(col("back_ts"))
+    val gf = unix_micros(col("fwd_ts")) - unix_micros(col("ts"))
+    e.withColumn("back_ts", max(when(col("side") === 0, col("ts"))).over(wBack))
+      .withColumn("fwd_ts", min(when(col("side") === 0, col("ts"))).over(wFwd))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        date_format(when(col("fwd_ts").isNull ||
+            (col("back_ts").isNotNull && gb <= gf), col("back_ts"))
+          .otherwise(col("fwd_ts")), tsFmt).as("nearest_click_ts"),
+        when(col("back_ts").isNull && col("fwd_ts").isNull, "none")
+          .when(col("fwd_ts").isNull ||
+            (col("back_ts").isNotNull && gb <= gf), "back")
+          .otherwise("fwd").as("direction"),
+        when(col("fwd_ts").isNull ||
+            (col("back_ts").isNotNull && gb <= gf), gb)
+          .otherwise(gf).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofNearestSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+       |m AS (SELECT p.event_id, p.user_id, p.ts,
+       |  (SELECT max(c.ts) FROM ev c WHERE c.event_type = 'click'
+       |     AND c.user_id = p.user_id AND c.ts <= p.ts) AS b_ts,
+       |  (SELECT min(c.ts) FROM ev c WHERE c.event_type = 'click'
+       |     AND c.user_id = p.user_id AND c.ts >= p.ts) AS f_ts
+       |  FROM p),
+       |d AS (SELECT event_id, user_id, ts, b_ts, f_ts,
+       |  date_diff('microsecond', b_ts, ts) AS gb,
+       |  date_diff('microsecond', ts, f_ts) AS gf FROM m)
+       |SELECT event_id, user_id,
+       |  strftime(ts, '$duckFmt') AS purchase_ts,
+       |  strftime(CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND gb <= gf)
+       |    THEN b_ts ELSE f_ts END, '$duckFmt') AS nearest_click_ts,
+       |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN 'none'
+       |    WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND gb <= gf) THEN 'back'
+       |    ELSE 'fwd' END AS direction,
+       |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND gb <= gf)
+       |    THEN gb ELSE gf END AS gap_us
+       |FROM d ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // AS-OF JOIN VIA THE CUSTOM PHYSICAL OPERATOR — the same gate as
   // [[qAsofJoin]] (same oracle SQL), answered by
   // [[graft.plans.AsOfJoinExec]]: a planner-injected logical node
@@ -1079,6 +1144,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "temporal_rfm" -> (qRfm _),
+    "temporal_asof_nearest" -> (qAsofNearest _),
     "temporal_cusum" -> (qCusum _),
     "temporal_scd2" -> (qScd2 _),
     "temporal_autocorr" -> (qAutocorr _),
@@ -1104,6 +1170,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "temporal_rfm" -> qRfmSql,
+    "temporal_asof_nearest" -> qAsofNearestSql,
     "temporal_cusum" -> qCusumSql,
     "temporal_scd2" -> qScd2Sql,
     "temporal_autocorr" -> qAutocorrSql,

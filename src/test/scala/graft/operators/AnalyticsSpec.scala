@@ -2411,4 +2411,42 @@ class AnalyticsSpec extends SparkSpec {
     val plain = BigInt(100) * pu.map(p => BigInt(p._1)).sum / n
     assert(row.getLong(4) <= plain.toLong, "winsorizing must not raise a right-skewed mean")
   }
+
+  test("nearest as-of join matches a driver two-sided scan and the backward join") {
+    val rows = Temporal.qAsofNearest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+      .map { case (u, g) => u -> g.map(_._3).sorted }
+    ev.filter(_._4 == "purchase").sortBy(_._1).zip(rows).foreach {
+      case ((eid, uid, us, _), r) =>
+        assert(r.getLong(0) == eid)
+        val cs = clicksByUser.getOrElse(uid, Array.empty[Long])
+        val back = cs.filter(_ <= us).lastOption
+        val fwd = cs.find(_ >= us)
+        val (dir2, gap) = (back, fwd) match {
+          case (None, None) => ("none", None)
+          case (Some(b), None) => ("back", Some(us - b))
+          case (None, Some(f)) => ("fwd", Some(f - us))
+          case (Some(b), Some(f)) =>
+            if (us - b <= f - us) ("back", Some(us - b)) else ("fwd", Some(f - us))
+        }
+        assert(r.getString(4) == dir2, s"purchase $eid direction")
+        gap.foreach(g => assert(r.getLong(5) == g, s"purchase $eid gap"))
+    }
+    val dirs = rows.map(_.getString(4)).toSet
+    assert(dirs.contains("back") && dirs.contains("fwd"),
+      "both directions must occur on this corpus")
+    // where the winner is backward, the timestamp must equal the
+    // plain backward as-of join's match
+    val backRef = Temporal.qAsofJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.filter(_.getString(4) == "back").foreach { r =>
+      assert(r.getString(3) == backRef(r.getLong(0)),
+        s"purchase ${r.getLong(0)}: backward winner disagrees with qAsofJoin")
+    }
+  }
 }

@@ -1142,7 +1142,55 @@ object Temporal {
        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // INTER-EVENT GAP QUANTILES — per-user activity-velocity features
+  // (exact lower median + p90 of the µs gap between consecutive
+  // events): the abuse-detection / bot-scoring feature table — a
+  // human's median gap is minutes, a scripted client's is
+  // milliseconds, and p90/median spread separates bursty humans from
+  // constant-rate automation. Exactness: gaps are integer µs; the
+  // quantiles are ORDER STATISTICS at ceil-ranks (n+1)/2 and
+  // ⌈9n/10⌉ under (gap, event_id) — no percentile_approx, no float
+  // interpolation.
+  //
+  // Scale shape: every window is USER-partitioned (the lag, the
+  // gap rank, the per-user count) — partition-local sorts behind one
+  // shuffle on the key, nothing corpus-global; the rank pick
+  // collapses to a per-user conditional aggregate. |users| rows out.
+  def qGapMedian(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("gap"), col("event_id"))
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wSeq))
+      .filter(col("gap").isNotNull)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("n")).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap"))).as("med_gap_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap"))).as("p90_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val qGapMedianSql: String =
+    """WITH ev AS (SELECT user_id, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |g AS (SELECT user_id, event_id,
+      |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+      |  FROM ev),
+      |r AS (SELECT user_id, gap,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT user_id, CAST(min(n) AS BIGINT) AS n_gaps,
+      |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT) AS med_gap_us,
+      |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT) AS p90_gap_us
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_gap_median" -> (qGapMedian _),
     "temporal_rfm" -> (qRfm _),
     "temporal_asof_nearest" -> (qAsofNearest _),
     "temporal_cusum" -> (qCusum _),
@@ -1169,6 +1217,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_gap_median" -> qGapMedianSql,
     "temporal_rfm" -> qRfmSql,
     "temporal_asof_nearest" -> qAsofNearestSql,
     "temporal_cusum" -> qCusumSql,

@@ -2449,4 +2449,27 @@ class AnalyticsSpec extends SparkSpec {
         s"purchase ${r.getLong(0)}: backward winner disagrees with qAsofJoin")
     }
   }
+
+  test("gap quantiles match a driver per-user order-statistics replay") {
+    val rows = Temporal.qGapMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).map { case (u, g) =>
+      val seq2 = g.map(x => (x._3, x._2)).sorted
+      val gaps = seq2.sliding(2).collect {
+        case Array((us1, _), (us2, eid2)) => (us2 - us1, eid2)
+      }.toArray.sorted
+      val n = gaps.length.toLong
+      (u, n, gaps((((n + 1) / 2) - 1).toInt)._1,
+        gaps((((9 * n + 9) / 10) - 1).toInt)._1)
+    }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == expect, "gap quantiles mismatch vs driver replay")
+    // p90 dominates the median, and every user with >= 2 events appears
+    rows.foreach(r => assert(r.getLong(3) >= r.getLong(2), "p90 >= median"))
+    assert(rows.length == ev.groupBy(_._1).count(_._2.length >= 2),
+      "one row per user with at least one gap")
+  }
 }

@@ -691,6 +691,58 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // L-DIVERSITY AUDIT — k-anonymity's necessary companion
+  // (Machanavajjhala et al. 2007): a QI group can be large enough to
+  // pass k-anonymity while every member shares the SAME sensitive
+  // value, so the release still discloses the attribute. Same QI
+  // triple as [[qKAnon]]; sensitive value = the priority of each
+  // customer's earliest order (deterministic min-by-orderkey;
+  // customers with no orders carry 'NONE'). Per QI group, l = count
+  // of distinct sensitive values; output = the l histogram (tail
+  // capped at 5+, the qKAnon bin discipline) — the l_bin=1 row is
+  // the attribute-disclosure mass a release gate blocks on even
+  // when k is fine.
+  //
+  // Scale shape: one key-partitioned join (customer ⋈ per-customer
+  // earliest-order summary, both map-side-combinable), one QI
+  // aggregate with a distinct-count, one l-bounded rollup — no
+  // window, no state.
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderkey"), col("o_orderpriority")))
+        .getField("o_orderpriority").as("sens"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+      .groupBy(least(col("l"), lit(5L)).as("l_bin"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_records"),
+        max(col("l")).as("max_l"))
+      .orderBy(col("l_bin"))
+  }
+
+  val qLDiversitySql: String =
+    """WITH fo AS (SELECT o_custkey,
+      |    min_by(o_orderpriority, o_orderkey) AS sens FROM orders GROUP BY 1),
+      |qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |    coalesce(fo.sens, 'NONE') AS sens
+      |  FROM customer LEFT JOIN fo ON c_custkey = fo.o_custkey),
+      |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |    count(*) AS k, count(DISTINCT sens) AS l
+      |  FROM qi GROUP BY 1, 2, 3)
+      |SELECT CAST(least(l, 5) AS BIGINT) AS l_bin,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_records,
+      |  CAST(max(l) AS BIGINT) AS max_l
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // SOURCE-CONCENTRATION AUDIT (Lorenz curve + Gini) — how unequally
   // the token budget is spread across sources: the number a mixing
   // policy (samp_domain_mix / samp_temperature) is tuned against,
@@ -1720,6 +1772,7 @@ FROM j ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pareto_frontier" -> (qParetoFrontier _),
+    "pii_ldiversity" -> (qLDiversity _),
     "pipe_waterfill_budget" -> (qWaterfillBudget _),
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
@@ -1752,6 +1805,7 @@ FROM j ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
     "pipe_pareto_frontier" -> qParetoFrontierSql,
+    "pii_ldiversity" -> qLDiversitySql,
     "samp_epoch_plan" -> qEpochPlanSql,
     "samp_kcenter" -> qKcenterSql,
     "pipe_shard_manifest" -> qShardManifestSql,

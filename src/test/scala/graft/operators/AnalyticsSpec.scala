@@ -2472,4 +2472,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == ev.groupBy(_._1).count(_._2.length >= 2),
       "one row per user with at least one gap")
   }
+
+  test("l-diversity histogram matches a driver QI-group replay and bounds k-anon") {
+    val rows = Pipeline.qLDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val firstPrio = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (c, g) => c -> g.minBy(_._2)._3 }
+    val qi = graft.Tables.customer(spark, sfDir)
+      .selectExpr("c_custkey", "cast(c_nationkey as long) as c_nationkey",
+        "c_mktsegment", "cast(floor(c_acctbal / 1000.0) as long) as bb").collect()
+      .map(r => ((r.getLong(1), r.getString(2), r.getLong(3)),
+        firstPrio.getOrElse(r.getLong(0), "NONE")))
+    val groups = qi.groupBy(_._1).values.toSeq.map { g =>
+      (g.length.toLong, g.map(_._2).distinct.length.toLong)
+    }
+    val expect = groups.groupBy { case (_, l) => math.min(l, 5L) }
+      .map { case (bin, g) =>
+        (bin, g.size.toLong, g.map(_._1).sum, g.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == expect, "l histogram mismatch vs driver replay")
+    // structural: l <= k in every group, and the l_bin=1 disclosure
+    // mass exists on this corpus (small groups share one priority)
+    groups.foreach { case (k, l) => assert(l <= k, "l cannot exceed group size") }
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(2) > 0L,
+      "the attribute-disclosure bin must be non-empty here")
+  }
 }

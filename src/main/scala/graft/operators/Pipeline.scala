@@ -1770,7 +1770,53 @@ FROM j ORDER BY source"""
       |WHERE t.d = sfx.maxd AND t.d > sfx.hi
       |ORDER BY n_tokens, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // GROUP K-FOLD ASSIGNMENT — cross-validation folds that prevent
+  // GROUP leakage: near-identical documents cluster within a crawl
+  // source, so a doc-level split (qSplit) leaks a source's docs
+  // across train and eval and inflates every metric; GroupKFold
+  // hashes the SOURCE, putting all of a source's docs in exactly one
+  // fold (the structural guarantee the spec asserts). fold =
+  // md5(source) 60-bit % 5 — the qSplit hash idiom at group grain.
+  // Gated per (fold, lang): doc count + token mass, plus the fold's
+  // source count — the balance table a CV harness reads to check the
+  // folds are usable (hash-grouping balances only in expectation;
+  // the AUDIT is the operator).
+  //
+  // Scale shape: fold is a map-side expression of the source column
+  // (no group table, no join); one partial agg to the (5 × |langs|)
+  // grid + one 5-row distinct-count rollup joined back broadcast.
+  def qGroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val fold = (conv(substring(md5(col("source")), 1, 15), 16, 10)
+      .cast("long") % 5).as("fold")
+    val d = Tables.documents(s, dir)
+      .select(fold, col("lang"), col("source"),
+        size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("t"))
+    val srcPerFold = d.select(col("fold"), col("source")).distinct()
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_sources"))
+    d.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .join(broadcast(srcPerFold), "fold")
+      .select(col("fold"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_sources"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  val qGroupKfoldSql: String =
+    """WITH d AS (SELECT
+      |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 5 AS fold,
+      |    lang, source,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS t
+      |  FROM documents),
+      |sf AS (SELECT fold, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |  FROM d GROUP BY 1)
+      |SELECT d.fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens, CAST(min(n_sources) AS BIGINT) AS n_sources
+      |FROM d JOIN sf ON d.fold = sf.fold
+      |GROUP BY d.fold, lang ORDER BY d.fold, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_group_kfold" -> (qGroupKfold _),
     "pipe_pareto_frontier" -> (qParetoFrontier _),
     "pii_ldiversity" -> (qLDiversity _),
     "pipe_waterfill_budget" -> (qWaterfillBudget _),
@@ -1804,6 +1850,7 @@ FROM j ORDER BY source"""
     "pipeline_e2e" -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
+    "samp_group_kfold" -> qGroupKfoldSql,
     "pipe_pareto_frontier" -> qParetoFrontierSql,
     "pii_ldiversity" -> qLDiversitySql,
     "samp_epoch_plan" -> qEpochPlanSql,

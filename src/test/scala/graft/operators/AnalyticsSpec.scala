@@ -2500,4 +2500,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getLong(0) == 1L && rows.head.getLong(2) > 0L,
       "the attribute-disclosure bin must be non-empty here")
   }
+
+  test("group k-fold puts every source in exactly one fold and matches a replay") {
+    val rows = Pipeline.qGroupKfold(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("source", "lang", "text").collect().map { r =>
+        val x = r.getString(2)
+        var b = 0; var e = x.length
+        while (b < e && x.charAt(b) == ' ') b += 1
+        while (e > b && x.charAt(e - 1) == ' ') e -= 1
+        val t = x.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+", -1).length.toLong
+        (r.getString(0), r.getString(1), t)
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def foldOf(src: String): Long = {
+      md.reset()
+      val d = md.digest(src.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      ((h << 4) | ((d(7) >> 4) & 0xfL)) % 5L
+    }
+    // THE structural guarantee: fold is a pure function of source
+    val srcFold = docs.map(_._1).distinct.map(s2 => s2 -> foldOf(s2)).toMap
+    val nSrcPerFold = srcFold.values.toSeq.groupBy(identity)
+      .map { case (f, g) => f -> g.length.toLong }
+    val expect = docs.groupBy(d => (srcFold(d._1), d._2)).toSeq
+      .map { case ((f, lang), g) =>
+        (f, lang, g.length.toLong, g.map(_._3).sum, nSrcPerFold(f))
+      }.sortBy(x => (x._1, x._2))
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expect, "fold grid mismatch vs replay")
+    assert(nSrcPerFold.values.sum == srcFold.size.toLong,
+      "every source lands in exactly one fold")
+    assert(rows.map(_.getLong(0)).distinct.length > 1,
+      "the hash must actually spread sources across folds")
+  }
 }

@@ -1747,11 +1747,16 @@ FROM j ORDER BY source"""
       .select(col("doc_id"), size(sp).cast("long").as("w"),
         size(array_distinct(sp)).cast("long").as("d"))
     import org.apache.spark.sql.expressions.Window
+    // checkpoint the (doc_id, w, d) metric frame: it feeds BOTH the
+    // group side and the join stream, and without it the planner
+    // puts the text-splitting scan under both join children (the
+    // CLAUDE.md two-scan shape) — the split kernel ran twice
+    val tc = t.localCheckpoint()
     val wDesc = Window.orderBy(col("w").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sfx = t.groupBy(col("w")).agg(max(col("d")).as("maxd"))
+    val sfx = tc.groupBy(col("w")).agg(max(col("d")).as("maxd"))
       .withColumn("hi", coalesce(max(col("maxd")).over(wDesc), lit(-1L)))
-    t.join(broadcast(sfx), "w")
+    tc.join(broadcast(sfx), "w")
       .filter(col("d") === col("maxd") && col("d") > col("hi"))
       .select(col("doc_id"), col("w").as("n_tokens"), col("d").as("n_distinct"))
       .orderBy(col("n_tokens"), col("doc_id"))
@@ -1789,9 +1794,13 @@ FROM j ORDER BY source"""
   def qGroupKfold(s: SparkSession, dir: String): DataFrame = {
     val fold = (conv(substring(md5(col("source")), 1, 15), 16, 10)
       .cast("long") % 5).as("fold")
+    // checkpointed: the frame feeds both the source rollup and the
+    // (fold, lang) agg — without it the text-splitting scan plans
+    // under both join children (the two-scan shape)
     val d = Tables.documents(s, dir)
       .select(fold, col("lang"), col("source"),
         size(split(lower(trim(col("text"))), "[ \t\n\f\r]+")).cast("long").as("t"))
+      .localCheckpoint()
     val srcPerFold = d.select(col("fold"), col("source")).distinct()
       .groupBy(col("fold")).agg(count(lit(1)).as("n_sources"))
     d.groupBy(col("fold"), col("lang"))

@@ -1189,7 +1189,76 @@ object Temporal {
       |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT) AS p90_gap_us
       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DAU / WAU / MAU — the engagement KPI triple plus the DAU/MAU
+  // stickiness ratio, with EXACT trailing-window distinct counts (no
+  // approx_count_distinct, no HLL error bar on the company KPI). A
+  // distinct-over-trailing-window is not decomposable as a window
+  // aggregate, and the correlated range join the SQL form uses
+  // (ud.d BETWEEN day-k AND day — the oracle's shape) plans as a
+  // broadcast range join at best; the distributed-exact shape is the
+  // CONTRIBUTION EXPLODE: the corpus collapses once to the distinct
+  // (user, day) frame (checkpointed — three consumers), each pair
+  // contributes to ≤ k target days, and dedup + count are ordinary
+  // partial-aggregable exchanges over a users×days×k frame that is
+  // activity-bounded, not corpus-bounded. Missing grid days emit
+  // zero rows (LEFT joins against the full day sequence).
+  def qDauWauMau(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("day", StringType), StructField("dau", LongType),
+      StructField("wau", LongType), StructField("mau", LongType),
+      StructField("stickiness_pm", LongType)))
+    val ud = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().localCheckpoint()
+    val mm = ud.agg(min(col("d")), max(col("d"))).first()
+    if (mm.isNullAt(0)) // degenerate-input rule: no events
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val (lo, hi) = (mm.getDate(0), mm.getDate(1))
+    val grid = s.range(1).select(
+      explode(expr(s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)"))
+        .as("day"))
+    def trailing(k: Int, name: String) = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(d, date_add(d, ${k - 1}), interval 1 day)")).as("day"))
+      .filter(col("day") <= lit(hi))
+      .dropDuplicates("user_id", "day")
+      .groupBy(col("day")).agg(count(lit(1)).as(name))
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    grid.join(dau, Seq("day"), "left")
+      .join(trailing(7, "wau"), Seq("day"), "left")
+      .join(trailing(28, "mau"), Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_pm",
+        expr("case when mau > 0 then (1000 * dau) div mau else 0L end"))
+      .orderBy(col("day"))
+  }
+
+  val qDauWauMauSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+      |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM mm),
+      |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM g JOIN ud ON ud.d BETWEEN g.day - 6 AND g.day GROUP BY 1),
+      |mau AS (SELECT g.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM g JOIN ud ON ud.d BETWEEN g.day - 27 AND g.day GROUP BY 1)
+      |SELECT strftime(g.day, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+      |  CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+      |  CAST(coalesce(mau.mau, 0) AS BIGINT) AS mau,
+      |  CAST(CASE WHEN coalesce(mau.mau, 0) > 0
+      |    THEN (1000 * coalesce(dau.dau, 0)) // mau.mau ELSE 0 END AS BIGINT)
+      |    AS stickiness_pm
+      |FROM g LEFT JOIN dau ON g.day = dau.day LEFT JOIN wau ON g.day = wau.day
+      |LEFT JOIN mau ON g.day = mau.day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_dau_wau_mau" -> (qDauWauMau _),
     "temporal_gap_median" -> (qGapMedian _),
     "temporal_rfm" -> (qRfm _),
     "temporal_asof_nearest" -> (qAsofNearest _),
@@ -1217,6 +1286,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_dau_wau_mau" -> qDauWauMauSql,
     "temporal_gap_median" -> qGapMedianSql,
     "temporal_rfm" -> qRfmSql,
     "temporal_asof_nearest" -> qAsofNearestSql,

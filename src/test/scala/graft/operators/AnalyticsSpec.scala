@@ -2538,4 +2538,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length > 1,
       "the hash must actually spread sources across folds")
   }
+
+  test("DAU/WAU/MAU match a driver trailing-window distinct replay") {
+    val rows = Temporal.qDauWauMau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.Tables.events(spark, sfDir)
+      .selectExpr("cast(to_date(ts) as string) as d", "user_id").distinct()
+      .collect().map(r => (java.time.LocalDate.parse(r.getString(0)), r.getLong(1)))
+    val lo = ud.map(_._1).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val hi = ud.map(_._1).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val grid = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    assert(rows.length == grid.length, "one row per calendar day in the span")
+    grid.zip(rows).foreach { case (day, r) =>
+      def active(k: Int): Long = ud.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(k - 1))
+      }.map(_._2).distinct.length.toLong
+      val (dau, wau, mau) = (active(1), active(7), active(28))
+      assert(r.getString(0) == day.toString, s"$day grid")
+      assert(r.getLong(1) == dau && r.getLong(2) == wau && r.getLong(3) == mau,
+        s"$day counts")
+      assert(r.getLong(4) == (if (mau > 0) 1000L * dau / mau else 0L), s"$day stickiness")
+      // containment: dau <= wau <= mau always
+      assert(dau <= wau && wau <= mau, s"$day containment")
+    }
+    assert(rows.map(_.getLong(4)).distinct.length > 1,
+      "stickiness must vary across the span (day 1 is trivially 1000)")
+  }
 }

@@ -2567,8 +2567,11 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
     m.select(col("n").as("n_edges"),
         expr("cast(1000 * sx div n as bigint)").as("mean_cust_deg_pm"),
         expr("cast(1000 * sy div n as bigint)").as("mean_part_deg_pm"),
-        round((nD * sxy - sx * sy) /
-          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4).as("assortativity"))
+        // + 0.0: IEEE -0.0 normalization (sign-capable correlation;
+        // mirrored in the oracle — r11 ml_corr_pairs lesson)
+        (round((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4) + lit(0.0))
+          .as("assortativity"))
   }
 
   val qDegreeAssortSql: String =
@@ -2585,7 +2588,7 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
       |  CAST(1000 * sy // n AS BIGINT) AS mean_part_deg_pm,
       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
       |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
-      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS assortativity
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) + 0.0 AS assortativity
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------

@@ -837,13 +837,20 @@ FROM j GROUP BY 1 ORDER BY 1"""
         col("sx").as("sxb"), col("sxx").as("sxxb"))), "db")
       .crossJoin(broadcast(n))
       .select(col("da"), col("db"), col("n").cast("long").as("n"),
-        round((col("n").cast("double") * col("sxy").cast("double") -
+        // House convention (r11 verdict): gated correlations go out
+        // as floor'd scaled integers, never rounded doubles — DuckDB
+        // round() preserves IEEE -0.0 while Spark's BigDecimal round
+        // normalizes to +0.0, so a near-zero-negative corr hash-splits
+        // the engines. floor() on the identical IEEE double chain is
+        // exact and sign-of-zero-free after the BIGINT cast.
+        floor(((col("n").cast("double") * col("sxy").cast("double") -
           col("sxa").cast("double") * col("sxb").cast("double")) /
           (sqrt(col("n").cast("double") * col("sxxa").cast("double") -
             col("sxa").cast("double") * col("sxa").cast("double")) *
            sqrt(col("n").cast("double") * col("sxxb").cast("double") -
-            col("sxb").cast("double") * col("sxb").cast("double"))), 4)
-          .as("corr_4dp"))
+            col("sxb").cast("double") * col("sxb").cast("double")))) *
+          lit(10000.0d)).cast("long")
+          .as("corr_e4"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -859,10 +866,10 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d < b.d GROUP BY 1, 2)
        |SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
        |  CAST(n AS BIGINT) AS n,
-       |  round((n::DOUBLE * sxy::DOUBLE - ma.sx::DOUBLE * mb.sx::DOUBLE) /
+       |  CAST(floor(((n::DOUBLE * sxy::DOUBLE - ma.sx::DOUBLE * mb.sx::DOUBLE) /
        |    (sqrt(n::DOUBLE * ma.sxx::DOUBLE - ma.sx::DOUBLE * ma.sx::DOUBLE) *
-       |     sqrt(n::DOUBLE * mb.sxx::DOUBLE - mb.sx::DOUBLE * mb.sx::DOUBLE)), 4)
-       |    AS corr_4dp
+       |     sqrt(n::DOUBLE * mb.sxx::DOUBLE - mb.sx::DOUBLE * mb.sx::DOUBLE)))
+       |    * 10000) AS BIGINT) AS corr_e4
        |FROM cp JOIN m ma ON ma.d = cp.da JOIN m mb ON mb.d = cp.db, nn
        |ORDER BY da, db""".stripMargin
 
@@ -1050,7 +1057,300 @@ FROM j GROUP BY 1 ORDER BY 1"""
       |  n_trim, CAST((100::HUGEINT * ts) // greatest(n_trim, 1) AS BIGINT) AS trim_mean_cc
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SPEARMAN RANK CORRELATION MATRIX — the robust twin of
+  // [[qCorrPairs]]: Pearson on per-dimension ranks, the statistic a
+  // feature-audit pipeline reaches for when raw values are
+  // outlier-skewed. Ranks are EXACT and deterministic (total order
+  // (sv, vec_id) — row_number semantics, ties broken by id, the
+  // repo's ceil-rank convention), so both rankings are permutations
+  // of 1..n and ρ = 1 − 6Σd²/(n(n²−1)) is a pure rational: Σd²
+  // accumulates as integers, ρ gates as `rho_e6` through one
+  // DECIMAL(38,0) floor-division on NON-NEGATIVE operands
+  // ((2D − 6Σd²)·10⁶ ≥ 0 since Σd² ≤ D/3 — shifted by +1 so the
+  // truncate-vs-floor engine split below zero never applies). Zero
+  // libm, zero rounded doubles — the -0.0 class is structurally
+  // impossible here.
+  //
+  // Scale shape: per-dimension ranks via the textbook DISTRIBUTED
+  // rank (range-partition on (d, sv, vec_id) → per-(partition, dim)
+  // counts to the driver (P·dim metadata rows) → broadcast prefix
+  // offsets → partition-local sorted counting) — NO per-dim global
+  // window (a 64-partition window is 64 single-task sorts of n rows
+  // each: the plan shape that cannot survive 100×). The Σd² pass is
+  // the [[qCorrPairs]] constant-state kernel: per-vector rank
+  // arrays → 2016 Long accumulators with BigInt overflow flushes,
+  // partials map-side-combined by (da, db).
+  /** EXACT per-dimension ranks of the µ-scaled embedding values,
+    * distributed: (vec_id, d, r) under the total order (sv, vec_id)
+    * within each of the first `dims` dimensions, plus the corpus row
+    * count. No per-dim global window (64 single-task n-row sorts
+    * cannot survive 100×) — instead the textbook distributed rank:
+    * range-partition on (d, sv, vec_id), per-(partition, dim) counts
+    * to the driver (P·dims metadata rows), broadcast prefix offsets,
+    * partition-local sorted counting. Shared by [[qRankCorr]] and
+    * [[qKendallGamma]]. */
+  private def dimRanks(s: SparkSession, dir: String, dims: Int): (DataFrame, Long) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .filter(col("d") < dims)
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x") * 1000000).cast("long").as("sv"))
+    val p = s.sparkContext.defaultParallelism
+    val ranged = ex.repartitionByRange(p, col("d"), col("sv"), col("vec_id"))
+      .localCheckpoint() // freeze sampled boundaries for both passes
+    // pass 1: per-(partition, dim) counts — P·dims metadata rows
+    val cnts = ranged
+      .groupBy(spark_partition_id().as("pid"), col("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = cnts.map(_._3).sum / dims
+    val offsets: Map[(Int, Long), Long] = cnts.groupBy(_._2).iterator.flatMap {
+      case (dim, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = cum; cum += c; ((pid, dim), off)
+        }
+    }.toMap
+    val bOff = s.sparkContext.broadcast(offsets)
+    val rankSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("d", LongType),
+      StructField("r", LongType)))
+    // pass 2: partition-local sorted counting + broadcast offset
+    val ranks = ranged
+      .sortWithinPartitions(col("d"), col("sv"), col("vec_id"))
+      .withColumn("__pid", spark_partition_id())
+      .mapPartitions { it =>
+        val off = bOff.value
+        var curD = Long.MinValue
+        var local = 0L
+        var base = 0L
+        it.map { row =>
+          val dim = row.getLong(1)
+          if (dim != curD) {
+            curD = dim; local = 0L
+            base = off.getOrElse((row.getInt(3), dim), 0L)
+          }
+          local += 1L
+          Row(row.getLong(0), dim, base + local)
+        }
+      }(Encoders.row(rankSchema))
+    (ranks, n)
+  }
+
+  def qRankCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val d = Vectors.Dim
+    val nPairs = d * (d - 1) / 2
+    val (ranks, _) = dimRanks(s, dir, d)
+    // per-vector rank array (64 fixed entries), then the Σd² kernel
+    val arr = ranks.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("r")))),
+        c => c.getField("r")).as("rs"))
+    val statSchema = StructType(Seq(
+      StructField("da", LongType), StructField("db", LongType),
+      StructField("v", DecimalType(38, 0))))
+    val stats = arr.select(col("rs"))
+      .mapPartitions { it =>
+        val sd2 = Array.fill(nPairs)(BigInt(0)); val sd2L = new Array[Long](nPairs)
+        val rv = new Array[Long](d)
+        var n = 0L; var sinceFlush = 0
+        val FlushEvery = 4000000
+        def flush(): Unit = {
+          var i = 0
+          while (i < nPairs) { sd2(i) += sd2L(i); sd2L(i) = 0L; i += 1 }
+          sinceFlush = 0
+        }
+        it.foreach { r =>
+          val rs = r.getSeq[Long](0)
+          var i = 0
+          while (i < d) { rv(i) = rs(i); i += 1 }
+          var a = 0; var k = 0
+          while (a < d) {
+            var b = a + 1
+            while (b < d) {
+              val diff = rv(a) - rv(b)
+              sd2L(k) += diff * diff; k += 1; b += 1
+            }
+            a += 1
+          }
+          n += 1; sinceFlush += 1
+          if (sinceFlush == FlushEvery) flush()
+        }
+        flush()
+        def dec(x: BigInt) = new java.math.BigDecimal(x.bigInteger)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        if (n > 0L) {
+          out += Row(-1L, -1L, dec(BigInt(n)))
+          var a = 0; var k = 0
+          while (a < d) {
+            var b = a + 1
+            while (b < d) { out += Row(a.toLong, b.toLong, dec(sd2(k))); k += 1; b += 1 }
+            a += 1
+          }
+        }
+        out.iterator
+      }(Encoders.row(statSchema))
+      .groupBy(col("da"), col("db")).agg(sum(col("v")).as("v"))
+      .localCheckpoint()
+    val n = stats.filter(col("da") === -1L).select(col("v").as("nv"))
+    stats.filter(col("da") >= 0L)
+      .select(col("da"), col("db"), col("v").as("sum_d2"))
+      .crossJoin(broadcast(n))
+      // D = n(n²−1); rho_e6 = ((2D − 6Σd²)·10⁶) div D − 10⁶, all
+      // operands non-negative DECIMAL(38,0) (truncate == floor)
+      .withColumn("dd", expr("nv * (nv * nv - 1)"))
+      .select(col("da"), col("db"), col("nv").cast("long").as("n"),
+        col("sum_d2").cast("long").as("sum_d2"),
+        expr("cast(((2 * dd - 6 * sum_d2) * 1000000) div dd as bigint) - 1000000")
+          .as("rho_e6"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val qRankCorrSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |rk AS (SELECT vec_id, d,
+       |  CAST(row_number() OVER (PARTITION BY d ORDER BY sv, vec_id) AS BIGINT) AS r
+       |  FROM ex),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |p AS (SELECT a.d AS da, b.d AS db,
+       |    sum((a.r - b.r)::HUGEINT * (a.r - b.r)) AS sum_d2
+       |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.d < b.d GROUP BY 1, 2)
+       |SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, n,
+       |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |  CAST((2::HUGEINT * n * (n::HUGEINT * n - 1) - 6 * sum_d2) * 1000000
+       |    // (n::HUGEINT * (n::HUGEINT * n - 1)) - 1000000 AS BIGINT) AS rho_e6
+       |FROM p, nn ORDER BY da, db""".stripMargin
+
+  // ---------------------------------------------------------------
+  // KENDALL-FAMILY CONCORDANCE (Goodman–Kruskal gamma on a rank
+  // grid) — the pair-orientation complement to [[qRankCorr]]:
+  // Spearman weighs rank DISTANCE, gamma counts pure pair
+  // ORIENTATION (concordant vs discordant). Exact Kendall τ needs a
+  // per-pair inversion count — O(n log n) merge machinery per dim
+  // pair, infeasible×2016 at corpus scale — so production feature
+  // audits compute concordance over a Q×Q rank-bucket contingency
+  // grid: bucket q = (r−1)·Q div n from the exact distributed rank
+  // (balanced by construction, no quantile estimation), then
+  // C = Σ n₁n₂ over strictly-SE cell pairs, D over strictly-SW.
+  // γ = (C−D)/(C+D) gates as the shifted integer quotient
+  // (2C·10⁶) div (C+D) − 10⁶ (non-negative operands; no doubles, no
+  // -0.0 class). First 16 dims (120 pairs) keep the grid-join
+  // volume ~120·Q⁴/4 cell comparisons — pure metadata.
+  //
+  // Scale shape: ranks via [[dimRanks]] (no global window); the grid
+  // is built by a constant-state kernel (120·Q² = 30 720 Long
+  // counters per task, map-side combined) — the corpus is read ONCE
+  // and nothing corpus-sized shuffles; the C/D roll-up is a
+  // broadcast self-join of the 30 720-row cell table.
+  private val GammaDims = 16
+  private val GammaQ = 16
+
+  def qKendallGamma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dims = GammaDims; val q = GammaQ
+    val nPairs = dims * (dims - 1) / 2
+    val (ranks, n) = dimRanks(s, dir, dims)
+    val arr = ranks.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("r")))),
+        c => c.getField("r")).as("rs"))
+    val cellSchema = StructType(Seq(
+      StructField("da", LongType), StructField("db", LongType),
+      StructField("qa", LongType), StructField("qb", LongType),
+      StructField("cnt", LongType)))
+    val cells = arr.select(col("rs"))
+      .mapPartitions { it =>
+        val counters = new Array[Long](nPairs * q * q)
+        val qv = new Array[Int](dims)
+        it.foreach { r =>
+          val rs = r.getSeq[Long](0)
+          var i = 0
+          while (i < dims) { qv(i) = (((rs(i) - 1L) * q) / n).toInt; i += 1 }
+          var a = 0; var k = 0
+          while (a < dims) {
+            var b = a + 1
+            while (b < dims) {
+              counters(k * q * q + qv(a) * q + qv(b)) += 1L
+              k += 1; b += 1
+            }
+            a += 1
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var a = 0; var k = 0
+        while (a < dims) {
+          var b = a + 1
+          while (b < dims) {
+            var ca = 0
+            while (ca < q) {
+              var cb = 0
+              while (cb < q) {
+                val c = counters(k * q * q + ca * q + cb)
+                if (c > 0L) out += Row(a.toLong, b.toLong, ca.toLong, cb.toLong, c)
+                cb += 1
+              }
+              ca += 1
+            }
+            k += 1; b += 1
+          }
+          a += 1
+        }
+        out.iterator
+      }(Encoders.row(cellSchema))
+      .groupBy(col("da"), col("db"), col("qa"), col("qb"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // ≤ 30 720 rows; feeds both sides of the grid join
+    val c2 = cells.select(col("da").as("da2"), col("db").as("db2"),
+      col("qa").as("qa2"), col("qb").as("qb2"), col("cnt").as("cnt2"))
+    val dec = "decimal(38,0)"
+    cells.join(broadcast(c2), col("da") === col("da2") && col("db") === col("db2"))
+      .groupBy(col("da"), col("db"))
+      .agg(
+        sum(when(col("qa2") > col("qa") && col("qb2") > col("qb"),
+          col("cnt").cast(dec) * col("cnt2")).otherwise(lit(0).cast(dec))).as("c_cnt"),
+        sum(when(col("qa2") > col("qa") && col("qb2") < col("qb"),
+          col("cnt").cast(dec) * col("cnt2")).otherwise(lit(0).cast(dec))).as("d_cnt"))
+      .select(col("da"), col("db"), lit(n).as("n"),
+        col("c_cnt").cast("long").as("c_cnt"),
+        col("d_cnt").cast("long").as("d_cnt"),
+        expr("cast((2 * c_cnt * 1000000) div greatest(c_cnt + d_cnt, 1) as bigint) - 1000000")
+          .as("gamma_e6"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val qKendallGammaSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range($GammaDims)) AS d) d),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |rk AS (SELECT vec_id, d,
+       |  CAST(row_number() OVER (PARTITION BY d ORDER BY sv, vec_id) AS BIGINT) AS r
+       |  FROM ex),
+       |bk AS (SELECT vec_id, d, CAST((r - 1) * $GammaQ // n AS BIGINT) AS q FROM rk, nn),
+       |cells AS (SELECT a.d AS da, b.d AS db, a.q AS qa, b.q AS qb,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk a JOIN bk b ON a.vec_id = b.vec_id AND a.d < b.d GROUP BY 1, 2, 3, 4),
+       |cd AS (SELECT c1.da, c1.db,
+       |    CAST(sum(CASE WHEN c2.qa > c1.qa AND c2.qb > c1.qb
+       |      THEN c1.cnt::HUGEINT * c2.cnt ELSE 0 END) AS HUGEINT) AS c_cnt,
+       |    CAST(sum(CASE WHEN c2.qa > c1.qa AND c2.qb < c1.qb
+       |      THEN c1.cnt::HUGEINT * c2.cnt ELSE 0 END) AS HUGEINT) AS d_cnt
+       |  FROM cells c1 JOIN cells c2 ON c1.da = c2.da AND c1.db = c2.db GROUP BY 1, 2)
+       |SELECT da, db, n, CAST(c_cnt AS BIGINT) AS c_cnt, CAST(d_cnt AS BIGINT) AS d_cnt,
+       |  CAST((2::HUGEINT * c_cnt * 1000000) // greatest(c_cnt + d_cnt, 1) - 1000000 AS BIGINT)
+       |    AS gamma_e6
+       |FROM cd, nn ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kendall_gamma" -> (qKendallGamma _),
+    "ml_rank_corr" -> (qRankCorr _),
     "ml_winsorized_mean" -> (qWinsorizedMean _),
     "ml_bootstrap_ci" -> (qBootstrapCi _),
     "ml_corr_pairs" -> (qCorrPairs _),
@@ -1067,6 +1367,8 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_kendall_gamma" -> qKendallGammaSql,
+    "ml_rank_corr" -> qRankCorrSql,
     "ml_winsorized_mean" -> qWinsorizedMeanSql,
     "ml_bootstrap_ci" -> qBootstrapCiSql,
     "ml_corr_pairs" -> qCorrPairsSql,

@@ -664,9 +664,13 @@ object Relational2 {
       col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
     val num = nD * sxy - sx * sy
     s0.select(col("flag"), col("n"),
-        round(num / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4)
-          .as("corr_qty_price"),
-        round(num / (nD * sxx - sx * sx) / 100.0, 4).as("beta_dollars_per_unit"))
+        // + 0.0: IEEE -0.0 normalization on sign-capable rounded
+        // doubles (r11 ml_corr_pairs lesson) — identical on the
+        // oracle side so a near-zero-negative corr can't hash-split
+        (round(num / (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4)
+          + lit(0.0)).as("corr_qty_price"),
+        (round(num / (nD * sxx - sx * sx) / 100.0, 4) + lit(0.0))
+          .as("beta_dollars_per_unit"))
       .orderBy(col("flag"))
   }
 
@@ -679,9 +683,9 @@ object Relational2 {
       |SELECT flag, n,
       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
       |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
-      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS corr_qty_price,
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) + 0.0 AS corr_qty_price,
       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-      |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / 100.0, 4) AS beta_dollars_per_unit
+      |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / 100.0, 4) + 0.0 AS beta_dollars_per_unit
       |FROM s ORDER BY flag""".stripMargin
 
   // ---------------------------------------------------------------

@@ -51,7 +51,11 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      // + 0.0 on gated doubles: IEEE -0.0 normalization (r11 lesson —
+      // DuckDB round() preserves the sign bit, Spark's does not; a
+      // near-zero-negative cosine would hash-split the engines)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -65,7 +69,7 @@ object Similarity {
        |r AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -175,7 +179,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
-        col("pcos"), col("full_cos"))
+        (col("pcos") + lit(0.0)).as("pcos"),
+        (col("full_cos") + lit(0.0)).as("full_cos"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -193,7 +198,8 @@ object Similarity {
        |r AS (SELECT qid, vec_id, pcos, full_cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
        |  FROM scored)
-       |SELECT qid, rank, vec_id AS neighbor, pcos, full_cos FROM r
+       |SELECT qid, rank, vec_id AS neighbor, pcos + 0.0 AS pcos,
+       |  full_cos + 0.0 AS full_cos FROM r
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   /** Hyperplane ±1 components, computed once on the driver (md5 nibble
@@ -458,7 +464,8 @@ object Similarity {
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -486,7 +493,7 @@ object Similarity {
        |  JOIN probes p ON a.cid = p.qcid AND n.vec_id <> p.qid),
        |r AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -518,7 +525,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("qlabel").as("label"), col("rank"),
-        col("vec_id").as("neighbor"), col("cos").as("cosine"))
+        col("vec_id").as("neighbor"), (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -535,7 +542,7 @@ object Similarity {
        |  JOIN probes p ON al.cid = p.qcid AND al.label = p.qlabel AND al.vec_id <> p.qid),
        |r AS (SELECT qid, qlabel, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
-       |SELECT qid, qlabel AS label, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |SELECT qid, qlabel AS label, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1232,7 +1239,8 @@ object Similarity {
     pqScored(s, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PqTopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("adot"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("adot") + lit(0.0)).as("adot"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1277,7 +1285,8 @@ object Similarity {
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= PqTopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1374,7 +1383,8 @@ object Similarity {
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= PqTopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1420,7 +1430,7 @@ object Similarity {
        |  FROM cand2 c2 JOIN n e2 ON c2.vec_id = e2.vec_id JOIN probes p ON c2.qid = p.qid),
        |r2 AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc2)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r2
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
   }
 
@@ -1451,7 +1461,7 @@ object Similarity {
 
   val qPqTopkSql: String =
     s"""$pqSqlCtes
-       |SELECT qid, rank, vec_id AS neighbor, adot FROM rk
+       |SELECT qid, rank, vec_id AS neighbor, adot + 0.0 AS adot FROM rk
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1519,7 +1529,7 @@ object Similarity {
        |  FROM cand c JOIN ex e ON c.vec_id = e.vec_id JOIN pex p ON c.qid = p.qid),
        |r2 AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r2
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1611,7 +1621,8 @@ object Similarity {
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= PqTopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1655,7 +1666,7 @@ object Similarity {
        |  FROM rk k JOIN ex x ON k.vec_id = x.vec_id JOIN pex p ON k.qid = p.qid),
        |r2 AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r2
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r2
        |WHERE rank <= $PqTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1688,7 +1699,8 @@ object Similarity {
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos").as("cosine"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (col("cos") + lit(0.0)).as("cosine"))
   }
 
   def qIvfTopkNprobe(s: SparkSession, dir: String): DataFrame =
@@ -1710,7 +1722,7 @@ object Similarity {
        |  JOIN probes p ON p.qid = pc.qid AND nn.vec_id <> p.qid),
        |r AS (SELECT qid, vec_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM cand)
-       |SELECT qid, rank, vec_id AS neighbor, cos AS cosine FROM r
+       |SELECT qid, rank, vec_id AS neighbor, cos + 0.0 AS cosine FROM r
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   val qIvfTopkNprobeSql: String = ivfTopkNSql(IvfNProbeMulti)

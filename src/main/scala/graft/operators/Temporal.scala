@@ -955,8 +955,11 @@ object Temporal {
     m.filter(expr("cast(n as decimal(38,0)) * sxx - sx * sx > 0") &&
         expr("cast(n as decimal(38,0)) * syy - sy * sy > 0"))
       .select(col("event_type"), col("lag_days"), col("n").as("n_pairs"),
-        round((nD * sxy - sx * sy) /
-          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4).as("autocorr"))
+        // + 0.0: IEEE -0.0 normalization (sign-capable correlation;
+        // mirrored in the oracle — r11 ml_corr_pairs lesson)
+        (round((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 4) + lit(0.0))
+          .as("autocorr"))
       .orderBy(col("event_type"), col("lag_days"))
   }
 
@@ -977,7 +980,7 @@ object Temporal {
       |SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
       |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
-      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS autocorr
+      |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) + 0.0 AS autocorr
       |FROM m WHERE n::HUGEINT * sxx - sx * sx > 0 AND n::HUGEINT * syy - sy * sy > 0
       |ORDER BY event_type, lag_days""".stripMargin
 

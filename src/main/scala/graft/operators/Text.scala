@@ -2486,7 +2486,64 @@ FROM b GROUP BY 1 ORDER BY 1"""
       |    ((n_rest + 1)::HUGEINT * (ne - n_en + 1)) AS BIGINT) AS or_ppm
       |FROM t, tot ORDER BY or_ppm DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------
+  // χ² FEATURE ASSOCIATION — the classical feature-selection
+  // statistic over the (token-presence × label) 2×2 table, the
+  // magnitude twin of [[qLabelOdds]]'s direction score: the odds
+  // ratio says WHICH way a token leans, χ² says how UNLIKELY the
+  // lean is under independence — the ranking a classifier-feature
+  // screen or contamination audit actually sorts by. Pure rational:
+  // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) over doc-presence counts
+  // (the squared numerator kills the sign, so all div operands are
+  // non-negative — no libm, no doubles, no -0.0 class). Scale shape
+  // is qLabelOdds verbatim: doc-LOCAL distinct tokens (no (doc,
+  // token) corpus exchange), one map-side-combined groupBy to
+  // |vocab| rows, the 1-row label total broadcast.
+  def qChi2Feature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tot = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ne"))
+    val dec = "decimal(38,0)"
+    docs
+      .select((col("lang") === "en").as("en"),
+        explode(array_distinct(words(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("en"), 1L).otherwise(0L)).as("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("c", col("ne") - col("a"))
+      .withColumn("d2", col("n") - col("ne") - col("b"))
+      .withColumn("num", expr(s"cast(a * d2 - b * c as $dec)"))
+      .select(col("token"), col("a").as("n_en_with"), col("b").as("n_other_with"),
+        col("c").as("n_en_without"), col("d2").as("n_other_without"),
+        expr(s"cast((cast(n as $dec) * num * num * 1000)" +
+          s" div greatest(cast(a + b as $dec) * (c + d2) * (a + c) * (b + d2), 1)" +
+          s" as bigint)").as("chi2_e3"))
+      .orderBy(col("chi2_e3").desc, col("token"))
+  }
+
+  val qChi2FeatureSql: String =
+    """WITH dt AS (SELECT doc_id, lang = 'en' AS en,
+      |    unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ne FROM documents),
+      |t AS (SELECT token, CAST(count(*) FILTER (en) AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (NOT en) AS BIGINT) AS b
+      |  FROM dt WHERE token <> '' GROUP BY token),
+      |x0 AS (SELECT token, a, b, ne - a AS c, (n - ne) - b AS d2, n FROM t, tot),
+      |x AS (SELECT token, a, b, c, d2, (a * d2 - b * c)::HUGEINT AS num, n FROM x0)
+      |SELECT token, a AS n_en_with, b AS n_other_with, c AS n_en_without,
+      |  d2 AS n_other_without,
+      |  CAST((n::HUGEINT * num * num * 1000) //
+      |    greatest((a + b)::HUGEINT * (c + d2) * (a + c) * (b + d2), 1) AS BIGINT)
+      |    AS chi2_e3
+      |FROM x ORDER BY chi2_e3 DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chi2_feature" -> (qChi2Feature _),
     "text_label_odds" -> (qLabelOdds _),
     "text_readability" -> (qReadability _),
     "text_keywords" -> (qKeywords _),
@@ -2523,6 +2580,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chi2_feature" -> qChi2FeatureSql,
     "text_label_odds" -> qLabelOddsSql,
     "text_readability" -> qReadabilitySql,
     "text_boilerplate" -> qBoilerplateSql,

@@ -2189,19 +2189,24 @@ class AnalyticsSpec extends SparkSpec {
         (math.sqrt(n.toDouble * sxxa.toDouble - sxa.toDouble * sxa.toDouble) *
          math.sqrt(n.toDouble * sxxb.toDouble - sxb.toDouble * sxb.toDouble))
     }
-    val byPair = rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(3)).toMap
+    val byPair = rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(3)).toMap
+    // EXACT integer equality (r11 lesson: tolerance-based spec
+    // compares missed the -0.0 sign bit; the gated value is now a
+    // floor'd scaled integer and the recount replays the identical
+    // IEEE chain, so == must hold bit-for-bit)
     Seq((0, 1), (0, d - 1), (d / 2, d / 2 + 1)).foreach { case (a, b) =>
-      assert(math.abs(byPair((a, b)) - corrOf(a, b)) < 5e-5,
-        s"pair ($a,$b): kernel ${byPair((a, b))} vs recount ${corrOf(a, b)}")
+      val expect = math.floor(corrOf(a, b) * 10000d).toLong
+      assert(byPair((a, b)) == expect,
+        s"pair ($a,$b): kernel ${byPair((a, b))} vs recount $expect")
     }
     // and against Spark's native streaming corr (approximate, on the
     // raw doubles rather than the µ-scaled ints)
     val native = graft.Tables.embeddings(spark, sfDir)
       .selectExpr("cast(embedding as array<double>) as v")
       .agg(corr(expr("v[0]"), expr("v[1]"))).first().getDouble(0)
-    assert(math.abs(byPair((0, 1)) - native) < 1e-3,
+    assert(math.abs(byPair((0, 1)).toDouble / 10000d - native) < 1e-3,
       s"pair (0,1): ${byPair((0, 1))} vs native $native")
-    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    rows.foreach(r => assert(r.getLong(3) >= -10001L && r.getLong(3) <= 10000L))
     assert(rows.forall(_.getLong(2) == vecs.length.toLong), "n on every row")
   }
 
@@ -2564,5 +2569,72 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(4)).distinct.length > 1,
       "stickiness must vary across the span (day 1 is trivially 1000)")
+  }
+
+  test("-0.0 normalization: `round(x, dp) + 0.0` gates +0.0 bits on near-zero negatives") {
+    // The r11 ml_corr_pairs class: DuckDB round() preserves IEEE
+    // -0.0, Spark's BigDecimal round normalizes to +0.0, and the
+    // driver's hash layer sees the sign bit. Every sign-capable
+    // rounded-double gated column now ships `round(...) + 0.0` on
+    // BOTH engines; this replays the Spark side on generated
+    // near-zero-negative inputs and asserts the raw double bits.
+    import spark.implicits._
+    val xs = Seq(-1e-9, -4.9e-5, -0.0, 0.0, 4.9e-5, -1.0, 1.0, -0.12344)
+    val out = xs.toDF("x")
+      .select((round(col("x"), 4) + lit(0.0)).as("r"))
+      .collect().map(_.getDouble(0))
+    xs.zip(out).foreach { case (x, r) =>
+      if (r == 0.0)
+        assert(java.lang.Double.doubleToRawLongBits(r) == 0L,
+          s"round($x,4)+0.0 must be +0.0 bits, got ${java.lang.Double.doubleToRawLongBits(r)}")
+    }
+    assert(out.count(_ == 0.0) == 5, "the near-zeros and both signed zeros all round to zero")
+    assert(out.contains(-1.0) && out.contains(1.0) && out.contains(-0.1234),
+      "non-zero values pass through the normalization unchanged")
+    // and the raw JVM identity the convention rests on
+    assert(java.lang.Double.doubleToRawLongBits(-0.0d + 0.0d) == 0L)
+  }
+
+  test("Spearman rank correlation matches a driver-side exact replay") {
+    import graft.functions.Vectors
+    val d = Vectors.Dim
+    val rows = Models.qRankCorr(spark, sfDir).collect()
+    assert(rows.length == d * (d - 1) / 2, "one row per unordered dim pair")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (for (a <- 0 until d; b <- a + 1 until d) yield (a.toLong, b.toLong)).toSeq)
+    // exact replay: rank by (µ-scaled value, vec_id) — the same total
+    // order — then Σd² and the integer rho_e6 formula, all BigInt
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).toArray))
+    val n = vecs.length
+    val ranks: Array[Array[Long]] = {
+      val out = Array.ofDim[Long](n, d)
+      (0 until d).foreach { dim =>
+        vecs.zipWithIndex
+          .sortBy { case ((id, v), _) => (v(dim), id) }
+          .zipWithIndex
+          .foreach { case ((_, idx), pos) => out(idx)(dim) = pos + 1L }
+      }
+      out
+    }
+    val nB = BigInt(n)
+    val dd = nB * (nB * nB - 1)
+    val byPair = rows.map(r =>
+      (r.getLong(0).toInt, r.getLong(1).toInt) -> ((r.getLong(3), r.getLong(4)))).toMap
+    Seq((0, 1), (0, d - 1), (d / 2, d / 2 + 1), (d - 2, d - 1)).foreach { case (a, b) =>
+      val sd2 = ranks.foldLeft(BigInt(0)) { (s, rv) =>
+        val diff = BigInt(rv(a) - rv(b)); s + diff * diff
+      }
+      val rho = ((2 * dd - 6 * sd2) * 1000000) / dd - 1000000
+      val (gotSd2, gotRho) = byPair((a, b))
+      assert(BigInt(gotSd2) == sd2, s"pair ($a,$b) sum_d2: $gotSd2 vs $sd2")
+      assert(BigInt(gotRho) == rho, s"pair ($a,$b) rho_e6: $gotRho vs $rho")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == n.toLong, "n on every row")
+      assert(r.getLong(4) >= -1000000L && r.getLong(4) <= 1000000L, "rho in [-1, 1]")
+    }
   }
 }

@@ -8,7 +8,7 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
   <outDir> must contain <name>/ parquet dirs written by graft.Verify
   plus oracle_sql.json.
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct
 import duckdb
 import pandas as pd
 
@@ -35,12 +35,31 @@ def values_equal(a, b):
         try:
             if pd.isna(a) != pd.isna(b):
                 return False
-            return a == b or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+            # Bit-faithful compare, mirroring the driver's hash layer:
+            # -0.0 != +0.0 (r11's ml_corr_pairs failure class).
+            return struct.pack("<d", float(a)) == struct.pack("<d", float(b))
         except (TypeError, ValueError):
             return False
     return a == b
 
+
+def selftest():
+    """Gate self-test: the compare must distinguish -0.0 from +0.0."""
+    assert values_equal(0.0, 0.0)
+    assert values_equal(-0.0, -0.0)
+    assert not values_equal(-0.0, 0.0), "gate is blind to sign of zero"
+    assert not values_equal(0.0, -0.0), "gate is blind to sign of zero"
+    assert values_equal(float("nan"), float("nan"))
+    assert not values_equal(1.0, 1.0000000000000002)
+    assert values_equal(1, 1.0)
+    assert values_equal(None, None)
+    print("selftest OK: -0.0 != +0.0, nan==nan, exact-bits floats")
+
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+        return
+    selftest()  # always run: a blind gate is worse than a slow one
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -2530,6 +2530,54 @@ FROM sz JOIN pc USING (cluster_id) ORDER BY cluster_id"""
        |FROM r WHERE rn <= $CnTopN ORDER BY n_common DESC, p_a, p_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // LINK PREDICTION — RESOURCE ALLOCATION INDEX (Zhou/Lü/Zhang
+  // 2009): the libm-free twin of Adamic–Adar that production link
+  // predictors rank candidate edges by. For part pairs sharing
+  // customers, RA(a,b) = Σ_{c ∈ N(a)∩N(b)} 1/deg(c) — a shared RARE
+  // customer is strong evidence, a shared hub is weak. Where
+  // [[qCommonNeighbors]] counts overlap and Jaccard-normalizes by
+  // the pair's own degrees, RA weights each WITNESS by its
+  // selectivity — the two rankings disagree exactly on hub-witnessed
+  // pairs, which is why feature stores ship both. 1/deg rides as the
+  // exact integer 10⁶ div deg per (customer, part) edge BEFORE the
+  // pair join (deg ≥ 1, non-negative div), so the pair score is a
+  // plain BIGINT sum — no doubles, no libm, no -0.0 class.
+  //
+  // Scale shape: identical to qCommonNeighbors (one capped
+  // checkpointed edge list feeds the degree agg and both self-join
+  // sides; the cap bounds per-customer fan-out at deg² pair rows);
+  // the witness weight is attached map-side to the EDGE list (fixed
+  // width), never to pairs — the r9 orientation lesson.
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    val dc = e.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val w = e.join(dc, "c")
+      .filter(col("d") <= CnMaxCustDeg)
+      .select(col("c"), col("p"), expr("1000000 div d").as("wc"))
+      .localCheckpoint() // feeds both self-join sides
+    w.select(col("c"), col("p").as("p_a"), col("wc"))
+      .join(w.select(col("c"), col("p").as("p_b")), Seq("c"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("wc")).as("ra_e6"))
+      .orderBy(col("ra_e6").desc, col("p_a"), col("p_b"))
+      .limit(CnTopN * 5)
+  }
+
+  val qLinkPredictSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+       |w AS MATERIALIZED (SELECT e.c, e.p, CAST(1000000 // dc.d AS BIGINT) AS wc
+       |  FROM e JOIN dc USING (c) WHERE dc.d <= $CnMaxCustDeg),
+       |pr AS (SELECT a.p AS p_a, b.p AS p_b, CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum(a.wc) AS BIGINT) AS ra_e6
+       |  FROM w a JOIN w b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+       |r AS (SELECT pr.*, ROW_NUMBER() OVER (ORDER BY ra_e6 DESC, p_a, p_b) AS rn FROM pr)
+       |SELECT CAST(p_a AS BIGINT) AS p_a, CAST(p_b AS BIGINT) AS p_b, n_common, ra_e6
+       |FROM r WHERE rn <= ${CnTopN * 5} ORDER BY ra_e6 DESC, p_a, p_b""".stripMargin
+
+  // ---------------------------------------------------------------
   // DEGREE ASSORTATIVITY — the bipartite mixing audit: across the
   // co-purchase EDGES, does a high-degree customer connect to
   // high-degree (popular) parts? Pearson correlation of the endpoint
@@ -2954,6 +3002,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_hits" -> (qHits _),
     "graph_hits_converge" -> (qHitsConverge _),
     "graph_common_neighbors" -> (qCommonNeighbors _),
+    "graph_link_predict" -> (qLinkPredict _),
     "graph_degree_assort" -> (qDegreeAssort _),
     "dedup_source_matrix" -> (qSourceMatrix _),
     "graph_source_modularity" -> (qSourceModularity _),
@@ -2990,6 +3039,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_bfs_levels" -> qBfsLevelsSql,
     "graph_hits" -> qHitsSql,
     "graph_common_neighbors" -> qCommonNeighborsSql,
+    "graph_link_predict" -> qLinkPredictSql,
     "graph_degree_assort" -> qDegreeAssortSql,
     "dedup_source_matrix" -> qSourceMatrixSql,
     "graph_source_modularity" -> qSourceModularitySql,

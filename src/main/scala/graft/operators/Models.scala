@@ -1348,7 +1348,56 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    AS gamma_e6
        |FROM cd, nn ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------
+  // NEAR-ZERO-VARIANCE FEATURE SCREEN — the first feature-audit
+  // pass every training pipeline runs: per embedding dimension, the
+  // exact integer moments over the µ-scaled values and the variance
+  // in µ² units, flagging dimensions whose spread collapsed (a dead
+  // feature: an encoder bug, a constant pad, a clipped channel).
+  // Everything gates as integers: mean as a sign-split µ quotient
+  // (div is truncate-vs-floor-split below zero, so negatives go
+  // through -((-sx) div n) — the sim_label_drift discipline),
+  // variance as (n·Σx² − (Σx)²) div n² ≥ 0 by Cauchy–Schwarz. Scale
+  // shape: ONE map-side-combined groupBy over the posexploded scan
+  // to |dims| metadata rows; nothing else moves.
+  private val VarFloorMicro2 = 1000000L // 0.001² in µ² units
+
+  def qVarianceFilter(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .select(col("d").cast("long").as("d"),
+        round(col("x") * 1000000).cast("long").as("sv"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sv").cast(dec)).as("sx"),
+        sum(col("sv").cast(dec) * col("sv")).as("sxx"))
+      .select(col("d"), col("n"),
+        expr(s"cast(CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx) div n) END as bigint)")
+          .as("mean_micro"),
+        expr(s"cast((n * sxx - sx * sx) div (cast(n as $dec) * n) as bigint)")
+          .as("var_micro2"))
+      .withColumn("near_zero",
+        when(col("var_micro2") < VarFloorMicro2, 1L).otherwise(0L))
+      .orderBy(col("d"))
+  }
+
+  val qVarianceFilterSql: String =
+    s"""WITH ex AS (SELECT d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) e,
+       |       (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, sum(sv::HUGEINT) AS sx,
+       |    sum(sv::HUGEINT * sv) AS sxx FROM ex GROUP BY d)
+       |SELECT CAST(d AS BIGINT) AS d, n,
+       |  CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS mean_micro,
+       |  CAST((n::HUGEINT * sxx - sx * sx) // (n::HUGEINT * n) AS BIGINT) AS var_micro2,
+       |  CASE WHEN (n::HUGEINT * sxx - sx * sx) // (n::HUGEINT * n) < $VarFloorMicro2
+       |    THEN 1::BIGINT ELSE 0::BIGINT END AS near_zero
+       |FROM m ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_variance_filter" -> (qVarianceFilter _),
     "ml_kendall_gamma" -> (qKendallGamma _),
     "ml_rank_corr" -> (qRankCorr _),
     "ml_winsorized_mean" -> (qWinsorizedMean _),
@@ -1367,6 +1416,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_variance_filter" -> qVarianceFilterSql,
     "ml_kendall_gamma" -> qKendallGammaSql,
     "ml_rank_corr" -> qRankCorrSql,
     "ml_winsorized_mean" -> qWinsorizedMeanSql,

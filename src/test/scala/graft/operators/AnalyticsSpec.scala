@@ -2637,4 +2637,119 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(4) >= -1000000L && r.getLong(4) <= 1000000L, "rho in [-1, 1]")
     }
   }
+
+  test("concordance grid gamma matches a driver-side contingency replay") {
+    import graft.functions.Vectors
+    val dims = 16; val q = 16
+    val rows = Models.qKendallGamma(spark, sfDir).collect()
+    assert(rows.length == dims * (dims - 1) / 2)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).take(dims).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).toArray))
+    val n = vecs.length
+    def buckets(dim: Int): Array[Int] = {
+      val out = new Array[Int](n)
+      vecs.zipWithIndex.sortBy { case ((id, v), _) => (v(dim), id) }
+        .zipWithIndex.foreach { case ((_, idx), pos) => out(idx) = (pos.toLong * q / n).toInt }
+      out
+    }
+    val bks = (0 until dims).map(buckets)
+    Seq((0, 1), (3, 7), (dims - 2, dims - 1)).foreach { case (a, b) =>
+      val cells = bks(a).zip(bks(b)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var cC = BigInt(0); var dC = BigInt(0)
+      for (((qa1, qb1), n1) <- cells; ((qa2, qb2), n2) <- cells) {
+        if (qa2 > qa1 && qb2 > qb1) cC += BigInt(n1) * n2
+        else if (qa2 > qa1 && qb2 < qb1) dC += BigInt(n1) * n2
+      }
+      val gamma = (2 * cC * 1000000) / (cC + dC).max(BigInt(1)) - 1000000
+      val r = rows.find(r => r.getLong(0) == a && r.getLong(1) == b).get
+      assert(BigInt(r.getLong(3)) == cC && BigInt(r.getLong(4)) == dC,
+        s"pair ($a,$b) C/D: ${r.getLong(3)}/${r.getLong(4)} vs $cC/$dC")
+      assert(BigInt(r.getLong(5)) == gamma, s"pair ($a,$b) gamma")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == n.toLong)
+      assert(r.getLong(5) >= -1000000L && r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("chi-squared feature screen matches a BigInt 2x2 recount") {
+    val rows = Text.qChi2Feature(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("lang = 'en' as en", "text").collect()
+      .map(r => (r.getBoolean(0),
+        r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+").filter(_.nonEmpty).toSet))
+    val nAll = BigInt(docs.length)
+    val nEn = BigInt(docs.count(_._1))
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val a = BigInt(docs.count { case (en, ws) => en && ws(tok) })
+      val b = BigInt(docs.count { case (en, ws) => !en && ws(tok) })
+      val c = nEn - a; val d2 = (nAll - nEn) - b
+      assert(BigInt(r.getLong(1)) == a && BigInt(r.getLong(2)) == b)
+      assert(BigInt(r.getLong(3)) == c && BigInt(r.getLong(4)) == d2)
+      val num = a * d2 - b * c
+      val chi = (nAll * num * num * 1000) / ((a + b) * (c + d2) * (a + c) * (b + d2)).max(BigInt(1))
+      assert(BigInt(r.getLong(5)) == chi, s"token $tok chi2: ${r.getLong(5)} vs $chi")
+    }
+    // ranking is by statistic desc, token asc
+    val key = rows.map(r => (-r.getLong(5), r.getString(0))).toSeq
+    assert(key == key.sorted, "chi2 ranking order")
+  }
+
+  test("resource-allocation link prediction matches an exact witness-weight replay") {
+    val rows = Dedup.qLinkPredict(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val edges = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val kept = edges.filter { case (c, _) => deg(c) <= 40L }
+    val byCust = kept.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    byCust.foreach { case (c, ps) =>
+      val w = 1000000L / deg(c)
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val k = (ps(i), ps(j))
+        val (nc, ra) = scores.getOrElse(k, (0L, 0L))
+        scores(k) = (nc + 1L, ra + w)
+      }
+    }
+    val expect = scores.toSeq
+      .map { case ((pa, pb), (nc, ra)) => (pa, pb, nc, ra) }
+      .sortBy { case (pa, pb, _, ra) => (-ra, pa, pb) }
+      .take(100)
+    assert(rows.length == math.min(100, scores.size))
+    rows.zip(expect).foreach { case (r, (pa, pb, nc, ra)) =>
+      assert(r.getLong(0) == pa && r.getLong(1) == pb, s"pair order: $r vs ($pa,$pb)")
+      assert(r.getLong(2) == nc && r.getLong(3) == ra, s"pair ($pa,$pb) scores")
+    }
+  }
+
+  test("variance filter matches exact per-dim moments and flags nothing on live dims") {
+    import graft.functions.Vectors
+    val rows = Models.qVarianceFilter(spark, sfDir).collect()
+    assert(rows.length == Vectors.Dim)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(embedding as array<double>) as v").collect()
+      .map(_.getSeq[Double](0).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).toArray)
+    val n = BigInt(vecs.length)
+    Seq(0, 1, Vectors.Dim - 1).foreach { d =>
+      val sx = vecs.foldLeft(BigInt(0))((s, v) => s + v(d))
+      val sxx = vecs.foldLeft(BigInt(0))((s, v) => s + BigInt(v(d)) * v(d))
+      val mean = if (sx >= 0) sx / n else -((-sx) / n)
+      val varM = (n * sxx - sx * sx) / (n * n)
+      val r = rows(d)
+      assert(r.getLong(0) == d.toLong && BigInt(r.getLong(1)) == n)
+      assert(BigInt(r.getLong(2)) == mean, s"dim $d mean")
+      assert(BigInt(r.getLong(3)) == varM, s"dim $d var")
+    }
+    // uniform-random test embeddings: every dimension is live
+    assert(rows.forall(_.getLong(4) == 0L), "no near-zero-variance dims in this corpus")
+  }
 }

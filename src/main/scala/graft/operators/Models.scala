@@ -1309,13 +1309,21 @@ FROM j GROUP BY 1 ORDER BY 1"""
     val c2 = cells.select(col("da").as("da2"), col("db").as("db2"),
       col("qa").as("qa2"), col("qb").as("qb2"), col("cnt").as("cnt2"))
     val dec = "decimal(38,0)"
-    cells.join(broadcast(c2), col("da") === col("da2") && col("db") === col("db2"))
+    // The grid join is CPU-heavy but tiny in bytes (30 720 rows →
+    // ~Q²/4 comparisons each): AQE coalesces it to ONE task
+    // (measured 3.1s single-task at sf0.1) — pin the width on the
+    // roll-up keys so the groupBy shares the exchange. Per-cell
+    // products stay in LONG (cnt·cnt2 ≤ n² ≪ 2⁶³; decimal multiply
+    // measured 5× slower via Decimal.changePrecision); only the
+    // ≤Q²-term per-pair SUM widens to decimal.
+    cells.repartition(s.sparkContext.defaultParallelism, col("da"), col("db"))
+      .join(broadcast(c2), col("da") === col("da2") && col("db") === col("db2"))
       .groupBy(col("da"), col("db"))
       .agg(
         sum(when(col("qa2") > col("qa") && col("qb2") > col("qb"),
-          col("cnt").cast(dec) * col("cnt2")).otherwise(lit(0).cast(dec))).as("c_cnt"),
+          col("cnt") * col("cnt2")).otherwise(lit(0L)).cast(dec)).as("c_cnt"),
         sum(when(col("qa2") > col("qa") && col("qb2") < col("qb"),
-          col("cnt").cast(dec) * col("cnt2")).otherwise(lit(0).cast(dec))).as("d_cnt"))
+          col("cnt") * col("cnt2")).otherwise(lit(0L)).cast(dec)).as("d_cnt"))
       .select(col("da"), col("db"), lit(n).as("n"),
         col("c_cnt").cast("long").as("c_cnt"),
         col("d_cnt").cast("long").as("d_cnt"),
@@ -1396,7 +1404,181 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    THEN 1::BIGINT ELSE 0::BIGINT END AS near_zero
        |FROM m ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // GROUPED EXACT AUC — [[qAucExact]] per evaluation SLICE, the
+  // fairness/robustness audit a model gate actually reads: a global
+  // AUC of 0.8 can hide a slice at 0.5 (the classic aggregate-masks-
+  // subgroup failure), so per-slice ranking quality ships next to
+  // the headline number. Slice g = label mod 5 pairs positive class
+  // g against negative class g+5 — every slice has both outcomes by
+  // construction. Same exact machinery as the global query
+  // (concordant/tied pair counts via the distributed prefix-sum —
+  // never an n² pair join), generalized: range-partition on (g, s),
+  // per-(partition, group) negative counts to the driver (P·|g|
+  // metadata), broadcast WITHIN-GROUP prefix offsets, one
+  // partition-local pass with per-group accumulators. AUC gates as
+  // the exact integer (10⁶(2c+t)) div (2·n₊n₋) — no doubles.
+  def qAucByGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.TaskContext
+    val p = s.sparkContext.defaultParallelism
+    val e = Tables.embeddings(s, dir).select(
+      (col("label") % 5).cast("long").as("g"),
+      when(col("label") < 5, 1L).otherwise(0L).as("y"),
+      col("embedding").cast("array<double>").as("v"))
+    val scoreSchema = StructType(Seq(
+      StructField("g", LongType), StructField("y", LongType),
+      StructField("s", LongType)))
+    val scored = e.repartition(p)
+      .mapPartitions { it =>
+        it.map { r =>
+          val v = r.getSeq[Double](2)
+          var acc = 0L
+          var i = 0
+          while (i < v.length) {
+            acc += Vectors.roundJvm(v(i) * 1000000d, 0).toLong
+            i += 1
+          }
+          Row(r.getLong(0), r.getLong(1), acc)
+        }
+      }(Encoders.row(scoreSchema))
+    val grouped = scored.groupBy(col("g"), col("s")).agg(
+      sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val ranged = grouped.repartitionByRange(p, col("g"), col("s")).localCheckpoint()
+    val partNeg = ranged
+      .groupBy(spark_partition_id().as("pid"), col("g")).agg(sum(col("n_neg")).as("neg"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets: Map[(Int, Long), Long] = partNeg.groupBy(_._2).iterator.flatMap {
+      case (g, rows) =>
+        var below = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = below; below += c; ((pid, g), off)
+        }
+    }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val partSchema = StructType(Seq(
+      StructField("g", LongType),
+      StructField("np", LongType), StructField("nn", LongType),
+      StructField("c", DecimalType(38, 0)), StructField("t", DecimalType(38, 0))))
+    val parts = ranged.sortWithinPartitions(col("g"), col("s"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val off = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curG = Long.MinValue
+        var cum = BigInt(0); var c = BigInt(0); var t = BigInt(0)
+        var np = 0L; var nn = 0L
+        def dec(x: BigInt) = new java.math.BigDecimal(x.bigInteger)
+        def flush(): Unit =
+          if (curG != Long.MinValue) out += Row(curG, np, nn, dec(c), dec(t))
+        it.foreach { r =>
+          val g = r.getLong(0)
+          if (g != curG) {
+            flush()
+            curG = g; cum = BigInt(off.getOrElse((pid, g), 0L))
+            c = BigInt(0); t = BigInt(0); np = 0L; nn = 0L
+          }
+          val pos = r.getLong(2); val neg = r.getLong(3)
+          c += BigInt(pos) * cum
+          t += BigInt(pos) * BigInt(neg)
+          np += pos; nn += neg; cum += neg
+        }
+        flush()
+        out.iterator
+      }(Encoders.row(partSchema))
+    parts.groupBy(col("g")).agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("c")).as("c"), sum(col("t")).as("t"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        col("c").cast("string").as("concordant"), col("t").cast("string").as("tied"),
+        expr("cast((cast(1000000 as decimal(38,0)) * (2 * c + t))" +
+          " div greatest(cast(2 as decimal(38,0)) * n_pos * n_neg, 1) as bigint)")
+          .as("auc_ppm"))
+      .orderBy(col("g"))
+  }
+
+  val qAucByGroupSql: String =
+    s"""WITH e AS (SELECT vec_id, label % 5 AS g,
+       |  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, min(g) AS g, min(y) AS y,
+       |  CAST(sum(CAST(round(v[d.d + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d
+       |  GROUP BY vec_id),
+       |gg AS (SELECT g, s, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(1 - y) AS BIGINT) AS n_neg FROM ex GROUP BY g, s),
+       |w AS (SELECT g, n_pos, n_neg, CAST(coalesce(sum(n_neg) OVER (PARTITION BY g
+       |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cb
+       |  FROM gg),
+       |t AS (SELECT g, CAST(sum(n_pos) AS HUGEINT) AS np, CAST(sum(n_neg) AS HUGEINT) AS nn,
+       |  CAST(coalesce(sum(n_pos::HUGEINT * cb), 0) AS HUGEINT) AS c,
+       |  CAST(coalesce(sum(n_pos::HUGEINT * n_neg), 0) AS HUGEINT) AS t FROM w GROUP BY g)
+       |SELECT CAST(g AS BIGINT) AS g, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |  CAST(c AS VARCHAR) AS concordant, CAST(t AS VARCHAR) AS tied,
+       |  CAST((1000000::HUGEINT * (2 * c + t)) // greatest(2 * np * nn, 1) AS BIGINT) AS auc_ppm
+       |FROM t ORDER BY g""".stripMargin
+
+  // ---------------------------------------------------------------
+  // TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-shift test a
+  // pipeline runs between two event populations (here view vs click
+  // purchase values): D = max_v |F₁(v) − F₂(v)|, EXACT as a rational
+  // over the common denominator n₁n₂ — D_num = max|c₁n₂ − c₂n₁|
+  // over cumulative counts at each distinct value, gated as
+  // d_ppm = 10⁶·D_num div (n₁n₂) plus the argmax value (min-value
+  // tiebreak). No doubles, no libm, no distributional approximation.
+  //
+  // Scale shape: the corpus collapses MAP-SIDE to the distinct-value
+  // histogram (values are cents in a bounded domain — ≤ ~49k rows of
+  // metadata at any corpus size), so the one unpartitioned
+  // cumulative window runs on a value-domain-bounded frame, never on
+  // corpus rows — the same bounded-window argument as the Zipf/
+  // bootstrap tables. The argmax gates through one orderBy+limit on
+  // that same metadata frame.
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("event_type") === "view").as("is1"),
+        round(col("value") * 100).cast("long").as("cent"))
+    val h = ev.groupBy(col("cent")).agg(
+      sum(when(col("is1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("is1"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("cent")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val dec = "decimal(38,0)"
+    h.select(col("cent"), sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      .crossJoin(broadcast(tot))
+      .select(col("cent"), col("n1"), col("n2"),
+        abs(expr(s"cast(f1 as $dec) * n2 - cast(f2 as $dec) * n1")).as("d_num"))
+      .orderBy(col("d_num").desc, col("cent"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
+        col("cent").as("at_cent"),
+        expr(s"cast((cast(1000000 as $dec) * d_num)" +
+          s" div greatest(cast(n1 as $dec) * n2, 1) as bigint)").as("d_ppm"))
+  }
+
+  val qKsTestSql: String =
+    """WITH ev AS (SELECT event_type = 'view' AS is1,
+      |    CAST(round(value * 100) AS BIGINT) AS cent
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |h AS (SELECT cent, CAST(count(*) FILTER (is1) AS BIGINT) AS c1,
+      |    CAST(count(*) FILTER (NOT is1) AS BIGINT) AS c2
+      |  FROM ev GROUP BY cent),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      |cum AS (SELECT cent,
+      |    sum(c1) OVER (ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    sum(c2) OVER (ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      |  FROM h),
+      |d AS (SELECT cent, n1, n2, abs(f1::HUGEINT * n2 - f2::HUGEINT * n1) AS d_num
+      |  FROM cum, tot),
+      |top AS (SELECT * FROM d ORDER BY d_num DESC, cent LIMIT 1)
+      |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num, cent AS at_cent,
+      |  CAST((1000000::HUGEINT * d_num) // greatest(n1::HUGEINT * n2, 1) AS BIGINT) AS d_ppm
+      |FROM top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_auc_by_group" -> (qAucByGroup _),
+    "ml_ks_test" -> (qKsTest _),
     "ml_variance_filter" -> (qVarianceFilter _),
     "ml_kendall_gamma" -> (qKendallGamma _),
     "ml_rank_corr" -> (qRankCorr _),
@@ -1416,6 +1598,8 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_auc_by_group" -> qAucByGroupSql,
+    "ml_ks_test" -> qKsTestSql,
     "ml_variance_filter" -> qVarianceFilterSql,
     "ml_kendall_gamma" -> qKendallGammaSql,
     "ml_rank_corr" -> qRankCorrSql,

@@ -2752,4 +2752,58 @@ class AnalyticsSpec extends SparkSpec {
     // uniform-random test embeddings: every dimension is live
     assert(rows.forall(_.getLong(4) == 0L), "no near-zero-variance dims in this corpus")
   }
+
+  test("grouped AUC slices reconcile with the global AUC pair counts") {
+    val rows = Models.qAucByGroup(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L), "one row per slice, ordered")
+    // exact replay per slice: concordant = pairs (pos, neg) with
+    // s_pos > s_neg; tied = s_pos == s_neg — BigInt, from raw data
+    import graft.functions.Vectors
+    val scored = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(label as long) as label", "cast(embedding as array<double>) as v").collect()
+      .map { r =>
+        val sum = r.getSeq[Double](1).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).sum
+        (r.getLong(0) % 5, r.getLong(0) < 5, sum)
+      }
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      val pos = scored.filter(x => x._1 == g && x._2).map(_._3)
+      val neg = scored.filter(x => x._1 == g && !x._2).map(_._3)
+      assert(r.getLong(1) == pos.length.toLong && r.getLong(2) == neg.length.toLong)
+      var c = BigInt(0); var t = BigInt(0)
+      pos.foreach { sp => neg.foreach { sn =>
+        if (sp > sn) c += 1 else if (sp == sn) t += 1 } }
+      assert(BigInt(r.getString(3)) == c, s"slice $g concordant")
+      assert(BigInt(r.getString(4)) == t, s"slice $g tied")
+      val auc = (BigInt(1000000) * (2 * c + t)) /
+        (BigInt(2) * pos.length * neg.length).max(BigInt(1))
+      assert(BigInt(r.getLong(5)) == auc, s"slice $g auc_ppm")
+    }
+  }
+
+  test("KS statistic matches an exact two-sample CDF replay") {
+    val rows = Models.qKsTest(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .selectExpr("event_type = 'view' as is1", "cast(round(value * 100) as long) as cent")
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val n1 = ev.count(_._1).toLong; val n2 = ev.count(!_._1).toLong
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    val cents = ev.map(_._2).distinct.sorted
+    var f1 = 0L; var f2 = 0L
+    var best = BigInt(-1); var bestCent = Long.MaxValue
+    cents.foreach { c =>
+      f1 += ev.count(x => x._1 && x._2 == c)
+      f2 += ev.count(x => !x._1 && x._2 == c)
+      val d = (BigInt(f1) * n2 - BigInt(f2) * n1).abs
+      // ascending cents: the FIRST occurrence of the max is the
+      // min-cent tiebreak the query gates
+      if (d > best) { best = d; bestCent = c }
+    }
+    assert(BigInt(r.getLong(2)) == best, s"d_num: ${r.getLong(2)} vs $best")
+    assert(r.getLong(3) == bestCent, s"argmax cent")
+    assert(BigInt(r.getLong(4)) == BigInt(1000000) * best / (BigInt(n1) * n2).max(BigInt(1)))
+  }
 }

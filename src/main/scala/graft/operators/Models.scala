@@ -1116,7 +1116,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     val bOff = s.sparkContext.broadcast(offsets)
     val rankSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("d", LongType),
-      StructField("r", LongType)))
+      StructField("sv", LongType), StructField("r", LongType)))
     // pass 2: partition-local sorted counting + broadcast offset
     val ranks = ranged
       .sortWithinPartitions(col("d"), col("sv"), col("vec_id"))
@@ -1133,7 +1133,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
             base = off.getOrElse((row.getInt(3), dim), 0L)
           }
           local += 1L
-          Row(row.getLong(0), dim, base + local)
+          Row(row.getLong(0), dim, row.getLong(2), base + local)
         }
       }(Encoders.row(rankSchema))
     (ranks, n)
@@ -1576,7 +1576,46 @@ FROM j GROUP BY 1 ORDER BY 1"""
       |  CAST((1000000::HUGEINT * d_num) // greatest(n1::HUGEINT * n2, 1) AS BIGINT) AS d_ppm
       |FROM top""".stripMargin
 
+  // ---------------------------------------------------------------
+  // EQUAL-FREQUENCY QUANTILE BINS — the feature-discretization table
+  // (decile cuts per embedding dimension) a training pipeline
+  // materializes once and broadcasts into every binning pass:
+  // cut k = the value at ceil-rank ⌈k·n/Q⌉ under the (µ-scaled
+  // value, vec_id) total order — the repo's positional convention,
+  // never an interpolated quantile (percentile_approx has no
+  // cross-engine identity). Scale shape: [[dimRanks]]' distributed
+  // ranking, then ONE broadcast join of the 64·(Q−1)-row literal
+  // boundary table against the rank frame — exactly Q−1 rows leave
+  // per dimension; no sort ever sees more than a partition.
+  private val BinQ = 10
+
+  def qQuantileBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ranks, n) = dimRanks(s, dir, Vectors.Dim)
+    val bounds = (1 until BinQ)
+      .map(k => ((k.toLong * n + BinQ - 1) / BinQ, k.toLong)).toDF("r", "k")
+    ranks.join(broadcast(bounds), "r")
+      .select(col("d"), col("k"), col("r").as("cut_rank"), col("sv").as("cut_sv"))
+      .orderBy(col("d"), col("k"))
+  }
+
+  val qQuantileBinsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, d.d AS d,
+       |  CAST(round(v[d.d + 1] * 1000000) AS BIGINT) AS sv
+       |  FROM e, (SELECT unnest(range(${Vectors.Dim})) AS d) d),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |rk AS (SELECT d, sv,
+       |  CAST(row_number() OVER (PARTITION BY d ORDER BY sv, vec_id) AS BIGINT) AS r
+       |  FROM ex),
+       |b AS (SELECT CAST(k AS BIGINT) AS k, (k * n + $BinQ - 1) // $BinQ AS r
+       |  FROM (SELECT unnest(range(1, $BinQ)) AS k) ks, nn)
+       |SELECT CAST(rk.d AS BIGINT) AS d, b.k, CAST(rk.r AS BIGINT) AS cut_rank,
+       |  rk.sv AS cut_sv
+       |FROM rk JOIN b ON rk.r = b.r ORDER BY d, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_quantile_bins" -> (qQuantileBins _),
     "ml_auc_by_group" -> (qAucByGroup _),
     "ml_ks_test" -> (qKsTest _),
     "ml_variance_filter" -> (qVarianceFilter _),
@@ -1598,6 +1637,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_quantile_bins" -> qQuantileBinsSql,
     "ml_auc_by_group" -> qAucByGroupSql,
     "ml_ks_test" -> qKsTestSql,
     "ml_variance_filter" -> qVarianceFilterSql,

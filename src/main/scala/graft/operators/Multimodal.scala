@@ -231,7 +231,18 @@ object Multimodal {
   // tests), so the audit costs no extra join on either engine.
   private[operators] val PhashBucketCap = 8
 
-  def qPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+  def qPhashBuckets(s: SparkSession, dir: String): DataFrame =
+    phashScoredPairs(s, dir)
+      .filter(col("hamming") <= PhashHamMax)
+      // audit-sized survivor list; checkpoint before the sort (the
+      // winnow-pairs double-run rule)
+      .localCheckpoint()
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The banded-candidate pair stream scored with exact hamming —
+    * the shared prefix of [[qPhashBuckets]] (threshold filter) and
+    * [[qPhashDistanceHist]] (full distance profile). */
+  private def phashScoredPairs(s: SparkSession, dir: String): DataFrame = {
     // tiny fixed-width frame, consumed twice (bands + verify join):
     // checkpoint once so the payload kernel runs once
     val ph = phashFrame(s, dir).localCheckpoint()
@@ -270,11 +281,39 @@ object Multimodal {
         (totalShared - col("n_shared_bands")).as("n_capped_bands"),
         (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
           .cast("long").as("hamming"))
-      .filter(col("hamming") <= PhashHamMax)
-      // audit-sized survivor list; checkpoint before the sort (the
-      // winnow-pairs double-run rule)
-      .localCheckpoint()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // pHash DISTANCE HISTOGRAM — the threshold-calibration table read
+  // BEFORE trusting [[PhashHamMax]]: over the banded candidate
+  // stream (same capped buckets, same exact hamming verify, NO
+  // threshold), the pair count at every hamming distance. A bimodal
+  // histogram (near-dup mass near 0, background mass near 32) says
+  // the gate separates; a flat one says the bands are recalling
+  // noise. Scale shape: identical to qPhashBuckets up to the scored
+  // pairs (cap-bounded candidate volume), then one
+  // map-side-combined groupBy to ≤65 metadata rows.
+  def qPhashDistanceHist(s: SparkSession, dir: String): DataFrame =
+    phashScoredPairs(s, dir)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_shared_bands")).as("sum_shared_bands"))
+      .withColumn("passes_gate",
+        when(col("hamming") <= PhashHamMax, 1L).otherwise(0L))
+      .orderBy(col("hamming"))
+
+  lazy val qPhashDistanceHistSql: String = {
+    val base = qPhashBucketsSql.split("\nSELECT doc_a, doc_b,")(0) // chain through cand
+    s"""$base,
+       |scored AS (
+       |  SELECT cand.n_shared_bands,
+       |    bit_count(xor(pa.phash_lo, pb.phash_lo))
+       |      + bit_count(xor(pa.phash_hi, pb.phash_hi)) AS hamming
+       |  FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b)
+       |SELECT CAST(hamming AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(n_shared_bands) AS BIGINT) AS sum_shared_bands,
+       |  CASE WHEN hamming <= $PhashHamMax THEN 1::BIGINT ELSE 0::BIGINT END AS passes_gate
+       |FROM scored GROUP BY hamming ORDER BY hamming""".stripMargin
   }
 
   // lazy: composes qPHashSql, which initializes later in the object
@@ -1008,6 +1047,7 @@ ORDER BY d.doc_id"""
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
     "mm_phash_buckets" -> (qPhashBuckets _),
+    "mm_phash_distance_hist" -> (qPhashDistanceHist _),
     "mm_hist_dedup" -> (qHistDedup _),
     "mm_audio_windows" -> (qAudioWindows _),
     "mm_frame_sample" -> (qFrameSample _),
@@ -1024,6 +1064,7 @@ ORDER BY d.doc_id"""
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,
     "mm_phash_buckets" -> qPhashBucketsSql,
+    "mm_phash_distance_hist" -> qPhashDistanceHistSql,
     "mm_hist_dedup" -> qHistDedupSql,
     "mm_audio_windows" -> qAudioWindowsSql,
     "mm_frame_sample" -> qFrameSampleSql,

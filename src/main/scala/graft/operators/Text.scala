@@ -2542,7 +2542,68 @@ FROM b GROUP BY 1 ORDER BY 1"""
       |    AS chi2_e3
       |FROM x ORDER BY chi2_e3 DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SOURCE DIVERGENCE — exact total-variation distance between every
+  // source pair's word distributions: TV(p,q) = ½Σ_w|p_w − q_w|, the
+  // distribution-shift audit a mixing plan reads before weighting
+  // sources (KL/JSD need logs — libm, banned from gates; TV is the
+  // pure-rational member of the family and bounds them both). Over
+  // counts with the common denominator n₁n₂: tv_num = Σ|c₁n₂ − c₂n₁|
+  // gates exactly, tv_ppm = 10⁶·tv_num div (2n₁n₂). Scale shape: the
+  // corpus collapses map-side to the (source × word) count matrix
+  // (|sources|·|vocab| metadata rows), densified by a cross join so
+  // a word absent from one source still contributes |c·n|; the pair
+  // join runs on metadata only.
+  def qSourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wc = Tables.documents(s, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // metadata matrix; feeds totals + both pair sides
+    val dense = wc.select(col("source")).distinct()
+      .crossJoin(wc.select(col("word")).distinct())
+      .join(wc, Seq("source", "word"), "left")
+      .select(col("source"), col("word"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = dense.join(tot, "source")
+      .select(col("source").as("src_a"), col("word"), col("c").as("c1"), col("n").as("n1"))
+    val b = dense.join(tot, "source")
+      .select(col("source").as("src_b"), col("word"), col("c").as("c2"), col("n").as("n2"))
+    a.join(b, Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(expr(s"cast(c1 as $dec) * n2 - cast(c2 as $dec) * n1"))).as("tv_num"))
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        col("tv_num").cast("long").as("tv_num"),
+        expr(s"cast((cast(1000000 as $dec) * tv_num)" +
+          s" div greatest(cast(2 as $dec) * n1 * n2, 1) as bigint)").as("tv_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceDivergenceSql: String =
+    """WITH wc AS (SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY 1, 2),
+      |dense AS (SELECT s.source, w.word, coalesce(wc.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM wc) s
+      |  CROSS JOIN (SELECT DISTINCT word FROM wc) w
+      |  LEFT JOIN wc ON wc.source = s.source AND wc.word = w.word),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, ta.n AS n1, tb.n AS n2,
+      |    CAST(sum(abs(a.c::HUGEINT * tb.n - b.c::HUGEINT * ta.n)) AS HUGEINT) AS tv_num
+      |  FROM dense a JOIN dense b ON a.word = b.word AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT src_a, src_b, n1, n2, CAST(tv_num AS BIGINT) AS tv_num,
+      |  CAST((1000000::HUGEINT * tv_num) // greatest(2::HUGEINT * n1 * n2, 1) AS BIGINT)
+      |    AS tv_ppm
+      |FROM p ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_divergence" -> (qSourceDivergence _),
     "text_chi2_feature" -> (qChi2Feature _),
     "text_label_odds" -> (qLabelOdds _),
     "text_readability" -> (qReadability _),
@@ -2580,6 +2641,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_source_divergence" -> qSourceDivergenceSql,
     "text_chi2_feature" -> qChi2FeatureSql,
     "text_label_odds" -> qLabelOddsSql,
     "text_readability" -> qReadabilitySql,

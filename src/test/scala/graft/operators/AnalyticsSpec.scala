@@ -2806,4 +2806,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) == bestCent, s"argmax cent")
     assert(BigInt(r.getLong(4)) == BigInt(1000000) * best / (BigInt(n1) * n2).max(BigInt(1)))
   }
+
+  test("quantile bin cuts sit at exact ceil-ranks of the per-dim order") {
+    import graft.functions.Vectors
+    val rows = Models.qQuantileBins(spark, sfDir).collect()
+    val d = Vectors.Dim
+    assert(rows.length == d * 9, "Q-1 cuts per dimension")
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).toArray))
+    val n = vecs.length
+    Seq(0, d / 2, d - 1).foreach { dim =>
+      val sorted = vecs.map { case (id, v) => (v(dim), id) }.sorted
+      (1 until 10).foreach { k =>
+        val rank = (k.toLong * n + 9) / 10
+        val r = rows.find(r => r.getLong(0) == dim && r.getLong(1) == k).get
+        assert(r.getLong(2) == rank, s"dim $dim cut $k rank")
+        assert(r.getLong(3) == sorted((rank - 1).toInt)._1, s"dim $dim cut $k value")
+      }
+    }
+    // cuts are non-decreasing within each dimension
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cuts = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("source divergence TV distance matches a BigInt distribution replay") {
+    val rows = Text.qSourceDivergence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+").filter(_.nonEmpty)))
+    val counts: Map[String, Map[String, Long]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }.toMap)
+      .toMap
+    val srcs = counts.keys.toSeq.sorted
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2)
+    rows.take(20).foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ca, cb) = (counts(sa), counts(sb))
+      val n1 = BigInt(ca.values.sum); val n2 = BigInt(cb.values.sum)
+      val words = (ca.keySet ++ cb.keySet).toSeq
+      val tv = words.map { w =>
+        (BigInt(ca.getOrElse(w, 0L)) * n2 - BigInt(cb.getOrElse(w, 0L)) * n1).abs
+      }.sum
+      assert(BigInt(r.getLong(2)) == n1 && BigInt(r.getLong(3)) == n2, s"($sa,$sb) totals")
+      assert(BigInt(r.getLong(4)) == tv, s"($sa,$sb) tv_num")
+      assert(BigInt(r.getLong(5)) == BigInt(1000000) * tv / (2 * n1 * n2), s"($sa,$sb) tv_ppm")
+    }
+  }
+
+  test("phash distance histogram partitions the candidate stream around the gate") {
+    val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    val gated = Multimodal.qPhashBuckets(spark, sfDir).collect()
+    // pairs at hamming <= the gate must sum to exactly the gated list
+    val passMass = hist.filter(_.getLong(3) == 1L).map(_.getLong(1)).sum
+    assert(passMass == gated.length.toLong,
+      s"histogram pass mass $passMass vs gated pairs ${gated.length}")
+    // histogram is over distinct hamming values in [0, 64], ordered
+    val hs = hist.map(_.getLong(0))
+    assert(hs.toSeq == hs.sorted.toSeq && hs.forall(h => h >= 0L && h <= 64L))
+    assert(hist.map(_.getLong(1)).forall(_ > 0L), "no empty histogram rows")
+  }
 }

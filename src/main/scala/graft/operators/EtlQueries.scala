@@ -222,7 +222,8 @@ object EtlQueries {
     "src_range_pushdown" -> (qRangePushdown _),
     "src_range_agg_pushdown" -> (qRangeAggPushdown _),
     "src_range_group_pushdown" -> (qRangeGroupPushdown _),
-    "src_range_join" -> (qRangeJoin _))
+    "src_range_join" -> (qRangeJoin _),
+    "src_range_topn_pushdown" -> (qRangeTopnPushdown _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -365,6 +366,51 @@ object EtlQueries {
        |JOIN orders o ON o.o_orderkey = i
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSv2 LIMIT / TOP-N PUSHDOWN — ORDER BY id {ASC|DESC} LIMIT n and
+  // bare LIMIT n clip the generated range at PLANNING time
+  // (SupportsPushDownTopN / SupportsPushDownLimit): the scan reads
+  // exactly n rows and prunes every slice outside the clipped
+  // window (plan-asserted in ExtensionSpec — `limit=… [desc]` in the
+  // scan description, slices pruned). Partial-pushdown semantics:
+  // Spark keeps its Sort/Limit, but they run over n rows, not the
+  // range. Three scopes gate it: top-n ascending after a pushed
+  // filter (both clips compose), top-n descending (the high end of
+  // the range), and a bare LIMIT (deterministic HERE because the
+  // dense source clips to exactly the first n ids — the gated SET is
+  // [lo, lo+n) regardless of arrival order).
+  private val TopNLo = 400000L
+  private val TopNAsc = 500
+  private val TopNDesc = 300
+  private val BareLimit = 200
+
+  def qRangeTopnPushdown(s: SparkSession, dir: String): DataFrame = {
+    def rt = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "1000000").option("slices", "16")
+      .load()
+    val asc = rt.filter(col("id") >= TopNLo)
+      .orderBy(col("id")).limit(TopNAsc)
+      .select(lit("asc").as("scope"), col("id"), col("bucket"), col("val"))
+    val desc = rt.orderBy(col("id").desc).limit(TopNDesc)
+      .select(lit("desc").as("scope"), col("id"), col("bucket"), col("val"))
+    val bare = rt.limit(BareLimit)
+      .select(lit("bare").as("scope"), col("id"), col("bucket"), col("val"))
+    asc.unionAll(desc).unionAll(bare)
+      .orderBy(col("scope"), col("id"))
+  }
+
+  private val rangeTopnPushdownOracle: String =
+    s"""WITH r AS (SELECT i AS id, i % 16 AS bucket, (i * 2654435761) % 1000000 AS v
+       |  FROM range(0, 1000000) t(i))
+       |SELECT scope, id, bucket, v AS val FROM (
+       |  SELECT 'asc' AS scope, * FROM (
+       |    SELECT * FROM r WHERE id >= $TopNLo ORDER BY id LIMIT $TopNAsc)
+       |  UNION ALL
+       |  SELECT 'desc', * FROM (SELECT * FROM r ORDER BY id DESC LIMIT $TopNDesc)
+       |  UNION ALL
+       |  SELECT 'bare', * FROM (SELECT * FROM r ORDER BY id LIMIT $BareLimit)
+       |) ORDER BY scope, id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
@@ -373,5 +419,6 @@ object EtlQueries {
     "src_range_pushdown" -> rangePushdownOracle,
     "src_range_agg_pushdown" -> rangeAggPushdownOracle,
     "src_range_group_pushdown" -> rangeGroupPushdownOracle,
-    "src_range_join" -> rangeJoinOracle)
+    "src_range_join" -> rangeJoinOracle,
+    "src_range_topn_pushdown" -> rangeTopnPushdownOracle)
 }

@@ -1614,7 +1614,113 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |  rk.sv AS cut_sv
        |FROM rk JOIN b ON rk.r = b.r ORDER BY d, k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CUMULATIVE GAINS / LIFT TABLE — the ranking-evaluation table a
+  // targeting or data-selection pipeline reads instead of a bare
+  // AUC: sort by model score DESCENDING, cut into deciles, and ask
+  // "how many positives has the top k/10 captured, and at what lift
+  // over random?". Deciles come from an exact per-row rank under the
+  // total order (score desc, vec_id) — the [[dimRanks]] distributed
+  // ranking on a single dimension (range-partition, P metadata
+  // counters, broadcast offsets, partition-local counting; no global
+  // window). Gains/lift gate as exact integer quotients:
+  // gain_ppm = 10⁶·cum_pos div total_pos,
+  // lift_pm = 10³·cum_pos·n div (cum_rows·total_pos) — all operands
+  // non-negative. The cumulative pass runs on the 10-row decile
+  // frame (pure metadata).
+  def qGainsTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.TaskContext
+    val p = s.sparkContext.defaultParallelism
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      when(col("label") < 5, 1L).otherwise(0L).as("y"),
+      col("embedding").cast("array<double>").as("v"))
+    val scoreSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("y", LongType),
+      StructField("negs", LongType)))
+    val scored = e.repartition(p)
+      .mapPartitions { it =>
+        it.map { r =>
+          val v = r.getSeq[Double](2)
+          var acc = 0L
+          var i = 0
+          while (i < v.length) {
+            acc += Vectors.roundJvm(v(i) * 1000000d, 0).toLong
+            i += 1
+          }
+          Row(r.getLong(0), r.getLong(1), -acc) // negate: rank = score desc
+        }
+      }(Encoders.row(scoreSchema))
+    val ranged = scored.repartitionByRange(p, col("negs"), col("vec_id"))
+      .localCheckpoint()
+    val partCnt = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = partCnt.map(_._2).sum
+    var below = 0L
+    val offsets: Map[Int, Long] = partCnt.map { case (pid, c) =>
+      val entry = pid -> below; below += c; entry
+    }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val decSchema = StructType(Seq(
+      StructField("decile", LongType), StructField("y", LongType)))
+    val deciled = ranged.sortWithinPartitions(col("negs"), col("vec_id"))
+      .mapPartitions { it =>
+        var r = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+        it.map { row =>
+          r += 1L
+          Row((r - 1L) * 10L / n, row.getLong(1))
+        }
+      }(Encoders.row(decSchema))
+    val byDec = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    val dec = "decimal(38,0)"
+    byDec // 10-row metadata frame: the window is k-bounded
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(byDec.agg(sum(col("n_pos")).as("tot_pos"),
+        sum(col("n_rows")).as("tot_rows"))))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        expr(s"cast((cast(1000000 as $dec) * cum_pos)" +
+          s" div greatest(tot_pos, 1) as bigint)").as("gain_ppm"),
+        expr(s"cast((cast(1000 as $dec) * cum_pos * tot_rows)" +
+          s" div greatest(cast(cum_rows as $dec) * tot_pos, 1) as bigint)").as("lift_pm"))
+      .orderBy(col("decile"))
+  }
+
+  val qGainsTableSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, min(y) AS y,
+       |  CAST(sum(CAST(round(v[d.d + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d
+       |  GROUP BY vec_id),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+       |rk AS (SELECT y, CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS r
+       |  FROM ex),
+       |dd AS (SELECT (r - 1) * 10 // n AS decile, y FROM rk, nn),
+       |g AS (SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(y) AS BIGINT) AS n_pos FROM dd GROUP BY decile),
+       |c AS (SELECT decile, n_rows, n_pos,
+       |  CAST(sum(n_rows) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS cum_rows,
+       |  CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS cum_pos
+       |  FROM g),
+       |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+       |  CAST(sum(n_rows) AS BIGINT) AS tot_rows FROM g)
+       |SELECT decile, n_rows, n_pos, cum_rows, cum_pos,
+       |  CAST((1000000::HUGEINT * cum_pos) // greatest(tot_pos, 1) AS BIGINT) AS gain_ppm,
+       |  CAST((1000::HUGEINT * cum_pos * tot_rows)
+       |    // greatest(cum_rows::HUGEINT * tot_pos, 1) AS BIGINT) AS lift_pm
+       |FROM c, t ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_gains_table" -> (qGainsTable _),
     "ml_quantile_bins" -> (qQuantileBins _),
     "ml_auc_by_group" -> (qAucByGroup _),
     "ml_ks_test" -> (qKsTest _),
@@ -1637,6 +1743,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_gains_table" -> qGainsTableSql,
     "ml_quantile_bins" -> qQuantileBinsSql,
     "ml_auc_by_group" -> qAucByGroupSql,
     "ml_ks_test" -> qKsTestSql,

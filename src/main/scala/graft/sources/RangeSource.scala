@@ -77,13 +77,15 @@ class RangeTable(start: Long, end: Long, slices: Int) extends Table with Support
 
 class RangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = start
   private var hi = end
   private var accepted = Array.empty[Filter]
   private var required = RangeTable.schema
   private var pushedAggs: Option[Seq[aggregate.AggregateFunc]] = None
+  private var pushedLimit: Option[Long] = None
+  private var topNDesc = false
 
   private def longOf(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue)
@@ -175,9 +177,46 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
       true
     } else false
 
+  // -- LIMIT / top-N pushdown ---------------------------------------
+  // On a DENSE generated range the first n rows of the (already
+  // filter-clipped) scan are a closed-form sub-range: LIMIT n clips
+  // hi to lo+n; ORDER BY id {ASC|DESC} LIMIT n clips to the low/high
+  // n ids. Filters push before limits (V2ScanRelationPushDown), so
+  // lo/hi are final here. We report PARTIAL pushdown (the default) —
+  // Spark keeps its own Limit/Sort above the scan for correctness,
+  // but the scan now reads ≤ n rows instead of the range, and
+  // fully-clipped slices are never planned. The 100 TB analogue:
+  // LIMIT against a sorted manifest touches one file, not the table.
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit.toLong)
+    true
+  }
+
+  // partial pushdown: Spark keeps its Sort/Limit; the scan just
+  // reads ≤ n rows (disambiguates the two traits' default method)
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ok = orders.length == 1 && isIdColumn(orders.head.expression())
+    if (ok) {
+      pushedLimit = Some(limit.toLong)
+      topNDesc = orders.head.direction() == SortDirection.DESCENDING
+    }
+    ok
+  }
+
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new RangeAggScan(lo, hi, aggs, groupByBucket)
-    case None => new RangeScan(start, end, slices, lo, hi, required)
+    case None =>
+      val (clo, chi) = pushedLimit match {
+        case Some(n) if lo < hi && hi - lo > n => // n rows suffice
+          if (topNDesc) (hi - n, hi) else (lo, lo + n)
+        case _ => (lo, hi)
+      }
+      new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc)
   }
 }
 
@@ -261,7 +300,9 @@ class RangeAggReaderFactory(kinds: Seq[String], groupByBucket: Boolean)
 
 class RangeScan(
     start: Long, end: Long, slices: Int,
-    lo: Long, hi: Long, required: StructType) extends Scan with Batch {
+    lo: Long, hi: Long, required: StructType,
+    pushedLimit: Option[Long] = None, topNDesc: Boolean = false)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -279,7 +320,8 @@ class RangeScan(
     }
 
   override def description(): String =
-    s"GraftRangeScan[$lo,$hi) slices=${planned.size}/$slices cols=${required.fieldNames.mkString(",")}"
+    s"GraftRangeScan[$lo,$hi) slices=${planned.size}/$slices cols=${required.fieldNames.mkString(",")}" +
+      pushedLimit.map(n => s" limit=$n${if (topNDesc) " desc" else ""}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     planned.map { case (a, b) => RangePartition(a, b): InputPartition }.toArray

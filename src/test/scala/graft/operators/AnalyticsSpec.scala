@@ -2860,6 +2860,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gains table deciles match an exact sort-and-cut replay") {
+    import graft.functions.Vectors
+    val rows = Models.qGainsTable(spark, sfDir).collect()
+    assert(rows.length == 10, "one row per decile")
+    val scored = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) as label",
+        "cast(embedding as array<double>) as v").collect()
+      .map { r =>
+        val s = r.getSeq[Double](2).map(x => Vectors.roundJvm(x * 1000000d, 0).toLong).sum
+        (r.getLong(0), r.getLong(1) < 5, s)
+      }
+    val n = scored.length
+    val ranked = scored.sortBy { case (id, _, s) => (-s, id) }
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) => i.toLong * 10 / n }
+    var cumPos = 0L; var cumRows = 0L
+    val totPos = scored.count(_._2).toLong
+    (0L until 10L).foreach { k =>
+      val members = byDec(k)
+      val pos = members.count(_._1._2).toLong
+      cumPos += pos; cumRows += members.length
+      val r = rows(k.toInt)
+      assert(r.getLong(0) == k)
+      assert(r.getLong(1) == members.length.toLong, s"decile $k rows")
+      assert(r.getLong(2) == pos, s"decile $k pos")
+      assert(r.getLong(3) == cumRows && r.getLong(4) == cumPos, s"decile $k cums")
+      assert(BigInt(r.getLong(5)) == BigInt(1000000) * cumPos / totPos.max(1L), s"decile $k gain")
+      assert(BigInt(r.getLong(6)) ==
+        BigInt(1000) * cumPos * n / (BigInt(cumRows) * totPos).max(BigInt(1)), s"decile $k lift")
+    }
+    // gains are monotone and end at 100%
+    assert(rows.last.getLong(5) == 1000000L)
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

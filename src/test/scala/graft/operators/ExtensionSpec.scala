@@ -1077,6 +1077,39 @@ class ExtensionSpec extends SparkSpec {
       "manifest enrich must broadcast the pruned scan:\n" + plan)
   }
 
+  test("DSv2 range source: LIMIT and top-N clip the scan at planning time") {
+    def rt = spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "1000000").option("slices", "16")
+      .load()
+    // ORDER BY id LIMIT n: the scan window collapses to the low n ids
+    // — 1 of 16 slices planned, limit visible in the description
+    val asc = rt.filter(col("id") >= 400000L).orderBy(col("id")).limit(500)
+    val ascPlan = asc.queryExecution.executedPlan.toString
+    assert(ascPlan.contains("GraftRangeScan[400000,400500) slices=1/16") &&
+      ascPlan.contains("limit=500"),
+      "top-N asc must clip the scan to [lo, lo+n):\n" + ascPlan)
+    // ORDER BY id DESC LIMIT n: the high end of the range
+    val desc = rt.orderBy(col("id").desc).limit(300)
+    val descPlan = desc.queryExecution.executedPlan.toString
+    assert(descPlan.contains("GraftRangeScan[999700,1000000) slices=1/16") &&
+      descPlan.contains("limit=300 desc"),
+      "top-N desc must clip the scan to [hi-n, hi):\n" + descPlan)
+    // bare LIMIT n: first n ids, exactly one slice planned
+    val bare = rt.limit(200)
+    val barePlan = bare.queryExecution.executedPlan.toString
+    assert(barePlan.contains("GraftRangeScan[0,200) slices=1/16"),
+      "bare limit must clip the scan to [lo, lo+n):\n" + barePlan)
+    // partial-push semantics stay correct: results match spark.range
+    assert(asc.collect().map(_.getLong(0)).toSeq == (400000L until 400500L))
+    assert(desc.collect().map(_.getLong(0)).toSeq == (999700L until 1000000L).reverse)
+    assert(bare.collect().map(_.getLong(0)).sorted.toSeq == (0L until 200L))
+    // a sort on a non-pushable column is NOT pushed — the scan stays whole
+    val noPush = rt.orderBy(col("val")).limit(10)
+    val noPushPlan = noPush.queryExecution.executedPlan.toString
+    assert(noPushPlan.contains("GraftRangeScan[0,1000000) slices=16/16"),
+      "top-N on val must not clip the id range:\n" + noPushPlan)
+  }
+
   test("DSv2 range source: Long.MaxValue bounds saturate instead of wrapping") {
     def tbl = spark.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", "100").option("slices", "4").load()

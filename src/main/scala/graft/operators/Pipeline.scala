@@ -843,6 +843,57 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
   }
 
   // ---------------------------------------------------------------
+  // SPLIT SALT STABILITY — the audit that stops a silent eval-set
+  // reshuffle: a hash split is deterministic PER SALT but almost
+  // fully re-drawn ACROSS salts (cells ≈ product of marginals), so
+  // changing the salt string in a config quietly moves ~20% of
+  // yesterday's eval set into today's train set — memorization
+  // leakage that no within-run check can see. This emits the full
+  // 3×3 transition matrix between the splits under two salts plus
+  // each cell's per-mille share; a release gate pins the diagonal.
+  // Same row-local md5-bucket convention as [[splitOf]] (salted:
+  // md5(id || ':' || salt)), map-side aggregate to 9 rows — no
+  // shuffle beyond the 9-key exchange at any corpus size.
+  private def saltedSplitOf(id: Column, salt: String): Column = {
+    val b = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+      .cast("long") % 100
+    SplitBuckets.foldLeft(Option.empty[Column]) {
+      case (acc, (name, hi)) => Some(acc.map(_.when(b < hi, name))
+        .getOrElse(when(b < hi, name)))
+    }.get.otherwise("test")
+  }
+
+  def qSplitStability(s: SparkSession, dir: String): DataFrame = {
+    val tot = Tables.documents(s, dir).count()
+    Tables.documents(s, dir)
+      .select(saltedSplitOf(col("doc_id"), "v1").as("split_a"),
+        saltedSplitOf(col("doc_id"), "v2").as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("split_a"), col("split_b"), col("n_docs"),
+        expr(s"1000 * n_docs div ${tot}L").as("cell_pm"),
+        when(col("split_a") === col("split_b"), 0L).otherwise(1L).as("churned"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val qSplitStabilitySql: String = {
+    val cases = SplitBuckets.map { case (n, hi) => s"WHEN b < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""WITH h AS (SELECT
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15))::BIGINT % 100 AS ba,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v2'), 1, 15))::BIGINT % 100 AS bb
+       |  FROM documents),
+       |s AS (SELECT
+       |  CASE ${cases.replace("b <", "ba <")} ELSE 'test' END AS split_a,
+       |  CASE ${cases.replace("b <", "bb <")} ELSE 'test' END AS split_b FROM h),
+       |tot AS (SELECT count(*) AS t FROM documents)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(1000 * count(*) // t AS BIGINT) AS cell_pm,
+       |  CASE WHEN split_a = split_b THEN 0::BIGINT ELSE 1::BIGINT END AS churned
+       |FROM s, tot GROUP BY split_a, split_b, t ORDER BY split_a, split_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // DECONTAMINATED SPLIT — the composition every training-set build
   // actually runs: assign train/val/test, then EXCLUDE from train any
   // document sharing ≥ [[SplitCleanMinShared]] word-3-grams with a
@@ -1841,6 +1892,7 @@ FROM j ORDER BY source"""
     "samp_dsir" -> (qDsir _),
     "pipe_filter_decisions" -> (qFilterDecisions _),
     "samp_split" -> (qSplit _),
+    "samp_split_stability" -> (qSplitStability _),
     "samp_split_clean" -> (qSplitClean _),
     "pipe_curriculum" -> (qCurriculum _),
     "samp_weighted" -> (qWeightedSample _),
@@ -1874,6 +1926,7 @@ FROM j ORDER BY source"""
     "samp_dsir" -> qDsirSql,
     "pipe_filter_decisions" -> qFilterDecisionsSql,
     "samp_split" -> qSplitSql,
+    "samp_split_stability" -> qSplitStabilitySql,
     "samp_split_clean" -> qSplitCleanSql,
     "pipe_curriculum" -> qCurriculumSql,
     "samp_weighted" -> qWeightedSampleSql,

@@ -1260,6 +1260,45 @@ object Temporal {
       |FROM g LEFT JOIN dau ON g.day = dau.day LEFT JOIN wau ON g.day = wau.day
       |LEFT JOIN mau ON g.day = mau.day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ACTIVE-DAY STREAKS — gaps-and-islands over each user's distinct
+  // activity days: the engagement feature (longest consecutive-day
+  // run, streak count) retention models and bot screens both read
+  // (a 60-day unbroken streak at constant rate is automation; human
+  // streaks break). The classical exact trick, no iteration: with
+  // days ranked per user, epoch_day − rank is CONSTANT within a
+  // consecutive island, so a groupBy on that anchor yields island
+  // lengths. Scale shape: one user-partitioned distinct + window
+  // (partition-local sort behind one key shuffle, nothing global),
+  // then map-side island/summary aggregates; integers only.
+  def qActiveStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = days
+      .withColumn("anchor",
+        expr("datediff(d, date'1970-01-01')") - row_number().over(w))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  val qActiveStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+      |rk AS (SELECT user_id, d,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY d) AS r FROM days),
+      |isl AS (SELECT user_id, datediff('day', DATE '1970-01-01', d) - r AS anchor,
+      |    CAST(count(*) AS BIGINT) AS len
+      |  FROM rk GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "temporal_dau_wau_mau" -> (qDauWauMau _),
     "temporal_gap_median" -> (qGapMedian _),
@@ -1275,6 +1314,7 @@ object Temporal {
     "temporal_seasonality" -> (qSeasonality _),
     "temporal_dow_profile" -> (qDowProfile _),
     "temporal_user_lifespan" -> (qUserLifespan _),
+    "temporal_active_streaks" -> (qActiveStreaks _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -1303,6 +1343,7 @@ object Temporal {
     "temporal_seasonality" -> qSeasonalitySql,
     "temporal_dow_profile" -> qDowProfileSql,
     "temporal_user_lifespan" -> qUserLifespanSql,
+    "temporal_active_streaks" -> qActiveStreaksSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

@@ -2893,6 +2893,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.last.getLong(5) == 1000000L)
   }
 
+  test("split salt stability matrix matches a JVM md5 replay and exposes real churn") {
+    val rows = Pipeline.qSplitStability(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def splitUnder(id: Long, salt: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val expect = docs.groupBy(id => (splitUnder(id, "v1"), splitUnder(id, "v2")))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect.getOrElse(k, 0L), s"cell $k")
+      assert(r.getLong(3) == 1000L * r.getLong(2) / docs.length, s"cell $k pm")
+      assert(r.getLong(4) == (if (k._1 == k._2) 0L else 1L))
+    }
+    assert(rows.map(_.getLong(2)).sum == docs.length.toLong, "matrix partitions the corpus")
+    val churned = rows.filter(_.getLong(4) == 1L).map(_.getLong(2)).sum
+    assert(churned > 0L, "salt change must actually move documents between splits")
+  }
+
+  test("active-day streaks match a JVM gaps-and-islands replay") {
+    val rows = Temporal.qActiveStreaks(spark, sfDir).collect()
+    val days = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(to_date(ts) as string) as d").distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay))
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length == byUser.size, "one row per user")
+    rows.foreach { r =>
+      val ds = byUser(r.getLong(0))
+      val streaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var len = 1L
+      ds.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          if (w(1) == w(0) + 1) len += 1 else { streaks += len; len = 1L }
+        }
+      }
+      streaks += len
+      assert(r.getLong(1) == ds.length.toLong, s"user ${r.getLong(0)} active days")
+      assert(r.getLong(2) == streaks.max, s"user ${r.getLong(0)} longest streak")
+      assert(r.getLong(3) == streaks.length.toLong, s"user ${r.getLong(0)} streak count")
+    }
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

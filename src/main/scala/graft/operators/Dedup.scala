@@ -245,6 +245,75 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------
+  // b-BIT MINHASH — the storage-compressed estimator tier (Li &
+  // König, "b-Bit Minwise Hashing", WWW 2010): store only the low b
+  // bits of each minhash (8× smaller signatures at b=4 vs 32-bit
+  // values), pay for it with random collisions, and correct them in
+  // closed form: E[match] = J + (1−J)/2^b, so
+  // Ĵ = (m·2^b − k)/(k·(2^b − 1)), clamped at 0 BEFORE the division
+  // (a negative numerator would hit the truncate-vs-floor engine
+  // split). Gated next to the full-width estimate AND the exact
+  // Jaccard on the same candidate pairs, so the table shows the
+  // compression trade directly. Scale shape: identical to
+  // [[qMinhashEst]] (memoized signatures, banded candidates,
+  // broadcast per-doc fetch); the b-bit match count is 12 row-local
+  // integer compares.
+  private val BbitBits = 4
+
+  def qMinhashBbit(s: SparkSession, dir: String): DataFrame = {
+    val base = memoBase("word", s, dir)(wordSignatures(s, dir))
+    val bands = base.select(col("doc_id"), explode(bandKeyStructs).as("bk"))
+    val cand = bands.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val twoB = 1L << BbitBits
+    val matchesFull = (0 until NumHashes).map(k =>
+      when(element_at(col("sig_a"), k + 1) === element_at(col("sig_b"), k + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val matchesB = (0 until NumHashes).map(k =>
+      when(element_at(col("sig_a"), k + 1) % twoB === element_at(col("sig_b"), k + 1) % twoB, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val docSide = base.select(col("doc_id"), col("sset"), col("sig"))
+    cand
+      .join(broadcast(docSide.select(col("doc_id").as("doc_a"),
+        col("sset").as("sset_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(docSide.select(col("doc_id").as("doc_b"),
+        col("sset").as("sset_b"), col("sig").as("sig_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        matchesFull.as("n_match"), matchesB.as("n_match_b"),
+        expr("cast(size(array_intersect(sset_a, sset_b)) as bigint) * 1000 div " +
+          "cast(size(array_union(sset_a, sset_b)) as bigint)").as("jac_pm"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("n_match_b"),
+        expr(s"n_match * 1000 div $NumHashes").as("est_full_pm"),
+        expr(s"1000 * greatest(n_match_b * $twoB - $NumHashes, 0)" +
+          s" div (${NumHashes}L * ${twoB - 1})").as("est_b_pm"),
+        col("jac_pm"))
+      .withColumn("err_b_pm", col("est_b_pm") - col("jac_pm"))
+      .localCheckpoint() // audit-sized; the winnow-pairs sort rule
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val qMinhashBbitSql: String = {
+    val twoB = 1L << BbitBits
+    val base = qMinhashEstSql.split("\nSELECT doc_a, doc_b,")(0)
+      .replace("""len(list_filter(range(12), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,""",
+        s"""len(list_filter(range($NumHashes), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,
+           |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] % $twoB = sb.sig[k+1] % $twoB)) AS n_match_b,""".stripMargin)
+    s"""$base
+       |SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+       |  CAST(n_match_b AS BIGINT) AS n_match_b,
+       |  CAST(n_match * 1000 // $NumHashes AS BIGINT) AS est_full_pm,
+       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
+       |    // ($NumHashes * ${twoB - 1}) AS BIGINT) AS est_b_pm,
+       |  CAST(jac_pm AS BIGINT) AS jac_pm,
+       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
+       |    // ($NumHashes * ${twoB - 1}) - jac_pm AS BIGINT) AS err_b_pm
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val qMinhashEstSql: String =
     s"""WITH $shinglesSqlCte,
        |hv AS (SELECT doc_id,
@@ -3033,6 +3102,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_containment" -> (qContainment _),
     "dedup_threshold_sweep" -> (qThresholdSweep _),
     "dedup_minhash_est" -> (qMinhashEst _),
+    "dedup_minhash_bbit" -> (qMinhashBbit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3071,5 +3141,6 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_containment" -> qContainmentSql,
     "dedup_threshold_sweep" -> qThresholdSweepSql,
     "dedup_minhash_est" -> qMinhashEstSql,
+    "dedup_minhash_bbit" -> qMinhashBbitSql,
   )
 }

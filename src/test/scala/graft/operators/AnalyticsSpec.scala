@@ -2940,6 +2940,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("b-bit minhash estimator obeys the Li-Konig correction on every pair") {
+    val rows = Dedup.qMinhashBbit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, mb) = (r.getLong(2), r.getLong(3))
+      // low-b bits match whenever the full values match
+      assert(mb >= m, s"pair (${r.getLong(0)},${r.getLong(1)}): b-bit matches $mb < full $m")
+      assert(m >= 0L && mb <= 12L)
+      assert(r.getLong(4) == m * 1000L / 12L, "full estimator")
+      assert(r.getLong(5) == 1000L * math.max(mb * 16L - 12L, 0L) / (12L * 15L),
+        "collision-corrected b-bit estimator")
+      assert(r.getLong(7) == r.getLong(5) - r.getLong(6), "error column consistency")
+    }
+    // the corrected estimator tracks exact Jaccard: mean |err| over the
+    // candidate pairs stays within the k=12, b=4 sampling noise band
+    val meanAbsErr = rows.map(r => math.abs(r.getLong(7))).sum / rows.length
+    assert(meanAbsErr < 350L, s"b-bit estimator far off exact Jaccard: $meanAbsErr")
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

@@ -1719,7 +1719,57 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    // greatest(cum_rows::HUGEINT * tot_pos, 1) AS BIGINT) AS lift_pm
        |FROM c, t ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // EXACT MATTHEWS CORRELATION — the single-number classifier score
+  // that survives class imbalance (accuracy and F1 both lie when one
+  // class dominates; MCC is the φ coefficient of the 2×2 confusion
+  // table). MCC itself needs a square root (libm, banned from
+  // gates), so it ships in the house rational form: the SIGN of
+  // TP·TN − FP·FN plus MCC² = (TP·TN−FP·FN)² div (four marginal
+  // products) in ppm — together they carry exactly the information
+  // MCC does, and near-zero correlations gate exactly instead of
+  // hitting the -0.0 class. Classifier under audit: the zero-
+  // threshold score sign (predict positive when Σ µ-ints ≥ 0) vs
+  // y = label < 5. Scale shape: ONE map-side-combined aggregate over
+  // the score kernel — four counters at any corpus size.
+  def qMccExact(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = scoredMargin(s, dir) // (y, s = Σ round(x·1e6))
+    scored.agg(
+        sum(when(col("y") === 1L && col("s") >= 0L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("s") >= 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 0L && col("s") < 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 1L && col("s") < 0L, 1L).otherwise(0L)).as("fn"))
+      .withColumn("num",
+        expr(s"cast(tp as $dec) * tn - cast(fp as $dec) * fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        signum(col("num")).cast("long").as("mcc_sign"),
+        expr(s"cast((num * num * 1000000) div greatest(" +
+          s"cast(tp + fp as $dec) * (tp + fn) * (tn + fp) * (tn + fn), 1) as bigint)")
+          .as("mcc2_ppm"))
+  }
+
+  val qMccExactSql: String =
+    s"""WITH e AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT y,
+       |  CAST(list_aggregate(list_transform(range(${graft.functions.Vectors.Dim}),
+       |    d -> CAST(round(v[d + 1] * 1000000) AS BIGINT)), 'sum') AS BIGINT) AS s
+       |  FROM e),
+       |c AS (SELECT
+       |  CAST(count(*) FILTER (y = 1 AND s >= 0) AS BIGINT) AS tp,
+       |  CAST(count(*) FILTER (y = 0 AND s >= 0) AS BIGINT) AS fp,
+       |  CAST(count(*) FILTER (y = 0 AND s < 0) AS BIGINT) AS tn,
+       |  CAST(count(*) FILTER (y = 1 AND s < 0) AS BIGINT) AS fn FROM ex),
+       |n AS (SELECT tp, fp, tn, fn, tp::HUGEINT * tn - fp::HUGEINT * fn AS num FROM c)
+       |SELECT tp, fp, tn, fn,
+       |  CAST(sign(num) AS BIGINT) AS mcc_sign,
+       |  CAST((num * num * 1000000) // greatest(
+       |    (tp + fp)::HUGEINT * (tp + fn) * (tn + fp) * (tn + fn), 1) AS BIGINT) AS mcc2_ppm
+       |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_mcc_exact" -> (qMccExact _),
     "ml_gains_table" -> (qGainsTable _),
     "ml_quantile_bins" -> (qQuantileBins _),
     "ml_auc_by_group" -> (qAucByGroup _),
@@ -1743,6 +1793,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_mcc_exact" -> qMccExactSql,
     "ml_gains_table" -> qGainsTableSql,
     "ml_quantile_bins" -> qQuantileBinsSql,
     "ml_auc_by_group" -> qAucByGroupSql,

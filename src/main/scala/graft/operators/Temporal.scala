@@ -1299,6 +1299,53 @@ object Temporal {
       |  CAST(count(*) AS BIGINT) AS n_streaks
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // GROWTH ACCOUNTING — the DAU decomposition every growth team
+  // reads instead of a bare active count: each user-day is exactly
+  // one of NEW (first day ever), RETAINED (active within the last
+  // [[ResurrectGapDays]]−1 days), or RESURRECTED (returned after a
+  // gap ≥ ResurrectGapDays) — so n_active = n_new + n_retained +
+  // n_resurrected row-for-row, and a flat DAU curve decomposes into
+  // churn being masked by acquisition (the signal this table
+  // exists to expose). One lag() per user over distinct activity
+  // days (partition-local sort behind one key shuffle), then a
+  // map-side day rollup; integers only, threshold chosen against
+  // the measured gap distribution (gaps reach 4–6 days at the gate
+  // SFs, so ≥ 3 is exercised by the data, not vacuous).
+  private val ResurrectGapDays = 3
+
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days.withColumn("pd", lag(col("d"), 1).over(w))
+      .select(col("d"),
+        when(col("pd").isNull, "new")
+          .when(datediff(col("d"), col("pd")) < ResurrectGapDays, "retained")
+          .otherwise("resurrected").as("k"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("k") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("k") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("k") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+      .select(col("d").cast("string").as("day"), col("n_active"),
+        col("n_new"), col("n_retained"), col("n_resurrected"))
+      .orderBy(col("day"))
+  }
+
+  val qGrowthAccountingSql: String =
+    s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d FROM events),
+       |lagd AS (SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd
+       |  FROM days),
+       |cls AS (SELECT d, CASE WHEN pd IS NULL THEN 'new'
+       |    WHEN datediff('day', pd, d) < $ResurrectGapDays THEN 'retained'
+       |    ELSE 'resurrected' END AS k FROM lagd)
+       |SELECT CAST(d AS VARCHAR) AS day, CAST(count(*) AS BIGINT) AS n_active,
+       |  CAST(count(*) FILTER (k = 'new') AS BIGINT) AS n_new,
+       |  CAST(count(*) FILTER (k = 'retained') AS BIGINT) AS n_retained,
+       |  CAST(count(*) FILTER (k = 'resurrected') AS BIGINT) AS n_resurrected
+       |FROM cls GROUP BY d ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "temporal_dau_wau_mau" -> (qDauWauMau _),
     "temporal_gap_median" -> (qGapMedian _),
@@ -1315,6 +1362,7 @@ object Temporal {
     "temporal_dow_profile" -> (qDowProfile _),
     "temporal_user_lifespan" -> (qUserLifespan _),
     "temporal_active_streaks" -> (qActiveStreaks _),
+    "temporal_growth_accounting" -> (qGrowthAccounting _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -1344,6 +1392,7 @@ object Temporal {
     "temporal_dow_profile" -> qDowProfileSql,
     "temporal_user_lifespan" -> qUserLifespanSql,
     "temporal_active_streaks" -> qActiveStreaksSql,
+    "temporal_growth_accounting" -> qGrowthAccountingSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

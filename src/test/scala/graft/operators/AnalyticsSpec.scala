@@ -2959,6 +2959,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(meanAbsErr < 350L, s"b-bit estimator far off exact Jaccard: $meanAbsErr")
   }
 
+  test("growth accounting decomposes DAU exactly and matches a JVM replay") {
+    val rows = Temporal.qGrowthAccounting(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"${r.getString(0)}: active must equal new + retained + resurrected")
+    }
+    val days = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(to_date(ts) as string) as d").distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    val expect = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    byUser.values.foreach { ds =>
+      ds.zipWithIndex.foreach { case (d, i) =>
+        val k = d.toString
+        val (nw, rt, rs) = expect.getOrElse(k, (0L, 0L, 0L))
+        if (i == 0) expect(k) = (nw + 1, rt, rs)
+        else if (ds(i - 1).until(d, java.time.temporal.ChronoUnit.DAYS) < 3)
+          expect(k) = (nw, rt + 1, rs)
+        else expect(k) = (nw, rt, rs + 1)
+      }
+    }
+    rows.foreach { r =>
+      val (nw, rt, rs) = expect(r.getString(0))
+      assert(r.getLong(2) == nw && r.getLong(3) == rt && r.getLong(4) == rs,
+        s"${r.getString(0)}: (${r.getLong(2)},${r.getLong(3)},${r.getLong(4)}) vs ($nw,$rt,$rs)")
+    }
+    assert(rows.map(_.getLong(2)).sum == byUser.size.toLong,
+      "every user is new exactly once")
+  }
+
+  test("exact MCC decomposes into confusion counts that recount from raw data") {
+    import graft.functions.Vectors
+    val rows = Models.qMccExact(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val scored = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(label as long) as label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map { x =>
+        val s = x.getSeq[Double](1).map(v => Vectors.roundJvm(v * 1000000d, 0).toLong).sum
+        (x.getLong(0) < 5, s >= 0L)
+      }
+    val tp = scored.count(x => x._1 && x._2).toLong
+    val fp = scored.count(x => !x._1 && x._2).toLong
+    val tn = scored.count(x => !x._1 && !x._2).toLong
+    val fn = scored.count(x => x._1 && !x._2).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((tp, fp, tn, fn)))
+    val num = BigInt(tp) * tn - BigInt(fp) * fn
+    assert(r.getLong(4) == num.signum.toLong, "mcc sign")
+    val den = (BigInt(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).max(BigInt(1))
+    assert(BigInt(r.getLong(5)) == num * num * 1000000 / den, "mcc^2 ppm")
+    // and the rational really is MCC²: |mcc| = sqrt(mcc2) within fp noise
+    val mcc = num.toDouble / math.sqrt(den.toDouble)
+    assert(math.abs(mcc * mcc * 1e6 - r.getLong(5)) <= 1.0 + mcc * mcc * 1e6 * 1e-9)
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

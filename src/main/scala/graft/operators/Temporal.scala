@@ -1346,6 +1346,48 @@ object Temporal {
        |  CAST(count(*) FILTER (k = 'resurrected') AS BIGINT) AS n_resurrected
        |FROM cls GROUP BY d ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // COHORT VALUE MATRIX — the revenue twin of [[qRetention]]: per
+  // (signup-cohort week × week offset), purchase count and EXACT
+  // revenue cents (the LTV build-up curve finance reads next to the
+  // retention counts; a cohort whose users persist but stop spending
+  // looks healthy in retention and sick here). Money goes through
+  // integer cents (round(value·100) per row, the moneySum rule —
+  // order-free, no double-sum association drift). Scale shape:
+  // first-week table is one map-side min() per user; the value roll-
+  // up joins it back on the user key and partial-aggregates to the
+  // |cohorts|·|offsets| metadata grid.
+  def qCohortValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_type"), col("value"))
+    val firstW = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"),
+        round(col("value") * 100).cast("long").as("cents"))
+    purchases.join(firstW, "user_id")
+      .groupBy(
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        ((unix_micros(col("aw")) - unix_micros(col("cw"))) / lit(604800000000L))
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qCohortValueSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM ev GROUP BY user_id),
+      |p AS (SELECT user_id, date_trunc('week', ts) AS aw, cents FROM ev
+      |  WHERE event_type = 'purchase')
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST((epoch_us(aw) - epoch_us(cw)) // 604800000000 AS BIGINT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM p JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "temporal_dau_wau_mau" -> (qDauWauMau _),
     "temporal_gap_median" -> (qGapMedian _),
@@ -1363,6 +1405,7 @@ object Temporal {
     "temporal_user_lifespan" -> (qUserLifespan _),
     "temporal_active_streaks" -> (qActiveStreaks _),
     "temporal_growth_accounting" -> (qGrowthAccounting _),
+    "temporal_cohort_value" -> (qCohortValue _),
     "temporal_ffill" -> (qResampleFfill _),
     "temporal_churn_label" -> (qChurnLabel _),
     "temporal_gap_detector" -> (qGapDetector _),
@@ -1393,6 +1436,7 @@ object Temporal {
     "temporal_user_lifespan" -> qUserLifespanSql,
     "temporal_active_streaks" -> qActiveStreaksSql,
     "temporal_growth_accounting" -> qGrowthAccountingSql,
+    "temporal_cohort_value" -> qCohortValueSql,
     "temporal_ffill" -> qResampleFfillSql,
     "temporal_churn_label" -> qChurnLabelSql,
     "temporal_gap_detector" -> qGapDetectorSql,

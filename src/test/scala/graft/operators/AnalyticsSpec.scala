@@ -3016,6 +3016,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(mcc * mcc * 1e6 - r.getLong(5)) <= 1.0 + mcc * mcc * 1e6 * 1e-9)
   }
 
+  test("cohort value matrix reconciles with total purchase cents") {
+    val rows = Temporal.qCohortValue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("cast(round(value * 100) as long) as cents").collect()
+    assert(rows.map(_.getLong(2)).sum == purchases.length.toLong,
+      "every purchase lands in exactly one (cohort, offset) cell")
+    assert(rows.map(_.getLong(3)).sum == purchases.map(_.getLong(0)).sum,
+      "revenue cents partition exactly (integer money, no drift)")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L, "activity cannot precede the cohort week")
+      assert(r.getLong(3) > 0L && r.getLong(2) > 0L)
+    }
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

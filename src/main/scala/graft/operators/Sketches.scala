@@ -139,6 +139,108 @@ object Sketches {
   def qHllRegisters(s: SparkSession, dir: String): DataFrame =
     hllRegistersFrom(s, distinctHashes(s, dir)).orderBy(col("bucket"))
 
+  // ---------------------------------------------------------------
+  // HLL SET ALGEBRA — the property that makes HLL the production
+  // distinct sketch: two sketches built INDEPENDENTLY (here: en vs
+  // non-en document shingles — two corpus shards that never meet)
+  // merge by per-bucket register max into exactly the sketch of the
+  // union, so a 1000-executor corpus unions 64-row wire formats
+  // instead of re-scanning. Gated: per-shard estimates, the merged
+  // union estimate, and the inclusion–exclusion intersection
+  // (est_a + est_b − est_union — the only way an HLL answers
+  // overlap), each against its exact distinct count. Same dyadic-
+  // rational estimator as [[qHllEstimate]] — no libm anywhere.
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", LongType), StructField("h", LongType)))
+    val hg = Tables.documents(s, dir)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("g"),
+        col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val g = r.getLong(0)
+          val ws = Text.duckWords(r.getString(2))
+          Dedup.shinglesOf(ws).map(x => Row(g, Dedup.md5Mod(md, x, Long.MaxValue) >> 12))
+        }
+      }(Encoders.row(schema))
+      .dropDuplicates("g", "h")
+      .localCheckpoint() // feeds registers + all exact counts
+    // per-shard registers (densified), then the max-merge
+    val rr = hg
+      .select(col("g"), (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("wv"))
+      .select(col("g"), col("bucket"),
+        expr("CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END").cast("long").as("rho"))
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("register"))
+    val dense = s.range(2).toDF("g")
+      .crossJoin(s.range(HllM).toDF("bucket"))
+      .join(rr, Seq("g", "bucket"), "left")
+      .select(col("g"), col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+    val merged = dense.groupBy(col("bucket")).agg(max(col("register")).as("register"))
+      .select(lit(2L).as("g"), col("bucket"), col("register")) // g=2 := union
+    def estOf(regs: DataFrame): DataFrame = regs.groupBy(col("g")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - least(register, 30) AS INT))"))
+        .as("denom_scaled"))
+      .select(col("g"),
+        expr("CAST(2904064 AS BIGINT) * CAST(1073741824 AS BIGINT) div (1000 * denom_scaled)")
+          .as("est"))
+    val ests = estOf(dense.unionAll(merged)) // (g, est) for 0, 1, 2
+    val exacts = hg.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+      .unionAll(hg.select(col("h")).dropDuplicates("h")
+        .agg(count(lit(1)).as("n_exact")).select(lit(2L).as("g"), col("n_exact")))
+    val base = ests.join(exacts, "g")
+    // inclusion–exclusion intersection from the three scope rows
+    val ie = base.agg(
+      sum(when(col("g") =!= 2L, col("est")).otherwise(-col("est"))).as("est"),
+      sum(when(col("g") =!= 2L, col("n_exact")).otherwise(-col("n_exact"))).as("n_exact"))
+      .select(lit(3L).as("g"), col("est"), col("n_exact"))
+    base.unionAll(ie)
+      .select(
+        expr("CASE g WHEN 0 THEN 'rest' WHEN 1 THEN 'en' WHEN 2 THEN 'union'" +
+          " ELSE 'intersect_ie' END").as("scope"),
+        col("est"), col("n_exact"),
+        expr("abs(est - n_exact) * 1000 div greatest(n_exact, 1)").as("err_pm"))
+      .orderBy(col("scope"))
+  }
+
+  val qHllUnionSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |docs2 AS (SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS g, sh.shingles
+       |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+       |occ AS (SELECT g, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+       |  FROM (SELECT g, unnest(shingles) AS s FROM docs2)),
+       |dd AS MATERIALIZED (SELECT DISTINCT g, h FROM occ),
+       |r AS (SELECT g, h % $HllM AS bucket, h // $HllM AS wv FROM dd),
+       |rr AS (SELECT g, bucket,
+       |    max(CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END) AS register
+       |  FROM r GROUP BY g, bucket),
+       |b AS (SELECT gs.g, bs.bucket FROM (SELECT unnest(range(2)) AS g) gs,
+       |  (SELECT unnest(range($HllM)) AS bucket) bs),
+       |dense AS (SELECT b.g, b.bucket, coalesce(rr.register, 0) AS register
+       |  FROM b LEFT JOIN rr USING (g, bucket)),
+       |merged AS (SELECT 2 AS g, bucket, max(register) AS register
+       |  FROM dense GROUP BY bucket),
+       |allr AS (SELECT * FROM dense UNION ALL SELECT * FROM merged),
+       |z AS (SELECT g, sum(CAST(1 AS BIGINT) << CAST(30 - least(register, 30) AS INT))
+       |    AS denom_scaled FROM allr GROUP BY g),
+       |est AS (SELECT g, CAST(2904064 AS BIGINT) * 1073741824 // (1000 * denom_scaled)
+       |    AS est FROM z),
+       |exg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM dd GROUP BY g
+       |  UNION ALL SELECT 2, CAST(count(DISTINCT h) AS BIGINT) FROM dd),
+       |base AS (SELECT est.g, est.est, exg.n_exact FROM est JOIN exg USING (g)),
+       |ie AS (SELECT 3 AS g,
+       |    CAST(sum(CASE WHEN g <> 2 THEN est ELSE -est END) AS BIGINT) AS est,
+       |    CAST(sum(CASE WHEN g <> 2 THEN n_exact ELSE -n_exact END) AS BIGINT) AS n_exact
+       |  FROM base),
+       |allrows AS (SELECT * FROM base UNION ALL SELECT * FROM ie)
+       |SELECT CASE g WHEN 0 THEN 'rest' WHEN 1 THEN 'en' WHEN 2 THEN 'union'
+       |    ELSE 'intersect_ie' END AS scope,
+       |  CAST(est AS BIGINT) AS est, n_exact,
+       |  CAST(abs(est - n_exact) * 1000 // greatest(n_exact, 1) AS BIGINT) AS err_pm
+       |FROM allrows ORDER BY scope""".stripMargin
+
   private val hllRegistersCtesSql: String =
     s"""r AS (SELECT h % $HllM AS bucket, h // $HllM AS wv FROM d),
        |rr AS (SELECT bucket, max(CASE WHEN wv = 0 THEN 43 ELSE 43 - length(bin(wv)) END) AS register
@@ -565,6 +667,7 @@ object Sketches {
     "sketch_kmv_distinct" -> (qKmvDistinct _),
     "sketch_hll_registers" -> (qHllRegisters _),
     "sketch_hll_estimate" -> (qHllEstimate _),
+    "sketch_hll_union" -> (qHllUnion _),
     "sketch_cms_heavy" -> (qCmsHeavy _),
   )
 
@@ -576,6 +679,7 @@ object Sketches {
     "sketch_kmv_distinct" -> qKmvDistinctSql,
     "sketch_hll_registers" -> qHllRegistersSql,
     "sketch_hll_estimate" -> qHllEstimateSql,
+    "sketch_hll_union" -> qHllUnionSql,
     "sketch_cms_heavy" -> qCmsHeavySql,
   )
 }

@@ -3032,6 +3032,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("HLL union: register max-merge equals the direct union sketch") {
+    val rows = Sketches.qHllUnion(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("en", "intersect_ie", "rest", "union"))
+    val byScope = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact counts reconcile by inclusion-exclusion
+    assert(byScope("intersect_ie")._2 ==
+      byScope("en")._2 + byScope("rest")._2 - byScope("union")._2)
+    // the union estimate equals re-sketching the union corpus
+    // directly: max-merge is lossless (the HLL algebra property)
+    val direct = Sketches.qHllEstimate(spark, sfDir).first()
+    assert(byScope("union")._1 == direct.getLong(3),
+      s"merged-sketch estimate ${byScope("union")._1} vs direct ${direct.getLong(3)}")
+    assert(byScope("union")._2 == direct.getLong(4), "union exact == corpus exact")
+    // estimates are within the published ~1.04/sqrt(64) = 13% band
+    // (generously doubled for the small-m regime)
+    Seq("en", "rest", "union").foreach { sc =>
+      val (est, exact) = byScope(sc)
+      assert(math.abs(est - exact).toDouble / exact.max(1L) < 0.3, s"$sc estimate off")
+    }
+  }
+
   test("phash distance histogram partitions the candidate stream around the gate") {
     val hist = Multimodal.qPhashDistanceHist(spark, sfDir).collect()
     assert(hist.nonEmpty)

@@ -296,26 +296,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  lazy val qMinhashBbitSql: String = {
-    val twoB = 1L << BbitBits
-    val base = qMinhashEstSql.split("\nSELECT doc_a, doc_b,")(0)
-      .replace("""len(list_filter(range(12), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,""",
-        s"""len(list_filter(range($NumHashes), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,
-           |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] % $twoB = sb.sig[k+1] % $twoB)) AS n_match_b,""".stripMargin)
-    s"""$base
-       |SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
-       |  CAST(n_match_b AS BIGINT) AS n_match_b,
-       |  CAST(n_match * 1000 // $NumHashes AS BIGINT) AS est_full_pm,
-       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
-       |    // ($NumHashes * ${twoB - 1}) AS BIGINT) AS est_b_pm,
-       |  CAST(jac_pm AS BIGINT) AS jac_pm,
-       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
-       |    // ($NumHashes * ${twoB - 1}) - jac_pm AS BIGINT) AS err_b_pm
-       |FROM j ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  val qMinhashEstSql: String =
-    s"""WITH $shinglesSqlCte,
+  /** Shared oracle CTE chain (shingles → minhash signatures → band
+    * keys → distinct candidate pairs) embedded verbatim by
+    * [[qMinhashEstSql]] and [[qMinhashBbitSql]] — factored like
+    * [[shinglesSqlCte]] (r13 advice) so neither oracle derives from
+    * the other by split/replace surgery that silently no-ops when
+    * the base text drifts. Ends at `cand`; each consumer writes its
+    * own verify CTE (`j`) and final SELECT. */
+  private lazy val minhashCandSqlCtes: String =
+    s"""$shinglesSqlCte,
        |hv AS (SELECT doc_id,
        |  list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MersenneP) AS hv,
        |  list_distinct(shingles) AS sset
@@ -329,7 +318,29 @@ object Dedup {
        |  FROM mh, (SELECT unnest(range($NumBands)) AS b)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  lazy val qMinhashBbitSql: String = {
+    val twoB = 1L << BbitBits
+    s"""WITH $minhashCandSqlCtes,
+       |j AS (SELECT doc_a, doc_b,
+       |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,
+       |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] % $twoB = sb.sig[k+1] % $twoB)) AS n_match_b,
+       |  len(list_intersect(sa.sset, sb.sset)) * 1000 // len(list_distinct(sa.sset || sb.sset)) AS jac_pm
+       |  FROM cand JOIN mh sa ON cand.doc_a = sa.doc_id JOIN mh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+       |  CAST(n_match_b AS BIGINT) AS n_match_b,
+       |  CAST(n_match * 1000 // $NumHashes AS BIGINT) AS est_full_pm,
+       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
+       |    // ($NumHashes * ${twoB - 1}) AS BIGINT) AS est_b_pm,
+       |  CAST(jac_pm AS BIGINT) AS jac_pm,
+       |  CAST(1000 * greatest(n_match_b * $twoB - $NumHashes, 0)
+       |    // ($NumHashes * ${twoB - 1}) - jac_pm AS BIGINT) AS err_b_pm
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  lazy val qMinhashEstSql: String =
+    s"""WITH $minhashCandSqlCtes,
        |j AS (SELECT doc_a, doc_b,
        |  len(list_filter(range($NumHashes), k -> sa.sig[k+1] = sb.sig[k+1])) AS n_match,
        |  len(list_intersect(sa.sset, sb.sset)) * 1000 // len(list_distinct(sa.sset || sb.sset)) AS jac_pm
@@ -2905,29 +2916,38 @@ FROM n ORDER BY source"""
       r += 1
       // the previous score rides each checkpoint so the convergence
       // delta is a map-only sum over it (the fused CC changed-count
-      // discipline) — no per-round compare join
-      // the round max via a GLOBAL window, not crossJoin(broadcast(
-      // agg)): the broadcast form plans the half-step subtree under
-      // BOTH the build and stream sides (each round computed twice —
-      // the expensive-build-side trap); the single-partition window
-      // is fine for a node-count-sized frame and keeps one
-      // computation per round
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      val aNext = edgesByC.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("raw"))
-        .withColumn("m", max(col("raw")).over(wAll))
-        .select(col("p"), expr("(cast(raw as decimal(38,0)) * 1000000) div m").as("a"))
+      // discipline) — no per-round compare join.
+      // The round max (r13 verdict item 3): checkpoint the RAW
+      // half-step aggregate (previous score attached), read the max
+      // in a map-only 1-row collect over the cached blocks, and
+      // apply it to the normalization as a LITERAL. No
+      // single-partition WindowExec (the family's last
+      // single-task stage), and no crossJoin(broadcast(agg)) — the
+      // broadcast form plans the half-step subtree under BOTH join
+      // sides (each round computed twice, the expensive-build-side
+      // trap). The normalized score is a cheap projection over the
+      // cached raw frame, so its three consumers (next half-step,
+      // delta sum, next round's previous-score join) re-read cache,
+      // not the plan.
+      val aRaw = edgesByC.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("raw"))
         .repartition(p0, col("p"))
         .join(auth.withColumnRenamed("a", "pa"), "p")
-        .select(col("p"), col("a"), abs(col("a") - col("pa")).as("da"))
         .localCheckpoint()
-      val hNext = edgesByP.join(aNext.select(col("p"), col("a")), "p")
+      val maxA = aRaw.agg(max(col("raw"))).collect()(0).getLong(0)
+      val aNext = aRaw.select(col("p"),
+          expr(s"(cast(raw as decimal(38,0)) * 1000000) div cast($maxA as bigint)").as("a"),
+          col("pa"))
+        .select(col("p"), col("a"), abs(col("a") - col("pa")).as("da"))
+      val hRaw = edgesByP.join(aNext.select(col("p"), col("a")), "p")
         .groupBy(col("c")).agg(sum(col("a")).as("raw"))
-        .withColumn("m", max(col("raw")).over(wAll))
-        .select(col("c"), expr("(cast(raw as decimal(38,0)) * 1000000) div m").as("h"))
         .repartition(p0, col("c"))
         .join(hub.withColumnRenamed("h", "ph"), "c")
-        .select(col("c"), col("h"), abs(col("h") - col("ph")).as("dh"))
         .localCheckpoint()
+      val maxH = hRaw.agg(max(col("raw"))).collect()(0).getLong(0)
+      val hNext = hRaw.select(col("c"),
+          expr(s"(cast(raw as decimal(38,0)) * 1000000) div cast($maxH as bigint)").as("h"),
+          col("ph"))
+        .select(col("c"), col("h"), abs(col("h") - col("ph")).as("dh"))
       // one action reads both deltas: map-only sums over the two
       // EAGERLY-checkpointed score frames (cached blocks — the agg
       // costs ~ms), unioned into a 2-row collect. The early exit is

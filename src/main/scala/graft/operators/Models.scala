@@ -836,6 +836,15 @@ FROM j GROUP BY 1 ORDER BY 1"""
       .join(broadcast(perDim.select(col("dd").as("db"),
         col("sx").as("sxb"), col("sxx").as("sxxb"))), "db")
       .crossJoin(broadcast(n))
+      // zero-variance guard (the temporal_autocorr discipline, r13
+      // advice): a constant dimension makes the ratio 0/0 — NaN·1e4
+      // floors to engine-dependent garbage (DuckDB CAST errors, Spark
+      // non-ANSI yields 0). Guard on the SAME double chain the
+      // denominator uses, identically on both engines.
+      .filter((col("n").cast("double") * col("sxxa").cast("double") -
+          col("sxa").cast("double") * col("sxa").cast("double")) > 0.0 &&
+        (col("n").cast("double") * col("sxxb").cast("double") -
+          col("sxb").cast("double") * col("sxb").cast("double")) > 0.0)
       .select(col("da"), col("db"), col("n").cast("long").as("n"),
         // House convention (r11 verdict): gated correlations go out
         // as floor'd scaled integers, never rounded doubles — DuckDB
@@ -871,6 +880,8 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |     sqrt(n::DOUBLE * mb.sxx::DOUBLE - mb.sx::DOUBLE * mb.sx::DOUBLE)))
        |    * 10000) AS BIGINT) AS corr_e4
        |FROM cp JOIN m ma ON ma.d = cp.da JOIN m mb ON mb.d = cp.db, nn
+       |WHERE (n::DOUBLE * ma.sxx::DOUBLE - ma.sx::DOUBLE * ma.sx::DOUBLE) > 0
+       |  AND (n::DOUBLE * mb.sxx::DOUBLE - mb.sx::DOUBLE * mb.sx::DOUBLE) > 0
        |ORDER BY da, db""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1203,7 +1214,10 @@ FROM j GROUP BY 1 ORDER BY 1"""
       // operands non-negative DECIMAL(38,0) (truncate == floor)
       .withColumn("dd", expr("nv * (nv * nv - 1)"))
       .select(col("da"), col("db"), col("nv").cast("long").as("n"),
-        col("sum_d2").cast("long").as("sum_d2"),
+        // Σd² ≤ n³/3 passes Long at ~3.0M vectors — ships as a
+        // decimal STRING (the qAucByGroup convention, r13 advice) so
+        // the value has no wrap horizon on either engine
+        col("sum_d2").cast("string").as("sum_d2"),
         expr("cast(((2 * dd - 6 * sum_d2) * 1000000) div dd as bigint) - 1000000")
           .as("rho_e6"))
       .orderBy(col("da"), col("db"))
@@ -1222,7 +1236,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
        |    sum((a.r - b.r)::HUGEINT * (a.r - b.r)) AS sum_d2
        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.d < b.d GROUP BY 1, 2)
        |SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, n,
-       |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |  CAST(sum_d2 AS VARCHAR) AS sum_d2,
        |  CAST((2::HUGEINT * n * (n::HUGEINT * n - 1) - 6 * sum_d2) * 1000000
        |    // (n::HUGEINT * (n::HUGEINT * n - 1)) - 1000000 AS BIGINT) AS rho_e6
        |FROM p, nn ORDER BY da, db""".stripMargin

@@ -303,8 +303,7 @@ object Multimodal {
       .orderBy(col("hamming"))
 
   lazy val qPhashDistanceHistSql: String = {
-    val base = qPhashBucketsSql.split("\nSELECT doc_a, doc_b,")(0) // chain through cand
-    s"""$base,
+    s"""WITH $phashCandSqlCtes,
        |scored AS (
        |  SELECT cand.n_shared_bands,
        |    bit_count(xor(pa.phash_lo, pb.phash_lo))
@@ -316,10 +315,15 @@ object Multimodal {
        |FROM scored GROUP BY hamming ORDER BY hamming""".stripMargin
   }
 
-  // lazy: composes qPHashSql, which initializes later in the object
-  lazy val qPhashBucketsSql: String = {
-    val base = qPHashSql.split("\nSELECT doc_id,")(0) // the shared CTE chain
-    s"""$base,
+  /** Shared oracle CTE chain through the capped candidate pairs
+    * (`bits` → packed 64-bit phash → 16-bit bands → cap filter →
+    * `cand`), embedded verbatim by [[qPhashBucketsSql]] and
+    * [[qPhashDistanceHistSql]] — factored like Dedup's
+    * minhashCandSqlCtes (r13 advice) instead of split/replace
+    * surgery on a sibling oracle's text. lazy: composes
+    * [[phashBitsSqlCtes]], which initializes later in the object. */
+  private lazy val phashCandSqlCtes: String =
+    s"""$phashBitsSqlCtes,
        |ph AS (SELECT doc_id,
        |  CAST(list_aggregate(list_transform(range(32), j -> b[j+1] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_lo,
        |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_hi
@@ -336,7 +340,10 @@ object Multimodal {
        |cand AS (
        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
        |  FROM kept a JOIN kept c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
-       |  WHERE a.doc_id < c.doc_id GROUP BY 1, 2)
+       |  WHERE a.doc_id < c.doc_id GROUP BY 1, 2)""".stripMargin
+
+  lazy val qPhashBucketsSql: String = {
+    s"""WITH $phashCandSqlCtes
        |SELECT doc_a, doc_b, n_shared_bands,
        |  CAST((pa.phash_lo % 65536 = pb.phash_lo % 65536)::INT
        |    + (pa.phash_lo // 65536 = pb.phash_lo // 65536)::INT
@@ -349,8 +356,11 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  val qPHashSql: String =
-    s"""WITH cp AS (SELECT doc_id, length(text) AS n,
+  /** Shared oracle CTE chain (codepoints → window sums → 64 hash
+    * bits, ending at `bits`) embedded verbatim by [[qPHashSql]] and
+    * [[phashCandSqlCtes]]. */
+  private val phashBitsSqlCtes: String =
+    s"""cp AS (SELECT doc_id, length(text) AS n,
        |  list_transform(range(length(text)),
        |    i -> CAST(ord(substring(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT)) AS cps
        |  FROM documents),
@@ -365,7 +375,10 @@ object Multimodal {
        |  list_transform(range($PHashWindows), j ->
        |    CASE WHEN wsums[j+1] * n > total * (((j+1)*n)//$PHashWindows - (j*n)//$PHashWindows)
        |      THEN 1 ELSE 0 END) AS b
-       |  FROM ws)
+       |  FROM ws)""".stripMargin
+
+  val qPHashSql: String =
+    s"""WITH $phashBitsSqlCtes
        |SELECT doc_id,
        |  CAST(list_aggregate(list_transform(range(32), j -> b[j+1] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_lo,
        |  CAST(list_aggregate(list_transform(range(32), j -> b[j+33] * (1::BIGINT << j)), 'sum') AS BIGINT) AS phash_hi

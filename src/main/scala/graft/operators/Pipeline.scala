@@ -630,6 +630,63 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |FROM k ORDER BY pos""".stripMargin
 
   // ---------------------------------------------------------------
+  // DETERMINISTIC PER-SHARD RESERVOIR — uniform "k docs per source"
+  // spot-check sampling (eval-set carving, manual-QA draws) that is
+  // exact, seeded, and order-independent: the reservoir is the k
+  // smallest salted hashes md5(doc_id || ':resv13') per shard, so
+  // the same k rows are selected on any cluster size, any partition
+  // order, and in the oracle (the house salted-hash-rank convention,
+  // [[splitOf]]'s). The classical streaming reservoir (Vitter's
+  // algorithm R) is sequence-order-dependent — ungateable across
+  // engines; hash-rank top-k IS the distributed-exact equivalent
+  // (a uniform random k-subset per seed).
+  //
+  // Scale shape — NO per-shard global window over the corpus: pass 1
+  // computes each shard's k-th smallest hash with the k-bounded
+  // [[graft.functions.TopKLongAggregator]] (partial buffers ship ≤k
+  // longs per shard per partition, map-side combined); the
+  // shard-count-sized threshold table broadcasts back and pass 2
+  // streams the corpus against it. Only the ≤ k·|shards| survivors
+  // (+ exact-tie rows, which the rank filter then resolves by
+  // doc_id — tie-safe by construction) enter the tiny ranking
+  // window. Two cheap scans instead of one corpus-wide sort+shuffle.
+  private val ResvK = 10
+  private val ResvSalt = "resv13"
+
+  def qReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hk = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + ResvSalt))),
+      1, 15), 16, 10).cast("long")
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"), hk.as("hk"))
+    val topk = new graft.functions.TopKLongAggregator(ResvK).toColumn
+    // top-k LARGEST of -hk = k smallest hashes; element k = the threshold
+    val thr = d.select(col("source"), (-col("hk")).as("nk")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2).agg(topk.name("keys"))
+      .toDF("source", "keys")
+      .select(col("source"),
+        when(size(col("keys")) >= ResvK, -element_at(col("keys"), ResvK))
+          .otherwise(lit(Long.MaxValue)).as("thr"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    d.join(broadcast(thr), "source")
+      .filter(col("hk") <= col("thr"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ResvK)
+      .select(col("source"), col("rk"), col("doc_id"), col("hk"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val qReservoirSql: String =
+    s"""WITH h AS (SELECT source, doc_id, n_chars,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$ResvSalt'), 1, 15))::BIGINT AS hk
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, n_chars, hk,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk FROM h)
+       |SELECT source, CAST(rk AS INT) AS rk, doc_id, hk, n_chars FROM r
+       |WHERE rk <= $ResvK ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------
   // PII REDACTION — the log-scrubbing pass telemetry goes through
   // before leaving its trust boundary: every digit in the free-form
   // `props` payload masks to '#' (numbers are the id/quasi-identifier
@@ -1892,6 +1949,7 @@ FROM j ORDER BY source"""
     "samp_dsir" -> (qDsir _),
     "pipe_filter_decisions" -> (qFilterDecisions _),
     "samp_split" -> (qSplit _),
+    "samp_reservoir" -> (qReservoir _),
     "samp_split_stability" -> (qSplitStability _),
     "samp_split_clean" -> (qSplitClean _),
     "pipe_curriculum" -> (qCurriculum _),
@@ -1926,6 +1984,7 @@ FROM j ORDER BY source"""
     "samp_dsir" -> qDsirSql,
     "pipe_filter_decisions" -> qFilterDecisionsSql,
     "samp_split" -> qSplitSql,
+    "samp_reservoir" -> qReservoirSql,
     "samp_split_stability" -> qSplitStabilitySql,
     "samp_split_clean" -> qSplitCleanSql,
     "pipe_curriculum" -> qCurriculumSql,

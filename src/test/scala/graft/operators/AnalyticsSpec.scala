@@ -2621,8 +2621,8 @@ class AnalyticsSpec extends SparkSpec {
     }
     val nB = BigInt(n)
     val dd = nB * (nB * nB - 1)
-    val byPair = rows.map(r =>
-      (r.getLong(0).toInt, r.getLong(1).toInt) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val byPair = rows.map(r => // sum_d2 ships as a decimal string (no wrap horizon)
+      (r.getLong(0).toInt, r.getLong(1).toInt) -> ((r.getString(3), r.getLong(4)))).toMap
     Seq((0, 1), (0, d - 1), (d / 2, d / 2 + 1), (d - 2, d - 1)).foreach { case (a, b) =>
       val sd2 = ranks.foldLeft(BigInt(0)) { (s, rv) =>
         val diff = BigInt(rv(a) - rv(b)); s + diff * diff
@@ -3066,5 +3066,97 @@ class AnalyticsSpec extends SparkSpec {
     val hs = hist.map(_.getLong(0))
     assert(hs.toSeq == hs.sorted.toSeq && hs.forall(h => h >= 0L && h <= 64L))
     assert(hist.map(_.getLong(1)).forall(_ > 0L), "no empty histogram rows")
+  }
+
+  test("range search equals an exact JVM tau-ball replay; band counts replay from plane signs") {
+    import graft.functions.Vectors
+    val rows = Similarity.qRangeSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val planes = Vectors.planeSigns(8)
+    def bucket(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (sg, p) =>
+        if (Vectors.dotJvm(v, sg.toArray) > 0) 1 << p else 0
+      }.sum
+    val expected = (for {
+      (qid, qv) <- vecs.toSeq if qid % 50 == 0
+      (nid, nv) <- vecs.toSeq if nid != qid
+      cos = Vectors.round6Jvm(Vectors.dotJvm(nv, qv) /
+        (math.sqrt(Vectors.dotJvm(nv, nv)) * math.sqrt(Vectors.dotJvm(qv, qv))))
+      if cos >= 0.25
+    } yield {
+      val qb = bucket(qv); val nb = bucket(nv)
+      val nBands = (0 until 4).count(b => ((qb >> (2 * b)) & 3) == ((nb >> (2 * b)) & 3))
+      (qid, nid, Vectors.roundJvm(cos * 1e6, 0).toLong, nBands)
+    }).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected, s"tau-ball mismatch: got ${got.size}, expected ${expected.size}")
+    // output is the exact ball: one row per (probe, tau-neighbor), no rank cap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    // every gated cosine clears the threshold as a positive ppm integer
+    assert(rows.forall(_.getLong(2) >= 250000L))
+  }
+
+  test("reservoir is exactly the k smallest salted hashes per source") {
+    val k = 10
+    val rows = Pipeline.qReservoir(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hk(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$docId:resv13".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._2, hk(d._2), d._3)).sortBy(t => (t._3, t._2)).take(k)
+        .zipWithIndex.map { case ((s2, id, h, nc), i) => (s2, i + 1, id, h, nc) }
+    }.toSet
+    val got = rows.map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, "reservoir membership/rank/hash mismatch vs JVM replay")
+    // ranks dense 1..k per shard; exactly min(k, shard size) rows
+    val bySrc = docs.groupBy(_._1).map { case (s2, ds) => s2 -> ds.length }
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length == math.min(k, bySrc(src)))
+    }
+  }
+
+  test("hits fixpoint loop plans no unpartitioned window and decays monotonically") {
+    // r13 verdict item 3: the per-round max must come from the cached
+    // raw frame as a literal, never a Window.partitionBy() — capture
+    // WindowExec's own "single partition" warning while the loop runs
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+        "graft-win-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("No Partition Defined for Window")) captured.add(m)
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(app, null, null)
+    ctx.updateLoggers()
+    val rows =
+      try Dedup.qHitsConverge(spark, sfDir).collect()
+      finally { rootCfg.removeAppender("graft-win-capture"); ctx.updateLoggers() }
+    assert(captured.isEmpty, s"unpartitioned WindowExec planned: ${captured.peek}")
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length), "rounds numbered 1..n")
+    // both L1 deltas non-negative; only the final emitted round may be
+    // the zero fixpoint (the early exit truncates after it)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+    rows.init.foreach(r => assert(r.getLong(1) > 0L || r.getLong(2) > 0L,
+      "loop must stop at the first zero-delta round"))
   }
 }

@@ -33,22 +33,82 @@ import org.apache.spark.sql.functions._
   *    [[Tables.fixEventTs]] converts on read exactly like the
   *    original TIMESTAMP(NANOS) files).
   *
+  *  - `graph` / `graphhub` modes (4th arg) scale orders+lineitem
+  *    instead (the co-purchase bipartite graph feeding the graph_*
+  *    family) and symlink everything else. `graph` shifts ALL keys
+  *    per copy (orderkey/custkey/partkey) → k disjoint copies of the
+  *    original bipartite graph: node and edge counts ×k, every degree
+  *    unchanged — the honest "corpus grew" scale-up under which a
+  *    correctly-capped Σdeg² pipeline must grow LINEARLY. `graphhub`
+  *    keeps o_custkey UNSHIFTED → every customer's part-degree grows
+  *    ×k (hub stress): uncapped, customer-keyed self-join pair work
+  *    grows ×k² (Σdeg² quadratic in the hub degree); the
+  *    CnMaxCustDeg cap must prune the hubs and FLATTEN the curve —
+  *    the LSH band-cap discipline's graph analog, measured rather
+  *    than asserted.
+  *
   * Output tables are written as 8 parquet files each — a realistic
   * multi-file table rather than the test corpus's single file.
   *
-  * Usage: runMain graft.Scale10x [srcSfDir] [outDir] [copies] [prefix]
+  * Usage: runMain graft.Scale10x [srcSfDir] [outDir] [copies] [prefix|graph|graphhub]
   */
 object Scale10x {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf10x"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val dupStress = args.length > 3 && args(3) == "prefix"
+    val mode = if (args.length > 3) args(3) else ""
+    val dupStress = mode == "prefix"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-scale10x")
     import org.apache.hadoop.fs.Path
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(out), true)
+
+    def linkRest(scaled: Seq[String]): Unit =
+      Tables.names.filterNot(scaled.contains).foreach { t =>
+        val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+
+    if (mode == "graph" || mode == "graphhub") {
+      // key offsets: next power of 10 above each key domain, the
+      // documents discipline — copies never collide
+      def off(tbl: String, key: String): Long = {
+        val m = spark.read.parquet(s"$src/$tbl.parquet")
+          .agg(max(col(key))).first().getLong(0)
+        math.pow(10, m.toString.length).toLong
+      }
+      val ordOff = off("orders", "o_orderkey")
+      val custOff = if (mode == "graphhub") 0L else off("orders", "o_custkey")
+      val partOff = off("lineitem", "l_partkey")
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      (0 until copies).map { k =>
+        orders.select(
+          (col("o_orderkey") + lit(k * ordOff)).as("o_orderkey"),
+          (col("o_custkey") + lit(k * custOff)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until copies).map { k =>
+        li.select(
+          (col("l_orderkey") + lit(k * ordOff)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * partOff)).as("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      linkRest(Seq("orders", "lineitem"))
+      println(s"wrote ${copies}x $mode graph tables to $out")
+      spark.stop()
+      return
+    }
 
     val ks = spark.range(copies).select(col("id").as("k"))
 
@@ -103,11 +163,7 @@ object Scale10x {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    Tables.names.filterNot(Seq("documents", "embeddings", "events").contains).foreach { t =>
-      val link = java.nio.file.Paths.get(s"$out/$t.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$src/$t.parquet"))
-    }
+    linkRest(Seq("documents", "embeddings", "events"))
     println(s"wrote ${copies}x tables to $out")
     spark.stop()
   }

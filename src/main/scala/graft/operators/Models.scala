@@ -366,6 +366,77 @@ SELECT CAST(lm_score_ppm // $CalBinPpm AS BIGINT) AS bin,
 FROM j GROUP BY 1 ORDER BY 1"""
 
   // ---------------------------------------------------------------
+  // BRIER DECOMPOSITION (Murphy 1973) — what [[qCalibration]]'s
+  // reliability table looks like when you score it: the binned
+  // forecaster's Brier score splits EXACTLY into
+  //   Brier = REL − RES + UNC
+  // (reliability: calibration error, to minimize; resolution:
+  // discrimination, to maximize; uncertainty: the label base rate's
+  // intrinsic floor ȳ(1−ȳ)). The en-trained LM score (ppm, as the
+  // forecast probability) against lang=='en': RES ≫ 0 with REL huge
+  // is this corpus's verdict — the score DISCRIMINATES (worth
+  // thresholding, as text_ccnet_buckets does) but is NOT calibrated
+  // as a probability (never feed it to expected-loss arithmetic
+  // without recalibration). That, in two columns, is why pipelines
+  // recalibrate before budgeting.
+  //
+  // Everything is exact: per bin k with n rows, E positives, S =
+  // Σ forecast-ppm, the three per-bin contributions (×1e6, floor'd —
+  // all non-negative squares, no -0.0 class) are
+  //   rel_e6   = (S − 1e6·E)² div (n·1e6)
+  //   res_e6   = ((E·N − Etot·n)² · 1e6) div (n·N²)
+  //   brier_e6 = (S² − 2·1e6·S·E + E·n·1e12) div (n·1e6)
+  // with squares in DECIMAL(38,0)/HUGEINT (S² ~ 1e12·n² wraps BIGINT
+  // past ~3k-row bins). The raw (n, n_pos, sum_p_ppm) columns ride
+  // along so the Murphy identity is reconstructable in exact
+  // rationals — the spec proves it (the sketch_hll_union
+  // algebra-in-spec discipline). Scale shape: one pass over the
+  // memoized [[Text.lmScored]] frame, a |bins|-row aggregate, the
+  // 1-row total broadcast back — no window, no corpus re-scan.
+  def qBrierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("is_en")), "doc_id")
+      .groupBy(expr(s"lm_score_ppm div $CalBinPpm").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_en")).as("n_pos"),
+        sum(col("lm_score_ppm")).as("sum_p_ppm"))
+    val tot = b.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("et"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_p_ppm"),
+        expr(s"cast((cast(sum_p_ppm - 1000000 * n_pos as $dec) * (sum_p_ppm - 1000000 * n_pos))" +
+          s" div (cast(n as $dec) * 1000000) as bigint)").as("rel_e6"),
+        expr(s"cast((cast(n_pos * nt - et * n as $dec) * (n_pos * nt - et * n) * 1000000)" +
+          s" div (cast(n as $dec) * nt * nt) as bigint)").as("res_e6"),
+        expr(s"cast((cast(sum_p_ppm as $dec) * sum_p_ppm - cast(2000000 as $dec) * sum_p_ppm * n_pos" +
+          s" + cast(n_pos as $dec) * n * 1000000000000)" +
+          s" div (cast(n as $dec) * 1000000) as bigint)").as("brier_e6"))
+      .orderBy(col("bin"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped
+  // qLmScoreSql (the `||`-continuation rule)
+  lazy val qBrierDecompSql: String =
+    s"""WITH lm AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm FROM (
+${Text.qLmScoreSql}
+)),
+j AS (SELECT l.lm_score_ppm AS p, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lm l JOIN documents d USING (doc_id)),
+b AS (SELECT CAST(p // $CalBinPpm AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(p) AS BIGINT) AS sum_p_ppm
+  FROM j GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS et FROM b)
+SELECT bin, n, n_pos, sum_p_ppm,
+  CAST((sum_p_ppm - 1000000 * n_pos)::HUGEINT * (sum_p_ppm - 1000000 * n_pos)
+    // (n::HUGEINT * 1000000) AS BIGINT) AS rel_e6,
+  CAST((n_pos * nt - et * n)::HUGEINT * (n_pos * nt - et * n) * 1000000
+    // (n::HUGEINT * nt * nt) AS BIGINT) AS res_e6,
+  CAST((sum_p_ppm::HUGEINT * sum_p_ppm - 2000000::HUGEINT * sum_p_ppm * n_pos
+    + n_pos::HUGEINT * n * 1000000000000) // (n::HUGEINT * 1000000) AS BIGINT) AS brier_e6
+FROM b, tot ORDER BY bin"""
+
+  // ---------------------------------------------------------------
   // POWER-ITERATION STEP — one distributed step of the classical
   // top-eigenvector iteration on the corpus's (uncentered) second
   // moment: v₁ = (XᵀX)·v₀ with the deterministic all-ones seed,
@@ -1801,6 +1872,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_nb_train" -> (qNbTrain _),
     "ml_kmeans_converge" -> (qKmeansConverge _),
     "ml_calibration" -> (qCalibration _),
+    "ml_brier_decomp" -> (qBrierDecomp _),
     "ml_auc_exact" -> (qAucExact _),
     "ml_gini_split" -> (qGiniSplit _),
     "ml_pr_curve" -> (qPrCurve _),
@@ -1825,6 +1897,7 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "ml_nb_train" -> qNbTrainSql,
     "ml_kmeans_converge" -> qKmeansConvergeSql,
     "ml_calibration" -> qCalibrationSql,
+    "ml_brier_decomp" -> qBrierDecompSql,
     "ml_auc_exact" -> qAucExactSql,
     "ml_gini_split" -> qGiniSplitSql,
     "ml_pr_curve" -> qPrCurveSql,

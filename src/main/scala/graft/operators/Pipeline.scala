@@ -800,6 +800,90 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // T-CLOSENESS AUDIT — the third rung of the release-audit ladder
+  // (Li/Li/Venkatasubramanian 2007): a QI group can pass k-anonymity
+  // AND l-diversity while its sensitive-value DISTRIBUTION still
+  // leaks (5 distinct priorities present but 90% URGENT discloses
+  // plenty). t-closeness bounds the distance between each group's
+  // sensitive distribution and the global one; distance here is
+  // total-variation — EXACT as integers (the text_source_divergence
+  // discipline; EMD over a nominal attribute IS TV): per group of
+  // size k over corpus of size N, t·(2kN) = Σ_v |c_v·N − C_v·k|,
+  // where values ABSENT from the group contribute C_v·k — folded in
+  // closed form (Σ_absent C_v·k = kN − Σ_present C_v·k), so only
+  // PRESENT (group, value) rows are ever materialized: t_num =
+  // kN + Σ_present(|c_v·N − C_v·k| − C_v·k). Output is the t_ppm
+  // decile histogram (the qKAnon bin discipline) — the high bins are
+  // the skewed-disclosure mass a release gate blocks on even when k
+  // and l pass.
+  //
+  // Scale shape: one (QI, sens) aggregate, one QI-keyed aggregate
+  // for k reusing the same exchange, the |values|-row global table
+  // broadcast, a final QI aggregate and a ≤11-bin rollup — no
+  // window, no grid materialization, no state.
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderkey"), col("o_orderpriority")))
+        .getField("o_orderpriority").as("sens"))
+    val qi = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+    val gv = qi.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("sens"))
+      .agg(count(lit(1)).as("cv"))
+    // k via a second aggregate over gv: shares gv's QI-prefixed
+    // exchange (no corpus re-scan, no window)
+    val gk = gv.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(sum(col("cv")).as("k"))
+    val gl = qi.groupBy(col("sens")).agg(count(lit(1)).as("gc"))
+    val nn = qi.agg(count(lit(1)).as("n"))
+    val t = gv
+      .join(gk, Seq("c_nationkey", "c_mktsegment", "bal_bucket"))
+      .join(broadcast(gl), "sens")
+      .crossJoin(broadcast(nn))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        sum(abs(col("cv") * col("n") - col("gc") * col("k")) - col("gc") * col("k"))
+          .as("spart"))
+      .select(col("k"),
+        expr("(1000000 * (k * n + spart)) div (2 * k * n)").as("t_ppm"))
+    t.groupBy(expr("t_ppm div 100000").as("t_bin"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_records"),
+        max(col("t_ppm")).as("max_t_ppm"))
+      .orderBy(col("t_bin"))
+  }
+
+  val qTClosenessSql: String =
+    """WITH fo AS (SELECT o_custkey,
+      |    min_by(o_orderpriority, o_orderkey) AS sens FROM orders GROUP BY 1),
+      |qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |    coalesce(fo.sens, 'NONE') AS sens
+      |  FROM customer LEFT JOIN fo ON c_custkey = fo.o_custkey),
+      |gv AS (SELECT c_nationkey, c_mktsegment, bal_bucket, sens,
+      |    CAST(count(*) AS BIGINT) AS cv FROM qi GROUP BY 1, 2, 3, 4),
+      |gk AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |    CAST(sum(cv) AS BIGINT) AS k FROM gv GROUP BY 1, 2, 3),
+      |gl AS (SELECT sens, CAST(count(*) AS BIGINT) AS gc FROM qi GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qi),
+      |t AS (SELECT gv.c_nationkey, gv.c_mktsegment, gv.bal_bucket,
+      |    max(gk.k) AS k, max(nn.n) AS n,
+      |    sum(abs(gv.cv * nn.n - gl.gc * gk.k) - gl.gc * gk.k) AS spart
+      |  FROM gv JOIN gk USING (c_nationkey, c_mktsegment, bal_bucket)
+      |       JOIN gl USING (sens), nn
+      |  GROUP BY 1, 2, 3),
+      |tp AS (SELECT k, (1000000 * (k * n + spart)) // (2 * k * n) AS t_ppm FROM t)
+      |SELECT CAST(t_ppm // 100000 AS BIGINT) AS t_bin,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_records,
+      |  CAST(max(t_ppm) AS BIGINT) AS max_t_ppm
+      |FROM tp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // SOURCE-CONCENTRATION AUDIT (Lorenz curve + Gini) — how unequally
   // the token budget is spread across sources: the number a mixing
   // policy (samp_domain_mix / samp_temperature) is tuned against,
@@ -1936,6 +2020,7 @@ FROM j ORDER BY source"""
     "samp_group_kfold" -> (qGroupKfold _),
     "pipe_pareto_frontier" -> (qParetoFrontier _),
     "pii_ldiversity" -> (qLDiversity _),
+    "pii_tcloseness" -> (qTCloseness _),
     "pipe_waterfill_budget" -> (qWaterfillBudget _),
     "samp_kcenter" -> (qKcenter _),
     "pipe_shard_manifest" -> (qShardManifest _),
@@ -1972,6 +2057,7 @@ FROM j ORDER BY source"""
     "samp_group_kfold" -> qGroupKfoldSql,
     "pipe_pareto_frontier" -> qParetoFrontierSql,
     "pii_ldiversity" -> qLDiversitySql,
+    "pii_tcloseness" -> qTClosenessSql,
     "samp_epoch_plan" -> qEpochPlanSql,
     "samp_kcenter" -> qKcenterSql,
     "pipe_shard_manifest" -> qShardManifestSql,

@@ -541,6 +541,57 @@ object Temporal {
       |FROM h GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // EXPONENTIAL MOVING AVERAGE (dyadic, exact) — the per-user
+  // recency-weighted spend signal feature stores ship next to RFM:
+  // s_i = s_{i-1}/2 + x_i/2 over each user's last 8 events in time
+  // order (seeded s_1 = oldest x in the window). The recursion is
+  // ungateable as floats (association-dependent), but with α = 1/2
+  // every weight is DYADIC — the closed form over the k ≤ 8 window
+  // rows is w(most-recent-rank r) = 2^-r, except the oldest row
+  // (r = k) which carries the seed's 2^-(k-1) — and ×128 (the LCM
+  // denominator 2^7) every weight is an exact integer. Values ride
+  // as exact cents, so the gated ewma_x128_cents is a plain BIGINT
+  // dot product: no recursion, no floats, no -0.0 class.
+  //
+  // Scale shape: ONE per-user window (row_number over ts DESC) and a
+  // plain aggregate — the oldest-row weight correction is applied
+  // POST-agg from (max rn, max_by(vc, rn)) rather than via a second
+  // count-over-partition window, so the plan carries one sort
+  // exchange on user_id and nothing else.
+  private val EwmaK = 8
+
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= EwmaK)
+      .groupBy(col("user_id"))
+      .agg(max(col("rn")).cast("long").as("n_win"),
+        sum(expr("vc * shiftright(128, rn)")).as("base"),
+        expr("max_by(vc, rn)").as("ov"))
+      .select(col("user_id"), col("n_win"),
+        expr("base + ov * (shiftright(128, cast(n_win as int) - 1) - shiftright(128, cast(n_win as int)))")
+          .cast("long").as("ewma_x128_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEwmaSql: String =
+    s"""WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+       |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |r AS (SELECT user_id, vc,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM e),
+       |k8 AS (SELECT * FROM r WHERE rn <= $EwmaK),
+       |a AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n_win,
+       |  sum(vc * (128 >> rn)) AS base, max_by(vc, rn) AS ov
+       |  FROM k8 GROUP BY 1)
+       |SELECT user_id, n_win,
+       |  CAST(base + ov * ((128 >> (n_win - 1)) - (128 >> n_win)) AS BIGINT) AS ewma_x128_cents
+       |FROM a ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Z-SCORE outlier detection — the monitoring pass a pipeline runs
   // over an event stream: flag events whose value sits ≥3 standard
   // deviations from their type's mean. Cross-engine determinism via
@@ -1415,6 +1466,7 @@ object Temporal {
     "temporal_rolling" -> (qRolling _),
     "temporal_hopping" -> (qHopping _),
     "temporal_anomaly" -> (qAnomaly _),
+    "temporal_ewma" -> (qEwma _),
     "temporal_funnel" -> (qFunnel _),
     "temporal_retention" -> (qRetention _),
   )
@@ -1446,6 +1498,7 @@ object Temporal {
     "temporal_rolling" -> qRollingSql,
     "temporal_hopping" -> qHoppingSql,
     "temporal_anomaly" -> qAnomalySql,
+    "temporal_ewma" -> qEwmaSql,
     "temporal_funnel" -> qFunnelSql,
     "temporal_retention" -> qRetentionSql,
   )

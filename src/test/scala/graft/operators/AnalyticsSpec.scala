@@ -3159,4 +3159,95 @@ class AnalyticsSpec extends SparkSpec {
     rows.init.foreach(r => assert(r.getLong(1) > 0L || r.getLong(2) > 0L,
       "loop must stop at the first zero-delta round"))
   }
+
+  test("ewma equals the dyadic closed form replayed per user in exact longs") {
+    val rows = Temporal.qEwma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id",
+        "cast(round(value * 100) as long) as vc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      // most-recent first: (ts desc, event_id desc), window of 8
+      val win = es.sortBy(e => (-e._2, -e._3)).take(8).map(_._4)
+      val k = win.length
+      // recursion replay, scaled by 128: s_1 = oldest, s_i = (s+x)/2
+      val s128 = win.reverse.tail.foldLeft(win.last * 128L)((s, x) => (s + x * 128L) / 2)
+      // the fold halves exactly only when every intermediate is even;
+      // dyadic weights guarantee it — assert no truncation happened
+      val direct = win.zipWithIndex.map { case (x, i) =>
+        val rn = i + 1
+        x * (if (rn == k) 128L >> (k - 1) else 128L >> rn)
+      }.sum
+      assert(s128 == direct, s"user $u: recursion vs closed form")
+      u -> (k.toLong, direct)
+    }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "ewma mismatch vs JVM replay")
+  }
+
+  test("t-closeness histogram equals an exact TV-distance replay over QI groups") {
+    val rows = Pipeline.qTCloseness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sens = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (c, os) => c -> os.minBy(_._2)._3 }
+    val qi = graft.Tables.customer(spark, sfDir)
+      .selectExpr("c_custkey", "cast(c_nationkey as long) as c_nationkey", "c_mktsegment",
+        "cast(floor(c_acctbal / 1000.0) as long) as bb").collect()
+      .map(r => ((r.getLong(1), r.getString(2), r.getLong(3)),
+        sens.getOrElse(r.getLong(0), "NONE")))
+    val n = qi.length.toLong
+    val glob = qi.groupBy(_._2).map { case (v, xs) => v -> xs.length.toLong }
+    val tppm = qi.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val k = xs.length.toLong
+      val cv = xs.groupBy(_._2).map { case (v, ys) => v -> ys.length.toLong }
+      val tNum = glob.map { case (v, gc) =>
+        math.abs(cv.getOrElse(v, 0L) * n - gc * k)
+      }.sum
+      (k, 1000000L * tNum / (2 * k * n))
+    }
+    val expected = tppm.groupBy(_._2 / 100000L).map { case (bin, xs) =>
+      bin -> ((xs.length.toLong, xs.map(_._1).sum, xs.map(_._2).max))
+    }
+    val got = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "t-closeness histogram mismatch vs JVM replay")
+    // TV distance is a [0,1] metric: every bin in [0,10]
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 10L))
+  }
+
+  test("brier decomposition satisfies the Murphy identity in exact rationals") {
+    val rows = Models.qBrierDecomp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    case class Rat(num: BigInt, den: BigInt) {
+      def +(o: Rat) = Rat(num * o.den + o.num * den, den * o.den)
+      def -(o: Rat) = Rat(num * o.den - o.num * den, den * o.den)
+    }
+    def eq(a: Rat, b: Rat): Boolean = a.num * b.den == b.num * a.den
+    val bins = rows.map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    val nT = bins.map(_._1).sum
+    val eT = bins.map(_._2).sum
+    val e12 = BigInt(10).pow(12)
+    def sumR(f: ((BigInt, BigInt, BigInt)) => Rat): Rat =
+      bins.map(f).reduce(_ + _)
+    val rel = sumR { case (n, e, s) => Rat((s - e * 1000000).pow(2), n * e12) }
+    val res = sumR { case (n, e, _) => Rat((e * nT - eT * n).pow(2), n * nT * nT) }
+    val brier = sumR { case (n, e, s) =>
+      Rat(s * s - 2 * BigInt(1000000) * s * e + e * n * e12, n * e12) }
+    val unc = Rat(eT * (nT - eT), nT)
+    assert(eq(brier, rel - res + unc), "Murphy identity Brier = REL - RES + UNC")
+    // the floored display columns match exact recomputation from the raw columns
+    rows.foreach { r =>
+      val (n, e, s) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      assert(BigInt(r.getLong(4)) == (s - e * 1000000).pow(2) / (n * 1000000), "rel_e6")
+      assert(BigInt(r.getLong(5)) == (e * nT - eT * n).pow(2) * 1000000 / (n * nT * nT), "res_e6")
+      assert(BigInt(r.getLong(6)) ==
+        (s * s - 2 * BigInt(1000000) * s * e + e * n * e12) / (n * 1000000), "brier_e6")
+    }
+    // discrimination exists and the score is uncalibrated on this corpus:
+    // both REL and RES strictly positive
+    assert(rel.num > 0 && res.num > 0)
+  }
 }

@@ -437,6 +437,97 @@ SELECT bin, n, n_pos, sum_p_ppm,
 FROM b, tot ORDER BY bin"""
 
   // ---------------------------------------------------------------
+  // ISOTONIC CALIBRATION (PAV) — the recalibration step
+  // [[qBrierDecomp]]'s verdict demands: fit the best MONOTONE map
+  // from score bins to observed positive rate (isotonic regression,
+  // the standard-issue recalibrator next to Platt scaling — chosen
+  // here because it is EXACT: no sigmoid, no libm). The classical
+  // pool-adjacent-violators stack is sequential; this operator
+  // computes the identical fit through the minimax closed form
+  //   ŷ_i = max_{k≤i} min_{j≥i} mean(y over bins k..j)
+  // (Robertson/Wright/Dykstra 1988, Thm 1.4.4 — equality with PAV is
+  // ALSO proven at runtime by the spec's stack replay), which is
+  // pure relational algebra over the bin triples (k ≤ i ≤ j).
+  // Cross-engine exactness: pool means compare as IEEE quotients of
+  // exact BIGINT prefix sums (identical doubles both engines, ties
+  // broken by index), and the SELECTED pool's integer sums emit the
+  // gated iso_ppm by exact integer division — the fit itself is
+  // never a float.
+  //
+  // Scale shape: the corpus pass is the one binned aggregate shared
+  // with [[qCalibration]]/[[qBrierDecomp]] (memoized lmScored); the
+  // minimax runs on bin TRIPLES — bins are value-domain-bounded
+  // (score-range/250, ~45 here, scale-INVARIANT like ml_ks_test), so
+  // the triple table is metadata-sized at any corpus size.
+  def qIsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bins = Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("is_en")), "doc_id")
+      .groupBy(expr(s"lm_score_ppm div $CalBinPpm").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_en")).as("e"))
+    val wOrd = Window.orderBy(col("bin")) // B-row metadata frame
+    val pre = bins
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("pn", sum(col("n")).over(wOrd))
+      .withColumn("pe", sum(col("e")).over(wOrd))
+      .localCheckpoint() // B rows; feeds four self-join arms
+    val kj = pre.select(col("i").as("k"), (col("pn") - col("n")).as("pn0"),
+        (col("pe") - col("e")).as("pe0"))
+      .join(pre.select(col("i").as("j"), col("pn").as("pnj"), col("pe").as("pej")),
+        col("k") <= col("j"))
+      .select(col("k"), col("j"), (col("pej") - col("pe0")).as("num"),
+        (col("pnj") - col("pn0")).as("den"))
+      .withColumn("q", col("num").cast("double") / col("den").cast("double"))
+    val tri = pre.select(col("i"))
+      .join(kj, col("k") <= col("i") && col("j") >= col("i"))
+    val wIn = Window.partitionBy(col("i"), col("k")).orderBy(col("q"), col("j"))
+    val wOut = Window.partitionBy(col("i")).orderBy(col("q").desc, col("k"))
+    val iso = tri.withColumn("rn", row_number().over(wIn)).filter(col("rn") === 1)
+      .withColumn("rm", row_number().over(wOut)).filter(col("rm") === 1)
+      .select(col("i"), col("num"), col("den"))
+    pre.select(col("i"), col("bin"), col("n"), col("e").as("n_pos"))
+      .join(iso, "i")
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("1000000 * n_pos div n").as("raw_ppm"),
+        expr("1000000 * num div den").as("iso_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped
+  // qLmScoreSql (the `||`-continuation rule)
+  lazy val qIsotonicCalibrationSql: String =
+    s"""WITH lm AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm FROM (
+${Text.qLmScoreSql}
+)),
+j0 AS (SELECT l.lm_score_ppm AS p, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lm l JOIN documents d USING (doc_id)),
+b AS (SELECT CAST(p // $CalBinPpm AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS e
+  FROM j0 GROUP BY 1),
+pre AS MATERIALIZED (SELECT bin, n, e,
+  CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+  CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS pn,
+  CAST(sum(e) OVER (ORDER BY bin) AS BIGINT) AS pe
+  FROM b),
+kj AS (SELECT k.i AS k, jj.i AS j,
+    jj.pe - (k.pe - k.e) AS num, jj.pn - (k.pn - k.n) AS den,
+    CAST(jj.pe - (k.pe - k.e) AS DOUBLE) / (jj.pn - (k.pn - k.n)) AS q
+  FROM pre k JOIN pre jj ON k.i <= jj.i),
+tri AS (SELECT p.i, kj.k, kj.j, kj.num, kj.den, kj.q
+  FROM pre p JOIN kj ON kj.k <= p.i AND kj.j >= p.i),
+mn AS (SELECT i, k, num, den, q,
+    ROW_NUMBER() OVER (PARTITION BY i, k ORDER BY q, j) AS rn FROM tri),
+mx AS (SELECT i, num, den,
+    ROW_NUMBER() OVER (PARTITION BY i ORDER BY q DESC, k) AS rm
+  FROM mn WHERE rn = 1),
+iso AS (SELECT i, num, den FROM mx WHERE rm = 1)
+SELECT p.bin, p.n, p.e AS n_pos,
+  CAST(1000000 * p.e // p.n AS BIGINT) AS raw_ppm,
+  CAST(1000000 * iso.num // iso.den AS BIGINT) AS iso_ppm
+FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
+
+  // ---------------------------------------------------------------
   // POWER-ITERATION STEP — one distributed step of the classical
   // top-eigenvector iteration on the corpus's (uncentered) second
   // moment: v₁ = (XᵀX)·v₀ with the deterministic all-ones seed,
@@ -1873,6 +1964,7 @@ FROM b, tot ORDER BY bin"""
     "ml_kmeans_converge" -> (qKmeansConverge _),
     "ml_calibration" -> (qCalibration _),
     "ml_brier_decomp" -> (qBrierDecomp _),
+    "ml_isotonic_calibration" -> (qIsotonicCalibration _),
     "ml_auc_exact" -> (qAucExact _),
     "ml_gini_split" -> (qGiniSplit _),
     "ml_pr_curve" -> (qPrCurve _),
@@ -1898,6 +1990,7 @@ FROM b, tot ORDER BY bin"""
     "ml_kmeans_converge" -> qKmeansConvergeSql,
     "ml_calibration" -> qCalibrationSql,
     "ml_brier_decomp" -> qBrierDecompSql,
+    "ml_isotonic_calibration" -> qIsotonicCalibrationSql,
     "ml_auc_exact" -> qAucExactSql,
     "ml_gini_split" -> qGiniSplitSql,
     "ml_pr_curve" -> qPrCurveSql,

@@ -204,6 +204,82 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  // BLUR / LOW-TEXTURE DETECTION — the variance-of-Laplacian quality
+  // gate image pipelines run before spending GPU decode on a frame
+  // (Pech-Pacheco et al. 2000): a sharp image has high second-
+  // derivative energy, a blurred or flat one collapses toward zero.
+  // Same honest stub boundary as [[qPHash]]: the 1-D "pixel" stream
+  // is the decoded body's codepoints, the Laplacian is the exact
+  // second difference d_i = x_{i-1} − 2·x_i + x_{i+1}, and the
+  // variance rides as INTEGER moments (n_d, Σd, Σd²) — kernel-
+  // accumulated longs, with the n·Σd² − (Σd)² product widened to
+  // DECIMAL(38,0)/HUGEINT (Σd² ≤ n·(4·maxcp)² wraps BIGINT at
+  // ~10⁵-char non-ASCII docs — the overflow-audit class). var_x100 =
+  // 100·(n_d·Σd² − Σd²̄) div n_d² is a non-negative exact integer
+  // (no -0.0 class); is_blurry = var below [[BlurVarX100Min]]
+  // (≈ the corpus's 3rd percentile, the spot a real gate sits).
+  //
+  // Scale shape: one repartitioned kernel pass (the phash
+  // discipline), map-only to fixed-width moment rows; the variance
+  // projection and threshold are row-local.
+  private val BlurVarX100Min = 620000L
+
+  def qBlurDetect(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("nd", LongType),
+      StructField("sum_d", LongType),
+      StructField("sum_d2", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    payloads(s, dir).select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val body = new String(bytes, HeaderLen, bytes.length - HeaderLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val cps = body.codePoints().toArray
+          val n = cps.length
+          if (n < 3) None
+          else {
+            var sd = 0L
+            var sd2 = 0L
+            var i = 1
+            while (i < n - 1) {
+              val d = cps(i - 1).toLong - 2L * cps(i) + cps(i + 1)
+              sd += d
+              sd2 += d * d
+              i += 1
+            }
+            Some(Row(r.getLong(0), (n - 2).toLong, sd, sd2))
+          }
+        }
+      }(enc)
+      .select(col("doc_id"), col("nd"), col("sum_d"), col("sum_d2"),
+        expr("cast((cast(100 as decimal(38,0)) * (nd * sum_d2 - sum_d * sum_d))" +
+          " div (cast(nd as decimal(38,0)) * nd) as bigint)").as("var_x100"))
+      .withColumn("is_blurry", col("var_x100") < BlurVarX100Min)
+      .orderBy(col("doc_id"))
+  }
+
+  val qBlurDetectSql: String =
+    s"""WITH cp AS (SELECT doc_id, length(text) AS n,
+       |  list_transform(range(length(text)),
+       |    i -> CAST(ord(substring(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT)) AS cps
+       |  FROM documents),
+       |d AS (SELECT doc_id, CAST(n - 2 AS BIGINT) AS nd,
+       |  list_transform(range(n - 2), i -> cps[i+1] - 2*cps[i+2] + cps[i+3]) AS ds
+       |  FROM cp WHERE n >= 3),
+       |m AS (SELECT doc_id, nd,
+       |  CAST(list_aggregate(ds, 'sum') AS BIGINT) AS sum_d,
+       |  CAST(list_aggregate(list_transform(ds, x -> x*x), 'sum') AS BIGINT) AS sum_d2
+       |  FROM d)
+       |SELECT doc_id, nd, sum_d, sum_d2,
+       |  CAST((100::HUGEINT * (nd * sum_d2 - sum_d * sum_d)) // (nd::HUGEINT * nd) AS BIGINT) AS var_x100,
+       |  (100::HUGEINT * (nd * sum_d2 - sum_d * sum_d)) // (nd::HUGEINT * nd) < $BlurVarX100Min AS is_blurry
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // BANDED pHash NEAR-DUP — the LSH scale path for image near-dup
   // (the exact analog of text MinHash banding): split the 64-bit
   // perceptual hash into 4×16-bit bands, bucket-join docs sharing
@@ -1059,6 +1135,7 @@ ORDER BY d.doc_id"""
     "mm_decode_header" -> (qDecodeHeader _),
     "mm_decode_batched" -> (qDecodeBatched _),
     "mm_phash" -> (qPHash _),
+    "mm_blur_detect" -> (qBlurDetect _),
     "mm_phash_buckets" -> (qPhashBuckets _),
     "mm_phash_distance_hist" -> (qPhashDistanceHist _),
     "mm_hist_dedup" -> (qHistDedup _),
@@ -1076,6 +1153,7 @@ ORDER BY d.doc_id"""
     "mm_decode_header" -> qDecodeHeaderSql,
     "mm_decode_batched" -> qDecodeBatchedSql,
     "mm_phash" -> qPHashSql,
+    "mm_blur_detect" -> qBlurDetectSql,
     "mm_phash_buckets" -> qPhashBucketsSql,
     "mm_phash_distance_hist" -> qPhashDistanceHistSql,
     "mm_hist_dedup" -> qHistDedupSql,

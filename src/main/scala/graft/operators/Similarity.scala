@@ -360,7 +360,11 @@ object Similarity {
       when(expr(s"(bucket div ${1 << (2 * b)}) % 4") ===
         expr(s"(qb div ${1 << (2 * b)}) % 4"), lit(1)).otherwise(lit(0))
     }.reduce(_ + _)
-    e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+    // width pin before the probes×corpus scoring stream (the
+    // sim_knn_graph lesson: Catalyst otherwise streams the corpus at
+    // FILE width — 8 tasks at 10×, 87.8s wall for a ~2s-class scan)
+    e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(probes), col("vec_id") =!= col("qid"))
       .withColumn("cos", round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .filter(col("cos") >= RangeTau)
       .select(col("qid"), col("vec_id").as("neighbor"),

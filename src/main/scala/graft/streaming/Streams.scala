@@ -108,6 +108,7 @@ object Streams {
       groupSize: Int = 1)(
       build: DataFrame => DataFrame): Seq[Long] =
     streamProgress(s, dir, nFiles, mode, groupSize)(build)
+      .filter(_.numInputRows > 0)
       .map(_.stateOperators.map(_.numRowsTotal).sum)
 
   /** Per-micro-batch rows dropped as late by the watermark — the
@@ -119,6 +120,7 @@ object Streams {
       groupSize: Int = 1)(
       build: DataFrame => DataFrame): Seq[Long] =
     streamProgress(s, dir, nFiles, mode, groupSize)(build)
+      .filter(_.numInputRows > 0)
       .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
 
   /** Shared runner behind the evidence helpers: stages `nFiles`
@@ -178,7 +180,10 @@ object Streams {
         .start()
       try {
         q.processAllAvailable()
-        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        // ALL batches, including watermark-flush no-data batches —
+        // rate/EOS accounting needs them; state-evidence callers
+        // filter to data batches themselves
+        q.recentProgress.toSeq
       } finally q.stop()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
@@ -189,6 +194,80 @@ object Streams {
       finally walked.close()
     }
   }
+
+  // ---------------------------------------------------------------
+  // RATE-LIMITED CONSUMPTION + END-OF-STREAM ACCOUNTING — the
+  // micro-batch schedule itself as a gated table: 6 time-contiguous
+  // files consumed 2 per trigger (`maxFilesPerTrigger`, the file
+  // source's rate limit) under a 1-hour watermark and 1-day tumbling
+  // windows in APPEND mode. Each emitted row is one micro-batch —
+  // including the engine's no-data FLUSH batch at end-of-stream (the
+  // one that advances the watermark past the last data and drains
+  // eligible state) — carrying (rows consumed, the watermark the
+  // batch ran under, rows emitted). Every value is closed-form from
+  // the file schedule, so the DuckDB oracle rebuilds the whole
+  // account: batch b's input is ntile buckets {2b+1, 2b+2}; its
+  // watermark is max ts of the PRIOR batches − 1h (the engine
+  // advances watermarks between batches, never within); append
+  // emits exactly the (day, event_type) windows whose end lands in
+  // (wm_{b−1}, wm_b] — time-contiguous arrival means those windows
+  // are complete when they emit, so the batch-side window counts
+  // ARE the full-corpus groups. The withheld tail (windows past the
+  // final watermark) is the gated difference between the group
+  // total and Σ emitted — the emission-boundary discipline
+  // (CLAUDE.md: gate the boundary, never fake complete mode).
+  def qStreamRateEos(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val prog = streamProgress(s, dir, nFiles = 6, mode = "append", groupSize = 2) {
+      stream =>
+        stream.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+    }
+    def wmUs(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long = {
+      val iso = p.eventTime.get("watermark")
+      if (iso == null) 0L
+      else {
+        val inst = java.time.Instant.parse(iso)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      }
+    }
+    val rows = prog.zipWithIndex.map { case (p, i) =>
+      org.apache.spark.sql.Row(i.toLong, p.numInputRows,
+        wmUs(p), p.sink.numOutputRows)
+    }
+    val schema = StructType(Seq(
+      StructField("batch_idx", LongType), StructField("n_input", LongType),
+      StructField("wm_us", LongType), StructField("n_emitted", LongType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(col("batch_idx"))
+  }
+
+  val qStreamRateEosSql: String =
+    """WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+      |b AS (SELECT ts, event_type,
+      |  CAST((ntile(6) OVER (ORDER BY ts) - 1) // 2 AS BIGINT) AS batch FROM e),
+      |mi AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_input, max(ts) AS mts
+      |  FROM b GROUP BY 1),
+      |sched AS (
+      |  -- the engine's watermark clock is MILLISECOND-granular
+      |  -- (event-time stats truncate to ms before the delay
+      |  -- subtraction), hence epoch_ms, not epoch_us
+      |  SELECT batch, n_input,
+      |    coalesce((epoch_ms(max(mts) OVER (ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) - 3600000) * 1000, 0) AS wm_us
+      |  FROM mi
+      |  UNION ALL
+      |  SELECT 3, 0, (SELECT (epoch_ms(max(ts)) - 3600000) * 1000 FROM e)),
+      |sc AS (SELECT batch, n_input, wm_us,
+      |  coalesce(lag(wm_us) OVER (ORDER BY batch), -1) AS wm_prev FROM sched),
+      |w AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type
+      |  FROM e GROUP BY 1, 2),
+      |we AS (SELECT epoch_us(ws + INTERVAL 1 DAY) AS endus FROM w)
+      |SELECT sc.batch AS batch_idx, sc.n_input, sc.wm_us,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM we
+      |    WHERE endus <= sc.wm_us AND endus > sc.wm_prev) AS n_emitted
+      |FROM sc ORDER BY batch_idx""".stripMargin
 
   // ---------------------------------------------------------------
   // Tumbling 1-hour windows per event_type, streamed end-to-end.
@@ -1046,6 +1125,7 @@ object Streams {
     "stream_exactly_once" -> (qStreamExactlyOnce _),
     "stream_pipeline" -> (qStreamPipeline _),
     "stream_window_agg" -> (qWindowAgg _),
+    "stream_rate_eos" -> (qStreamRateEos _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1064,6 +1144,7 @@ object Streams {
     "stream_exactly_once" -> qStreamExactlyOnceSql,
     "stream_pipeline" -> qStreamPipelineSql,
     "stream_window_agg" -> qWindowAggSql,
+    "stream_rate_eos" -> qStreamRateEosSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,

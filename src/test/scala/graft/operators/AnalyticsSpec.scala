@@ -3250,4 +3250,98 @@ class AnalyticsSpec extends SparkSpec {
     // both REL and RES strictly positive
     assert(rel.num > 0 && res.num > 0)
   }
+
+  test("blur detect moments equal an exact second-difference replay in BigInt") {
+    val rows = Multimodal.qBlurDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      if (cps.length < 3) None
+      else {
+        val ds = (1 until cps.length - 1).map(i =>
+          cps(i - 1).toLong - 2L * cps(i) + cps(i + 1))
+        val nd = BigInt(ds.length)
+        val sd = ds.map(BigInt(_)).sum
+        val sd2 = ds.map(d => BigInt(d) * d).sum
+        val v = (BigInt(100) * (nd * sd2 - sd * sd)) / (nd * nd)
+        Some(id -> ((nd.toLong, sd.toLong, sd2.toLong, v.toLong, v < 620000)))
+      }
+    }.toMap
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expected, "blur moments mismatch vs JVM replay")
+    // variance of a real-valued stream is non-negative
+    assert(rows.forall(_.getLong(4) >= 0L))
+  }
+
+  test("rate/EOS account conserves rows and gates the append emission boundary") {
+    val rows = graft.streaming.Streams.qStreamRateEos(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 data batches (6 files, 2 per trigger) + exactly one no-data
+    // flush batch at end-of-stream, and nowhere else
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.count(_._2 == 0L) == 1 && rows.last._2 == 0L)
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("unix_micros(ts) as us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // conservation: every event is consumed exactly once
+    assert(rows.map(_._2).sum == ev.length.toLong)
+    // watermark never regresses, and the final one is max ts (ms-truncated) - 1h
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.last._3 == (ev.map(_._1).max / 1000L - 3600000L) * 1000L)
+    // append emission boundary: emitted windows = all (day, type)
+    // groups whose end <= final watermark; the tail is withheld
+    val dayUs = 86400000000L
+    val groups = ev.map { case (us, t) => (Math.floorDiv(us, dayUs), t) }.distinct
+    val nClosed = groups.count { case (d, _) => (d + 1) * dayUs <= rows.last._3 }
+    assert(rows.map(_._4).sum == nClosed.toLong, "emitted != watermark-closed groups")
+    assert(groups.length > nClosed, "the final open window must be withheld")
+    // batch 0 runs under watermark 0: nothing can have emitted yet
+    assert(rows.head._4 == 0L && rows.head._3 == 0L)
+  }
+
+  test("isotonic fit equals the sequential PAV stack replayed in exact rationals") {
+    val rows = Models.qIsotonicCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the minimax closed form the operator computes must equal the
+    // classical pool-adjacent-violators stack, exactly
+    val bins = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(BigInt, BigInt)]
+    bins.foreach { case (_, n, e) =>
+      pools += ((BigInt(n), BigInt(e)))
+      // merge while rate decreases: e2/n2 < e1/n1  <=>  e2*n1 < e1*n2
+      while (pools.length > 1 &&
+          pools(pools.length - 1)._2 * pools(pools.length - 2)._1 <
+          pools(pools.length - 2)._2 * pools(pools.length - 1)._1) {
+        val (n2, e2) = pools.remove(pools.length - 1)
+        val (n1, e1) = pools.last
+        pools(pools.length - 1) = (n1 + n2, e1 + e2)
+      }
+    }
+    // expand pools positionally over the bin list
+    val perBin = scala.collection.mutable.ArrayBuffer.empty[(BigInt, BigInt)]
+    var bi = 0
+    pools.foreach { case (n, e) =>
+      var mass = BigInt(0)
+      while (mass < n) { mass += bins(bi)._2; perBin += ((n, e)); bi += 1 }
+      assert(mass == n, "pool boundaries must align with bin boundaries")
+    }
+    rows.zip(perBin).foreach { case (r, (n, e)) =>
+      assert(BigInt(r.getLong(4)) == BigInt(1000000) * e / n,
+        s"iso_ppm at bin ${r.getLong(0)} != PAV pool rate")
+    }
+    // isotonic: the fitted curve is non-decreasing; raw is not (else
+    // the fit is the identity and the operator gates nothing)
+    val iso = rows.map(_.getLong(4)).toSeq
+    assert(iso == iso.sorted)
+    val raw = rows.map(_.getLong(3)).toSeq
+    assert(raw != raw.sorted, "corpus must actually have violations")
+    // mass conservation: the pools partition the rows and keep every positive
+    val totPos = bins.map(b => BigInt(b._3)).sum
+    val pooled = pools.map(_._2).sum
+    assert(pooled == totPos, "pools conserve the positive mass")
+  }
 }

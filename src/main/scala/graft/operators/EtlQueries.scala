@@ -223,6 +223,7 @@ object EtlQueries {
     "src_range_agg_pushdown" -> (qRangeAggPushdown _),
     "src_range_group_pushdown" -> (qRangeGroupPushdown _),
     "src_range_join" -> (qRangeJoin _),
+    "src_range_runtime_filter" -> (qRangeRuntimeFilter _),
     "src_range_topn_pushdown" -> (qRangeTopnPushdown _))
 
   // ---------------------------------------------------------------
@@ -411,6 +412,51 @@ object EtlQueries {
        |  SELECT 'bare', * FROM (SELECT * FROM r ORDER BY id LIMIT $BareLimit)
        |) ORDER BY scope, id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSv2 RUNTIME FILTERING — the dynamic half of the pushdown story
+  // ([[qRangeJoin]] gates the STATIC clip): here no static predicate
+  // touches the range side at all; the probe keys exist only in a
+  // parquet dim filtered at runtime, and the scan implements
+  // SupportsRuntimeFiltering so Spark hands it the materialized
+  // build-side keys as In(id, …) AFTER planning — the scan then
+  // drops every slice holding none of them (1 of 16 survives for
+  // this band; asserted via [[graft.sources.RangeTable
+  // .runtimePlanned]] in ExtensionSpec, since runtime pruning is
+  // invisible to the static plan text). This is the DSv2 analogue of
+  // dynamic partition pruning, the mechanism that makes a
+  // fact-to-filtered-dim join read 1/1000th of a 100 TB custom
+  // source. The dim rides from PARQUET (a local-relation dim
+  // constant-folds and kills the dynamic filter — the maint_dpp
+  // lesson) and broadcasts; the oracle regenerates both sides.
+  // the dim filter deliberately touches NO join-key column: a bound
+  // on o_orderkey would let constraint propagation infer a STATIC id
+  // clip through the equi-join (measured — the scan planned 1/16
+  // before any runtime filter arrived), and the test would prove
+  // nothing about the dynamic path
+  def qRangeRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val rt = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "1000000").option("slices", "16")
+      .load()
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 100 === 7)
+      .select(col("o_orderkey"))
+    rt.join(broadcast(dim), col("id") === col("o_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeRuntimeFilterOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range(0, 1000000) t(i)
+       |JOIN orders o ON o.o_orderkey = i
+       |WHERE o.o_orderpriority = '1-URGENT' AND o.o_custkey % 100 = 7
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
@@ -420,5 +466,6 @@ object EtlQueries {
     "src_range_agg_pushdown" -> rangeAggPushdownOracle,
     "src_range_group_pushdown" -> rangeGroupPushdownOracle,
     "src_range_join" -> rangeJoinOracle,
+    "src_range_runtime_filter" -> rangeRuntimeFilterOracle,
     "src_range_topn_pushdown" -> rangeTopnPushdownOracle)
 }

@@ -437,6 +437,113 @@ SELECT bin, n, n_pos, sum_p_ppm,
 FROM b, tot ORDER BY bin"""
 
   // ---------------------------------------------------------------
+  // SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
+  // uncertainty wrapper production ML ships around point predictors
+  // (Vovk et al.; the split/inductive form is the only one that
+  // scales): fit on train, take the ⌈(1−α)(n+1)⌉-th smallest
+  // absolute residual on a held-out CALIBRATION split as the
+  // interval half-width q̂, and the marginal coverage guarantee
+  // P(|y−ŷ| ≤ q̂) ≥ 1−α holds with no distributional assumption.
+  // Everything here is exact: the "model" is the integer slope
+  // R_ppm = 10⁶·Σchars div Σtokens over train (doc_id%10<8),
+  // residuals are |10⁶·y − R_ppm·x| scaled integers, q̂ is an exact
+  // ORDER STATISTIC (k-th smallest, doc_id tiebreak), and coverage
+  // is counted on the disjoint test split (doc_id%10==9). Computed
+  // PER SOURCE (group-conditional conformal — the form pipelines
+  // actually deploy, since marginal coverage can hide per-slice
+  // failure); a calibration slice too small for the 90% quantile
+  // (k > n_cal) yields the INFINITE interval, gated as qhat_e6 = −1
+  // with full coverage — the honest answer, not a clamp.
+  //
+  // Scale shape: token counts are map-only over the corpus scan;
+  // per-source residual rank is a keyed window (the order statistic
+  // never leaves its group); test coverage attaches the |sources|-row
+  // q̂ table by broadcast.
+  private val ConfAlphaPct = 10L // 90% target coverage
+
+  def qConformalInterval(s: SparkSession, dir: String): DataFrame = {
+    // md5-bucket split, NOT doc_id modulo: doc_id % 20 IS the source
+    // on this corpus, so a modulo split collapses the calibration
+    // slice onto two sources (measured) — the qSplit hash-bucket
+    // convention decorrelates split from every attribute
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), bkt.as("b"),
+        length(col("text")).cast("long").as("y"),
+        size(graft.operators.Text.words(col("text"))).cast("long").as("x"))
+    val tr = base.filter(col("b") < 80)
+      .agg(sum(col("y")).as("sy"), sum(col("x")).as("sx"))
+      .select(expr("1000000 * sy div sx").as("r_ppm"))
+    val scored = base.crossJoin(broadcast(tr))
+      .withColumn("resid", abs(lit(1000000L) * col("y") - col("r_ppm") * col("x")))
+      .select(col("doc_id"), col("source"), col("b"), col("resid"))
+    // MARGINAL row rides beside the per-source slices (source='ALL'):
+    // the per-source 90% quantile is honestly infinite on a tiny
+    // calibration slice, and the pooled guarantee is the one that
+    // must stay finite at every SF
+    val audit = scored.filter(col("b") >= 80)
+    val both = audit.unionAll(audit.withColumn("source", lit("ALL")))
+    val cal = both.filter(col("b") < 90)
+    val wRank = Window.partitionBy(col("source")).orderBy(col("resid"), col("doc_id"))
+    val ranked = cal.withColumn("rk", row_number().over(wRank))
+    val nCal = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(s"((100 - $ConfAlphaPct) * (n_cal + 1) + 99) div 100"))
+    val qhat = nCal.join(ranked.select(col("source"), col("rk"), col("resid")),
+        Seq("source"), "left")
+      .filter(col("rk") === least(col("k"), col("n_cal")))
+      .select(col("source"), col("n_cal"), col("k"),
+        (col("k") <= col("n_cal")).as("finite"),
+        when(col("k") <= col("n_cal"), col("resid")).otherwise(lit(-1L)).as("qhat_e6"))
+    val test = both.filter(col("b") >= 90)
+      .join(broadcast(qhat), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(!col("finite") || col("resid") <= col("qhat_e6"), 1L).otherwise(0L))
+          .as("n_covered"))
+    qhat.join(test, Seq("source"), "left")
+      .select(col("source"), col("n_cal"), col("k"), col("finite"), col("qhat_e6"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_test"), lit(0L)) > 0,
+          expr("1000 * n_covered div n_test")).otherwise(lit(-1L)).as("coverage_pm"))
+      .orderBy(col("source"))
+  }
+
+  val qConformalIntervalSql: String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+       |    CAST(length(text) AS BIGINT) AS y,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS x
+       |  FROM documents),
+       |tr AS (SELECT 1000000 * sum(y) // sum(x) AS r_ppm FROM base WHERE b < 80),
+       |scored AS (SELECT doc_id, source, b, abs(1000000 * y - r_ppm * x) AS resid
+       |  FROM base, tr),
+       |bo AS (SELECT doc_id, source, b, resid FROM scored WHERE b >= 80
+       |  UNION ALL
+       |  SELECT doc_id, 'ALL', b, resid FROM scored WHERE b >= 80),
+       |cal AS (SELECT source, resid,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY resid, doc_id) AS rk
+       |  FROM bo WHERE b < 90),
+       |nc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cal,
+       |    CAST(((100 - $ConfAlphaPct) * (count(*) + 1) + 99) // 100 AS BIGINT) AS k
+       |  FROM cal GROUP BY 1),
+       |qh AS (SELECT nc.source, nc.n_cal, nc.k, nc.k <= nc.n_cal AS finite,
+       |    CASE WHEN nc.k <= nc.n_cal THEN cal.resid ELSE -1 END AS qhat_e6
+       |  FROM nc JOIN cal ON cal.source = nc.source
+       |    AND cal.rk = least(nc.k, nc.n_cal)),
+       |ts AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN NOT qh.finite OR s.resid <= qh.qhat_e6
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM bo s JOIN qh USING (source) WHERE s.b >= 90 GROUP BY 1)
+       |SELECT qh.source, qh.n_cal, qh.k, qh.finite, CAST(qh.qhat_e6 AS BIGINT) AS qhat_e6,
+       |  CAST(coalesce(ts.n_test, 0) AS BIGINT) AS n_test,
+       |  CAST(coalesce(ts.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CAST(CASE WHEN coalesce(ts.n_test, 0) > 0
+       |    THEN 1000 * ts.n_covered // ts.n_test ELSE -1 END AS BIGINT) AS coverage_pm
+       |FROM qh LEFT JOIN ts USING (source) ORDER BY qh.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // ISOTONIC CALIBRATION (PAV) — the recalibration step
   // [[qBrierDecomp]]'s verdict demands: fit the best MONOTONE map
   // from score bins to observed positive rate (isotonic regression,
@@ -1965,6 +2072,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_calibration" -> (qCalibration _),
     "ml_brier_decomp" -> (qBrierDecomp _),
     "ml_isotonic_calibration" -> (qIsotonicCalibration _),
+    "ml_conformal_interval" -> (qConformalInterval _),
     "ml_auc_exact" -> (qAucExact _),
     "ml_gini_split" -> (qGiniSplit _),
     "ml_pr_curve" -> (qPrCurve _),
@@ -1991,6 +2099,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_calibration" -> qCalibrationSql,
     "ml_brier_decomp" -> qBrierDecompSql,
     "ml_isotonic_calibration" -> qIsotonicCalibrationSql,
+    "ml_conformal_interval" -> qConformalIntervalSql,
     "ml_auc_exact" -> qAucExactSql,
     "ml_gini_split" -> qGiniSplitSql,
     "ml_pr_curve" -> qPrCurveSql,

@@ -25,7 +25,7 @@ object Text {
     * class spelled out ([ \t\n\f\r]) — Java's `\s` adds U+000B, so a
     * vertical-tab document would split differently from every
     * `regexp_split_to_array(..., '\s+')` oracle. */
-  private def words(c: Column): Column = split(lower(trim(c)), "[ \t\n\f\r]+")
+  private[operators] def words(c: Column): Column = split(lower(trim(c)), "[ \t\n\f\r]+")
 
   /** RE2 `\s` for use inside Catalyst (Java-regex) char classes. */
   private[operators] val Re2Ws = " \t\n\f\r"

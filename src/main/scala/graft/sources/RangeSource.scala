@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -64,6 +64,13 @@ object RangeTable {
 
   def bucketOf(id: Long): Long = id % Buckets
   def valOf(id: Long): Long = (id * Mixer) % ValMod
+
+  /** Spec evidence channel for runtime filtering: the slice count the
+    * scan planned AFTER a runtime `In(id, …)` filter arrived (−1 when
+    * no runtime-filtered plan has run). Static pushdown is asserted
+    * through the plan text; runtime pruning happens after planning,
+    * so the spec reads this instead. */
+  val runtimePlanned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 class RangeTable(start: Long, end: Long, slices: Int) extends Table with SupportsRead {
@@ -302,29 +309,59 @@ class RangeScan(
     start: Long, end: Long, slices: Int,
     lo: Long, hi: Long, required: StructType,
     pushedLimit: Option[Long] = None, topNDesc: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   private def step: Long = math.max(1L, (end - start + slices - 1) / slices)
 
+  // -- runtime filtering (the DSv2 analogue of dynamic partition
+  // pruning): at execution, after the join's build side materializes,
+  // Spark hands the scan the build-side join keys as an In(id, …)
+  // filter; slices containing none of them are dropped before any
+  // reader is created. Sorted + binary-searched so the membership
+  // test per slice is O(log n) regardless of key count.
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeIds = filters.collectFirst {
+      case org.apache.spark.sql.sources.In("id", vs) if vs != null =>
+        vs.filter(_ != null).map(_.asInstanceOf[Number].longValue).sorted
+      case EqualTo("id", v: Number) => Array(v.longValue)
+    }
+  }
+
+  private def anyIdIn(sorted: Array[Long], a: Long, b: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(sorted, a)
+    val first = if (i >= 0) i else -i - 1
+    first < sorted.length && sorted(first) < b
+  }
+
   /** Slices of the ORIGINAL [start, end) grid clipped to the pushed
-    * bounds; fully-clipped slices are pruned (never planned). */
+    * bounds; fully-clipped slices are pruned (never planned), and a
+    * runtime In-filter additionally drops slices holding none of the
+    * probe keys. */
   private def planned: Seq[(Long, Long)] =
     (0 until slices).flatMap { k =>
       val ps = start + k * step
       val pe = math.min(end, ps + step)
       val (clo, chi) = (math.max(ps, lo), math.min(pe, hi))
-      if (clo < chi) Some((clo, chi)) else None
+      if (clo < chi && runtimeIds.forall(anyIdIn(_, clo, chi))) Some((clo, chi))
+      else None
     }
 
   override def description(): String =
     s"GraftRangeScan[$lo,$hi) slices=${planned.size}/$slices cols=${required.fieldNames.mkString(",")}" +
       pushedLimit.map(n => s" limit=$n${if (topNDesc) " desc" else ""}").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (runtimeIds.isDefined) RangeTable.runtimePlanned.set(planned.size)
     planned.map { case (a, b) => RangePartition(a, b): InputPartition }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required.fieldNames)

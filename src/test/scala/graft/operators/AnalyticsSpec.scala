@@ -3344,4 +3344,49 @@ class AnalyticsSpec extends SparkSpec {
     val pooled = pools.map(_._2).sum
     assert(pooled == totPos, "pools conserve the positive mass")
   }
+
+  test("conformal intervals equal an exact JVM replay; infinite slices cover fully") {
+    val rows = Models.qConformalInterval(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.exists(_.getString(0) == "ALL"))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val b = java.lang.Long.parseLong(hex, 16) % 100
+        val text = r.getString(2)
+        val x = text.trim.toLowerCase.split("[ \t\n\f\r]+", -1).length.toLong
+        (id, r.getString(1), b, text.length.toLong, x)
+      }
+    val trn = docs.filter(_._3 < 80)
+    val rppm = 1000000L * trn.map(_._4).sum / trn.map(_._5).sum
+    val scored = docs.map { case (id, src, b, y, x) =>
+      (id, src, b, math.abs(1000000L * y - rppm * x))
+    }
+    val aud = scored.filter(_._3 >= 80)
+    val pooled = aud.map { case (id, _, b, r2) => (id, "ALL", b, r2) }
+    val expected = (aud ++ pooled).groupBy(_._2).map { case (src, xs) =>
+      val cal = xs.filter(_._3 < 90).sortBy(t => (t._4, t._1))
+      val n = cal.length.toLong
+      val k = (90L * (n + 1) + 99) / 100
+      val finite = k <= n
+      val qhat = if (finite) cal((k - 1).toInt)._4 else -1L
+      val tst = xs.filter(_._3 >= 90)
+      val nt = tst.length.toLong
+      val cov = if (finite) tst.count(_._4 <= qhat).toLong else nt
+      src -> ((n, k, finite, qhat, nt, cov,
+        if (nt > 0) 1000L * cov / nt else -1L))
+    }
+    val got = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+      r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == expected.keySet.filter(k => expected(k)._1 > 0),
+      "one row per source with a non-empty calibration slice, plus ALL")
+    got.foreach { case (src, v) => assert(v == expected(src), s"mismatch at $src") }
+    // an infinite interval covers everything it sees
+    rows.filter(!_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(6) == r.getLong(5), "infinite interval covers all test rows")
+    }
+  }
 }

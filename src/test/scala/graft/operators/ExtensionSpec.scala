@@ -1077,6 +1077,34 @@ class ExtensionSpec extends SparkSpec {
       "manifest enrich must broadcast the pruned scan:\n" + plan)
   }
 
+  test("DSv2 runtime filtering prunes slices from the broadcast build side") {
+    graft.sources.RangeTable.runtimePlanned.set(-1)
+    val df = EtlQueries.qRangeRuntimeFilter(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the scan carries NO static predicate (the dim filter touches no
+    // join-key column, so constraint propagation can't clip) — the
+    // plan-text slice count stays 16/16 and a RuntimeFilters entry
+    // carries the dynamic In; pruning happens at execution when the
+    // materialized dim keys arrive. Orderkeys live far below 1e6, so
+    // the runtime prune must drop most of the 62500-wide slices.
+    val plan = df.queryExecution.executedPlan.toString
+    // bounds stay the full [0, 1e6) — no static clip reached the
+    // builder (the description's slice count is rendered AFTER
+    // execution, so it already shows the runtime prune)
+    assert(plan.contains("GraftRangeScan[0,1000000)"),
+      "no static clip may exist (the prune must be runtime-only):\n" + plan)
+    assert(plan.contains("RuntimeFilters: [dynamicpruningexpression"),
+      "the dynamic In-filter must be planted on the scan:\n" + plan)
+    val planned = graft.sources.RangeTable.runtimePlanned.get
+    assert(planned >= 1 && planned <= 3,
+      s"runtime In-filter must prune to the orderkey-bearing slices, got $planned/16")
+    // the dim predicate is deterministic: replay it over orders
+    val expected = graft.Tables.orders(spark, sfDir)
+      .filter("o_orderpriority = '1-URGENT' and o_custkey % 100 = 7").count()
+    assert(rows.map(_.getLong(1)).sum == expected && expected > 0L)
+  }
+
   test("DSv2 range source: LIMIT and top-N clip the scan at planning time") {
     def rt = spark.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", "1000000").option("slices", "16")

@@ -437,6 +437,78 @@ SELECT bin, n, n_pos, sum_p_ppm,
 FROM b, tot ORDER BY bin"""
 
   // ---------------------------------------------------------------
+  // YOUDEN-J THRESHOLD SELECTION — the step between [[qPrCurve]]'s
+  // curve and a DEPLOYED filter: pick the cut that maximizes
+  // J = TPR − FPR (Youden 1950), the balanced-error optimum a
+  // quality gate ships when positives and negatives matter equally.
+  // Candidate cuts are the score-bin boundaries (predict positive at
+  // lm_score_ppm ≥ bin·250); TP/FP per cut are suffix sums over the
+  // bin histogram. The argmax is EXACT: J·P·N = TP·N − FP·P is a
+  // plain integer (common denominator P·N), compared directly —
+  // never a float — with the smallest bin breaking ties. The whole
+  // curve emits (j_e6 can be legitimately negative at the extremes;
+  // it is an exact integer, not a rounded double — no -0.0 class)
+  // with is_best marking the selected cut.
+  //
+  // Scale shape: the corpus pass is the shared memoized lmScored
+  // bin aggregate; suffix sums and the argmax run on the
+  // value-domain-bounded bin table.
+  def qYoudenThreshold(s: SparkSession, dir: String): DataFrame = {
+    val b = Text.lmScored(s, dir).select(col("doc_id"), col("lm_score_ppm"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("is_en")), "doc_id")
+      .groupBy(expr(s"lm_score_ppm div $CalBinPpm").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_en")).as("e"))
+    val wSuf = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum(col("e")).as("p"), (sum(col("n")) - sum(col("e"))).as("ng"))
+    val curve = b
+      .withColumn("tp", sum(col("e")).over(wSuf))
+      .withColumn("fp", sum(col("n") - col("e")).over(wSuf))
+      .crossJoin(broadcast(tot))
+      .withColumn("jnum", col("tp") * col("ng") - col("fp") * col("p"))
+    val wBest = Window.orderBy(col("jnum").desc, col("bin"))
+    curve
+      .withColumn("is_best", row_number().over(wBest) === 1)
+      .select(col("bin"), (col("bin") * CalBinPpm).as("cut_ppm"),
+        col("tp"), col("fp"),
+        // sign-split (the qPowerIteration pattern): Spark decimal div
+        // truncates, DuckDB // floors — they agree only on
+        // non-negative operands, and J is negative at
+        // anti-discriminative cuts
+        expr("cast(CASE WHEN jnum >= 0 THEN (cast(jnum as decimal(38,0)) * 1000000) div (cast(p as decimal(38,0)) * ng)" +
+          " ELSE -((cast(-jnum as decimal(38,0)) * 1000000) div (cast(p as decimal(38,0)) * ng)) END as bigint)")
+          .as("j_e6"),
+        col("is_best"))
+      .orderBy(col("bin"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped
+  // qLmScoreSql (the `||`-continuation rule)
+  lazy val qYoudenThresholdSql: String =
+    s"""WITH lm AS MATERIALIZED (
+SELECT doc_id, lm_score_ppm FROM (
+${Text.qLmScoreSql}
+)),
+j0 AS (SELECT l.lm_score_ppm AS p, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lm l JOIN documents d USING (doc_id)),
+b AS (SELECT CAST(p // $CalBinPpm AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS e
+  FROM j0 GROUP BY 1),
+tot AS (SELECT CAST(sum(e) AS BIGINT) AS p, CAST(sum(n) - sum(e) AS BIGINT) AS ng FROM b),
+curve AS (SELECT bin,
+    CAST(sum(e) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+    CAST(sum(n - e) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM b),
+sc AS (SELECT bin, tp, fp, tp * ng - fp * p AS jnum, p, ng FROM curve, tot),
+rk AS (SELECT sc.*, ROW_NUMBER() OVER (ORDER BY jnum DESC, bin) AS rn FROM sc)
+SELECT bin, CAST(bin * $CalBinPpm AS BIGINT) AS cut_ppm, tp, fp,
+  CAST(CASE WHEN jnum >= 0 THEN (jnum::HUGEINT * 1000000) // (p::HUGEINT * ng)
+    ELSE -(((-jnum)::HUGEINT * 1000000) // (p::HUGEINT * ng)) END AS BIGINT) AS j_e6,
+  rn = 1 AS is_best
+FROM rk ORDER BY bin"""
+
+  // ---------------------------------------------------------------
   // SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
   // uncertainty wrapper production ML ships around point predictors
   // (Vovk et al.; the split/inductive form is the only one that
@@ -2073,6 +2145,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_brier_decomp" -> (qBrierDecomp _),
     "ml_isotonic_calibration" -> (qIsotonicCalibration _),
     "ml_conformal_interval" -> (qConformalInterval _),
+    "ml_youden_threshold" -> (qYoudenThreshold _),
     "ml_auc_exact" -> (qAucExact _),
     "ml_gini_split" -> (qGiniSplit _),
     "ml_pr_curve" -> (qPrCurve _),
@@ -2100,6 +2173,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_brier_decomp" -> qBrierDecompSql,
     "ml_isotonic_calibration" -> qIsotonicCalibrationSql,
     "ml_conformal_interval" -> qConformalIntervalSql,
+    "ml_youden_threshold" -> qYoudenThresholdSql,
     "ml_auc_exact" -> qAucExactSql,
     "ml_gini_split" -> qGiniSplitSql,
     "ml_pr_curve" -> qPrCurveSql,

@@ -3389,4 +3389,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(6) == r.getLong(5), "infinite interval covers all test rows")
     }
   }
+
+  test("youden curve replays from the brier bins; the argmax cut is exact") {
+    val curve = Models.qYoudenThreshold(spark, sfDir).collect()
+    val bins = Models.qBrierDecomp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+      .sortBy(-_._1)
+    val p = bins.map(_._3).sum
+    val ng = bins.map(b => b._2 - b._3).sum
+    // suffix sums in descending-bin order
+    var (tp, fp) = (BigInt(0), BigInt(0))
+    val expected = bins.map { case (bin, n, e) =>
+      tp += e; fp += n - e
+      val jnum = tp * ng - fp * p
+      val scaled = jnum * 1000000
+      val j = if (jnum >= 0) scaled / (p * ng) else -((-scaled) / (p * ng))
+      bin -> ((tp.toLong, fp.toLong, j.toLong, jnum))
+    }.toMap
+    val got = curve.map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (bin, (t, f, j, _)) =>
+      val (et, ef, ej, _) = expected(bin)
+      assert((t, f, j) == ((et, ef, ej)), s"curve mismatch at bin $bin")
+    }
+    // exactly one best cut: max exact jnum, smallest bin on ties
+    val best = expected.toSeq.maxBy { case (bin, (_, _, _, jn)) => (jn, -bin) }._1
+    assert(curve.count(_.getBoolean(5)) == 1)
+    assert(curve.find(_.getBoolean(5)).get.getLong(0) == best, "argmax cut")
+    // a discriminative score has a strictly positive optimum
+    assert(expected(best)._4 > 0)
+  }
 }

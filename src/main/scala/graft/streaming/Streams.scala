@@ -196,6 +196,95 @@ object Streams {
   }
 
   // ---------------------------------------------------------------
+  // CHECKPOINT RESTART RECOVERY — the fault-tolerance contract the
+  // rest of the streaming family assumes, gated directly: a stateful
+  // aggregation runs to end-of-available-data, the query STOPS, more
+  // data lands, and a NEW query object restarts from the same
+  // checkpoint. Exactly-once across the restart means (a) the final
+  // per-user totals equal the batch aggregate over ALL data — the
+  // run-1 state was recovered from the state store, not recomputed
+  // or lost — and (b) run 2 consumed ONLY the new files (the offset
+  // log, not a rescan): both gated, (a) as the per-user rows and (b)
+  // as the run1_rows/run2_rows columns the oracle rebuilds from the
+  // ntile file schedule. This is the one streaming surface
+  // stream_exactly_once (sink idempotency) does not cover — ENGINE
+  // recovery. Two `Trigger.AvailableNow` phases over a shared
+  // checkpoint are exactly the production restart (a stopped job
+  // redeployed after new data arrived).
+  def qStreamRestartRecovery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val watch = base.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    val name = "graft_restart_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // raw ts longs: the aggregation is event-time-free; ntile over
+      // the raw ns longs orders identically to the oracle's timestamps
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+      val staged = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint()
+      def stage(b: Int): Unit = {
+        val outDir = base.resolve(s"stage_$b").toString
+        staged.filter(col("bucket") === b).drop("bucket")
+          .coalesce(1).write.parquet(outDir)
+        val part = new java.io.File(outDir).listFiles()
+          .find(f => f.getName.startsWith("part-")).get
+        val target = watch.resolve(f"ev_$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, target)
+        target.toFile.setLastModified(1000000000000L + b * 60000L)
+      }
+      stage(1); stage(2)
+      val schema = s.read.parquet(watch.toString).schema
+      def runPhase(): Long = {
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(watch.toString)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            coalesce(sum(expr("cast(round(value * 100) as long)")), lit(0L))
+              .as("cents"))
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        } finally q.stop()
+      }
+      val run1 = runPhase()
+      s.catalog.dropTempView(name) // phase 2 re-registers the sink view
+      stage(3); stage(4)
+      val run2 = runPhase()
+      val sink = s.table(name)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = s.createDataFrame(rows, sink.schema)
+      s.catalog.dropTempView(name)
+      out
+        .withColumn("run1_rows", lit(run1))
+        .withColumn("run2_rows", lit(run2))
+        .orderBy(col("user_id"))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(base)
+      try walked.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
+  val qStreamRestartRecoverySql: String =
+    """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    ntile(4) OVER (ORDER BY ts) AS f FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(coalesce(sum(vc), 0) AS BIGINT) AS cents,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f <= 2) AS run1_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f > 2) AS run2_rows
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // RATE-LIMITED CONSUMPTION + END-OF-STREAM ACCOUNTING — the
   // micro-batch schedule itself as a gated table: 6 time-contiguous
   // files consumed 2 per trigger (`maxFilesPerTrigger`, the file
@@ -1126,6 +1215,7 @@ object Streams {
     "stream_pipeline" -> (qStreamPipeline _),
     "stream_window_agg" -> (qWindowAgg _),
     "stream_rate_eos" -> (qStreamRateEos _),
+    "stream_restart_recovery" -> (qStreamRestartRecovery _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1145,6 +1235,7 @@ object Streams {
     "stream_pipeline" -> qStreamPipelineSql,
     "stream_window_agg" -> qWindowAggSql,
     "stream_rate_eos" -> qStreamRateEosSql,
+    "stream_restart_recovery" -> qStreamRestartRecoverySql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,

@@ -3420,4 +3420,31 @@ class AnalyticsSpec extends SparkSpec {
     // a discriminative score has a strictly positive optimum
     assert(expected(best)._4 > 0)
   }
+
+  test("checkpoint restart recovers state exactly and reads only new files") {
+    val rows = graft.streaming.Streams.qStreamRestartRecovery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) as us",
+        "cast(round(value * 100) as long) as vc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // ntile(4) over unique ts replays positionally
+    val sorted = ev.sortBy(_._2)
+    val n = sorted.length
+    def bucketEnd(b: Int): Int = b * (n / 4) + math.min(b, n % 4) // ntile front-loads
+    val run1Expected = bucketEnd(2).toLong
+    val run2Expected = (n - bucketEnd(2)).toLong
+    rows.foreach { r =>
+      assert(r.getLong(3) == run1Expected, "run 1 must consume files 1-2 exactly")
+      assert(r.getLong(4) == run2Expected,
+        "run 2 must consume ONLY the new files -- the offset log, not a rescan")
+    }
+    // final totals equal the batch aggregate over ALL data: run-1
+    // state was recovered, not lost or recomputed
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      u -> ((es.length.toLong, es.flatMap(_._3).sum))
+    }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "restart must preserve exactly-once totals")
+  }
 }

@@ -48,7 +48,8 @@ class RangeTableProvider extends TableProvider {
         s"graft_range source requires option '$key' (got: start/end)")
     }
     new RangeTable(req("start"), req("end"),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(25000L))
   }
 }
 
@@ -73,16 +74,69 @@ object RangeTable {
   val runtimePlanned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
-class RangeTable(start: Long, end: Long, slices: Int) extends Table with SupportsRead {
+class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
+    extends Table with SupportsRead {
   override def name: String = s"graft_range($start,$end)"
   override def schema: StructType = RangeTable.schema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices)
+    new RangeScanBuilder(start, end, slices, batchRows)
 }
 
-class RangeScanBuilder(start: Long, end: Long, slices: Int)
+/** Offset for [[RangeMicroBatchStream]]: the exclusive upper id the
+  * stream has made available. JSON = the bare long. */
+case class RangePos(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** A from-scratch DSv2 MICRO-BATCH STREAM over the same id grid the
+  * batch scan reads — the custom-streaming-source pattern (a change
+  * feed, a log cursor, a queue shard): `latestOffset` advances the
+  * cursor by `batchRows` ids per trigger until the grid is exhausted,
+  * `planInputPartitions(start, end)` hands the offset window to the
+  * SAME slice/reader machinery as the batch side (one reader
+  * implementation, two execution modes), and offsets are durable
+  * longs so a checkpointed restart resumes mid-grid. Deterministic by
+  * construction: trigger k makes ids [start + k·batchRows,
+  * start + (k+1)·batchRows) available, so the batch schedule itself
+  * is oracle-reconstructible (the stream_rate_eos discipline). */
+class RangeMicroBatchStream(start: Long, end: Long, slices: Int, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var available: Long = start
+
+  override def initialOffset(): Offset = RangePos(start)
+
+  override def latestOffset(): Offset = {
+    available = math.min(end, available + batchRows)
+    RangePos(available)
+  }
+
+  override def deserializeOffset(json: String): Offset = RangePos(json.toLong)
+
+  override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
+    val (lo, hi) = (s0.asInstanceOf[RangePos].pos, e0.asInstanceOf[RangePos].pos)
+    // slice the offset window like the batch scan slices the grid —
+    // a micro-batch is read with the same parallelism discipline
+    val step = math.max(1L, (hi - lo + slices - 1) / slices)
+    (0 until slices).flatMap { k =>
+      val a = lo + k * step
+      val b = math.min(hi, a + step)
+      if (a < b) Some(RangePartition(a, b): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(RangeTable.schema.fieldNames)
+
+  override def commit(off: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -223,7 +277,7 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
           if (topNDesc) (hi - n, hi) else (lo, lo + n)
         case _ => (lo, hi)
       }
-      new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc)
+      new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc, batchRows)
   }
 }
 
@@ -308,11 +362,15 @@ class RangeAggReaderFactory(kinds: Seq[String], groupByBucket: Boolean)
 class RangeScan(
     start: Long, end: Long, slices: Int,
     lo: Long, hi: Long, required: StructType,
-    pushedLimit: Option[Long] = None, topNDesc: Boolean = false)
+    pushedLimit: Option[Long] = None, topNDesc: Boolean = false,
+    batchRows: Long = 25000L)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, slices, batchRows)
 
   private def step: Long = math.max(1L, (end - start + slices - 1) / slices)
 

@@ -196,6 +196,60 @@ object Streams {
   }
 
   // ---------------------------------------------------------------
+  // CUSTOM DSv2 STREAMING SOURCE — the from-scratch
+  // [[graft.sources.RangeMicroBatchStream]] read end-to-end: the id
+  // grid arrives as deterministic micro-batches (`batchRows` ids per
+  // trigger — a change feed/log cursor's shape), a stateful
+  // complete-mode aggregation accumulates across them, and at
+  // end-of-data the per-bucket totals must equal the batch-mode scan
+  // of the same grid — source exhaustion, offset bookkeeping, and
+  // cross-batch state composition gated value-for-value against
+  // DuckDB's range(). n_batches rides along: exactly
+  // ⌈range/batchRows⌉ data triggers (the rate_eos schedule
+  // discipline, here for a source whose offsets WE define).
+  private val SrcStreamEnd = 200000L
+  private val SrcStreamBatch = 30000L
+
+  def qSrcRangeStream(s: SparkSession, dir: String): DataFrame = {
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val name = "graft_srcstream_" + UUID.randomUUID().toString.replace("-", "")
+    try {
+      val q = s.readStream.format("graft.sources.RangeTableProvider")
+        .option("start", "0").option("end", SrcStreamEnd.toString)
+        .option("slices", "8").option("batchRows", SrcStreamBatch.toString)
+        .load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      val batches =
+        try {
+          q.processAllAvailable()
+          q.recentProgress.count(_.numInputRows > 0).toLong
+        } finally q.stop()
+      val sink = s.table(name)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = s.createDataFrame(rows, sink.schema)
+      s.catalog.dropTempView(name)
+      out.withColumn("n_batches", lit(batches)).orderBy(col("bucket"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
+  val qSrcRangeStreamSql: String = {
+    val nBatches = (SrcStreamEnd + SrcStreamBatch - 1) / SrcStreamBatch
+    s"""WITH r AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS v
+       |  FROM range(0, $SrcStreamEnd) t(i))
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(v) AS BIGINT) AS sum_val,
+       |  min(id) AS min_id, max(id) AS max_id,
+       |  CAST($nBatches AS BIGINT) AS n_batches
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // CHECKPOINT RESTART RECOVERY — the fault-tolerance contract the
   // rest of the streaming family assumes, gated directly: a stateful
   // aggregation runs to end-of-available-data, the query STOPS, more
@@ -1216,6 +1270,7 @@ object Streams {
     "stream_window_agg" -> (qWindowAgg _),
     "stream_rate_eos" -> (qStreamRateEos _),
     "stream_restart_recovery" -> (qStreamRestartRecovery _),
+    "src_range_stream" -> (qSrcRangeStream _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1236,6 +1291,7 @@ object Streams {
     "stream_window_agg" -> qWindowAggSql,
     "stream_rate_eos" -> qStreamRateEosSql,
     "stream_restart_recovery" -> qStreamRestartRecoverySql,
+    "src_range_stream" -> qSrcRangeStreamSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,

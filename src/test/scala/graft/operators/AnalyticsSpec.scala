@@ -3447,4 +3447,28 @@ class AnalyticsSpec extends SparkSpec {
     val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected, "restart must preserve exactly-once totals")
   }
+
+  test("custom micro-batch stream accumulates to the closed-form grid totals") {
+    val rows = graft.streaming.Streams.qSrcRangeStream(spark, sfDir).collect()
+    assert(rows.length == 16)
+    // the offset schedule: ceil(200000 / 30000) = 7 data triggers
+    assert(rows.forall(_.getLong(5) == 7L), "exactly 7 micro-batches")
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      val ids = (0L until 200000L).filter(_ % 16 == b)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(2) == ids.map(i => (i * 2654435761L) % 1000000L).sum)
+      assert(r.getLong(3) == ids.min && r.getLong(4) == ids.max)
+    }
+    // offset serde + partition planning are pure functions: round-trip
+    // and slice-count checked directly on the stream object
+    val ms = new graft.sources.RangeMicroBatchStream(0L, 200000L, 8, 30000L)
+    assert(ms.deserializeOffset(graft.sources.RangePos(12345L).json())
+      == graft.sources.RangePos(12345L))
+    val parts = ms.planInputPartitions(
+      graft.sources.RangePos(0L), graft.sources.RangePos(30000L))
+    assert(parts.length == 8, "a micro-batch slices like the batch scan")
+    val spans = parts.map(_.asInstanceOf[graft.sources.RangePartition])
+    assert(spans.map(p => p.hi - p.lo).sum == 30000L, "partitions tile the window")
+  }
 }

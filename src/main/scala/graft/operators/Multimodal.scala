@@ -256,7 +256,10 @@ object Multimodal {
         }
       }(enc)
       .select(col("doc_id"), col("nd"), col("sum_d"), col("sum_d2"),
-        expr("cast((cast(100 as decimal(38,0)) * (nd * sum_d2 - sum_d * sum_d))" +
+        // widen BEFORE the inner products: nd·sum_d2 and sum_d² must
+        // not form in BIGINT (Spark would wrap silently where DuckDB
+        // raises) — both factors go through decimal(38,0)/HUGEINT
+        expr("cast((100 * (cast(nd as decimal(38,0)) * sum_d2 - cast(sum_d as decimal(38,0)) * sum_d))" +
           " div (cast(nd as decimal(38,0)) * nd) as bigint)").as("var_x100"))
       .withColumn("is_blurry", col("var_x100") < BlurVarX100Min)
       .orderBy(col("doc_id"))
@@ -275,8 +278,8 @@ object Multimodal {
        |  CAST(list_aggregate(list_transform(ds, x -> x*x), 'sum') AS BIGINT) AS sum_d2
        |  FROM d)
        |SELECT doc_id, nd, sum_d, sum_d2,
-       |  CAST((100::HUGEINT * (nd * sum_d2 - sum_d * sum_d)) // (nd::HUGEINT * nd) AS BIGINT) AS var_x100,
-       |  (100::HUGEINT * (nd * sum_d2 - sum_d * sum_d)) // (nd::HUGEINT * nd) < $BlurVarX100Min AS is_blurry
+       |  CAST((100 * (nd::HUGEINT * sum_d2 - sum_d::HUGEINT * sum_d)) // (nd::HUGEINT * nd) AS BIGINT) AS var_x100,
+       |  (100 * (nd::HUGEINT * sum_d2 - sum_d::HUGEINT * sum_d)) // (nd::HUGEINT * nd) < $BlurVarX100Min AS is_blurry
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

@@ -850,7 +850,12 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
         sum(abs(col("cv") * col("n") - col("gc") * col("k")) - col("gc") * col("k"))
           .as("spart"))
       .select(col("k"),
-        expr("(1000000 * (k * n + spart)) div (2 * k * n)").as("t_ppm"))
+        // numerator widened to decimal(38,0)/HUGEINT: 1e6·k·n
+        // approaches Long.MaxValue near n≈3M records, where Spark
+        // would wrap silently and DuckDB would raise (the
+        // overflow-audit class; matches qBrierDecomp/qYouden)
+        expr("cast((1000000 * (cast(k as decimal(38,0)) * n + spart))" +
+          " div (2 * cast(k as decimal(38,0)) * n) as bigint)").as("t_ppm"))
     t.groupBy(expr("t_ppm div 100000").as("t_bin"))
       .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_records"),
         max(col("t_ppm")).as("max_t_ppm"))
@@ -876,7 +881,7 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
       |  FROM gv JOIN gk USING (c_nationkey, c_mktsegment, bal_bucket)
       |       JOIN gl USING (sens), nn
       |  GROUP BY 1, 2, 3),
-      |tp AS (SELECT k, (1000000 * (k * n + spart)) // (2 * k * n) AS t_ppm FROM t)
+      |tp AS (SELECT k, CAST((1000000 * (k::HUGEINT * n + spart)) // (2 * k::HUGEINT * n) AS BIGINT) AS t_ppm FROM t)
       |SELECT CAST(t_ppm // 100000 AS BIGINT) AS t_bin,
       |  CAST(count(*) AS BIGINT) AS n_groups,
       |  CAST(sum(k) AS BIGINT) AS n_records,

@@ -102,7 +102,9 @@ case class RangePos(pos: Long)
   * construction: trigger k makes ids [start + k·batchRows,
   * start + (k+1)·batchRows) available, so the batch schedule itself
   * is oracle-reconstructible (the stream_rate_eos discipline). */
-class RangeMicroBatchStream(start: Long, end: Long, slices: Int, batchRows: Long)
+class RangeMicroBatchStream(
+    start: Long, end: Long, slices: Int, batchRows: Long,
+    fields: Array[String] = RangeTable.schema.fieldNames)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -115,7 +117,17 @@ class RangeMicroBatchStream(start: Long, end: Long, slices: Int, batchRows: Long
     RangePos(available)
   }
 
-  override def deserializeOffset(json: String): Offset = RangePos(json.toLong)
+  // The cursor is in-memory; a checkpointed RESTART re-creates this
+  // stream and replays the committed offset through deserializeOffset
+  // before asking for latestOffset. Track the high-water mark here so
+  // the cursor resumes FROM the restored position — otherwise
+  // latestOffset would regress below the commit and re-plan id
+  // windows already processed (double-counting in stateful aggs).
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.toLong
+    available = math.max(available, pos)
+    RangePos(pos)
+  }
 
   override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
     val (lo, hi) = (s0.asInstanceOf[RangePos].pos, e0.asInstanceOf[RangePos].pos)
@@ -129,8 +141,12 @@ class RangeMicroBatchStream(start: Long, end: Long, slices: Int, batchRows: Long
     }.toArray
   }
 
+  // the scan's PRUNED field list, mirroring the batch path — today
+  // streaming never calls pruneColumns so this equals the full
+  // schema, but if a Spark upgrade adds streaming column pruning the
+  // reader must produce exactly readSchema()'s fields in order
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(RangeTable.schema.fieldNames)
+    new RangeReaderFactory(fields)
 
   override def commit(off: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -370,7 +386,7 @@ class RangeScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RangeMicroBatchStream(lo, hi, slices, batchRows)
+    new RangeMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
 
   private def step: Long = math.max(1L, (end - start + slices - 1) / slices)
 

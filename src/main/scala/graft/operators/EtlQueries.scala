@@ -224,7 +224,8 @@ object EtlQueries {
     "src_range_group_pushdown" -> (qRangeGroupPushdown _),
     "src_range_join" -> (qRangeJoin _),
     "src_range_runtime_filter" -> (qRangeRuntimeFilter _),
-    "src_range_topn_pushdown" -> (qRangeTopnPushdown _))
+    "src_range_topn_pushdown" -> (qRangeTopnPushdown _),
+    "src_range_write" -> (qRangeWrite _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -457,9 +458,64 @@ object EtlQueries {
        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_custkey % 100 = 7
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSv2 WRITE PATH — the task-commit/abort protocol through
+  // [[graft.sources.DirSinkProvider]] (staged task files, atomic
+  // manifest rename, truncate-overwrite; see its Scaladoc). The gate
+  // routes deterministic range-source rows through THREE write jobs —
+  // overwrite [0,150k) → overwrite [0,200k) → append [200k,250k) —
+  // and aggregates the read-back: a leaked pre-truncate file doubles
+  // counts, a lost task file drops a bucket's ids, a torn manifest
+  // breaks everything, so the exact per-bucket integers gate the
+  // whole staged-commit loop. tag/tag_null/esc_tag additionally gate
+  // NULL round-trip and the TSV escaping (tab, newline, literal
+  // backslash-n) value-for-value against DuckDB's regenerated rows.
+  // The injected-abort path (no partial output after a killed task)
+  // is spec-asserted in DirSinkSpec — a failed job isn't SQL.
+  def qRangeWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_").toString
+    def rows(a: Long, b: Long) = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", a.toString).option("end", b.toString).option("slices", "8")
+      .load()
+      .select(col("id"), col("bucket"), col("val"),
+        concat(lit("k"), (col("id") % 97).cast("string")).as("tag"),
+        when(col("id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("k"), (col("id") % 97).cast("string"))).as("tag_null"),
+        concat(lit("a\t"), (col("id") % 97).cast("string"), lit("\\n\nZ")).as("esc_tag"))
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft.sources.DirSinkProvider")
+        .option("path", tmp).mode(mode).save()
+    write(rows(0, 150000), "overwrite")
+    write(rows(0, 200000), "overwrite") // must truncate write #1's files
+    write(rows(200000, 250000), "append") // must preserve write #2's
+    val back = s.read.format("graft.sources.DirSinkProvider")
+      .option("path", tmp).load()
+    val out = back.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        countDistinct(col("tag")).cast("long").as("n_tags"),
+        count(col("tag_null")).cast("long").as("n_nonnull"),
+        sum(length(col("esc_tag"))).cast("long").as("esc_len"))
+      .orderBy(col("bucket"))
+      .localCheckpoint(true) // sever lineage so the temp dir can go
+    graft.sources.DirSink.deleteRecursively(java.nio.file.Paths.get(tmp))
+    out
+  }
+
+  private val rangeWriteOracle: String =
+    """SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+      |  min(i) AS min_id, max(i) AS max_id,
+      |  CAST(count(DISTINCT 'k' || CAST(i % 97 AS VARCHAR)) AS BIGINT) AS n_tags,
+      |  CAST(count(CASE WHEN i % 11 = 0 THEN NULL ELSE 'x' END) AS BIGINT) AS n_nonnull,
+      |  CAST(sum(length('a' || chr(9) || CAST(i % 97 AS VARCHAR) || '\n' || chr(10) || 'Z')) AS BIGINT) AS esc_len
+      |FROM range(0, 250000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
+    "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,
     "src_orc_roundtrip" -> roundtripOracle,
     "src_range_pushdown" -> rangePushdownOracle,

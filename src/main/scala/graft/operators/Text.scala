@@ -2607,7 +2607,87 @@ FROM b GROUP BY 1 ORDER BY 1"""
       |    AS tv_ppm
       |FROM p ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // SIZE-CLASS SEQUENCE PACKING — the whole-document packing tier
+  // between chunk_sliding and Pipeline.qPackSequences' concat-and-
+  // chunk (which fragments boundary docs): docs are rounded up to a
+  // power-of-two token class (64…2048 = the sequence budget), and
+  // each training row packs `budget div class` SAME-CLASS docs in
+  // md5 order — length-bucketing, the packing discipline that keeps
+  // every document intact and makes the row assignment CLOSED FORM
+  // (row_number div per_row), where exact greedy first-fit is an
+  // inherently sequential recurrence no engine can window. The cost
+  // of that tractability is measured, not hidden: per-row fill_ppm
+  // and per-shard eff_ppm ARE the output — the padding-waste numbers
+  // a pipeline owner reads before buying the fragmentation trade of
+  // concat-and-chunk.
+  //
+  // Sharding follows the qSplit md5-bucket convention (doc_id-modulo
+  // collapses onto sources — measured, CLAUDE.md); docs longer than
+  // the budget truncate to one full row (tok = least(n_tokens, B)).
+  // eff_ppm's 1e6·Σtok numerator widens to decimal(38,0)/HUGEINT
+  // (BIGINT would wrap near ~9e12 packed tokens — a real corpus).
+  //
+  // Scale shape: one scan → map-side token count + class, ONE
+  // exchange on (shard, class) feeding row_number, the (shard,
+  // class, row) partial aggregate, and an 8-row final — no joins, no
+  // arrays through shuffles, shard count = the intended output-file
+  // parallelism (thousands at 100 TB).
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
+  def qPackSeqClasses(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % PackShards).as("shard"),
+      least(size(words(col("text"))).cast("long"), lit(PackBudget)).as("tok"))
+    val cls = docs.withColumn("cls",
+      when(col("tok") <= 64, 64L).when(col("tok") <= 128, 128L)
+        .when(col("tok") <= 256, 256L).when(col("tok") <= 512, 512L)
+        .when(col("tok") <= 1024, 1024L).otherwise(PackBudget))
+    val byRow = cls
+      .withColumn("row_id", expr(
+        s"(cast(row_number() over (partition by shard, cls order by md5(cast(doc_id as string)), doc_id) as bigint) - 1L) div ($PackBudget div cls)"))
+      .groupBy(col("shard"), col("cls"), col("row_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("tok")).as("rt"))
+      .select(col("shard"), col("nd"), col("rt"),
+        expr(s"(1000000 * rt) div $PackBudget").as("fill_ppm"))
+    byRow.groupBy(col("shard"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_rows"),
+        sum(col("rt")).as("packed_tokens"),
+        min(col("fill_ppm")).as("min_fill_ppm"), max(col("fill_ppm")).as("max_fill_ppm"))
+      .select(col("shard"), col("n_docs"), col("n_rows"), col("packed_tokens"),
+        expr(s"cast((1000000 * cast(packed_tokens as decimal(38,0)))" +
+          s" div (n_rows * $PackBudget) as bigint)").as("eff_ppm"),
+        col("min_fill_ppm"), col("max_fill_ppm"))
+      .orderBy(col("shard"))
+  }
+
+  val qPackSeqClassesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $PackShards AS shard,
+       |    least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $PackBudget) AS tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, tok,
+       |    CASE WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128 WHEN tok <= 256 THEN 256
+       |         WHEN tok <= 512 THEN 512 WHEN tok <= 1024 THEN 1024 ELSE $PackBudget END AS cls
+       |  FROM t),
+       |r AS (SELECT shard, cls, tok,
+       |    (row_number() OVER (PARTITION BY shard, cls
+       |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // ($PackBudget // cls) AS row_id
+       |  FROM c),
+       |rws AS (SELECT shard, cls, row_id, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(tok) AS BIGINT) AS rt FROM r GROUP BY 1, 2, 3),
+       |f AS (SELECT shard, nd, rt, CAST((1000000 * rt) // $PackBudget AS BIGINT) AS fill_ppm FROM rws)
+       |SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(rt) AS BIGINT) AS packed_tokens,
+       |  CAST((1000000::HUGEINT * sum(rt)) // (count(*)::HUGEINT * $PackBudget) AS BIGINT) AS eff_ppm,
+       |  min(fill_ppm) AS min_fill_ppm, max(fill_ppm) AS max_fill_ppm
+       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (qPackSeqClasses _),
     "text_source_divergence" -> (qSourceDivergence _),
     "text_chi2_feature" -> (qChi2Feature _),
     "text_label_odds" -> (qLabelOdds _),
@@ -2646,6 +2726,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pack_sequences" -> qPackSeqClassesSql,
     "text_source_divergence" -> qSourceDivergenceSql,
     "text_chi2_feature" -> qChi2FeatureSql,
     "text_label_odds" -> qLabelOddsSql,

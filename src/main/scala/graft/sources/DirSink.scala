@@ -1,0 +1,352 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, IOException}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSource V2 TABLE WITH A WRITE PATH — the missing
+  * half of the custom-source story ([[RangeTableProvider]] covers
+  * every read-side capability; this covers the task-commit/abort
+  * protocol a 100 TB pipeline's staged-commit sink is built on):
+  *
+  *  - **Staged task files**: every [[DataWriter]] writes to a private
+  *    file under `_staging-<queryId>/`, never the table directory.
+  *    Task `commit()` returns the staged name as its
+  *    [[WriterCommitMessage]]; task `abort()` deletes the partial
+  *    file. Spark's OutputCommitCoordinator (useCommitCoordinator
+  *    default) guarantees at most one committed attempt per
+  *    partition, so speculative duplicates die in staging.
+  *  - **Atomic driver commit**: [[BatchWrite.commit]] promotes
+  *    exactly the committed messages' files into the table directory
+  *    and then publishes them by ATOMIC RENAME of a manifest file —
+  *    the manifest IS the table (readers plan only manifest-listed
+  *    files), so a crash anywhere before the rename leaves the
+  *    previous table state fully intact and a crash after it the new
+  *    state: no torn reads, ever.
+  *  - **Abort cleanup**: [[BatchWrite.abort]] removes the whole
+  *    staging directory — a failed job leaves the table byte-for-byte
+  *    untouched (spec-asserted with an injected task failure).
+  *  - **Append + truncate-overwrite**: the [[WriteBuilder]] implements
+  *    [[SupportsTruncate]]; overwrite swaps the manifest to ONLY the
+  *    new files (old data files are removed after the rename — at
+  *    worst they linger as unreferenced garbage, never as data).
+  *
+  * The on-disk format is its own (escaped TSV + a line-oriented
+  * manifest, schema string on line 1) so the whole read↔write loop is
+  * this repo's code under the gate: `src_range_write` routes
+  * deterministic range-source rows through overwrite→overwrite→append
+  * and aggregates the read-back against DuckDB's `range()` closed
+  * form — any lost, duplicated, or torn file breaks the exact counts.
+  *
+  * Types: long / double / string (nullable), the gate's surface;
+  * field names must not contain `:` or `,` (manifest schema line).
+  */
+class DirSinkProvider extends TableProvider {
+  // writes hand the DataFrame's schema straight to getTable; reads go
+  // through inferSchema (manifest line 1)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = DirSink.dirOf(options.asScala.toMap.asJava)
+    val m = DirSink.readManifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft_dirsink: no committed manifest under '$dir' — write first or pass a schema"))
+    m.schema
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DirSinkTable(DirSink.dirOf(properties), schema,
+      Option(properties.get("fail_partition")).map(_.toInt))
+}
+
+object DirSink {
+  val ManifestName = "_graft_manifest.txt"
+
+  def dirOf(properties: util.Map[String, String]): String =
+    Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft_dirsink requires option 'path' (the table directory)"))
+
+  // -- schema line ----------------------------------------------------
+  def encodeSchema(s: StructType): String =
+    s.fields.map { f =>
+      require(!f.name.contains(":") && !f.name.contains(","),
+        s"graft_dirsink field name '${f.name}' may not contain ':' or ','")
+      s"${f.name}:${f.dataType.typeName}"
+    }.mkString(",")
+
+  def decodeSchema(line: String): StructType = StructType(line.split(",").map { p =>
+    val i = p.lastIndexOf(':')
+    val (n, t) = (p.substring(0, i), p.substring(i + 1))
+    StructField(n, t match {
+      case "long" => LongType
+      case "double" => DoubleType
+      case "string" => StringType
+      case other => throw new IllegalArgumentException(
+        s"graft_dirsink: unsupported type '$other' (long/double/string)")
+    })
+  })
+
+  // -- TSV cell escaping: backslash first, so a literal "\N" in data
+  // round-trips as "\\N" and never collides with the null marker ------
+  def escape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\t' => b.append("\\t")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\')
+          case 't' => b.append('\t')
+          case 'n' => b.append('\n')
+          case 'r' => b.append('\r')
+          case other => b.append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  case class Manifest(schema: StructType, files: Seq[String])
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val p = Paths.get(dir, ManifestName)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      Some(Manifest(decodeSchema(lines.head), lines.tail.filter(_.nonEmpty)))
+    }
+  }
+
+  /** Publish: write the manifest beside its final name, then ATOMIC
+    * RENAME into place — the single instant the new table version
+    * becomes visible. */
+  def writeManifest(dir: String, schema: StructType, files: Seq[String]): Unit = {
+    val tmp = Paths.get(dir, ManifestName + ".inprogress")
+    Files.write(tmp, ((encodeSchema(schema) +: files).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+  }
+}
+
+class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name: String = s"graft_dirsink($dir)"
+  override def schema: StructType = tableSchema
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DirSinkScanBuilder(dir, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DirSinkWriteBuilder(dir, info.schema(), info.queryId(), failPartition)
+}
+
+// ======================================================================
+// WRITE SIDE
+// ======================================================================
+
+class DirSinkWriteBuilder(
+    dir: String, schema: StructType, queryId: String, failPartition: Option[Int],
+    truncateFirst: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new DirSinkWriteBuilder(dir, schema, queryId, failPartition, truncateFirst = true)
+
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"GraftDirSinkWrite[$dir${if (truncateFirst) " truncate" else " append"}]"
+    override def toBatch: BatchWrite =
+      new DirSinkBatchWrite(dir, schema, queryId, failPartition, truncateFirst)
+  }
+}
+
+/** One staged directory per query; commit promotes, abort removes. */
+class DirSinkBatchWrite(
+    dir: String, schema: StructType, queryId: String,
+    failPartition: Option[Int], truncateFirst: Boolean) extends BatchWrite {
+
+  private val stagingDir = s"$dir/_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    new DirSinkWriterFactory(stagingDir, schema, failPartition)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: DirSinkCommit => m }
+    val prev = if (truncateFirst) Nil
+      else DirSink.readManifest(dir).map(_.files).getOrElse(Nil)
+    // promote committed task files under names unique to this commit
+    // (queryId-scoped, so an append never collides with prior parts)
+    val promoted = staged.zipWithIndex.map { case (m, i) =>
+      val finalName = s"part-$queryId-$i.tsv"
+      Files.move(Paths.get(stagingDir, m.stagedName), Paths.get(dir, finalName),
+        StandardCopyOption.ATOMIC_MOVE)
+      finalName
+    }.toSeq
+    // the publish instant: readers see old-table → new-table, nothing
+    // in between
+    DirSink.writeManifest(dir, schema, prev ++ promoted)
+    // post-publish garbage collection: truncated-away data files and
+    // any uncommitted (speculative/failed-attempt) staged leftovers
+    if (truncateFirst) {
+      val live = (promoted :+ DirSink.ManifestName).toSet
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !live(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+    }
+    DirSink.deleteRecursively(Paths.get(stagingDir))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    DirSink.deleteRecursively(Paths.get(stagingDir))
+}
+
+case class DirSinkCommit(stagedName: String, rows: Long) extends WriterCommitMessage
+
+class DirSinkWriterFactory(stagingDir: String, schema: StructType, failPartition: Option[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DirSinkDataWriter(stagingDir, schema, partitionId, taskId,
+      failAt = if (failPartition.contains(partitionId)) 3L else -1L)
+}
+
+/** Per-task writer: rows → escaped TSV in a staging file named by
+  * (partition, task attempt) so concurrent attempts never collide.
+  * `failAt` ≥ 0 injects an IOException after that many rows — the
+  * spec's kill-a-task lever proving abort leaves no partial output. */
+class DirSinkDataWriter(
+    stagingDir: String, schema: StructType, partitionId: Int, taskId: Long, failAt: Long)
+    extends DataWriter[InternalRow] {
+
+  private val name = s"task-p$partitionId-t$taskId.tsv"
+  private val path = Paths.get(stagingDir, name)
+  private var out: BufferedWriter = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (failAt >= 0 && rows >= failAt)
+      throw new IOException(s"graft_dirsink injected failure (partition $partitionId)")
+    val line = schema.fields.iterator.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) "\\N"
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => DirSink.escape(row.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(s"unsupported type $other")
+      }
+    }.mkString("\t")
+    out.write(line)
+    out.write('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    DirSinkCommit(name, rows)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    Files.deleteIfExists(path)
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}
+
+// ======================================================================
+// READ SIDE — the manifest IS the table: only listed files are planned
+// ======================================================================
+
+class DirSinkScanBuilder(dir: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new DirSinkScan(dir, tableSchema, required)
+}
+
+class DirSinkScan(dir: String, tableSchema: StructType, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def files: Seq[String] =
+    DirSink.readManifest(dir).map(_.files).getOrElse(Nil)
+
+  override def description(): String =
+    s"GraftDirSinkScan[$dir files=${files.size} cols=${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => DirSinkPartition(s"$dir/$f"): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DirSinkReaderFactory(tableSchema.fields.map(f => f.name -> f.dataType),
+      required.fieldNames)
+}
+
+case class DirSinkPartition(file: String) extends InputPartition
+
+class DirSinkReaderFactory(
+    fileFields: Array[(String, DataType)], requiredNames: Array[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DirSinkPartition]
+    val reader = Files.newBufferedReader(Paths.get(p.file), StandardCharsets.UTF_8)
+    // project at parse time: only required cells are materialized
+    val proj: Array[Int] = requiredNames.map(n => fileFields.indexWhere(_._1 == n))
+    new PartitionReader[InternalRow] {
+      private var line: String = _
+      override def next(): Boolean = { line = reader.readLine(); line != null }
+      override def get(): InternalRow = {
+        val cells = line.split("\t", -1)
+        InternalRow.fromSeq(proj.toSeq.map { i =>
+          val c = cells(i)
+          if (c == "\\N") null
+          else fileFields(i)._2 match {
+            case LongType => c.toLong
+            case DoubleType => c.toDouble
+            case StringType => UTF8String.fromString(DirSink.unescape(c))
+            case other => throw new IllegalStateException(s"unsupported type $other")
+          }
+        })
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

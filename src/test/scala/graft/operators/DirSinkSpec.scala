@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DirSink, RangeMicroBatchStream, RangePos}
+
+/** The DSv2 write path's non-SQL guarantees: an injected task failure
+  * must leave the table byte-for-byte untouched (abort cleanup, no
+  * partial commit), overwrite must swap atomically via the manifest,
+  * and the stream cursor must resume from a restored offset. The
+  * value-level write→read-back round trip is oracle-gated as
+  * `src_range_write`; these specs cover what a failed job / restart
+  * can't express in SQL. */
+class DirSinkSpec extends SparkSpec {
+
+  private def rangeRows(a: Long, b: Long): DataFrame =
+    spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", a.toString).option("end", b.toString).option("slices", "4")
+      .load()
+      .select(col("id"), col("bucket"), col("val"))
+
+  private def write(df: DataFrame, dir: String, mode: String,
+      failPartition: Option[Int] = None): Unit = {
+    val w = df.write.format("graft.sources.DirSinkProvider").option("path", dir)
+    failPartition.foreach(p => w.option("fail_partition", p.toString))
+    w.mode(mode).save()
+  }
+
+  private def readBack(dir: String): DataFrame =
+    spark.read.format("graft.sources.DirSinkProvider").option("path", dir).load()
+
+  private def listFiles(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+
+  test("injected task failure: job fails, abort leaves NO partial output") {
+    val dir = Files.createTempDirectory("dirsink_abort_").toString
+    val e = intercept[Exception] {
+      write(rangeRows(0, 10000), dir, "overwrite", failPartition = Some(2))
+    }
+    assert(e.getMessage != null) // job failed (injected IOException surfaced)
+    // atomicity: no manifest was ever published, so the table is empty
+    assert(DirSink.readManifest(dir).isEmpty, "a failed job must not publish a manifest")
+    // abort cleanup: no staged leftovers, no promoted part files
+    assert(listFiles(dir).isEmpty,
+      s"abort must clean staging and promote nothing; found ${listFiles(dir)}")
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
+  test("failed overwrite leaves the PREVIOUS table version fully readable") {
+    val dir = Files.createTempDirectory("dirsink_prev_").toString
+    write(rangeRows(0, 5000), dir, "overwrite")
+    val before = readBack(dir).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(before.getLong(0) == 5000L)
+    // second overwrite dies mid-flight
+    intercept[Exception] {
+      write(rangeRows(0, 9000), dir, "overwrite", failPartition = Some(1))
+    }
+    val after = readBack(dir).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(after.getLong(0) == 5000L && after.getLong(1) == before.getLong(1),
+      "a failed overwrite must leave the previous committed state intact")
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
+  test("overwrite truncates prior files; append preserves them") {
+    val dir = Files.createTempDirectory("dirsink_modes_").toString
+    write(rangeRows(0, 3000), dir, "overwrite")
+    write(rangeRows(0, 2000), dir, "overwrite")
+    assert(readBack(dir).count() == 2000L, "overwrite must replace, not accumulate")
+    // old data files are garbage-collected after the manifest swap
+    val m = DirSink.readManifest(dir).get
+    assert(listFiles(dir).filter(_ != DirSink.ManifestName).toSet == m.files.toSet,
+      "only manifest-listed files may remain after a truncating commit")
+    write(rangeRows(2000, 2500), dir, "append")
+    assert(readBack(dir).count() == 2500L, "append must add to the committed set")
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
+  test("TSV escaping + nulls round-trip exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dirsink_esc_").toString
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "tab\there"),
+      (3L, "line\nbreak\r"),
+      (4L, "back\\slash and literal \\N marker"),
+      (5L, null.asInstanceOf[String]))
+    write(rows.toDF("id", "s").repartition(2), dir, "overwrite")
+    val got = readBack(dir).orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(got == rows.map { case (i, v) => (i, Option(v)) },
+      s"escaped round trip mismatch: $got")
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
+  test("read side prunes columns at parse time (readSchema = required)") {
+    val dir = Files.createTempDirectory("dirsink_prune_").toString
+    write(rangeRows(0, 1000), dir, "overwrite")
+    val narrow = readBack(dir).select(col("val"))
+    val scanDesc = narrow.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("cols=val"),
+      s"pruned scan should read only 'val'; plan:\n$scanDesc")
+    assert(narrow.agg(sum(col("val"))).collect()(0).getLong(0) ==
+      (0L until 1000L).map(i => (i * 2654435761L) % 1000000L).sum)
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
+  test("micro-batch stream cursor resumes FROM a restored offset (no regression)") {
+    // the r13 ADVICE item: deserializeOffset must raise the in-memory
+    // high-water mark so a checkpointed restart never re-plans
+    // already-committed id windows
+    val s = new RangeMicroBatchStream(0L, 100000L, 4, 10000L)
+    s.deserializeOffset("30000") // restart replays the committed offset
+    val next = s.latestOffset().asInstanceOf[RangePos].pos
+    assert(next == 40000L,
+      s"cursor must advance from the restored offset (30000+10000), got $next")
+  }
+}

@@ -986,6 +986,107 @@ object Streams {
        |ORDER BY s.user_id, s.start_us""".stripMargin
 
   // ---------------------------------------------------------------
+  // SESSION CLOSURE via EVENT-TIME TIMEOUT — the one arbitrary-state
+  // surface [[qStreamSessionFlatmap]] leaves open: its final session
+  // per user sits in state forever because closure is purely
+  // data-driven (needs a successor event). GroupStateTimeout
+  // .EventTimeTimeout is how a real pipeline drains those: every
+  // state update arms `setTimeoutTimestamp(last + gap)`, and when
+  // the WATERMARK passes that mark Spark re-invokes the function
+  // with `state.hasTimedOut` — no successor needed — in the no-data
+  // watermark-flush batch (the stream_rate_eos boundary machinery).
+  // Emitted rows carry which path closed them (`closed_by`), so the
+  // gate checks BOTH: successor-closed sessions exactly as the
+  // flatmap query, plus timeout-closed finals exactly where
+  // (last + gap) as ms < final watermark — and, just as honestly,
+  // the NON-emission of finals still inside the watermark horizon.
+  // Watermark reconstruction is ms-granular (event-time stats
+  // truncate to ms before the delay subtraction — CLAUDE.md), and
+  // GroupState timeouts are themselves ms timestamps, so both
+  // engines compare floor(µs/1000) integers: bit-exact.
+  private val SessionWmDelayMs = 3600000L // 1 hour watermark delay
+
+  private[graft] def sessionTimeoutTransform(s: SparkSession)(
+      stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    stream
+      .withWatermark("ts", "1 hour")
+      // the watermarked `ts` attribute must SURVIVE into the stateful
+      // operator's input (projecting it away strips the watermark and
+      // EventTimeTimeout refuses to plan); ts_us rides beside it
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (last + gap): drain the open session
+            val (st, last, n) = state.get
+            state.remove()
+            Iterator.single((user, st, n, last - st, "timeout"))
+          } else {
+            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+            val closed =
+              scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String)]()
+            var open = state.getOption // (start, last, n)
+            sorted.foreach { case (_, ts, _, _) =>
+              open match {
+                case Some((st, last, n)) if ts - last <= SessionGapUs =>
+                  open = Some((st, ts, n + 1))
+                case Some((st, last, n)) =>
+                  closed += ((user, st, n, last - st, "succ"))
+                  open = Some((ts, ts, 1L))
+                case None =>
+                  open = Some((ts, ts, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // GroupState timeouts are MILLISECOND timestamps: arm at
+              // floor((last+gap)/1000) — the oracle compares the same
+              // floored integer against the reconstructed watermark
+              state.setTimeoutTimestamp((o._2 + SessionGapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "start_us", "n_events", "duration_us", "closed_by")
+  }
+
+  def qStreamSessionTimeout(s: SparkSession, dir: String): DataFrame =
+    runBounded(s, dir, "append")(sessionTimeoutTransform(s))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val qStreamSessionTimeoutSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts FROM events),
+       |g AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > $SessionGapUs
+       |       THEN 1 ELSE 0 END AS is_new
+       |  FROM ev),
+       |sx AS (SELECT user_id, ts,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM g),
+       |sess AS (SELECT user_id, session_idx,
+       |  CAST(min(ts) AS BIGINT) AS start_us,
+       |  count(*) AS n_events,
+       |  CAST(max(ts) AS BIGINT) AS end_us
+       |  FROM sx GROUP BY user_id, session_idx),
+       |mx AS (SELECT user_id, max(session_idx) AS last_idx FROM sess GROUP BY user_id),
+       |wm AS (SELECT max(ts) // 1000 - $SessionWmDelayMs AS wm_ms FROM ev)
+       |SELECT s.user_id, s.start_us, s.n_events,
+       |  CAST(s.end_us - s.start_us AS BIGINT) AS duration_us,
+       |  CASE WHEN s.session_idx < mx.last_idx THEN 'succ' ELSE 'timeout' END AS closed_by
+       |FROM sess s JOIN mx ON s.user_id = mx.user_id, wm
+       |WHERE s.session_idx < mx.last_idx
+       |   OR (s.end_us + $SessionGapUs) // 1000 < wm.wm_ms
+       |ORDER BY s.user_id, s.start_us""".stripMargin
+
+  // ---------------------------------------------------------------
   // STREAMING DRIFT MONITOR — [[graft.operators.Temporal.qDrift]]'s
   // chi-square statistic composed into the streaming surface, per
   // CLOSED hour window: the watermarked windowed count (append mode —
@@ -1263,6 +1364,7 @@ object Streams {
     "stream_quantile" -> (qStreamQuantile _),
     "stream_drift" -> (qStreamDrift _),
     "stream_session_flatmap" -> (qStreamSessionFlatmap _),
+    "stream_session_timeout" -> (qStreamSessionTimeout _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "stream_asof_enrich" -> (qStreamAsofEnrich _),
     "stream_exactly_once" -> (qStreamExactlyOnce _),
@@ -1284,6 +1386,7 @@ object Streams {
     "stream_quantile" -> qStreamQuantileSql,
     "stream_drift" -> qStreamDriftSql,
     "stream_session_flatmap" -> qStreamSessionFlatmapSql,
+    "stream_session_timeout" -> qStreamSessionTimeoutSql,
     "stream_heavy_hitters" -> qStreamHeavyHittersSql,
     "stream_asof_enrich" -> qStreamAsofEnrichSql,
     "stream_exactly_once" -> qStreamExactlyOnceSql,

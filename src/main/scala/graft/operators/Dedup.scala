@@ -918,6 +918,194 @@ FROM com"""
        |WHERE cos >= $CosineThreshold ORDER BY ia, ib""".stripMargin
 
   // ---------------------------------------------------------------
+  // SEMANTIC CLUSTER DEDUP (SemDeDup-composed, multi-probe) — the
+  // embedding-space dedup tier the five-family ensemble lacks (its
+  // members are all token/hash-space): coarse-quantize the corpus
+  // onto the shared stride codebook (the sim_kmeans_step machinery's
+  // seeding, [[Similarity.strideSeeds]]), generate candidate pairs
+  // only where two vectors SHARE one of their [[SemProbes]] nearest
+  // cells, score exactly, and pick canonicals — the SemDeDup shape
+  // (Abbas et al. 2023) with IVF-style multi-probe. Probes are the
+  // measured recall knob at τ=0.45 on this corpus (sf0.1, vs the
+  // exact [[qEmbedCosine]] pair set): 1 probe = 32/144 pairs caught,
+  // 2 = 65/144 over 12% of all-pairs candidates, 3 = 96/144 over 26%
+  // — the operator ships 3, and the spec + PLANS.md record the
+  // recall row rather than assume it.
+  //
+  // Canonical pick: global priority (primary-cell ccos6 asc, vec_id)
+  // — centroid-FARTHEST first, the SemDeDup keep-the-outlier rule —
+  // and a vector is dropped iff ANY τ-pair partner precedes it in
+  // priority. "Dominated by any earlier" (vs greedy dedup against
+  // the kept-set only) keeps the semantics one-pass and closed-form
+  // on both engines: greedy-MIS is an inherently sequential
+  // recurrence, while this is a join predicate over the τ-SURVIVOR
+  // pairs (rare by construction — the only pair rows that ever
+  // materialize). Pair scores compare RAW cosines against τ with
+  // identical dot association (the qEmbedCosine convention);
+  // priorities and probe ranks use round-6 centroid cosines, the
+  // assign stage's own scoring.
+  //
+  // Scale shape: one probe kernel (top-[[SemProbes]] cells per
+  // vector against the broadcast K·dim codebook), ONE exchange of
+  // the ×3-replicated (cid, vec_id, v, nrm) probe rows — the
+  // replication IS the recall price, bounded by the probe count —
+  // then a per-cell pairwise kernel over primitive arrays (cells
+  // buffer in-task at ~probes·√n members by the adaptiveSeedK law)
+  // emitting only ≥τ survivors; dedup/dominance/attribution run
+  // relationally on that survivor set (broadcast — it is audit-
+  // sized) against the metadata-width priority frame. Per-pair
+  // attribution goes to the WINNER's primary cell, so every τ-pair
+  // counts exactly once and the total row reconciles.
+  private val SemProbes = 3
+
+  def qSemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    DotF64.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centArr = Similarity.strideSeeds(e).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        (r.getLong(0), cv, math.sqrt(Vectors.dotJvm(cv, cv)))
+      }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(centArr)
+    val probeSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("cid", LongType),
+      StructField("rank", IntegerType), StructField("ccos1", DoubleType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+    // top-SemProbes cells per vector; argsort semantics = ROW_NUMBER
+    // ORDER BY ccos6 DESC, cid ASC (ties to the smaller cid)
+    val probed = e
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { r =>
+          val vid = r.getLong(0)
+          val v = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(Vectors.dotJvm(v, v))
+          val scored = cs.map { case (cid, cv, cn) =>
+            (Vectors.round6Jvm(Vectors.dotJvm(v, cv) / (nrm * cn)), cid)
+          }
+          val top = scored.sortBy { case (c, cid) => (-c, cid) }.take(SemProbes)
+          val ccos1 = top.head._1
+          top.iterator.zipWithIndex.map { case ((_, cid), k) =>
+            Row(vid, cid, k + 1, ccos1, v.toSeq, nrm)
+          }
+        }
+      }(Encoders.row(probeSchema))
+      .localCheckpoint() // consumed by the cell sweep AND the priority frame
+    val prio = probed.filter(col("rank") === 1)
+      .select(col("vec_id"), col("cid").as("cid1"), col("ccos1"))
+    val pairSchema = StructType(Seq(
+      StructField("ia", LongType), StructField("ib", LongType)))
+    // per-cell exact sweep; only ≥τ survivors leave the kernel
+    val rawPairs = probed
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("cid"))
+      .mapPartitions { it =>
+        val cells = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]]
+        it.foreach { r =>
+          cells.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+        }
+        cells.valuesIterator.flatMap { members =>
+          val m = members.sortBy(_._1).toArray
+          val out = Seq.newBuilder[Row]
+          var j = 1
+          while (j < m.length) {
+            var i = 0
+            while (i < j) {
+              val cos = Vectors.dotJvm(m(i)._2, m(j)._2) / (m(i)._3 * m(j)._3)
+              if (cos >= CosineThreshold) out += Row(m(i)._1, m(j)._1)
+              i += 1
+            }
+            j += 1
+          }
+          out.result()
+        }
+      }(Encoders.row(pairSchema))
+    val pairs = rawPairs.dropDuplicates("ia", "ib").localCheckpoint() // audit-sized
+    // dominance + attribution: winner = priority-earlier member
+    // ((ccos1, vec_id) lexicographic; ia < ib, so ties keep ia)
+    val withA = prio.join(broadcast(pairs), col("vec_id") === col("ia"))
+      .select(col("ia"), col("ib"), col("ccos1").as("ca"), col("cid1").as("cida"))
+    val dom = prio.join(broadcast(withA), col("vec_id") === col("ib"))
+      .select(col("ia"), col("ib"), col("ca"), col("cida"),
+        col("ccos1").as("cb"), col("cid1").as("cidb"))
+      .select(
+        when(col("ca") <= col("cb"), col("ib")).otherwise(col("ia")).as("dropped_id"),
+        when(col("ca") <= col("cb"), col("cida")).otherwise(col("cidb")).as("attr_cid"))
+      .localCheckpoint() // audit-sized; consumed twice
+    val dropped = dom.select(col("dropped_id")).distinct()
+    val mem = prio.groupBy(col("cid1").as("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    val kept = prio.join(broadcast(dropped), col("vec_id") === col("dropped_id"),
+        "left_anti")
+      .groupBy(col("cid1").as("cid"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_sum"))
+    val dp = dom.groupBy(col("attr_cid").as("cid"))
+      .agg(count(lit(1)).as("dup_pairs"))
+    val perCluster = mem.join(dp, Seq("cid"), "left").join(kept, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
+      .localCheckpoint() // K rows; listing + total
+    val total = perCluster.agg(
+        sum(col("n_members")).as("n_members"), sum(col("dup_pairs")).as("dup_pairs"),
+        sum(col("n_kept")).as("n_kept"), sum(col("kept_sum")).as("kept_sum"))
+      .select(lit(-1L).as("cid"), col("n_members"), col("dup_pairs"),
+        col("n_kept"), col("kept_sum"))
+    perCluster.unionAll(total).orderBy(col("cid"))
+  }
+
+  val qSemanticClustersSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${Similarity.SeedStride} = 7 ORDER BY cid LIMIT ${Similarity.seedKSql}),
+       |sc AS (SELECT n.vec_id, c.cid,
+       |  round((${Vectors.dotSql("n.v", "c.cv")}) / (n.nrm * c.cn), 6) AS ccos
+       |  FROM n, c),
+       |r3 AS (SELECT vec_id, cid, ccos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM sc),
+       |asg3 AS (SELECT vec_id, cid FROM r3 WHERE rn <= $SemProbes),
+       |prio AS (SELECT vec_id, cid AS cid1, ccos AS ccos1 FROM r3 WHERE rn = 1),
+       |cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+       |  FROM asg3 x JOIN asg3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |pr AS (SELECT cand.ia, cand.ib FROM cand
+       |  JOIN n a ON a.vec_id = cand.ia JOIN n b ON b.vec_id = cand.ib
+       |  WHERE (${Vectors.dotSql("a.v", "b.v")}) / (a.nrm * b.nrm) >= $CosineThreshold),
+       |dom AS (SELECT
+       |    CASE WHEN pa.ccos1 <= pb.ccos1 THEN pr.ib ELSE pr.ia END AS dropped_id,
+       |    CASE WHEN pa.ccos1 <= pb.ccos1 THEN pa.cid1 ELSE pb.cid1 END AS attr_cid
+       |  FROM pr JOIN prio pa ON pa.vec_id = pr.ia JOIN prio pb ON pb.vec_id = pr.ib),
+       |dr AS (SELECT DISTINCT dropped_id FROM dom),
+       |mem AS (SELECT cid1 AS cid, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM prio GROUP BY 1),
+       |kept AS (SELECT p.cid1 AS cid, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(p.vec_id) AS BIGINT) AS kept_sum
+       |  FROM prio p LEFT JOIN dr ON p.vec_id = dr.dropped_id
+       |  WHERE dr.dropped_id IS NULL GROUP BY 1),
+       |dp AS (SELECT attr_cid AS cid, CAST(count(*) AS BIGINT) AS dup_pairs
+       |  FROM dom GROUP BY 1),
+       |rows_ AS (SELECT mem.cid, mem.n_members,
+       |    coalesce(dp.dup_pairs, 0) AS dup_pairs,
+       |    coalesce(kept.n_kept, 0) AS n_kept,
+       |    coalesce(kept.kept_sum, 0) AS kept_sum
+       |  FROM mem LEFT JOIN dp ON mem.cid = dp.cid LEFT JOIN kept ON mem.cid = kept.cid)
+       |SELECT cid, n_members, CAST(dup_pairs AS BIGINT) AS dup_pairs,
+       |  CAST(n_kept AS BIGINT) AS n_kept, CAST(kept_sum AS BIGINT) AS kept_sum
+       |  FROM rows_
+       |UNION ALL
+       |SELECT -1, CAST(sum(n_members) AS BIGINT), CAST(sum(dup_pairs) AS BIGINT),
+       |  CAST(sum(n_kept) AS BIGINT), CAST(sum(kept_sum) AS BIGINT) FROM rows_
+       |ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
   // DEDUP THRESHOLD SWEEP — the calibration table a pipeline owner
   // reads before PICKING τ: for each candidate cosine threshold, how
   // many pairs fire, how many documents get pulled into dedup, and
@@ -3118,6 +3306,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_simhash" -> (qSimHash _),
     "dedup_simhash_pairs" -> (qSimHashPairs _),
     "dedup_embed_cosine" -> (qEmbedCosine _),
+    "dedup_semantic_clusters" -> (qSemanticClusters _),
     "dedup_substring" -> (qSubstring _),
     "dedup_containment" -> (qContainment _),
     "dedup_threshold_sweep" -> (qThresholdSweep _),
@@ -3157,6 +3346,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "dedup_simhash" -> qSimHashSql,
     "dedup_simhash_pairs" -> qSimHashPairsSql,
     "dedup_embed_cosine" -> qEmbedCosineSql,
+    "dedup_semantic_clusters" -> qSemanticClustersSql,
     "dedup_substring" -> qSubstringSql,
     "dedup_containment" -> qContainmentSql,
     "dedup_threshold_sweep" -> qThresholdSweepSql,

@@ -551,7 +551,7 @@ object Similarity {
 
   /** The e/n/c/sc/asg assignment CTE chain — the SQL twin of
     * [[assignToCentroids]], shared by the IVF and k-means oracles. */
-  private val assignCteSql: String =
+  private[operators] val assignCteSql: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % $SeedStride = 7

@@ -1213,6 +1213,37 @@ class AnalyticsSpec extends SparkSpec {
       "the lowest tau equals the scored pair list (its own emission threshold)")
   }
 
+  test("semantic cluster dedup: accounting closes and recall vs exact pairs is measured") {
+    val rows = Dedup.qSemanticClusters(spark, sfDir).collect()
+    val (total, clusters) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length == 1, "exactly one TOTAL row (cid = -1)")
+    val t = total.head
+    // per-cluster accounting: kept + dropped = members; total row = the sums
+    clusters.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"kept > members in cluster ${r.getLong(0)}")
+      assert(r.getLong(3) >= 1L, "the priority-first member of a cluster is always kept")
+    }
+    assert(t.getLong(1) == clusters.map(_.getLong(1)).sum)
+    assert(t.getLong(2) == clusters.map(_.getLong(2)).sum)
+    assert(t.getLong(3) == clusters.map(_.getLong(3)).sum)
+    assert(t.getLong(1) ==
+      graft.Tables.embeddings(spark, sfDir).count(), "clusters partition the corpus")
+    // the SemDeDup coarse-quantization trade, measured: intra-cluster
+    // τ-pairs vs the exact ball-pruned all-pairs at the SAME τ
+    val exact = Dedup.qEmbedCosine(spark, sfDir).count()
+    val caught = t.getLong(2)
+    assert(caught <= exact, "intra-cluster pairs are a subset of the exact τ-pairs")
+    assert(exact == 0 || caught > 0,
+      s"semantic dedup caught NOTHING of $exact exact pairs — assignment is broken")
+    // the recall number itself is MEASURED, not asserted: at τ=0.45
+    // (the family's loose near-dup threshold) boundary-straddling
+    // pairs are the known SemDeDup coarse-quantization loss, and at
+    // this SF the exact pair set is single-digit — the per-SF recall
+    // rows live in PLANS.md
+    info(s"semantic-dedup recall row: caught=$caught exact=$exact " +
+      f"(${if (exact == 0) 1.0 else caught.toDouble / exact}%.3f)")
+  }
+
   test("calibration bins partition the corpus and the LM score separates en") {
     val rows = Models.qCalibration(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()

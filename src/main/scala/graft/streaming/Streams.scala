@@ -260,7 +260,7 @@ object Streams {
   // or lost — and (b) run 2 consumed ONLY the new files (the offset
   // log, not a rescan): both gated, (a) as the per-user rows and (b)
   // as the run1_rows/run2_rows columns the oracle rebuilds from the
-  // ntile file schedule. This is the one streaming surface
+  // md5-bucket file schedule. This is the one streaming surface
   // stream_exactly_once (sink idempotency) does not cover — ENGINE
   // recovery. Two `Trigger.AvailableNow` phases over a shared
   // checkpoint are exactly the production restart (a stopped job
@@ -275,14 +275,24 @@ object Streams {
     val name = "graft_restart_" + UUID.randomUUID().toString.replace("-", "")
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // raw ts longs: the aggregation is event-time-free; ntile over
-      // the raw ns longs orders identically to the oracle's timestamps
+      // The aggregation is event-time-free (no watermark, complete
+      // mode), so the 4-way file split needs NO time contiguity —
+      // md5-bucket the event ids (the qSplit convention) instead of
+      // the original ntile-over-ts, which planned the repo's last
+      // full-table unpartitioned window (a single-task global sort;
+      // the r13 verdict item). Hash buckets are exact and
+      // embarrassingly parallel where a ts-quantile split would need
+      // either approx percentiles (not oracle-reconstructible
+      // bit-exactly) or an exact order statistic (a sort again); the
+      // oracle rebuilds the same schedule from the same md5 rule.
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
-      val staged = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint()
+      val staged = ev.withColumn("bucket",
+          conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 4)
+        .localCheckpoint()
       def stage(b: Int): Unit = {
         val outDir = base.resolve(s"stage_$b").toString
-        staged.filter(col("bucket") === b).drop("bucket")
+        staged.filter(col("bucket") === (b - 1)).drop("bucket")
           .coalesce(1).write.parquet(outDir)
         val part = new java.io.File(outDir).listFiles()
           .find(f => f.getName.startsWith("part-")).get
@@ -331,11 +341,12 @@ object Streams {
 
   val qStreamRestartRecoverySql: String =
     """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
-      |    ntile(4) OVER (ORDER BY ts) AS f FROM events)
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS f
+      |  FROM events)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(coalesce(sum(vc), 0) AS BIGINT) AS cents,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f <= 2) AS run1_rows,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f > 2) AS run2_rows
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f <= 1) AS run1_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE f > 1) AS run2_rows
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------

@@ -3456,15 +3456,21 @@ class AnalyticsSpec extends SparkSpec {
     val rows = graft.streaming.Streams.qStreamRestartRecovery(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val ev = graft.Tables.events(spark, sfDir)
-      .selectExpr("user_id", "unix_micros(ts) as us",
+      .selectExpr("user_id", "event_id",
         "cast(round(value * 100) as long) as vc").collect()
       .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
-    // ntile(4) over unique ts replays positionally
-    val sorted = ev.sortBy(_._2)
-    val n = sorted.length
-    def bucketEnd(b: Int): Int = b * (n / 4) + math.min(b, n % 4) // ntile front-loads
-    val run1Expected = bucketEnd(2).toLong
-    val run2Expected = (n - bucketEnd(2)).toLong
+    // the md5-bucket file schedule (the qSplit convention — replaced
+    // the ntile global window, the repo's last unpartitioned
+    // full-table sort): bucket = first-15-hex-of-md5(event_id) % 4,
+    // run 1 = buckets {0,1}, run 2 = buckets {2,3}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(eventId: Long): Long = {
+      val hex = md.digest(eventId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    val run1Expected = ev.count(e => bucketOf(e._2) <= 1).toLong
+    val run2Expected = ev.length.toLong - run1Expected
     rows.foreach { r =>
       assert(r.getLong(3) == run1Expected, "run 1 must consume files 1-2 exactly")
       assert(r.getLong(4) == run2Expected,

@@ -3452,6 +3452,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(expected(best)._4 > 0)
   }
 
+  test("size-class packing matches a driver replay of the md5-order greedy fill") {
+    val rows = Text.qPackSeqClasses(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bucket15(s: String, m: Long): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16) % m
+    val budget = 2048L
+    // replay: shard, capped tokens, pow2 class, md5 rank, row id
+    val prepared = docs.map { case (id, text) =>
+      val tok = math.min(Text.duckWords(text).length.toLong, budget)
+      val cls = if (tok <= 64) 64L else if (tok <= 128) 128L else if (tok <= 256) 256L
+        else if (tok <= 512) 512L else if (tok <= 1024) 1024L else budget
+      (id, bucket15(id.toString, 8L), tok, cls, md5hex(id.toString))
+    }
+    val byShard = prepared.groupBy(_._2).map { case (shard, members) =>
+      val rowsOfShard = members.groupBy(_._4).toSeq.flatMap { case (cls, ms) =>
+        val perRow = (budget / cls).toInt
+        ms.sortBy(m => (m._5, m._1)).grouped(perRow).map(g => g.map(_._3).sum).toSeq
+      }
+      val packed = rowsOfShard.sum
+      val nRows = rowsOfShard.length.toLong
+      val fills = rowsOfShard.map(rt => 1000000L * rt / budget)
+      (shard, (members.length.toLong, nRows, packed,
+        1000000L * packed / (nRows * budget), fills.min, fills.max))
+    }
+    assert(rows.length == byShard.size, "one output row per non-empty shard")
+    rows.foreach { r =>
+      val e = byShard(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"shard ${r.getLong(0)} mismatch: got $r want $e")
+    }
+    // packing sanity: every row's fill is positive and ≤ 1e6; whole
+    // docs only (kept tokens sum = packed tokens)
+    assert(rows.forall(r => r.getLong(6) <= 1000000L && r.getLong(5) >= 1L))
+  }
+
+  test("timeout sessionization emits both closure paths at the exact ms boundary") {
+    val rows = graft.streaming.Streams.qStreamSessionTimeout(spark, sfDir).collect()
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 1800000000L
+    val wmMs = ev.map(_._2).max / 1000L - 3600000L
+    // replay: per-user sessions in (ts, event_id) order; every session
+    // but the last closes by successor, the last by timeout iff the
+    // ms-floored (end + gap) sits strictly below the final watermark
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { case (_, ts, _) =>
+        sessions.lastOption match {
+          case Some((st, last, n)) if ts - last <= gap =>
+            sessions(sessions.length - 1) = (st, ts, n + 1)
+          case _ => sessions += ((ts, ts, 1L))
+        }
+      }
+      val succ = sessions.dropRight(1).map { case (st, last, n) =>
+        (u, st, n, last - st, "succ")
+      }
+      val tail = sessions.lastOption.filter { case (_, last, _) =>
+        (last + gap) / 1000L < wmMs
+      }.map { case (st, last, n) => (u, st, n, last - st, "timeout") }
+      succ ++ tail
+    }.sortBy(t => (t._1, t._2))
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got == expected, s"session emission mismatch: ${got.length} vs ${expected.length}")
+    assert(got.exists(_._5 == "succ") && got.exists(_._5 == "timeout"),
+      "both closure paths must be exercised at this SF")
+  }
+
   test("checkpoint restart recovers state exactly and reads only new files") {
     val rows = graft.streaming.Streams.qStreamRestartRecovery(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -166,7 +166,7 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
   override def schema: StructType = tableSchema
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DirSinkScanBuilder(dir, tableSchema)
@@ -192,7 +192,70 @@ class DirSinkWriteBuilder(
       s"GraftDirSinkWrite[$dir${if (truncateFirst) " truncate" else " append"}]"
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(dir, schema, queryId, failPartition, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new DirSinkStreamingWrite(dir, schema, queryId, failPartition)
   }
+}
+
+/** The STREAMING write: same staged-file discipline per epoch, with
+  * the one extra guarantee a micro-batch sink must add — IDEMPOTENT
+  * epoch commits. After a checkpointed restart the engine re-runs the
+  * last unacknowledged epoch, so `commit(epochId, …)` is reached
+  * twice for the same data; promoted file names carry the
+  * (queryId, epochId) pair, and a commit whose epoch is already in
+  * the manifest drops its staged files instead of promoting — the
+  * sink-side exactly-once contract (what `stream_exactly_once`
+  * gestures at from the outside, here implemented inside the sink).
+  * Each epoch appends to the manifest by the same atomic rename as
+  * the batch path: a reader concurrent with the stream sees whole
+  * epochs only, never a torn one. */
+class DirSinkStreamingWrite(
+    dir: String, schema: StructType, queryId: String, failPartition: Option[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stagingDir = s"$dir/_staging-$queryId"
+
+  private def epochPrefix(epochId: Long) = s"part-$queryId-e$epochId-"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    new DirSinkStreamingWriterFactory(stagingDir, schema, failPartition)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: DirSinkCommit => m }
+    val prev = DirSink.readManifest(dir).map(_.files).getOrElse(Nil)
+    if (prev.exists(_.startsWith(epochPrefix(epochId)))) {
+      // replayed epoch after a restart: already published — drop the
+      // re-staged files, promote nothing (idempotence)
+      staged.foreach(m => Files.deleteIfExists(Paths.get(stagingDir, m.stagedName)))
+    } else {
+      val promoted = staged.zipWithIndex.map { case (m, i) =>
+        val finalName = s"${epochPrefix(epochId)}$i.tsv"
+        Files.move(Paths.get(stagingDir, m.stagedName), Paths.get(dir, finalName),
+          StandardCopyOption.ATOMIC_MOVE)
+        finalName
+      }.toSeq
+      DirSink.writeManifest(dir, schema, prev ++ promoted)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: DirSinkCommit => m }
+    staged.foreach(m => Files.deleteIfExists(Paths.get(stagingDir, m.stagedName)))
+  }
+}
+
+class DirSinkStreamingWriterFactory(
+    stagingDir: String, schema: StructType, failPartition: Option[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DirSinkDataWriter(stagingDir, schema,
+      s"task-e$epochId-p$partitionId-t$taskId.tsv",
+      failAt = if (failPartition.contains(partitionId)) 3L else -1L)
 }
 
 /** One staged directory per query; commit promotes, abort removes. */
@@ -242,26 +305,27 @@ case class DirSinkCommit(stagedName: String, rows: Long) extends WriterCommitMes
 class DirSinkWriterFactory(stagingDir: String, schema: StructType, failPartition: Option[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DirSinkDataWriter(stagingDir, schema, partitionId, taskId,
+    new DirSinkDataWriter(stagingDir, schema, s"task-p$partitionId-t$taskId.tsv",
       failAt = if (failPartition.contains(partitionId)) 3L else -1L)
 }
 
 /** Per-task writer: rows → escaped TSV in a staging file named by
-  * (partition, task attempt) so concurrent attempts never collide.
-  * `failAt` ≥ 0 injects an IOException after that many rows — the
-  * spec's kill-a-task lever proving abort leaves no partial output. */
+  * (partition, task attempt [, epoch]) so concurrent attempts never
+  * collide. `failAt` ≥ 0 injects an IOException after that many rows
+  * — the spec's kill-a-task lever proving abort leaves no partial
+  * output. Shared by the batch and streaming write paths (the name
+  * carries the difference). */
 class DirSinkDataWriter(
-    stagingDir: String, schema: StructType, partitionId: Int, taskId: Long, failAt: Long)
+    stagingDir: String, schema: StructType, name: String, failAt: Long)
     extends DataWriter[InternalRow] {
 
-  private val name = s"task-p$partitionId-t$taskId.tsv"
   private val path = Paths.get(stagingDir, name)
   private var out: BufferedWriter = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     if (failAt >= 0 && rows >= failAt)
-      throw new IOException(s"graft_dirsink injected failure (partition $partitionId)")
+      throw new IOException(s"graft_dirsink injected failure ($name)")
     val line = schema.fields.iterator.zipWithIndex.map { case (f, i) =>
       if (row.isNullAt(i)) "\\N"
       else f.dataType match {

@@ -250,6 +250,70 @@ object Streams {
   }
 
   // ---------------------------------------------------------------
+  // CUSTOM DSv2 STREAMING WRITE — the fourth cell of the source/sink
+  // capability matrix (batch read / micro-batch read / batch write /
+  // STREAMING write): the range stream's 7 deterministic micro-
+  // batches flow through `graft.sources.DirSink`'s epoch-committed
+  // StreamingWrite — per-epoch staged task files, idempotent epoch
+  // promotion (a replayed epoch after restart publishes nothing
+  // twice), atomic manifest appends — and the gate aggregates the
+  // BATCH READ-BACK of the sink directory against DuckDB's range()
+  // closed form. Any lost epoch, double-committed epoch, or torn
+  // manifest breaks the exact per-bucket integers; the committed
+  // epoch count itself rides as `n_epochs` (file names carry the
+  // (queryId, epoch) pair, so the manifest is its own evidence).
+  // The idempotent-replay path is additionally unit-asserted in
+  // DirSinkSpec (a re-commit of a published epoch must not promote).
+  def qSrcRangeWriteStream(s: SparkSession, dir: String): DataFrame = {
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val base = java.nio.file.Files.createTempDirectory("graft_dirsink_stream_")
+    val sink = base.resolve("table").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(sink))
+    try {
+      val q = s.readStream.format("graft.sources.RangeTableProvider")
+        .option("start", "0").option("end", SrcStreamEnd.toString)
+        .option("slices", "8").option("batchRows", SrcStreamBatch.toString)
+        .load()
+        .writeStream.format("graft.sources.DirSinkProvider")
+        .option("path", sink)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val epochs = graft.sources.DirSink.readManifest(sink)
+        .map(_.files.flatMap(f => "-e(\\d+)-".r.findFirstMatchIn(f).map(_.group(1)))
+          .distinct.size.toLong)
+        .getOrElse(0L)
+      val out = s.read.format("graft.sources.DirSinkProvider")
+        .option("path", sink).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("n_epochs", lit(epochs))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true) // sever lineage so the temp dir can go
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+      graft.sources.DirSink.deleteRecursively(base)
+    }
+  }
+
+  val qSrcRangeWriteStreamSql: String = {
+    val nBatches = (SrcStreamEnd + SrcStreamBatch - 1) / SrcStreamBatch
+    s"""WITH r AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS v
+       |  FROM range(0, $SrcStreamEnd) t(i))
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(v) AS BIGINT) AS sum_val,
+       |  min(id) AS min_id, max(id) AS max_id,
+       |  CAST($nBatches AS BIGINT) AS n_epochs
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // CHECKPOINT RESTART RECOVERY — the fault-tolerance contract the
   // rest of the streaming family assumes, gated directly: a stateful
   // aggregation runs to end-of-available-data, the query STOPS, more
@@ -1384,6 +1448,7 @@ object Streams {
     "stream_rate_eos" -> (qStreamRateEos _),
     "stream_restart_recovery" -> (qStreamRestartRecovery _),
     "src_range_stream" -> (qSrcRangeStream _),
+    "src_range_write_stream" -> (qSrcRangeWriteStream _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1406,6 +1471,7 @@ object Streams {
     "stream_rate_eos" -> qStreamRateEosSql,
     "stream_restart_recovery" -> qStreamRestartRecoverySql,
     "src_range_stream" -> qSrcRangeStreamSql,
+    "src_range_write_stream" -> qSrcRangeWriteStreamSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,

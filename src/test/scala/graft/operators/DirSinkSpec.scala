@@ -110,6 +110,33 @@ class DirSinkSpec extends SparkSpec {
     DirSink.deleteRecursively(Paths.get(dir))
   }
 
+  test("streaming epoch commit is idempotent: a replayed epoch publishes nothing twice") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.sources.{DirSinkCommit, DirSinkStreamingWrite}
+    val dir = Files.createTempDirectory("dirsink_epoch_").toString
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val sw = new DirSinkStreamingWrite(dir, schema, "q1", None)
+    val staging = Paths.get(dir, "_staging-q1")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("task-e5-p0-t0.tsv"), "1\n2\n")
+    sw.commit(5L, Array(DirSinkCommit("task-e5-p0-t0.tsv", 2L)))
+    val m1 = DirSink.readManifest(dir).get
+    assert(m1.files.length == 1 && m1.files.head.startsWith("part-q1-e5-"))
+    // the restart replay: same epoch re-staged and re-committed
+    Files.writeString(staging.resolve("task-e5-p0-t0.tsv"), "1\n2\n")
+    sw.commit(5L, Array(DirSinkCommit("task-e5-p0-t0.tsv", 2L)))
+    val m2 = DirSink.readManifest(dir).get
+    assert(m2.files == m1.files, "a replayed epoch must not promote a second file set")
+    assert(!Files.exists(staging.resolve("task-e5-p0-t0.tsv")),
+      "the replayed epoch's staged file is dropped, not leaked")
+    assert(readBack(dir).count() == 2L, "rows published exactly once")
+    // a NEW epoch still appends
+    Files.writeString(staging.resolve("task-e6-p0-t0.tsv"), "3\n")
+    sw.commit(6L, Array(DirSinkCommit("task-e6-p0-t0.tsv", 1L)))
+    assert(readBack(dir).count() == 3L)
+    DirSink.deleteRecursively(Paths.get(dir))
+  }
+
   test("micro-batch stream cursor resumes FROM a restored offset (no regression)") {
     // the r13 ADVICE item: deserializeOffset must raise the in-memory
     // high-water mark so a checkpointed restart never re-plans

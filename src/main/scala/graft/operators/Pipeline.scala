@@ -2021,7 +2021,65 @@ FROM j ORDER BY source"""
       |FROM d JOIN sf ON d.fold = sf.fold
       |GROUP BY d.fold, lang ORDER BY d.fold, lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ONE-PASS OBSERVED METRICS — the `Observation` API
+  // (`Dataset.observe`): per-stage audit counters collected as
+  // ACCUMULATORS DURING the single data pass, not as extra counting
+  // jobs. [[qCurationFunnel]] measures a 4-stage funnel with doc-id
+  // semi-joins (re-scanning survivor lists per stage); this is the
+  // 100 TB-native alternative — each `observe` node folds its
+  // aggregates into the running scan, so a 3-stage filter chain
+  // costs exactly ONE traversal and zero extra shuffles, and the
+  // driver reads the stage metrics off the query listener after the
+  // one action. The gated rows ARE the observed values (docs, chars,
+  // the exact integer survivors at each stage), so the gate proves
+  // the accumulator path agrees with DuckDB's recomputation — the
+  // trust anchor an observability hook needs before a release gate
+  // can consume it. All metrics are exact integer counts/sums; the
+  // single action is a count() whose result rides as the final row.
+  private val ObsMinChars = 200L
+
+  def qObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val o0 = Observation()
+    val o1 = Observation()
+    val o2 = Observation()
+    def metrics = Seq(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(length(col("text"))).cast("long").as("n_chars"))
+    val staged = Tables.documents(s, dir)
+      .observe(o0, metrics.head, metrics(1))
+      .filter(length(col("text")) >= ObsMinChars)
+      .observe(o1, metrics.head, metrics(1))
+      .filter(col("lang") === "en")
+      .observe(o2, metrics.head, metrics(1))
+    val survivors = staged.count() // the ONE action; all observations fill
+    def row(stage: String, o: Observation): (String, Long, Long) = {
+      val m = o.get
+      (stage, m("n_docs").asInstanceOf[Long], m("n_chars").asInstanceOf[Long])
+    }
+    import s.implicits._
+    Seq(row("0_raw", o0), row("1_len", o1), row("2_lang", o2))
+      .toDF("stage", "n_docs", "n_chars")
+      .withColumn("survivors", lit(survivors))
+      .orderBy(col("stage"))
+  }
+
+  val qObserveMetricsSql: String =
+    s"""WITH s0 AS (SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents),
+       |s1 AS (SELECT '1_len', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+       |  FROM documents WHERE length(text) >= $ObsMinChars),
+       |s2 AS (SELECT '2_lang', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+       |  FROM documents WHERE length(text) >= $ObsMinChars AND lang = 'en'),
+       |u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+       |sv AS (SELECT CAST(count(*) AS BIGINT) AS survivors FROM documents
+       |  WHERE length(text) >= $ObsMinChars AND lang = 'en')
+       |SELECT u.stage, u.n_docs, u.n_chars, sv.survivors FROM u, sv
+       |ORDER BY u.stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_observe_metrics" -> (qObserveMetrics _),
     "samp_group_kfold" -> (qGroupKfold _),
     "pipe_pareto_frontier" -> (qParetoFrontier _),
     "pii_ldiversity" -> (qLDiversity _),
@@ -2069,6 +2127,7 @@ FROM j ORDER BY source"""
     "pipe_budget_curve" -> qBudgetCurveSql,
     "samp_ess_clip" -> qEssClipSql,
     "pipe_curation_funnel" -> qCurationFunnelSql,
+    "pipe_observe_metrics" -> qObserveMetricsSql,
     "pipe_release_gate" -> qReleaseGateSql,
     "pipe_contam_report" -> qContamReportSql,
     "pipe_datacard" -> qDatacardSql,

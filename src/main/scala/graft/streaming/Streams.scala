@@ -282,8 +282,14 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      // the epoch tag is the trailing "-e<epoch>-<i>.tsv" pair —
+      // anchored at the END because the queryId before it is a UUID
+      // whose hex groups can themselves match "-e<digits>-" (a
+      // full-board run drew such a UUID and the unanchored parse
+      // collapsed every file onto the same spurious "epoch")
       val epochs = graft.sources.DirSink.readManifest(sink)
-        .map(_.files.flatMap(f => "-e(\\d+)-".r.findFirstMatchIn(f).map(_.group(1)))
+        .map(_.files.flatMap(f =>
+            "-e(\\d+)-\\d+\\.tsv$".r.findFirstMatchIn(f).map(_.group(1)))
           .distinct.size.toLong)
         .getOrElse(0L)
       val out = s.read.format("graft.sources.DirSinkProvider")

@@ -225,7 +225,9 @@ object EtlQueries {
     "src_range_join" -> (qRangeJoin _),
     "src_range_runtime_filter" -> (qRangeRuntimeFilter _),
     "src_range_topn_pushdown" -> (qRangeTopnPushdown _),
-    "src_range_write" -> (qRangeWrite _))
+    "src_range_write" -> (qRangeWrite _),
+    "src_catalog_sql" -> (qCatalogSql _),
+    "src_range_metadata_cols" -> (qRangeMetadataCols _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -512,9 +514,81 @@ object EtlQueries {
       |  CAST(sum(length('a' || chr(9) || CAST(i % 97 AS VARCHAR) || '\n' || chr(10) || 'Z')) AS BIGINT) AS esc_len
       |FROM range(0, 250000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSv2 CATALOG RESOLUTION — plain SQL addressing the engine's
+  // tables and functions by NAME through
+  // [[graft.sources.GraftCatalog]] (`spark.sql.catalog.graft`): the
+  // range table resolves as `graft.range_<start>_<end>_<slices>` (the
+  // SAME Table class as the path reads, so filter pushdown still
+  // clips slices through SQL resolution), and `graft.knuth_val(id)`
+  // is a V2 FunctionCatalog scalar with the magic-method codegen
+  // path. The oracle regenerates both the rows and the function's
+  // closed form from range() — the gate proves name resolution,
+  // function binding, and pushdown compose.
+  private val CatLo = 150000L
+  private val CatHi = 550000L
+
+  def qCatalogSql(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(
+      s"""SELECT bucket, cast(count(*) as bigint) AS n,
+         |  cast(sum(graft.knuth_val(id)) as bigint) AS sum_knuth,
+         |  min(id) AS min_id, max(id) AS max_id
+         |FROM graft.range_100000_600000_16
+         |WHERE id >= $CatLo AND id < $CatHi
+         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  private val catalogSqlOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_knuth,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range($CatLo, $CatHi) t(i)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
+  // custom source (SupportsMetadataColumns): `_slice`, the row's
+  // ORIGINAL planning-grid slice index, exists only when a query
+  // references it (hidden from SELECT *) and is served by the reader
+  // from its partition at zero per-row compute. The gate groups a
+  // filter-clipped scan BY the metadata column: slice indices must
+  // stay the original grid's (stable under the pushed clip — a
+  // renumbered clip would shift every group), and the boundary
+  // slices carry partial counts exactly where the filter cuts.
+  // Oracle: slice = i div step over the same clipped range.
+  private val MetaStart = 0L
+  private val MetaEnd = 400000L
+  private val MetaSlices = 16
+  private val MetaLo = 50000L
+  private val MetaHi = 330000L
+
+  def qRangeMetadataCols(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RangeTableProvider")
+      .option("start", MetaStart.toString).option("end", MetaEnd.toString)
+      .option("slices", MetaSlices.toString)
+      .load()
+      .filter(col("id") >= MetaLo && col("id") < MetaHi)
+      .groupBy(col("_slice"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        sum(col("bucket")).cast("long").as("sum_bucket"))
+      .orderBy(col("_slice"))
+
+  private val rangeMetadataColsOracle: String = {
+    val step = (MetaEnd - MetaStart + MetaSlices - 1) / MetaSlices
+    s"""SELECT i // $step AS _slice, CAST(count(*) AS BIGINT) AS n,
+       |  min(i) AS min_id, max(i) AS max_id,
+       |  CAST(sum(i % 16) AS BIGINT) AS sum_bucket
+       |FROM range($MetaLo, $MetaHi) t(i)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
+    "src_catalog_sql" -> catalogSqlOracle,
+    "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,
     "src_orc_roundtrip" -> roundtripOracle,

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 CATALOG PLUGIN — the axis that lets plain SQL address this
+  * library's tables and functions by NAME (`SELECT graft.knuth_val(id)
+  * FROM graft.range_0_500000_16`), the way a production deployment
+  * would mount a feature store or manifest service:
+  * `spark.sql.catalog.graft = graft.sources.GraftCatalog`.
+  *
+  *  - [[TableCatalog]]: `range_<start>_<end>_<slices>` resolves to the
+  *    same [[RangeTable]] the path-based reads use — one table
+  *    implementation, three addressing modes (DataFrame options, SQL
+  *    catalog name, streaming) — so every pushdown capability
+  *    (filter→slice clip, aggregate, limit/top-N, runtime filtering)
+  *    works identically through SQL resolution.
+  *  - [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]:
+  *    `knuth_val` is a V2 catalog function ([[UnboundFunction]] →
+  *    [[BoundFunction]] → [[ScalarFunction]]) with BOTH execution
+  *    paths: the reflective MAGIC METHOD (`invoke(Long): Long`, the
+  *    codegen static-call fast path Spark prefers) and
+  *    `produceResult` (the interpreted fallback) — same closed form
+  *    as [[RangeTable.valOf]], so the oracle regenerates it exactly.
+  *
+  * The catalog is immutable (create/alter/drop/rename throw): it
+  * EXPOSES engine-native tables, it does not manage storage — the
+  * write-side story lives in [[DirSink]].
+  */
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  // -- tables ---------------------------------------------------------
+  private val RangeName = "range_(-?\\d+)_(-?\\d+)_(\\d+)".r
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "range_0_1000000_16"))
+
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    case RangeName(start, end, slices) =>
+      new RangeTable(start.toLong, end.toLong, slices.toInt)
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft catalog tables are engine-defined")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog tables are immutable")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog tables are immutable")
+
+  // -- functions ------------------------------------------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "knuth_val"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.name() match {
+      case "knuth_val" => KnuthValUnbound
+      case _ => throw new NoSuchFunctionException(ident)
+    }
+}
+
+/** `knuth_val(id BIGINT) → BIGINT = (id · 2654435761) mod 1e6` — the
+  * range table's value column as a catalog-addressable V2 function. */
+object KnuthValUnbound extends UnboundFunction {
+  override def name(): String = "knuth_val"
+  override def description(): String =
+    "knuth_val(id BIGINT) -> BIGINT: (id * 2654435761) % 1000000"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 && inputType.fields(0).dataType == LongType,
+      s"knuth_val expects one BIGINT argument, got $inputType")
+    KnuthValBound
+  }
+}
+
+object KnuthValBound extends ScalarFunction[java.lang.Long] {
+  override def name(): String = "knuth_val"
+  override def canonicalName(): String = "graft.knuth_val"
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+
+  // the MAGIC METHOD: Spark codegen emits a static-style invoke of
+  // this exact signature — no boxing, no InternalRow
+  def invoke(id: Long): Long = RangeTable.valOf(id)
+
+  // interpreted fallback (also what non-codegen paths call)
+  override def produceResult(input: InternalRow): java.lang.Long =
+    RangeTable.valOf(input.getLong(0))
+}

@@ -75,13 +75,28 @@ object RangeTable {
 }
 
 class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name: String = s"graft_range($start,$end)"
   override def schema: StructType = RangeTable.schema
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeScanBuilder(start, end, slices, batchRows)
+
+  // the DSv2 analogue of the file source's `_metadata` column: the
+  // row's ORIGINAL planning-grid slice index, resolvable only when a
+  // query references it (hidden from SELECT *), served by the reader
+  // from its partition — zero cost when unused
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = "_slice"
+      override def dataType: org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "original planning-grid slice index of the row's partition"
+    })
 }
 
 /** Offset for [[RangeMicroBatchStream]]: the exclusive upper id the
@@ -137,7 +152,7 @@ class RangeMicroBatchStream(
     (0 until slices).flatMap { k =>
       val a = lo + k * step
       val b = math.min(hi, a + step)
-      if (a < b) Some(RangePartition(a, b): InputPartition) else None
+      if (a < b) Some(RangePartition(a, b, k.toLong): InputPartition) else None
     }.toArray
   }
 
@@ -419,12 +434,12 @@ class RangeScan(
     * bounds; fully-clipped slices are pruned (never planned), and a
     * runtime In-filter additionally drops slices holding none of the
     * probe keys. */
-  private def planned: Seq[(Long, Long)] =
+  private def planned: Seq[(Long, Long, Long)] =
     (0 until slices).flatMap { k =>
       val ps = start + k * step
       val pe = math.min(end, ps + step)
       val (clo, chi) = (math.max(ps, lo), math.min(pe, hi))
-      if (clo < chi && runtimeIds.forall(anyIdIn(_, clo, chi))) Some((clo, chi))
+      if (clo < chi && runtimeIds.forall(anyIdIn(_, clo, chi))) Some((clo, chi, k.toLong))
       else None
     }
 
@@ -434,14 +449,17 @@ class RangeScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (runtimeIds.isDefined) RangeTable.runtimePlanned.set(planned.size)
-    planned.map { case (a, b) => RangePartition(a, b): InputPartition }.toArray
+    planned.map { case (a, b, k) => RangePartition(a, b, k): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required.fieldNames)
 }
 
-case class RangePartition(lo: Long, hi: Long) extends InputPartition
+/** `slice` is the ORIGINAL planning-grid index (stable under filter
+  * clipping and runtime pruning) — surfaced as the `_slice` metadata
+  * column. -1 for non-grid partitions (aggregate pushdown rows). */
+case class RangePartition(lo: Long, hi: Long, slice: Long = -1L) extends InputPartition
 
 class RangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -454,6 +472,7 @@ class RangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
           case "id" => id
           case "bucket" => RangeTable.bucketOf(id)
           case "val" => RangeTable.valOf(id)
+          case "_slice" => p.slice
         })
       override def close(): Unit = ()
     }

@@ -911,6 +911,96 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
        |FROM t""".stripMargin
 
   // ---------------------------------------------------------------
+  // ROC CONVEX HULL — the operating-point frontier (Provost & Fawcett
+  // 2001): every achievable classifier operating point under varying
+  // class/cost ratios lies ON the ROC hull, so the hull — not the raw
+  // curve — is what threshold-selection reads. Thresholds come from a
+  // FIXED integer score grid ((s + 1e8) div 1e5 — shift keeps the
+  // floor-div non-negative, width is corpus-independent), so the
+  // point set is metadata-sized at any corpus; cumulative (FP, TP)
+  // per threshold are exact integers from one map-side aggregate.
+  // HULL MEMBERSHIP is the closed form — point p is off the upper
+  // hull iff SOME chord (a, b) straddling it passes strictly above:
+  //   (tp_b − tp_a)·(fp_p − fp_a) − (fp_b − fp_a)·(tp_p − tp_a) > 0
+  // — an all-pairs predicate over the ≤~100-point grid (the
+  // stack-walk hull algorithm is an inherently sequential recurrence;
+  // the predicate form is O(points³) on METADATA, the packing/
+  // semantic-dedup closed-form discipline). Collinear points stay
+  // (cross = 0 is not strictly above — deterministic both engines).
+  // Cross products and trapezoid areas widen to decimal(38,0)/
+  // HUGEINT (TP·FP products reach 1e18 at 1e9-row corpora). Output:
+  // the hull points (fp, tp) with the running 2·area under the hull
+  // (the exact-integer AUCH·2·P·N), lag+cumsum over the hull rows.
+  //
+  // Scale shape: ONE corpus pass (score kernel + bucket aggregate,
+  // map-side partials); everything after is a ≤~100-row frame —
+  // single-partition windows and broadcast self-joins on metadata,
+  // the accepted bin-frame convention.
+  def qRocHull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byB = scoredMargin(s, dir)
+      .groupBy(expr("(s + 100000000) div 100000").as("b"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val wDesc = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = byB
+      .select(sum(col("nn")).over(wDesc).as("fp"), sum(col("np")).over(wDesc).as("tp"))
+      .unionAll(s.range(1).select(lit(0L).as("fp"), lit(0L).as("tp")))
+      .groupBy(col("fp")).agg(max(col("tp")).as("tp")) // vertical runs -> top point
+      .localCheckpoint() // ≤ ~100 rows; self-joined below
+    val a = pts.select(col("fp").as("afp"), col("tp").as("atp"))
+    val b = pts.select(col("fp").as("bfp"), col("tp").as("btp"))
+    val off = pts.join(broadcast(a), col("afp") < col("fp"))
+      .join(broadcast(b), col("bfp") > col("fp"))
+      .filter(expr(
+        "cast(btp - atp as decimal(38,0)) * (fp - afp)" +
+          " - cast(bfp - afp as decimal(38,0)) * (tp - atp) > 0"))
+      .select(col("fp")).distinct()
+    val wAsc = Window.orderBy(col("fp"))
+    pts.join(broadcast(off), Seq("fp"), "left_anti")
+      .withColumn("seg",
+        coalesce(
+          expr("cast(fp - lag(fp, 1) over (order by fp) as decimal(38,0))" +
+            " * (tp + lag(tp, 1) over (order by fp))"),
+          lit(java.math.BigDecimal.ZERO)))
+      .withColumn("area2_cum",
+        expr("cast(sum(seg) over (order by fp rows between unbounded preceding" +
+          " and current row) as bigint)"))
+      .select(col("fp"), col("tp"), col("area2_cum"))
+      .orderBy(col("fp"))
+  }
+
+  val qRocHullSql: String =
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, min(y) AS y,
+       |  CAST(sum(CAST(round(v[d.d + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(${graft.functions.Vectors.Dim})) AS d) d
+       |  GROUP BY vec_id),
+       |g AS (SELECT (s + 100000000) // 100000 AS b, CAST(sum(y) AS BIGINT) AS np,
+       |  CAST(sum(1 - y) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |cumpts AS (SELECT
+       |  CAST(sum(nn) OVER (ORDER BY b DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+       |  CAST(sum(np) OVER (ORDER BY b DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
+       |  FROM g),
+       |pts AS (SELECT fp, CAST(max(tp) AS BIGINT) AS tp FROM (
+       |  SELECT fp, tp FROM cumpts UNION ALL SELECT 0, 0) GROUP BY fp),
+       |off AS (SELECT DISTINCT p.fp
+       |  FROM pts p JOIN pts a ON a.fp < p.fp JOIN pts b ON b.fp > p.fp
+       |  WHERE (b.tp - a.tp)::HUGEINT * (p.fp - a.fp)
+       |      - (b.fp - a.fp)::HUGEINT * (p.tp - a.tp) > 0),
+       |hull AS (SELECT p.fp, p.tp FROM pts p LEFT JOIN off o ON p.fp = o.fp
+       |  WHERE o.fp IS NULL),
+       |segs AS (SELECT fp, tp,
+       |  coalesce((fp - lag(fp) OVER (ORDER BY fp))::HUGEINT
+       |    * (tp + lag(tp) OVER (ORDER BY fp)), 0) AS seg FROM hull)
+       |SELECT fp, tp, CAST(sum(seg) OVER (ORDER BY fp
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS area2_cum
+       |FROM segs ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------
   // GINI DECISION-STUMP SPLIT — the tree-learner training primitive:
   // per dimension, the threshold minimizing weighted Gini impurity of
   // the y = [label < 5] split, exactly. With l/r the side totals and
@@ -2147,6 +2237,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_conformal_interval" -> (qConformalInterval _),
     "ml_youden_threshold" -> (qYoudenThreshold _),
     "ml_auc_exact" -> (qAucExact _),
+    "ml_roc_hull" -> (qRocHull _),
     "ml_gini_split" -> (qGiniSplit _),
     "ml_pr_curve" -> (qPrCurve _),
   )
@@ -2175,6 +2266,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     "ml_conformal_interval" -> qConformalIntervalSql,
     "ml_youden_threshold" -> qYoudenThresholdSql,
     "ml_auc_exact" -> qAucExactSql,
+    "ml_roc_hull" -> qRocHullSql,
     "ml_gini_split" -> qGiniSplitSql,
     "ml_pr_curve" -> qPrCurveSql,
   )

@@ -3452,6 +3452,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(expected(best)._4 > 0)
   }
 
+  test("ROC hull matches an independent monotone-chain replay and dominates the curve") {
+    val rows = Models.qRocHull(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay: same scores/buckets, but the hull via the
+    // classic sequential stack walk (the algorithm the closed-form
+    // predicate replaces)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("case when label < 5 then 1L else 0L end as y",
+        "cast(embedding as array<double>) as v").collect()
+      .map { r =>
+        val s = r.getSeq[Double](1).map(x =>
+          graft.functions.Vectors.roundJvm(x * 1000000d, 0).toLong).sum
+        (r.getLong(0), (s + 100000000L) / 100000L)
+      }
+    val byB = e.groupBy(_._2).toSeq.sortBy(-_._1)
+    var (tp, fp) = (0L, 0L)
+    val curve = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, 0L))
+    byB.foreach { case (_, ms) =>
+      tp += ms.count(_._1 == 1L); fp += ms.count(_._1 == 0L)
+      curve += ((fp, tp))
+    }
+    val pts = curve.groupBy(_._1).map { case (f, g) => (f, g.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    pts.foreach { p =>
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        // pop b when it falls strictly below chord a->p
+        (BigInt(p._2 - a._2) * BigInt(b._1 - a._1)
+          - BigInt(p._1 - a._1) * BigInt(b._2 - a._2)) > 0
+      }) stack.remove(stack.length - 1)
+      stack += p
+    }
+    assert(rows.map(r => (r._1, r._2)).toSeq == stack.toSeq,
+      s"hull mismatch: got ${rows.toSeq}, replay ${stack.toSeq}")
+    // hull dominates every ROC point and area accumulates exactly
+    val hull = rows.map(r => (r._1, r._2))
+    def hullTpAt(f: Long): Long = {
+      val i = hull.lastIndexWhere(_._1 <= f)
+      if (hull(i)._1 == f || i == hull.length - 1) hull(i)._2
+      else {
+        val (f0, t0) = hull(i); val (f1, t1) = hull(i + 1)
+        t0 + (t1 - t0) * (f - f0) / (f1 - f0) // floor of the chord
+      }
+    }
+    pts.foreach { case (f, t) => assert(t <= hullTpAt(f) + 1,
+      s"curve point ($f, $t) above the hull") }
+    rows.sliding(2).foreach { case Array((f0, t0, a0), (f1, t1, a1)) =>
+      assert(a1 - a0 == (f1 - f0) * (t1 + t0), "trapezoid accumulation")
+    case _ => ()
+    }
+    assert(rows.head == (0L, 0L, 0L), "hull starts at the origin")
+  }
+
   test("size-class packing matches a driver replay of the md5-order greedy fill") {
     val rows = Text.qPackSeqClasses(spark, sfDir).collect()
     val docs = graft.Tables.documents(spark, sfDir)

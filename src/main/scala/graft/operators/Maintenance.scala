@@ -817,7 +817,83 @@ object Maintenance {
       |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |FROM orders ORDER BY col""".stripMargin
 
+  // ---------------------------------------------------------------
+  // WRITE-AUDIT-PUBLISH — the table-maintenance pattern that stops a
+  // bad batch from ever becoming visible: a candidate table version
+  // is WRITTEN to an isolated branch (the DirSink staged-commit
+  // machinery), AUDITED against its contract (row count + null scan —
+  // the audit is a query over the branch, not the main table), and
+  // only then PUBLISHED by one atomic manifest flip
+  // ([[graft.sources.DirSink.publishFrom]]); a failing audit deletes
+  // the branch and the live table never moves. The gate runs BOTH
+  // paths: version A (clean, 150k rows) audits green and publishes
+  // over the seed version; version B (1%-nulled val column) audits
+  // red and is dropped — the read-back must equal exactly version A,
+  // and the two audit verdicts ride as gated columns. At 100 TB this
+  // is the difference between "validated before visible" and a
+  // rollback scramble; the publish cost is one rename regardless of
+  // table size.
+  def qWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DirSink
+    val base = java.nio.file.Files.createTempDirectory("graft_wap_")
+    val main = base.resolve("main").toString
+    def rows(a: Long, b: Long, nullEvery: Option[Long]) = {
+      val r = s.read.format("graft.sources.RangeTableProvider")
+        .option("start", a.toString).option("end", b.toString).option("slices", "8")
+        .load()
+      nullEvery match {
+        case Some(k) => r.select(col("id"), col("bucket"),
+          when(col("id") % k === 0, lit(null).cast("long"))
+            .otherwise(col("val")).as("val"))
+        case None => r.select(col("id"), col("bucket"), col("val"))
+      }
+    }
+    def writeBranch(name: String, df: DataFrame): String = {
+      val b = base.resolve(name).toString
+      df.write.format("graft.sources.DirSinkProvider")
+        .option("path", b).mode("overwrite").save()
+      b
+    }
+    // the audit contract: exact expected cardinality, zero nulls
+    def audit(branch: String, expectRows: Long): Boolean = {
+      val m = s.read.format("graft.sources.DirSinkProvider")
+        .option("path", branch).load()
+        .agg(count(lit(1)).as("n"), count(col("val")).as("nn")).collect()(0)
+      m.getLong(0) == expectRows && m.getLong(1) == expectRows
+    }
+    try {
+      // seed version already live
+      DirSink.publishFrom(writeBranch("seed", rows(0, 50000, None)), main)
+      // version A: clean full rewrite -> audit green -> publish
+      val brA = writeBranch("vA", rows(0, 150000, None))
+      val okA = audit(brA, 150000L)
+      if (okA) DirSink.publishFrom(brA, main)
+      // version B: 1%-corrupted rewrite -> audit red -> dropped
+      val brB = writeBranch("vB", rows(0, 100000, Some(97L)))
+      val okB = audit(brB, 100000L)
+      if (okB) DirSink.publishFrom(brB, main)
+      else DirSink.deleteRecursively(java.nio.file.Paths.get(brB))
+      s.read.format("graft.sources.DirSinkProvider").option("path", main).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("val")).cast("long").as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("published_a", lit(okA))
+        .withColumn("published_b", lit(okB))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true) // sever lineage so the temp dirs can go
+    } finally DirSink.deleteRecursively(base)
+  }
+
+  val qWapSql: String =
+    """SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+      |  min(i) AS min_id, max(i) AS max_id,
+      |  true AS published_a, false AS published_b
+      |FROM range(0, 150000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_wap" -> (qWap _),
     "maint_fingerprint" -> (qFingerprint _),
     "maint_dpp" -> (qDpp _),
     "maint_retention" -> (qRetentionExpire _),
@@ -834,6 +910,7 @@ object Maintenance {
     "maint_schema_evolve" -> (qSchemaEvolve _))
 
   val oracles: Map[String, String] = Map(
+    "maint_wap" -> qWapSql,
     "maint_fingerprint" -> qFingerprintSql,
     "maint_dpp" -> qDppSql,
     "maint_retention" -> qRetentionExpireSql,

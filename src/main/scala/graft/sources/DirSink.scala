@@ -158,6 +158,31 @@ object DirSink {
     Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))
   }
+
+  /** Write-audit-publish's PUBLISH step: flip a fully-written,
+    * audit-approved BRANCH table into the main table as one metadata
+    * operation — move the branch's committed data files in (names are
+    * queryId-unique, so no collision with live files), then REPLACE
+    * the main manifest by the same atomic rename every commit uses.
+    * Readers see old-version → new-version with nothing in between;
+    * a crash before the rename leaves main untouched (the branch
+    * files linger as unreferenced garbage, never as data). Old
+    * version files are GC'd after the swap, like truncate commits. */
+  def publishFrom(branchDir: String, mainDir: String): Unit = {
+    val bm = readManifest(branchDir).getOrElse(throw new IllegalStateException(
+      s"graft_dirsink publish: no committed manifest under branch '$branchDir'"))
+    Files.createDirectories(Paths.get(mainDir))
+    bm.files.foreach { f =>
+      Files.move(Paths.get(branchDir, f), Paths.get(mainDir, f),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeManifest(mainDir, bm.schema, bm.files)
+    val live = (bm.files :+ ManifestName).toSet
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(mainDir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !live(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
+  }
 }
 
 class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int])

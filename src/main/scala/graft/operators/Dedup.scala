@@ -3019,6 +3019,108 @@ SELECT source, n_docs, e_intra, d_sum,
     ELSE -((1000000::HUGEINT * (-num)) // den) END AS BIGINT) AS contrib_ppm
 FROM n ORDER BY source"""
 
+  // ---------------------------------------------------------------
+  // LOUVAIN REFINEMENT STEP — one pass of the Louvain local-move
+  // phase (Blondel et al. 2008) over the near-dup pair graph with
+  // the SOURCE partition [[qSourceModularity]] scores: for every
+  // document in the graph, the exact modularity gain of moving it
+  // from its source-community A to each NEIGHBOR community B,
+  //   gain·2m² = 2m·(k_{i,B} − k_{i,A}) − deg_i·(Σtot_B − Σtot_A + deg_i)
+  // — all integers (degrees, neighbor-community counts, community
+  // degree totals), widened to decimal(38,0)/HUGEINT for the 2m·k
+  // products. A node moves iff its best gain is strictly positive
+  // (ties to the lexicographically smallest target); the output is
+  // the community TRANSITION MATRIX (from, to, n_docs, Σgain) — the
+  // table a curation owner reads to see which sources near-dup
+  // pressure actually wants merged. One local-move sweep is the
+  // Louvain inner loop run once from a meaningful partition — the
+  // iterated/agglomerated phases are driver loops over this exact
+  // step (the qPagerankConverge discipline).
+  //
+  // Scale shape: the pair list is the memoized [[lshPairs]] audit
+  // table; degrees and Σtot are one partial-agg each; candidate
+  // gains are one exploded (node, neighbor-community) aggregate —
+  // fixed-width keys, no arrays; the per-node argmax is a window
+  // over the node's ≤|sources| candidate rows.
+  def qLouvainStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val sd = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val adj = pairs.select(col("doc_a").as("i"), col("doc_b").as("j"))
+      .unionAll(pairs.select(col("doc_b").as("i"), col("doc_a").as("j")))
+    val deg = adj.groupBy(col("i")).agg(count(lit(1)).as("dg"))
+    val comm = sd.select(col("doc_id").as("i"), col("source").as("ci"))
+    val sumtot = deg.join(comm, "i").groupBy(col("ci").as("c"))
+      .agg(sum(col("dg")).as("stot"))
+    // neighbor-community counts per node (k_{i,C})
+    val nbc = adj.join(comm.select(col("i").as("j"), col("ci").as("cj")), "j")
+      .groupBy(col("i"), col("cj")).agg(count(lit(1)).as("k_ic"))
+      .localCheckpoint() // consumed twice: own-community k and candidates
+    val base = comm.join(deg, "i")
+      .join(nbc.select(col("i").as("oi"), col("cj").as("oc"), col("k_ic")),
+        col("i") === col("oi") && col("ci") === col("oc"), "left")
+      .select(col("i"), col("ci"), col("dg"),
+        coalesce(col("k_ic"), lit(0L)).as("k_ia"))
+      .join(sumtot.select(col("c").as("ci"), col("stot").as("stot_a")), "ci")
+    val cand = base
+      .join(broadcast(m))
+      .join(nbc.select(col("i").as("ni"), col("cj").as("b"), col("k_ic").as("k_ib")),
+        col("i") === col("ni") && col("ci") =!= col("b"))
+      .join(sumtot.select(col("c").as("b"), col("stot").as("stot_b")), Seq("b"))
+      .withColumn("gain", expr(
+        "2 * cast(m as decimal(38,0)) * (k_ib - k_ia)" +
+          " - cast(dg as decimal(38,0)) * (stot_b - stot_a + dg)"))
+    val w = Window.partitionBy(col("i")).orderBy(col("gain").desc, col("b"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("i"), col("ci"), col("b"), col("gain"))
+    val moves = deg.join(comm, "i")
+      .join(best.select(col("i"), col("b"), col("gain")), Seq("i"), "left")
+      .select(col("ci").as("from_source"),
+        when(col("gain").isNotNull && col("gain") > 0, col("b"))
+          .otherwise(col("ci")).as("to_source"),
+        when(col("gain").isNotNull && col("gain") > 0, col("gain"))
+          .otherwise(lit(java.math.BigDecimal.ZERO)).as("g"))
+    moves.groupBy(col("from_source"), col("to_source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(g) as bigint)").as("sum_gain_2m2"))
+      .orderBy(col("from_source"), col("to_source"))
+  }
+
+  // composed without stripMargin: embeds the already-stripped LSH SQL
+  lazy val qLouvainStepSql: String =
+    s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+$qMinHashLshSql
+)),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+adj AS (SELECT doc_a AS i, doc_b AS j FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+deg AS (SELECT i, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+comm AS (SELECT doc_id AS i, source AS ci FROM documents),
+sumtot AS (SELECT c.ci AS c, CAST(sum(d.dg) AS BIGINT) AS stot
+  FROM deg d JOIN comm c USING (i) GROUP BY 1),
+nbc AS (SELECT a.i, c.ci AS cj, CAST(count(*) AS BIGINT) AS k_ic
+  FROM adj a JOIN comm c ON a.j = c.i GROUP BY 1, 2),
+base AS (SELECT c.i, c.ci, d.dg, coalesce(n.k_ic, 0) AS k_ia, sa.stot AS stot_a
+  FROM comm c JOIN deg d USING (i)
+  LEFT JOIN nbc n ON n.i = c.i AND n.cj = c.ci
+  JOIN sumtot sa ON sa.c = c.ci),
+cand AS (SELECT b.i, b.ci, n.cj AS bt,
+    2 * mm.m::HUGEINT * (n.k_ic - b.k_ia)
+      - b.dg::HUGEINT * (sb.stot - b.stot_a + b.dg) AS gain
+  FROM base b JOIN nbc n ON n.i = b.i AND n.cj <> b.ci
+  JOIN sumtot sb ON sb.c = n.cj, mm),
+best AS (SELECT i, ci, bt, gain FROM (
+  SELECT i, ci, bt, gain,
+    ROW_NUMBER() OVER (PARTITION BY i ORDER BY gain DESC, bt) AS rn FROM cand)
+  WHERE rn = 1),
+mv AS (SELECT c.ci AS from_source,
+    CASE WHEN b.gain IS NOT NULL AND b.gain > 0 THEN b.bt ELSE c.ci END AS to_source,
+    CASE WHEN b.gain IS NOT NULL AND b.gain > 0 THEN b.gain ELSE 0 END AS g
+  FROM deg d JOIN comm c USING (i) LEFT JOIN best b ON b.i = d.i)
+SELECT from_source, to_source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(g) AS BIGINT) AS sum_gain_2m2
+FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def qHits(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(s, dir)
     val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).cast("long").as("a1"))
@@ -3283,6 +3385,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_degree_assort" -> (qDegreeAssort _),
     "dedup_source_matrix" -> (qSourceMatrix _),
     "graph_source_modularity" -> (qSourceModularity _),
+    "graph_louvain_step" -> (qLouvainStep _),
     "dedup_ensemble" -> (qDedupEnsemble _),
     "dedup_cap_recall" -> (qCapRecall _),
     "dedup_fuzzy_names" -> (qFuzzyNames _),
@@ -3322,6 +3425,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     "graph_degree_assort" -> qDegreeAssortSql,
     "dedup_source_matrix" -> qSourceMatrixSql,
     "graph_source_modularity" -> qSourceModularitySql,
+    "graph_louvain_step" -> qLouvainStepSql,
     "graph_hits_converge" -> qHitsConvergeSql,
     "dedup_ensemble" -> qDedupEnsembleSql,
     "dedup_cap_recall" -> qCapRecallSql,

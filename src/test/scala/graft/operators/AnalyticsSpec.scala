@@ -3452,6 +3452,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(expected(best)._4 > 0)
   }
 
+  test("louvain step: matrix partitions the pair-graph nodes, stays carry zero gain") {
+    val rows = Dedup.qLouvainStep(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nodes = Dedup.lshPairs(spark, sfDir)
+      .selectExpr("explode(array(doc_a, doc_b)) as i").distinct().count()
+    assert(rows.map(_._3).sum == nodes,
+      "every pair-graph node lands in exactly one transition cell")
+    rows.filter(r => r._1 == r._2).foreach { r =>
+      assert(r._4 == 0L, s"stay cell ${r._1} must carry zero gain") }
+    rows.filter(r => r._1 != r._2).foreach { r =>
+      assert(r._4 > 0L, s"move cell ${r._1}->${r._2} must carry positive gain") }
+  }
+
+  test("observe metrics equal a direct recomputation (accumulator path trusted)") {
+    val rows = Pipeline.qObserveMetrics(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val d = graft.Tables.documents(spark, sfDir)
+      .selectExpr("cast(length(text) as long) as l", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val s1 = d.filter(_._1 >= 200)
+    val s2 = s1.filter(_._2 == "en")
+    val survivors = s2.length.toLong
+    assert(rows("0_raw") == ((d.length.toLong, d.map(_._1).sum, survivors)))
+    assert(rows("1_len") == ((s1.length.toLong, s1.map(_._1).sum, survivors)))
+    assert(rows("2_lang") == ((s2.length.toLong, s2.map(_._1).sum, survivors)))
+  }
+
+  test("catalog function binds with the magic-method value; metadata col is hidden from *") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val got = spark.sql(
+      "SELECT id, graft.knuth_val(id) AS kv FROM graft.range_0_100_4").collect()
+    got.foreach(r => assert(r.getLong(1) == graft.sources.RangeTable.valOf(r.getLong(0))))
+    // metadata column: absent from SELECT *, present when referenced,
+    // and STABLE under a pushed filter clip (original grid indices)
+    val star = spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "400").option("slices", "4").load()
+    assert(!star.columns.contains("_slice"), "metadata col must hide from SELECT *")
+    val slices = star.filter(col("id") >= 150 && col("id") < 350)
+      .select(col("_slice")).distinct().collect().map(_.getLong(0)).sorted
+    assert(slices.toSeq == Seq(1L, 2L, 3L),
+      s"clip must keep ORIGINAL grid slice indices, got ${slices.toSeq}")
+  }
+
   test("ROC hull matches an independent monotone-chain replay and dominates the curve") {
     val rows = Models.qRocHull(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

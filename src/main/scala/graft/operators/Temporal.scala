@@ -1439,7 +1439,80 @@ object Temporal {
       |FROM p JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CHANGEPOINT DETECTION (binary segmentation, one split) — the
+  // drift alarm a training-data intake runs on its volume series:
+  // over the daily revenue-cents totals, the split day maximizing the
+  // between-segment SSE reduction, which for a split after prefix i is
+  //   v_i = (S_i·(n−i) − (S−S_i)·i)² / (i·(n−i))
+  // — an exact rational of prefix sums (the CUSUM statistic squared,
+  // scaled by the segment sizes). Top-3 candidates gate with their
+  // exact segment sums; v itself ships AS A STRING (the Σd²
+  // convention: v reaches ~1e18 at the test SF and grows past BIGINT
+  // with the corpus — both engines materialize the exact integer,
+  // Spark via BigInt, DuckDB via HUGEINT, and the string compares
+  // bit-faithfully). BigInt `/` truncates toward zero = floor here
+  // (num² ≥ 0, den > 0), matching DuckDB `//`.
+  //
+  // Scale shape: the corpus pass is ONE daily aggregate (map-side
+  // partials, |days| output rows); the candidate scan is a driver
+  // walk over that bin frame (the qAucExact offsets class) — at any
+  // corpus size the driver sees |days| longs, never events.
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        coalesce(expr("cast(round(value * 100) as long)"), lit(0L)).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("x"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = daily.length
+    val stot = daily.map(d => BigInt(d._2)).sum
+    var si = BigInt(0)
+    val cands = (0 until n - 1).map { k =>
+      si += BigInt(daily(k)._2)
+      val i = BigInt(k + 1)
+      val nr = BigInt(n - k - 1)
+      val num = si * nr - (stot - si) * i
+      val vq = (num * num) / (i * nr)
+      (daily(k)._1, (k + 1).toLong, si, (n - k - 1).toLong, stot - si, vq)
+    }
+    val top = cands.sortBy { case (day, _, _, _, _, vq) => (-vq, day) }.take(3)
+    top.zipWithIndex.map { case ((day, nl, sl, nr, sr, vq), r) =>
+      ((r + 1).toLong, day, nl, sl.toLong, nr, sr.toLong, vq.toString)
+    }.toSeq
+      .toDF("rank", "day", "n_left", "sum_left_cents", "n_right",
+        "sum_right_cents", "v_str")
+      .orderBy(col("rank"))
+  }
+
+  val qChangepointSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t,
+      |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c FROM events),
+      |daily AS (SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+      |    CAST(sum(c) AS BIGINT) AS x FROM e GROUP BY 1),
+      |idx AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i,
+      |  CAST(sum(x) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS si
+      |  FROM daily),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+      |cand AS (SELECT day, i, si, n - i AS nr,
+      |    (si::HUGEINT * (n - i) - (s - si)::HUGEINT * i) AS num,
+      |    i::HUGEINT * (n - i) AS den
+      |  FROM idx, tot WHERE i < n),
+      |v AS (SELECT day, i AS n_left, nr AS n_right, si AS sum_left_cents,
+      |    (SELECT s FROM tot) - si AS sum_right_cents,
+      |    (num * num) // den AS vq FROM cand),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY vq DESC, day) AS rank FROM v)
+      |SELECT CAST(rank AS BIGINT) AS rank, day, CAST(n_left AS BIGINT) AS n_left,
+      |  CAST(sum_left_cents AS BIGINT) AS sum_left_cents,
+      |  CAST(n_right AS BIGINT) AS n_right,
+      |  CAST(sum_right_cents AS BIGINT) AS sum_right_cents,
+      |  CAST(vq AS VARCHAR) AS v_str
+      |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_changepoint" -> (qChangepoint _),
     "temporal_dau_wau_mau" -> (qDauWauMau _),
     "temporal_gap_median" -> (qGapMedian _),
     "temporal_rfm" -> (qRfm _),
@@ -1472,6 +1545,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "temporal_changepoint" -> qChangepointSql,
     "temporal_dau_wau_mau" -> qDauWauMauSql,
     "temporal_gap_median" -> qGapMedianSql,
     "temporal_rfm" -> qRfmSql,

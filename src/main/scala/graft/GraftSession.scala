@@ -32,6 +32,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins over KGP-reporting DSv2 scans (the
+      // bucketed range source; any clustered table a deployment
+      // mounts): planning-only, inert for every other source
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session on `cpus` threads with matching shuffle width. */

@@ -227,7 +227,8 @@ object EtlQueries {
     "src_range_topn_pushdown" -> (qRangeTopnPushdown _),
     "src_range_write" -> (qRangeWrite _),
     "src_catalog_sql" -> (qCatalogSql _),
-    "src_range_metadata_cols" -> (qRangeMetadataCols _))
+    "src_range_metadata_cols" -> (qRangeMetadataCols _),
+    "src_range_spj" -> (qRangeSpj _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -584,10 +585,58 @@ object EtlQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // DSv2 STORAGE-PARTITIONED JOIN — the shuffle-elimination half of
+  // the bucketed-table story (SupportsReportPartitioning +
+  // HasPartitionKey + a declared identity(bucket) table transform):
+  // two co-clustered scans join on `bucket` with NO exchange on
+  // either side under spark.sql.sources.v2.bucketing.enabled — the
+  // partitions align by key, the way Iceberg/Hive bucketed tables
+  // join at 100 TB without moving data (plan-asserted both ways in
+  // ExtensionSpec: zero shuffles with the flag on, two with it off).
+  // The merge hint pins SMJ (statistics-less V2 relations would
+  // otherwise be broadcast candidates via AQE and hide the contract
+  // under a BroadcastExchange). The conf set is deliberately not
+  // restored: it only changes planning for KGP-reporting scans, and
+  // this library's recommended session carries it (GraftSession).
+  // Oracle: the same join over DuckDB range() — exact integers.
+  private val SpjLeftEnd = 1600L
+  private val SpjRightLo = 800L
+  private val SpjRightHi = 2400L
+
+  def qRangeSpj(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def bt(a: Long, b: Long) = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", a.toString).option("end", b.toString)
+      .option("slices", "16").option("clusterBy", "bucket")
+      .load()
+    val l = bt(0, SpjLeftEnd)
+    val r = bt(SpjRightLo, SpjRightHi)
+      .select(col("bucket"), col("id").as("rid"), col("val").as("rval"))
+    l.hint("merge").join(r, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("val") + col("rval")).cast("long").as("sum_lr"),
+        min(col("id")).as("min_lid"), max(col("rid")).as("max_rid"))
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeSpjOracle: String =
+    s"""WITH l AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS val FROM range(0, $SpjLeftEnd) t(i)),
+       |  r AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS val FROM range($SpjRightLo, $SpjRightHi) t(i))
+       |SELECT l.bucket AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(l.val + r.val) AS BIGINT) AS sum_lr,
+       |  min(l.id) AS min_lid, max(r.id) AS max_rid
+       |FROM l JOIN r ON l.bucket = r.bucket
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "etl_normalize" -> qNormalizeSql,
     "etl_quarantine" -> qQuarantineSql,
     "src_catalog_sql" -> catalogSqlOracle,
+    "src_range_spj" -> rangeSpjOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

@@ -1542,9 +1542,97 @@ object Temporal {
     "temporal_ewma" -> (qEwma _),
     "temporal_funnel" -> (qFunnel _),
     "temporal_retention" -> (qRetention _),
+    "temporal_did" -> (qDid _),
   )
 
+  // ---------------------------------------------------------------
+  // DIFFERENCE-IN-DIFFERENCES — the causal estimator behind every
+  // "did the pipeline change move the metric" readout: a treated
+  // cohort (md5-bucket of user_id, the qSplit convention — a
+  // simulated 50% rollout; doc_id/user_id MODULO splits collapse,
+  // see CLAUDE.md) vs control, pre/post a fixed cutover, outcome =
+  // event value in integer cents. DiD = (ȳ_tp − ȳ_tr) − (ȳ_cp − ȳ_cr)
+  // is an EXACT RATIONAL of the four cell (sum, count) pairs; the
+  // numerator and common denominator ship AS STRINGS through
+  // decimal(38,0)/HUGEINT (the Σd²-as-string convention — a quotient
+  // this size can't gate as a rounded double, and its sign is
+  // data-dependent so no floor'd int either). Overflow ceiling:
+  // |num| ≤ Σcents·n³ ≈ 1e12·1e18 = 1e30 at sf100 — decimal(38,0)
+  // holds to ~1e8 rows per cell; shard per source past that.
+  // One map-side 4-cell aggregate; no shuffle beyond the final
+  // 1-row exchange.
+  private val DidCutover = "2024-01-16 00:00:00"
+
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(
+        round(col("value") * 100).cast("long").as("cents"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":did"))), 1, 15), 16, 10)
+          .cast("long") % 100 < 50).cast("int").as("grp"),
+        (col("ts") >= to_timestamp(lit(DidCutover))).cast("int").as("post"))
+    def cell(g: Int, p: Int, agg: Column): Column =
+      max(when(col("grp") === g && col("post") === p, agg))
+    val cells = e.groupBy(col("grp"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val d38 = "decimal(38,0)"
+    cells.agg(
+        cell(1, 1, col("n")).as("n_tp"), cell(1, 1, col("s")).as("s_tp"),
+        cell(1, 0, col("n")).as("n_tr"), cell(1, 0, col("s")).as("s_tr"),
+        cell(0, 1, col("n")).as("n_cp"), cell(0, 1, col("s")).as("s_cp"),
+        cell(0, 0, col("n")).as("n_cr"), cell(0, 0, col("s")).as("s_cr"))
+      .select(col("n_tp"), col("s_tp"), col("n_tr"), col("s_tr"),
+        col("n_cp"), col("s_cp"), col("n_cr"), col("s_cr"),
+        (col("s_tp").cast(d38) * col("n_tr") * col("n_cp") * col("n_cr")
+          - col("s_tr").cast(d38) * col("n_tp") * col("n_cp") * col("n_cr")
+          - col("s_cp").cast(d38) * col("n_tp") * col("n_tr") * col("n_cr")
+          + col("s_cr").cast(d38) * col("n_tp") * col("n_tr") * col("n_cp"))
+          .cast("string").as("did_num"),
+        (col("n_tp").cast(d38) * col("n_tr") * col("n_cp") * col("n_cr"))
+          .cast("string").as("did_den"))
+  }
+
+  val qDidSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 15))::BIGINT % 100) < 50
+       |      THEN 1 ELSE 0 END AS grp,
+       |    CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$DidCutover' THEN 1 ELSE 0 END AS post
+       |  FROM events WHERE value IS NOT NULL),
+       |cells AS (SELECT grp, post, count(*) AS n, sum(cents) AS s FROM e GROUP BY 1, 2)
+       |SELECT
+       |  CAST(max(CASE WHEN grp=1 AND post=1 THEN n END) AS BIGINT) AS n_tp,
+       |  CAST(max(CASE WHEN grp=1 AND post=1 THEN s END) AS BIGINT) AS s_tp,
+       |  CAST(max(CASE WHEN grp=1 AND post=0 THEN n END) AS BIGINT) AS n_tr,
+       |  CAST(max(CASE WHEN grp=1 AND post=0 THEN s END) AS BIGINT) AS s_tr,
+       |  CAST(max(CASE WHEN grp=0 AND post=1 THEN n END) AS BIGINT) AS n_cp,
+       |  CAST(max(CASE WHEN grp=0 AND post=1 THEN s END) AS BIGINT) AS s_cp,
+       |  CAST(max(CASE WHEN grp=0 AND post=0 THEN n END) AS BIGINT) AS n_cr,
+       |  CAST(max(CASE WHEN grp=0 AND post=0 THEN s END) AS BIGINT) AS s_cr,
+       |  CAST(max(CASE WHEN grp=1 AND post=1 THEN s END)::HUGEINT
+       |      * max(CASE WHEN grp=1 AND post=0 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=0 THEN n END)
+       |    - max(CASE WHEN grp=1 AND post=0 THEN s END)::HUGEINT
+       |      * max(CASE WHEN grp=1 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=0 THEN n END)
+       |    - max(CASE WHEN grp=0 AND post=1 THEN s END)::HUGEINT
+       |      * max(CASE WHEN grp=1 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=1 AND post=0 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=0 THEN n END)
+       |    + max(CASE WHEN grp=0 AND post=0 THEN s END)::HUGEINT
+       |      * max(CASE WHEN grp=1 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=1 AND post=0 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=1 THEN n END) AS VARCHAR) AS did_num,
+       |  CAST(max(CASE WHEN grp=1 AND post=1 THEN n END)::HUGEINT
+       |      * max(CASE WHEN grp=1 AND post=0 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=1 THEN n END)
+       |      * max(CASE WHEN grp=0 AND post=0 THEN n END) AS VARCHAR) AS did_den
+       |FROM cells""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "temporal_did" -> qDidSql,
     "temporal_changepoint" -> qChangepointSql,
     "temporal_dau_wau_mau" -> qDauWauMauSql,
     "temporal_gap_median" -> qGapMedianSql,

@@ -46,6 +46,10 @@ class GraftCatalog extends TableCatalog
 
   // -- tables ---------------------------------------------------------
   private val RangeName = "range_(-?\\d+)_(-?\\d+)_(\\d+)".r
+  // bucket-clustered variant: declares partitioning()=identity(bucket)
+  // and scans one HasPartitionKey partition per bucket, so two such
+  // tables storage-partition-join on `bucket` with no shuffle
+  private val RangeBName = "rangeb_(\\d+)_(\\d+)".r
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "range_0_1000000_16"))
@@ -53,6 +57,8 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case RangeName(start, end, slices) =>
       new RangeTable(start.toLong, end.toLong, slices.toInt)
+    case RangeBName(start, end) =>
+      new RangeTable(start.toLong, end.toLong, 16, clusteredByBucket = true)
     case _ => throw new NoSuchTableException(ident)
   }
 

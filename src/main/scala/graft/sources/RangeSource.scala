@@ -47,9 +47,21 @@ class RangeTableProvider extends TableProvider {
       case None => throw new IllegalArgumentException(
         s"graft_range source requires option '$key' (got: start/end)")
     }
+    val clustered = Option(properties.get("clusterBy")) match {
+      case None => false
+      case Some("bucket") =>
+        require(req("start") >= 0,
+          "clusterBy=bucket requires start >= 0: bucketOf uses the JVM's " +
+            "sign-following %, so negative ids live in buckets -15..-1 and " +
+            "the per-bucket progression enumeration would mislabel them")
+        true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft_range clusterBy supports only 'bucket', got '$other'")
+    }
     new RangeTable(req("start"), req("end"),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
-      Option(properties.get("batchRows")).map(_.toLong).getOrElse(25000L))
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(25000L),
+      clustered)
   }
 }
 
@@ -74,7 +86,8 @@ object RangeTable {
   val runtimePlanned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
-class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
+class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L,
+    clusteredByBucket: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name: String = s"graft_range($start,$end)"
@@ -82,7 +95,14 @@ class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices, batchRows)
+    new RangeScanBuilder(start, end, slices, batchRows, clusteredByBucket)
+
+  // declared table partitioning (clusterBy=bucket): what lets Spark's
+  // storage-partitioned-join machinery treat two such tables as
+  // co-clustered without a shuffle — the DSv2 analogue of Hive/Iceberg
+  // bucketed tables
+  override def partitioning(): Array[Transform] =
+    if (clusteredByBucket) Array(Expressions.identity("bucket")) else Array.empty
 
   // the DSv2 analogue of the file source's `_metadata` column: the
   // row's ORIGINAL planning-grid slice index, resolvable only when a
@@ -167,7 +187,8 @@ class RangeMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25000L)
+class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25000L,
+    clusteredByBucket: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -308,7 +329,94 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25
           if (topNDesc) (hi - n, hi) else (lo, lo + n)
         case _ => (lo, hi)
       }
-      new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc, batchRows)
+      if (clusteredByBucket)
+        new RangeBucketedScan(clo, chi, required, slices, batchRows)
+      else
+        new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc, batchRows)
+  }
+}
+
+/** The CLUSTERED scan (clusterBy=bucket): one input partition per
+  * non-empty bucket of the (filter-clipped) id range, each declaring
+  * its key through [[HasPartitionKey]], with the scan reporting
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * over `identity(bucket)` — the full DSv2 storage-partitioned-join
+  * contract. With `spark.sql.sources.v2.bucketing.enabled=true`,
+  * a join (or aggregate) keyed on `bucket` over two such scans plans
+  * with NO shuffle exchange on either side: Spark aligns the
+  * co-clustered partitions directly, the way Iceberg/Hive bucketed
+  * tables join at 100 TB without moving data. Each reader walks its
+  * bucket's arithmetic progression (first id ≡ b (mod 16) in
+  * [lo, hi), step 16) — exact enumeration, no row filtering. */
+class RangeBucketedScan(
+    lo: Long, hi: Long, required: StructType, slices: Int, batchRows: Long)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // streaming reads of a clustered table fall back to the plain
+  // offset-window stream (bucket grouping is a batch-planning notion)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
+
+  private def buckets: Seq[(Long, Long, Long)] = // (bucket, first, last)
+    (0L until RangeTable.Buckets).flatMap { b =>
+      if (lo >= hi) None
+      else {
+        val first = lo + ((b - lo) % RangeTable.Buckets + RangeTable.Buckets) % RangeTable.Buckets
+        if (first >= hi) None
+        else Some((b, first, first + ((hi - 1 - first) / RangeTable.Buckets) * RangeTable.Buckets))
+      }
+    }
+
+  override def description(): String =
+    s"GraftRangeBucketedScan[$lo,$hi) buckets=${buckets.size}/${RangeTable.Buckets} " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val n = buckets.size
+    if (n == 0)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    buckets.map { case (b, first, last) =>
+      RangeBucketPartition(b, first, last): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeBucketReaderFactory(required.fieldNames)
+}
+
+/** One bucket's rows: the arithmetic progression first..last step 16.
+  * `partitionKey` is what Spark groups and aligns partitions by. */
+case class RangeBucketPartition(bucket: Long, first: Long, last: Long)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class RangeBucketReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangeBucketPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.first - RangeTable.Buckets
+      override def next(): Boolean = { id += RangeTable.Buckets; id <= p.last }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "id" => id
+          case "bucket" => p.bucket
+          case "val" => RangeTable.valOf(id)
+          case "_slice" => -1L // not a grid slice; metadata col is grid-scan-only
+        })
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -3217,6 +3217,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("difference-in-differences cells and rational replay exactly from raw events") {
+    val row = Temporal.qDid(spark, sfDir).collect().head
+    val cutUs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) as us",
+        "cast(round(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def treated(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:did".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 100 < 50
+    }
+    // the four (group, period) cells in exact longs
+    val cells = ev.groupBy(e => (treated(e._1), e._2 >= cutUs))
+      .map { case (k, es) => k -> ((es.length.toLong, es.map(_._3).sum)) }
+    val (ntp, stp) = cells((true, true)); val (ntr, str) = cells((true, false))
+    val (ncp, scp) = cells((false, true)); val (ncr, scr) = cells((false, false))
+    assert(Seq(row.getLong(0), row.getLong(2), row.getLong(4), row.getLong(6))
+      == Seq(ntp, ntr, ncp, ncr), "cell counts mismatch")
+    assert(Seq(row.getLong(1), row.getLong(3), row.getLong(5), row.getLong(7))
+      == Seq(stp, str, scp, scr), "cell sums mismatch")
+    // exact rational via BigInt — must equal the shipped strings
+    val num = BigInt(stp) * ntr * ncp * ncr - BigInt(str) * ntp * ncp * ncr -
+      BigInt(scp) * ntp * ntr * ncr + BigInt(scr) * ntp * ntr * ncp
+    val den = BigInt(ntp) * ntr * ncp * ncr
+    assert(row.getString(8) == num.toString && row.getString(9) == den.toString,
+      s"rational mismatch: got (${row.getString(8)}, ${row.getString(9)}), want ($num, $den)")
+    // the estimator identity: num/den == (mean_tp - mean_tr) - (mean_cp - mean_cr)
+    val did = num.toDouble / den.toDouble
+    val direct = (stp.toDouble / ntp - str.toDouble / ntr) - (scp.toDouble / ncp - scr.toDouble / ncr)
+    assert(math.abs(did - direct) < 1e-9)
+  }
+
   test("t-closeness histogram equals an exact TV-distance replay over QI groups") {
     val rows = Pipeline.qTCloseness(spark, sfDir).collect()
     assert(rows.nonEmpty)

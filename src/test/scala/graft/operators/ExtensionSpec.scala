@@ -1138,6 +1138,44 @@ class ExtensionSpec extends SparkSpec {
       "top-N on val must not clip the id range:\n" + noPushPlan)
   }
 
+  test("DSv2 storage-partitioned join: co-clustered scans join with no shuffle") {
+    def shuffles(plan: String): Int = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    // the gated builder sets v2.bucketing.enabled=true itself
+    val df = EtlQueries.qRangeSpj(spark, sfDir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftRangeBucketedScan[0,1600) buckets=16/16") &&
+      plan.contains("GraftRangeBucketedScan[800,2400) buckets=16/16"),
+      "both sides must be the bucketed (HasPartitionKey) scan:\n" + plan)
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ:\n" + plan)
+    // exactly ONE exchange: the final orderBy's range partitioning —
+    // neither the join nor the per-bucket aggregate may shuffle
+    // (KeyGroupedPartitioning aligns the 16 bucket partitions)
+    assert(shuffles(plan) == 1 && plan.contains("Exchange rangepartitioning"),
+      s"SPJ must leave only the output sort's exchange, got ${shuffles(plan)}:\n" + plan)
+
+    // counterfactual: same join with the flag OFF plans hash
+    // exchanges under both join children (what SPJ eliminates)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      def bt(a: Long, b: Long) = spark.read.format("graft.sources.RangeTableProvider")
+        .option("start", a.toString).option("end", b.toString)
+        .option("slices", "16").option("clusterBy", "bucket").load()
+      val off = bt(0, 1600).hint("merge")
+        .join(bt(800, 2400).select(col("bucket"), col("id").as("rid")), "bucket")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      off.count()
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(bucket".r.findAllIn(offPlan).size >= 2,
+        "with v2 bucketing off the join keys must shuffle:\n" + offPlan)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+    // value sanity on top of the oracle gate: pair counts are the
+    // per-bucket product of the two range cardinalities (100 x 100)
+    val rows = df.collect()
+    assert(rows.length == 16 && rows.forall(_.getLong(1) == 10000L))
+  }
+
   test("DSv2 range source: Long.MaxValue bounds saturate instead of wrapping") {
     def tbl = spark.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", "100").option("slices", "4").load()

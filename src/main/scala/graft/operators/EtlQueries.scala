@@ -228,7 +228,8 @@ object EtlQueries {
     "src_range_write" -> (qRangeWrite _),
     "src_catalog_sql" -> (qCatalogSql _),
     "src_range_metadata_cols" -> (qRangeMetadataCols _),
-    "src_range_spj" -> (qRangeSpj _))
+    "src_range_spj" -> (qRangeSpj _),
+    "src_range_write_clustered" -> (qRangeWriteClustered _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -516,6 +517,67 @@ object EtlQueries {
       |FROM range(0, 250000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // DSv2 CLUSTERED WRITE — the write-side layout contract
+  // (RequiresDistributionAndOrdering): the sink DECLARES clustering
+  // (identity(bucket), 8 partitions) and in-file ordering (bucket,
+  // id), and Spark plans the exchange + sort before the write — so
+  // every bucket lands wholly in ONE data file with its rows
+  // contiguous and id-sorted. That layout is the read-side payoff at
+  // 100 TB (point lookups touch one file; merge scans never re-sort)
+  // and this gate AUDITS it from the committed bytes: the manifest's
+  // files are parsed and every per-bucket fact below must hold —
+  // n_files=1 (clustering honored), sorted_ok (ordering honored) —
+  // alongside the exact row/min/max closed form. The audit parse is
+  // driver-side by design: it reads the ~16k-row committed artifact
+  // (the maint_wap discipline), not the data path under test, which
+  // is the fully distributed exchange→sort→write.
+  private val CwEnd = 16000L
+
+  def qRangeWriteClustered(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_cl_").toString
+    s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", CwEnd.toString).option("slices", "8")
+      .load()
+      .write.format("graft.sources.DirSinkProvider")
+      .option("path", tmp)
+      .option("cluster_by", "bucket").option("sort_by", "bucket,id")
+      .option("write_partitions", "8")
+      .mode("overwrite").save()
+    val m = graft.sources.DirSink.readManifest(tmp).getOrElse(
+      throw new IllegalStateException(s"clustered write left no manifest in $tmp"))
+    // audit the committed layout: (bucket -> files touched, rows,
+    // min/max id) and per-file (bucket, id) sort order
+    val stats = scala.collection.mutable.Map.empty[Long, (Set[String], Long, Long, Long)]
+    var sortedAll = true
+    m.files.foreach { f =>
+      var (prevB, prevId) = (Long.MinValue, Long.MinValue)
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(tmp, f), java.nio.charset.StandardCharsets.UTF_8)
+        .forEach { line =>
+          val cells = line.split("\t", -1)
+          val (id, b) = (cells(0).toLong, cells(1).toLong)
+          if (b < prevB || (b == prevB && id <= prevId)) sortedAll = false // strict (bucket, id) in-file order
+          prevB = b; prevId = id
+          val (fs, n, mn, mx) = stats.getOrElse(b, (Set.empty[String], 0L, Long.MaxValue, Long.MinValue))
+          stats(b) = (fs + f, n + 1, math.min(mn, id), math.max(mx, id))
+        }
+    }
+    graft.sources.DirSink.deleteRecursively(java.nio.file.Paths.get(tmp))
+    val rows = stats.toSeq.sortBy(_._1).map { case (b, (fs, n, mn, mx)) =>
+      (b, n, mn, mx, fs.size.toLong, sortedAll)
+    }
+    import s.implicits._
+    rows.toDF("bucket", "n", "min_id", "max_id", "n_files", "sorted_ok")
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeWriteClusteredOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(i) AS min_id, max(i) AS max_id,
+       |  CAST(1 AS BIGINT) AS n_files, true AS sorted_ok
+       |FROM range(0, $CwEnd) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // DSv2 CATALOG RESOLUTION — plain SQL addressing the engine's
   // tables and functions by NAME through
   // [[graft.sources.GraftCatalog]] (`spark.sql.catalog.graft`): the
@@ -637,6 +699,7 @@ object EtlQueries {
     "etl_quarantine" -> qQuarantineSql,
     "src_catalog_sql" -> catalogSqlOracle,
     "src_range_spj" -> rangeSpjOracle,
+    "src_range_write_clustered" -> rangeWriteClusteredOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

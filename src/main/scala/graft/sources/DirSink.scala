@@ -69,7 +69,10 @@ class DirSinkProvider extends TableProvider {
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new DirSinkTable(DirSink.dirOf(properties), schema,
-      Option(properties.get("fail_partition")).map(_.toInt))
+      Option(properties.get("fail_partition")).map(_.toInt),
+      Option(properties.get("cluster_by")),
+      Option(properties.get("sort_by")).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      Option(properties.get("write_partitions")).map(_.toInt).getOrElse(0))
 }
 
 object DirSink {
@@ -185,7 +188,8 @@ object DirSink {
   }
 }
 
-class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int])
+class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int],
+    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0)
     extends Table with SupportsRead with SupportsWrite {
   override def name: String = s"graft_dirsink($dir)"
   override def schema: StructType = tableSchema
@@ -197,7 +201,8 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
     new DirSinkScanBuilder(dir, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DirSinkWriteBuilder(dir, info.schema(), info.queryId(), failPartition)
+    new DirSinkWriteBuilder(dir, info.schema(), info.queryId(), failPartition,
+      clusterBy = clusterBy, sortBy = sortBy, writeParts = writeParts)
 }
 
 // ======================================================================
@@ -206,15 +211,41 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
 
 class DirSinkWriteBuilder(
     dir: String, schema: StructType, queryId: String, failPartition: Option[Int],
-    truncateFirst: Boolean = false)
+    truncateFirst: Boolean = false,
+    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new DirSinkWriteBuilder(dir, schema, queryId, failPartition, truncateFirst = true)
+    new DirSinkWriteBuilder(dir, schema, queryId, failPartition, truncateFirst = true,
+      clusterBy, sortBy, writeParts)
 
-  override def build(): Write = new Write {
+  // The plain Write, or — when cluster_by/sort_by options are set —
+  // one carrying [[RequiresDistributionAndOrdering]]: Spark plans the
+  // hash exchange on the cluster key (width = write_partitions when
+  // given) and an in-partition sort BEFORE the write, so each key
+  // lands wholly in one task = one data file, with rows in sort
+  // order inside it. The 100 TB payoff is on the READ side: a
+  // key-clustered, internally-sorted file layout is what makes
+  // point lookups touch one file and merge scans stream without a
+  // sort — the writer-declared layout contract Iceberg/Delta
+  // clustered writes use, here from scratch.
+  override def build(): Write = new Write with
+      org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    override def requiredDistribution(): Distribution =
+      clusterBy.map(c => Distributions.clustered(
+          Array(Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)))
+        .getOrElse(Distributions.unspecified())
+    override def requiredNumPartitions(): Int = if (clusterBy.isDefined) writeParts else 0
+    override def requiredOrdering(): Array[SortOrder] =
+      sortBy.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
     override def description(): String =
-      s"GraftDirSinkWrite[$dir${if (truncateFirst) " truncate" else " append"}]"
+      s"GraftDirSinkWrite[$dir${if (truncateFirst) " truncate" else " append"}" +
+        clusterBy.map(c => s" clusterBy=$c").getOrElse("") +
+        (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "") + "]"
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(dir, schema, queryId, failPartition, truncateFirst)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

@@ -147,4 +147,51 @@ class DirSinkSpec extends SparkSpec {
     assert(next == 40000L,
       s"cursor must advance from the restored offset (30000+10000), got $next")
   }
+
+  // parse one committed file into (bucket, id) rows in file order
+  private def parsedFile(dir: String, f: String): Seq[(Long, Long)] =
+    Files.readAllLines(Paths.get(dir, f)).asScala.toSeq.map { line =>
+      val cells = line.split("\t", -1)
+      (cells(1).toLong, cells(0).toLong)
+    }
+
+  test("clustered write: declared distribution/ordering shapes the committed files") {
+    val dir = Files.createTempDirectory("graft_cl_spec_").toString
+    try {
+      rangeRows(0, 4000).write.format("graft.sources.DirSinkProvider")
+        .option("path", dir)
+        .option("cluster_by", "bucket").option("sort_by", "bucket,id")
+        .option("write_partitions", "8")
+        .mode("overwrite").save()
+      val m = graft.sources.DirSink.readManifest(dir).get
+      assert(m.files.size <= 8, s"requiredNumPartitions=8 must cap files, got ${m.files.size}")
+      val byFile = m.files.map(f => f -> parsedFile(dir, f))
+      // ordering honored: every file strictly sorted by (bucket, id)
+      byFile.foreach { case (f, rows) =>
+        assert(rows == rows.sorted, s"file $f is not (bucket,id)-sorted")
+      }
+      // clustering honored: every bucket wholly inside ONE file
+      val filesPerBucket = byFile.flatMap { case (f, rows) => rows.map(r => (r._1, f)) }
+        .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).distinct.size }
+      assert(filesPerBucket.values.forall(_ == 1),
+        s"each bucket must land in exactly one file: $filesPerBucket")
+      assert(readBack(dir).count() == 4000L)
+
+      // counterfactual: NO declared distribution — the 4 reader
+      // slices each hold all 16 buckets, so every bucket spans files
+      val dir2 = Files.createTempDirectory("graft_cl_spec2_").toString
+      try {
+        write(rangeRows(0, 4000), dir2, "overwrite")
+        val m2 = graft.sources.DirSink.readManifest(dir2).get
+        val spread = m2.files.flatMap(f => parsedFile(dir2, f).map(r => (r._1, f)))
+          .groupBy(_._1).map { case (_, fs) => fs.map(_._2).distinct.size }
+        assert(spread.exists(_ > 1),
+          "without cluster_by, buckets must spread over multiple files")
+        // and without sort_by the in-file order is id-major (reader
+        // order), NOT (bucket, id) — the ordering contract is real
+        val rows2 = parsedFile(dir2, m2.files.head)
+        assert(rows2 != rows2.sorted, "unsorted write should not be (bucket,id)-sorted")
+      } finally graft.sources.DirSink.deleteRecursively(Paths.get(dir2))
+    } finally graft.sources.DirSink.deleteRecursively(Paths.get(dir))
+  }
 }

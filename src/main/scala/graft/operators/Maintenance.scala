@@ -892,7 +892,138 @@ object Maintenance {
       |  true AS published_a, false AS published_b
       |FROM range(0, 150000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // BLOOM FILE-SKIP INDEX — the data-skipping layer between min/max
+  // zone maps (maint_zorder) and a full inverted index: one Bloom
+  // filter PER DATA FILE over a point-lookup column (o_custkey; the
+  // files are o_orderkey ranges, so min/max stats can't skip for a
+  // custkey probe — exactly when parquet/Delta bloom indexes earn
+  // their bytes). Deterministic by construction: h = md5-derived
+  // 48-bit int, positions via the engine's standard affine family
+  // (1+2k)h+(17+k) mod 2^31−1 mod 32768 (the sketch_bloom_fpr /
+  // CMS convention), so DuckDB replays the index bit-for-bit. The
+  // gate probes 12 md5-chosen existing customers + 3 nonexistent
+  // keys and ships per-probe: files the bloom would touch (n_hit),
+  // files that truly contain the key (n_true), false positives,
+  // MISSED files (must be 0 — a bloom may over-read, never
+  // under-read), and files skipped. A hit requires every one of the
+  // probe's DISTINCT positions set (nhit == npos, not == K: two of
+  // a key's K positions can collide, and requiring K would turn a
+  // collision into a false negative on both engines).
+  // Scale shape: the index build is one scan + one (file, pos)
+  // dedup shuffle; probes broadcast; at 100 TB the bits table is
+  // metadata (files × ≤M rows) and a point lookup plans from it
+  // without touching data files.
+  private val MersenneP = 2147483647L
+  private val BfsM = 32768L
+  private val BfsK = 3
+  private val BfsWidth = 1024L
+  private val BfsProbes = 12
+
+  def qBloomFileSkip(s: SparkSession, dir: String): DataFrame = {
+    val P = MersenneP
+    def posOf(kCol: String, hCol: String) =
+      expr(s"((1 + 2*$kCol) * ($hCol % $P) + (17 + $kCol)) % $P % $BfsM")
+    def hOf(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(c.cast("string"), lit(":bfs"))), 1, 12), 16, 10)
+        .cast("long")
+    val f = Tables.orders(s, dir)
+      .select(expr(s"o_orderkey div $BfsWidth").as("file_id"),
+        col("o_custkey"), hOf(col("o_custkey")).as("h"))
+      .localCheckpoint()
+    val ks = broadcast(s.range(BfsK).toDF("k"))
+    val bits = f.select(col("file_id"), col("h")).dropDuplicates("file_id", "h")
+      .crossJoin(ks)
+      .select(col("file_id"), posOf("k", "h").as("pos"))
+      .dropDuplicates("file_id", "pos")
+      .localCheckpoint()
+    val nFiles = f.agg(countDistinct(col("file_id")).as("n_files"))
+    val existing = f.select(col("o_custkey")).dropDuplicates("o_custkey")
+      .orderBy(md5(concat(col("o_custkey").cast("string"), lit(":probe"))))
+      .limit(BfsProbes)
+      .select(col("o_custkey").as("probe"))
+    val missing = f.agg(max(col("o_custkey")).as("mc"))
+      .crossJoin(broadcast(s.range(1, 4).toDF("x")))
+      .select((col("mc") + col("x")).as("probe"))
+    val probes = existing.unionAll(missing)
+      .select(col("probe"), hOf(col("probe")).as("h"))
+      .localCheckpoint()
+    val ppos = probes.crossJoin(ks)
+      .select(col("probe"), posOf("k", "h").as("pos"))
+      .dropDuplicates("probe", "pos")
+    val npos = ppos.groupBy(col("probe")).agg(count(lit(1)).as("npos"))
+    // bloom verdict per (probe, file): every distinct position set
+    val hits = broadcast(ppos).join(bits, "pos")
+      .groupBy(col("probe"), col("file_id")).agg(count(lit(1)).as("nhit"))
+      .join(broadcast(npos), "probe")
+      .filter(col("nhit") === col("npos"))
+      .select(col("probe"), col("file_id"))
+      .localCheckpoint()
+    val truth = broadcast(probes.select(col("probe")))
+      .join(f, col("probe") === col("o_custkey"))
+      .select(col("probe"), col("file_id")).dropDuplicates("probe", "file_id")
+      .localCheckpoint()
+    val nHit = hits.groupBy(col("probe")).agg(count(lit(1)).as("n_hit"))
+    val nTrue = truth.groupBy(col("probe")).agg(count(lit(1)).as("n_true"))
+    val nBoth = truth.join(hits, Seq("probe", "file_id"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("n_both"))
+    probes.select(col("probe"))
+      .join(nHit, Seq("probe"), "left").join(nTrue, Seq("probe"), "left")
+      .join(nBoth, Seq("probe"), "left")
+      .crossJoin(broadcast(nFiles))
+      .select(col("probe"), col("n_files").cast("long").as("n_files"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_hit"), lit(0L)) - coalesce(col("n_true"), lit(0L))).as("n_fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("n_both"), lit(0L))).as("n_missed"),
+        (col("n_files") - coalesce(col("n_hit"), lit(0L))).cast("long").as("n_skipped"))
+      .orderBy(col("probe"))
+  }
+
+  val qBloomFileSkipSql: String =
+    s"""WITH f AS MATERIALIZED (SELECT o_orderkey // $BfsWidth AS file_id, o_custkey,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':bfs'), 1, 12))::BIGINT AS h
+       |  FROM orders),
+       |bits AS MATERIALIZED (
+       |  SELECT DISTINCT file_id, ((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $BfsM AS pos
+       |  FROM (SELECT DISTINCT file_id, h FROM f), (SELECT unnest(range($BfsK)) AS k)),
+       |nf AS (SELECT count(DISTINCT file_id) AS n_files FROM f),
+       |probes AS MATERIALIZED (
+       |  SELECT o_custkey AS probe,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':bfs'), 1, 12))::BIGINT AS h
+       |  FROM (SELECT DISTINCT o_custkey FROM f
+       |        ORDER BY md5(CAST(o_custkey AS VARCHAR) || ':probe') LIMIT $BfsProbes)
+       |  UNION ALL
+       |  SELECT mc + x, ('0x' || substr(md5(CAST(mc + x AS VARCHAR) || ':bfs'), 1, 12))::BIGINT
+       |  FROM (SELECT max(o_custkey) AS mc FROM f), (SELECT unnest([1,2,3]) AS x)),
+       |ppos AS MATERIALIZED (SELECT DISTINCT probe,
+       |    ((1 + 2*k) * (h % $MersenneP) + (17 + k)) % $MersenneP % $BfsM AS pos
+       |  FROM probes, (SELECT unnest(range($BfsK)) AS k)),
+       |np AS (SELECT probe, count(*) AS npos FROM ppos GROUP BY 1),
+       |hits AS MATERIALIZED (SELECT p.probe, b.file_id
+       |  FROM ppos p JOIN bits b ON b.pos = p.pos
+       |  GROUP BY p.probe, b.file_id
+       |  HAVING count(*) = (SELECT npos FROM np WHERE np.probe = p.probe)),
+       |truth AS MATERIALIZED (SELECT DISTINCT probes.probe, f.file_id
+       |  FROM probes JOIN f ON f.o_custkey = probes.probe),
+       |nh AS (SELECT probe, count(*) AS n_hit FROM hits GROUP BY 1),
+       |nt AS (SELECT probe, count(*) AS n_true FROM truth GROUP BY 1),
+       |nb AS (SELECT t.probe, count(*) AS n_both FROM truth t
+       |  JOIN hits h ON h.probe = t.probe AND h.file_id = t.file_id GROUP BY 1)
+       |SELECT p.probe, (SELECT CAST(n_files AS BIGINT) FROM nf) AS n_files,
+       |  CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(nt.n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(nh.n_hit, 0) - COALESCE(nt.n_true, 0) AS BIGINT) AS n_fp,
+       |  CAST(COALESCE(nt.n_true, 0) - COALESCE(nb.n_both, 0) AS BIGINT) AS n_missed,
+       |  CAST((SELECT n_files FROM nf) - COALESCE(nh.n_hit, 0) AS BIGINT) AS n_skipped
+       |FROM probes p
+       |LEFT JOIN nh ON nh.probe = p.probe
+       |LEFT JOIN nt ON nt.probe = p.probe
+       |LEFT JOIN nb ON nb.probe = p.probe
+       |ORDER BY p.probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_bloom_file_skip" -> (qBloomFileSkip _),
     "maint_wap" -> (qWap _),
     "maint_fingerprint" -> (qFingerprint _),
     "maint_dpp" -> (qDpp _),
@@ -910,6 +1041,7 @@ object Maintenance {
     "maint_schema_evolve" -> (qSchemaEvolve _))
 
   val oracles: Map[String, String] = Map(
+    "maint_bloom_file_skip" -> qBloomFileSkipSql,
     "maint_wap" -> qWapSql,
     "maint_fingerprint" -> qFingerprintSql,
     "maint_dpp" -> qDppSql,

@@ -3217,6 +3217,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("bloom file-skip index replays in the JVM and never misses a true file") {
+    val rows = Maintenance.qBloomFileSkip(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // a bloom may over-read (n_fp >= 0) but NEVER under-read
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"probe ${r.getLong(0)}: missed ${r.getLong(5)} true files")
+      assert(r.getLong(4) >= 0L && r.getLong(2) + r.getLong(6) == r.getLong(1))
+    }
+    // the 3 synthetic nonexistent probes carry n_true = 0
+    assert(rows.count(_.getLong(3) == 0L) >= 3)
+    // full JVM replay of the index and the verdicts
+    val P = 2147483647L; val M = 32768L; val K = 3
+    def h(v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$v:bfs".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(12), 16)
+    }
+    def positions(v: Long): Set[Long] =
+      (0 until K).map(k => ((1 + 2L * k) * (h(v) % P) + (17 + k)) % P % M).toSet
+    val fc = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey div 1024 as fid", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val blooms = fc.groupBy(_._1).map { case (fid, xs) =>
+      fid -> xs.map(x => positions(x._2)).reduce(_ ++ _)
+    }
+    val truthBy = fc.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    rows.foreach { r =>
+      val probe = r.getLong(0)
+      val pp = positions(probe)
+      val hit = blooms.count { case (_, bs) => pp.subsetOf(bs) }
+      val tru = truthBy.getOrElse(probe, Set.empty).size
+      assert(r.getLong(1) == blooms.size.toLong, "n_files mismatch")
+      assert(r.getLong(2) == hit.toLong, s"probe $probe: n_hit ${r.getLong(2)} != $hit")
+      assert(r.getLong(3) == tru.toLong, s"probe $probe: n_true ${r.getLong(3)} != $tru")
+    }
+  }
+
   test("difference-in-differences cells and rational replay exactly from raw events") {
     val row = Temporal.qDid(spark, sfDir).collect().head
     val cutUs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L

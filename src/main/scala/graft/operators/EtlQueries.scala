@@ -229,7 +229,8 @@ object EtlQueries {
     "src_catalog_sql" -> (qCatalogSql _),
     "src_range_metadata_cols" -> (qRangeMetadataCols _),
     "src_range_spj" -> (qRangeSpj _),
-    "src_range_write_clustered" -> (qRangeWriteClustered _))
+    "src_range_write_clustered" -> (qRangeWriteClustered _),
+    "src_range_stats" -> (qRangeStats _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -517,6 +518,45 @@ object EtlQueries {
       |FROM range(0, 250000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // DSv2 REPORTED STATISTICS — the cost-model half of the source
+  // contract (SupportsReportStatistics, opt-in via reportStats):
+  // statistics are computed AFTER pushdown, so the planner costs the
+  // CLIPPED [lo, hi) — here 15k of 2M rows — and auto-plans
+  // BroadcastHashJoin with NO hint, exactly how parquet footer stats
+  // let Catalyst pick build sides at 100 TB. Contrast src_range_join,
+  // which must broadcast() explicitly because the statistics-less
+  // default is Long.Max. Plan-asserted both ways in ExtensionSpec
+  // (stats → initial-plan BHJ; no stats → initial-plan SMJ); the
+  // oracle gates the same pushdown → clip → join values end-to-end.
+  private val StatsEnd = 2000000L
+  private val StatsBound = 15000L
+
+  def qRangeStats(s: SparkSession, dir: String): DataFrame = {
+    val manifest = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", StatsEnd.toString).option("slices", "16")
+      .option("reportStats", "true")
+      .load()
+      .filter(col("id") < StatsBound)
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"))
+    manifest.join(orders, col("id") === col("o_orderkey")) // no hint: stats decide
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeStatsOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range(0, $StatsBound) t(i)
+       |JOIN orders ON o_orderkey = i
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // DSv2 CLUSTERED WRITE — the write-side layout contract
   // (RequiresDistributionAndOrdering): the sink DECLARES clustering
   // (identity(bucket), 8 partitions) and in-file ordering (bucket,
@@ -700,6 +740,7 @@ object EtlQueries {
     "src_catalog_sql" -> catalogSqlOracle,
     "src_range_spj" -> rangeSpjOracle,
     "src_range_write_clustered" -> rangeWriteClusteredOracle,
+    "src_range_stats" -> rangeStatsOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

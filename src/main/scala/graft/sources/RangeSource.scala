@@ -61,7 +61,8 @@ class RangeTableProvider extends TableProvider {
     new RangeTable(req("start"), req("end"),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
       Option(properties.get("batchRows")).map(_.toLong).getOrElse(25000L),
-      clustered)
+      clustered,
+      Option(properties.get("reportStats")).exists(_.toBoolean))
   }
 }
 
@@ -87,7 +88,7 @@ object RangeTable {
 }
 
 class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L,
-    clusteredByBucket: Boolean = false)
+    clusteredByBucket: Boolean = false, reportStats: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name: String = s"graft_range($start,$end)"
@@ -95,7 +96,7 @@ class RangeTable(start: Long, end: Long, slices: Int, batchRows: Long = 25000L,
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices, batchRows, clusteredByBucket)
+    new RangeScanBuilder(start, end, slices, batchRows, clusteredByBucket, reportStats)
 
   // declared table partitioning (clusterBy=bucket): what lets Spark's
   // storage-partitioned-join machinery treat two such tables as
@@ -188,7 +189,7 @@ class RangeMicroBatchStream(
 }
 
 class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25000L,
-    clusteredByBucket: Boolean = false)
+    clusteredByBucket: Boolean = false, reportStats: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -332,7 +333,8 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int, batchRows: Long = 25
       if (clusteredByBucket)
         new RangeBucketedScan(clo, chi, required, slices, batchRows)
       else
-        new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc, batchRows)
+        new RangeScan(start, end, slices, clo, chi, required, pushedLimit, topNDesc, batchRows,
+          reportStats)
   }
 }
 
@@ -502,10 +504,29 @@ class RangeScan(
     start: Long, end: Long, slices: Int,
     lo: Long, hi: Long, required: StructType,
     pushedLimit: Option[Long] = None, topNDesc: Boolean = false,
-    batchRows: Long = 25000L)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    batchRows: Long = 25000L, reportStats: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  // -- statistics (SupportsReportStatistics, opt-in via reportStats):
+  // reported AFTER pushdown, so the planner costs the CLIPPED range —
+  // a manifest-bounded scan under the broadcast threshold auto-plans
+  // BroadcastHashJoin with no hint, the way parquet footer stats let
+  // Catalyst pick sides at 100 TB. Off by default: the statistics-less
+  // default (defaultSizeInBytes = huge) is itself load-bearing for the
+  // queries that pin their own sides. 8 bytes per required column per
+  // row — exact for this all-long schema.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    override def numRows(): java.util.OptionalLong =
+      if (reportStats) java.util.OptionalLong.of(rows) else java.util.OptionalLong.empty()
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (reportStats)
+        java.util.OptionalLong.of(rows * 8L * math.max(1, required.fields.length))
+      else java.util.OptionalLong.empty()
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -1138,6 +1138,41 @@ class ExtensionSpec extends SparkSpec {
       "top-N on val must not clip the id range:\n" + noPushPlan)
   }
 
+  test("DSv2 reported statistics flip the initial join plan to broadcast") {
+    // the gated query: the stats-reporting clipped scan must plan a
+    // no-hint broadcast join (pre-AQE initial plan = the pure
+    // cost-model decision)
+    val gated = EtlQueries.qRangeStats(spark, sfDir)
+    assert(gated.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "reported stats must auto-broadcast in the gated query")
+    // isolate the stats effect with a range-to-range join (a parquet
+    // side would be broadcastable on its own at test scale): the
+    // 15k-row clipped scan reports stats, the 500k side does not
+    def rt(bound: Long, stats: Boolean) = spark.read
+      .format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "2000000").option("slices", "16")
+      .option("reportStats", stats.toString)
+      .load()
+      .filter(col("id") < bound)
+    def shaped(l: org.apache.spark.sql.DataFrame) = l
+      .join(rt(500000L, stats = false).select(col("id").as("rid")),
+        col("id") === col("rid"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val withStats = shaped(rt(15000L, stats = true))
+    val statsPlan = withStats.queryExecution.sparkPlan.toString
+    assert(statsPlan.contains("BroadcastHashJoin"),
+      "post-pushdown stats (15k x 24B) must broadcast the clipped scan:\n" + statsPlan)
+    // counterfactual: same shape, no stats anywhere -> both sides
+    // cost defaultSizeInBytes (huge) -> initial plan is SMJ
+    val noStats = shaped(rt(15000L, stats = false))
+    val noStatsPlan = noStats.queryExecution.sparkPlan.toString
+    assert(noStatsPlan.contains("SortMergeJoin") && !noStatsPlan.contains("BroadcastHashJoin"),
+      "without stats the planner must not broadcast either scan:\n" + noStatsPlan)
+    // values identical either way (strategy, not semantics)
+    assert(withStats.collect().map(_.getLong(1)).sum ==
+      noStats.collect().map(_.getLong(1)).sum)
+  }
+
   test("DSv2 storage-partitioned join: co-clustered scans join with no shuffle") {
     def shuffles(plan: String): Int = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     // the gated builder sets v2.bucketing.enabled=true itself

@@ -2213,7 +2213,66 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
        |    (tp + fp)::HUGEINT * (tp + fn) * (tn + fp) * (tn + fn), 1) AS BIGINT) AS mcc2_ppm
        |FROM n""".stripMargin
 
+  // ---------------------------------------------------------------
+  // STRATIFIED TREATMENT-EFFECT ESTIMATE — the post-stratification
+  // companion to temporal_did and the standard confounding audit: a
+  // simulated rollout whose assignment RATE VARIES BY STRATUM
+  // (event_type; md5 of event_id + ':ate', rates 30–70% — the
+  // deterministic analogue of a staged rollout that treated noisy
+  // segments more), so the naive pooled treated-vs-control contrast
+  // (the 'ALL' row) mixes the treatment effect with the stratum
+  // composition — Simpson's arithmetic, readable right off the gated
+  // rows. Adjustment = the per-stratum contrasts. Every effect is an
+  // EXACT RATIONAL: eff = s_t/n_t − s_c/n_c shipped as num/den
+  // strings through decimal(38,0)/HUGEINT (sign is data-dependent —
+  // never a rounded double; the temporal_did convention). Overflow
+  // ceiling: |num| ≤ Σcents·n ≈ 1e12·1e9 = 1e21 per stratum — holds
+  // far past sf100. One map-side aggregate per scope; no shuffle
+  // beyond the 6-row union.
+  def qStratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    val rate = expr("CASE event_type WHEN 'click' THEN 30 WHEN 'view' THEN 40 " +
+      "WHEN 'purchase' THEN 50 WHEN 'signup' THEN 60 ELSE 70 END")
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("stratum"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (conv(substring(md5(concat(col("event_id").cast("string"), lit(":ate"))), 1, 15), 16, 10)
+          .cast("long") % 100 < rate).cast("long").as("t"))
+      .localCheckpoint()
+    def cellsOf(df: DataFrame, scopeCol: org.apache.spark.sql.Column) = df
+      .groupBy(scopeCol.as("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("n_t"),
+        sum(col("t") * col("cents")).as("s_t"),
+        (count(lit(1)) - sum(col("t"))).as("n_c"),
+        sum((lit(1L) - col("t")) * col("cents")).as("s_c"))
+    val d38 = "decimal(38,0)"
+    cellsOf(e, col("stratum")).unionAll(cellsOf(e, lit("ALL")))
+      .select(col("stratum"), col("n"), col("n_t"), col("s_t"), col("n_c"), col("s_c"),
+        (col("s_t").cast(d38) * col("n_c") - col("s_c").cast(d38) * col("n_t"))
+          .cast("string").as("eff_num"),
+        (col("n_t").cast(d38) * col("n_c")).cast("string").as("eff_den"))
+      .orderBy(col("stratum"))
+  }
+
+  val qStratifiedAteSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS stratum, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ate'), 1, 15))::BIGINT % 100) <
+      |      (CASE event_type WHEN 'click' THEN 30 WHEN 'view' THEN 40 WHEN 'purchase' THEN 50
+      |        WHEN 'signup' THEN 60 ELSE 70 END) THEN 1 ELSE 0 END AS t
+      |  FROM events WHERE value IS NOT NULL),
+      |u AS (SELECT stratum, count(*) AS n, sum(t) AS n_t, sum(t*cents) AS s_t,
+      |        count(*) - sum(t) AS n_c, sum((1-t)*cents) AS s_c FROM e GROUP BY 1
+      |      UNION ALL
+      |      SELECT 'ALL', count(*), sum(t), sum(t*cents), count(*) - sum(t), sum((1-t)*cents) FROM e)
+      |SELECT stratum, CAST(n AS BIGINT) AS n, CAST(n_t AS BIGINT) AS n_t,
+      |  CAST(s_t AS BIGINT) AS s_t, CAST(n_c AS BIGINT) AS n_c, CAST(s_c AS BIGINT) AS s_c,
+      |  CAST(s_t::HUGEINT * n_c - s_c::HUGEINT * n_t AS VARCHAR) AS eff_num,
+      |  CAST(n_t::HUGEINT * n_c AS VARCHAR) AS eff_den
+      |FROM u ORDER BY stratum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_stratified_ate" -> (qStratifiedAte _),
     "ml_mcc_exact" -> (qMccExact _),
     "ml_gains_table" -> (qGainsTable _),
     "ml_quantile_bins" -> (qQuantileBins _),
@@ -2243,6 +2302,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_stratified_ate" -> qStratifiedAteSql,
     "ml_mcc_exact" -> qMccExactSql,
     "ml_gains_table" -> qGainsTableSql,
     "ml_quantile_bins" -> qQuantileBinsSql,

@@ -3217,6 +3217,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("stratified ATE cells replay from raw events; ALL row is the exact pool") {
+    val rows = Models.qStratifiedAte(spark, sfDir).collect()
+    val byStratum = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStratum.contains("ALL") && rows.length >= 2)
+    val rates = Map("click" -> 30, "view" -> 40, "purchase" -> 50, "signup" -> 60)
+    def treated(id: Long, st: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:ate".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 100 < rates.getOrElse(st, 70)
+    }
+    val ev = graft.Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .selectExpr("event_id", "event_type", "cast(round(value * 100) as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cells = ev.groupBy(_._2).map { case (st, xs) =>
+      val (t, c) = xs.partition(x => treated(x._1, st))
+      st -> ((xs.length.toLong, t.length.toLong, t.map(_._3).sum,
+        c.length.toLong, c.map(_._3).sum))
+    }
+    cells.foreach { case (st, (n, nt, stt, nc, sc)) =>
+      val r = byStratum(st)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((n, nt, stt, nc, sc)), s"stratum $st cells mismatch")
+      assert(r.getString(6) == (BigInt(stt) * nc - BigInt(sc) * nt).toString &&
+        r.getString(7) == (BigInt(nt) * nc).toString, s"stratum $st rational mismatch")
+    }
+    // the ALL row pools the stratum cells exactly (no double counting)
+    val all = byStratum("ALL")
+    assert(all.getLong(1) == cells.values.map(_._1).sum &&
+      all.getLong(2) == cells.values.map(_._2).sum &&
+      all.getLong(3) == cells.values.map(_._3).sum &&
+      all.getLong(5) == cells.values.map(_._5).sum)
+  }
+
   test("bloom file-skip index replays in the JVM and never misses a true file") {
     val rows = Maintenance.qBloomFileSkip(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1543,7 +1543,86 @@ object Temporal {
     "temporal_funnel" -> (qFunnel _),
     "temporal_retention" -> (qRetention _),
     "temporal_did" -> (qDid _),
+    "temporal_hazard_curve" -> (qHazardCurve _),
   )
+
+  // ---------------------------------------------------------------
+  // SURVIVAL HAZARD CURVE — Kaplan-Meier risk-set construction with
+  // RIGHT-CENSORING, the analysis layer behind every retention /
+  // repeat-engagement readout: subjects are purchase events, the
+  // duration is hours to the user's NEXT purchase, and a last
+  // purchase with no successor is CENSORED at the observation
+  // horizon (the global max event hour) — dropping those rows (the
+  // naive mistake) would bias the long-gap tail downward, and the
+  // gate makes the censored column first-class instead. Output is
+  // the exact risk table: per distinct duration t, subjects still at
+  // risk (n_risk), events (d_event), censorings, the discrete hazard
+  // in ppm (1e6·d div n_risk — non-negative integer div, safe), and
+  // the Nelson-Aalen-style cumulative of those FLOORED ppm terms
+  // (sum-of-floors, not floor-of-sum: both engines floor each term
+  // identically, so the running total gates exactly; the true
+  // rational Σd/n differs from it by < #terms ppm, stated here so
+  // the derived metric is honest). The KM survival PRODUCT is
+  // deliberately not shipped: Π(1−d/n) has unboundedly growing exact
+  // denominators and any fixed-point rounding of it splits engines —
+  // the hazard table carries the same information.
+  // Scale shape: one user-partitioned lead window over purchases,
+  // one groupBy on t; the cumulative window runs on the duration
+  // GRID (≤ observation-window hours — metadata-sized at any corpus,
+  // the KsTest bounded-window class).
+  def qHazardCurve(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val horizon = ev.agg((max(unix_micros(col("ts"))) / lit(3600000000L))
+      .cast("long").as("hh"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"), col("event_id"))
+    val subj = p.withColumn("nh", lead(col("h"), 1).over(wNext))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("nh").isNotNull, col("nh") - col("h"))
+          .otherwise(col("hh") - col("h")).as("t"),
+        col("nh").isNotNull.cast("long").as("ev"))
+    val grid = subj.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d_event"),
+        (count(lit(1)) - sum(col("ev"))).as("n_censored"))
+    val tot = subj.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("t")) // duration grid: bounded metadata frame
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_at"))
+          .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("hazard_ppm", expr("1000000 * d_event div n_risk"))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d_event"),
+        col("n_censored"), col("hazard_ppm"),
+        sum(col("hazard_ppm")).over(wCum.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cumhaz_ppm"))
+      .orderBy(col("t_hours"))
+  }
+
+  val qHazardCurveSql: String =
+    """WITH p AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      |  FROM events WHERE event_type = 'purchase'),
+      |hz AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS hh FROM events),
+      |subj AS (SELECT
+      |    CASE WHEN nh IS NOT NULL THEN nh - h ELSE (SELECT hh FROM hz) - h END AS t,
+      |    CASE WHEN nh IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM (SELECT h, lead(h) OVER (PARTITION BY user_id ORDER BY h, event_id) AS nh FROM p)),
+      |grid AS (SELECT t, count(*) AS n_at, sum(ev) AS d_event,
+      |    count(*) - sum(ev) AS n_censored FROM subj GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM subj),
+      |risk AS (SELECT t, n_at, d_event, n_censored,
+      |    (SELECT n FROM tot) - COALESCE(sum(n_at) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM grid)
+      |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d_event AS BIGINT) AS d_event, CAST(n_censored AS BIGINT) AS n_censored,
+      |  CAST(1000000 * d_event // n_risk AS BIGINT) AS hazard_ppm,
+      |  CAST(sum(1000000 * d_event // n_risk) OVER
+      |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
+      |FROM risk ORDER BY t""".stripMargin
 
   // ---------------------------------------------------------------
   // DIFFERENCE-IN-DIFFERENCES — the causal estimator behind every
@@ -1633,6 +1712,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "temporal_did" -> qDidSql,
+    "temporal_hazard_curve" -> qHazardCurveSql,
     "temporal_changepoint" -> qChangepointSql,
     "temporal_dau_wau_mau" -> qDauWauMauSql,
     "temporal_gap_median" -> qGapMedianSql,

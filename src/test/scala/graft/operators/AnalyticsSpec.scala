@@ -3217,6 +3217,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("hazard curve risk sets conserve subjects and replay from raw purchases") {
+    val rows = Temporal.qHazardCurve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // conservation: risk set at the first duration = all subjects;
+    // every (event + censoring) leaves the risk set exactly once
+    val totalLeft = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    assert(rows.head.getLong(1) == totalLeft, "first n_risk must equal total subjects")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3),
+        s"risk set must decrement by that t's departures at t=${b.getLong(0)}")
+      case _ => ()
+    }
+    // censored subjects = one per purchasing user (the last purchase)
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nUsers, "one censored subject per user")
+    // JVM replay of the full risk table
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) div 3600000000 as h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val horizon = ev.map(_._4).max
+    val subj = ev.filter(_._3 == "purchase").groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val hs = ps.sortBy(p => (p._4, p._2)).map(_._4)
+      hs.zip(hs.drop(1).map(Some(_)) :+ None).map {
+        case (h, Some(nh)) => (nh - h, 1L)
+        case (h, None) => (horizon - h, 0L)
+      }
+    }
+    val grid = subj.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.length.toLong - xs.map(_._2).sum)
+    }
+    var risk = subj.length.toLong
+    val expected = grid.map { case (t, d, c) =>
+      val r = (t, risk, d, c, 1000000L * d / risk)
+      risk -= d + c
+      r
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, "risk table mismatch vs JVM replay")
+    // cumhaz is exactly the running sum of the floored hazards
+    assert(rows.map(_.getLong(4)).scanLeft(0L)(_ + _).tail.toSeq ==
+      rows.map(_.getLong(5)).toSeq)
+  }
+
   test("stratified ATE cells replay from raw events; ALL row is the exact pool") {
     val rows = Models.qStratifiedAte(spark, sfDir).collect()
     val byStratum = rows.map(r => r.getString(0) -> r).toMap

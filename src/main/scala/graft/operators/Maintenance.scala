@@ -1022,7 +1022,71 @@ object Maintenance {
        |LEFT JOIN nb ON nb.probe = p.probe
        |ORDER BY p.probe""".stripMargin
 
+  // ---------------------------------------------------------------
+  // TIME TRAVEL — versioned reads over the manifest sink (the
+  // Delta/Iceberg snapshot contract, from scratch): every commit
+  // under keep_versions=true archives its just-published manifest as
+  // an immutable `v<n>`, truncate-overwrites RETAIN superseded data
+  // files (archived manifests still reference them; expiry belongs
+  // to maintenance, not commits), and a read pins `version=n` to
+  // plan exactly that snapshot's files. The gate drives
+  // overwrite → append → truncate-overwrite and then reads all three
+  // versions PLUS the live table: v1/v2 must still aggregate to
+  // their full closed forms AFTER v3's truncate (the retention
+  // proof), and latest must equal v3 (the live pointer). The same
+  // discipline at 100 TB is what makes reproducible training runs
+  // possible — a dataset version pin instead of "whatever the table
+  // is today".
+  private val TtV1End = 60000L
+  private val TtV2End = 90000L
+  private val TtV3End = 20000L
+
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_tt_").toString
+    def rows(a: Long, b: Long) = s.read.format("graft.sources.RangeTableProvider")
+      .option("start", a.toString).option("end", b.toString).option("slices", "8")
+      .load()
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft.sources.DirSinkProvider")
+        .option("path", tmp).option("keep_versions", "true")
+        .mode(mode).save()
+    write(rows(0, TtV1End), "overwrite") // v1
+    write(rows(TtV1End, TtV2End), "append") // v2 = [0, 90000)
+    write(rows(0, TtV3End), "overwrite") // v3 truncates; v1/v2 files retained
+    def back(scope: String, version: Option[Int]) = {
+      val r = s.read.format("graft.sources.DirSinkProvider").option("path", tmp)
+      version.foreach(v => r.option("version", v.toString))
+      r.load()
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("val")).cast("long").as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .select(lit(scope).as("scope"), col("n"), col("sum_val"),
+          col("min_id"), col("max_id"))
+    }
+    val out = back("v1", Some(1))
+      .unionAll(back("v2", Some(2)))
+      .unionAll(back("v3", Some(3)))
+      .unionAll(back("latest", None))
+      .orderBy(col("scope"))
+      .localCheckpoint(true) // sever lineage so the temp dir can go
+    graft.sources.DirSink.deleteRecursively(java.nio.file.Paths.get(tmp))
+    out
+  }
+
+  val qTimeTravelSql: String =
+    s"""WITH v AS (
+       |  SELECT 'v1' AS scope, 0 AS lo, $TtV1End AS hi UNION ALL
+       |  SELECT 'v2', 0, $TtV2End UNION ALL
+       |  SELECT 'v3', 0, $TtV3End UNION ALL
+       |  SELECT 'latest', 0, $TtV3End)
+       |SELECT scope, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM v JOIN range(0, $TtV2End) t(i) ON i >= lo AND i < hi
+       |GROUP BY scope ORDER BY scope""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_time_travel" -> (qTimeTravel _),
     "maint_bloom_file_skip" -> (qBloomFileSkip _),
     "maint_wap" -> (qWap _),
     "maint_fingerprint" -> (qFingerprint _),
@@ -1042,6 +1106,7 @@ object Maintenance {
 
   val oracles: Map[String, String] = Map(
     "maint_bloom_file_skip" -> qBloomFileSkipSql,
+    "maint_time_travel" -> qTimeTravelSql,
     "maint_wap" -> qWapSql,
     "maint_fingerprint" -> qFingerprintSql,
     "maint_dpp" -> qDppSql,

@@ -60,8 +60,10 @@ class DirSinkProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = DirSink.dirOf(options.asScala.toMap.asJava)
-    val m = DirSink.readManifest(dir).getOrElse(throw new IllegalArgumentException(
-      s"graft_dirsink: no committed manifest under '$dir' — write first or pass a schema"))
+    val version = Option(options.get("version")).map(_.toInt)
+    val m = DirSink.readManifest(dir, version).getOrElse(throw new IllegalArgumentException(
+      s"graft_dirsink: no committed manifest${version.map(v => s" v$v").getOrElse("")} " +
+        s"under '$dir' — write first or pass a schema"))
     m.schema
   }
 
@@ -72,7 +74,9 @@ class DirSinkProvider extends TableProvider {
       Option(properties.get("fail_partition")).map(_.toInt),
       Option(properties.get("cluster_by")),
       Option(properties.get("sort_by")).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      Option(properties.get("write_partitions")).map(_.toInt).getOrElse(0))
+      Option(properties.get("write_partitions")).map(_.toInt).getOrElse(0),
+      Option(properties.get("keep_versions")).exists(_.toBoolean),
+      Option(properties.get("version")).map(_.toInt))
 }
 
 object DirSink {
@@ -137,13 +141,47 @@ object DirSink {
 
   case class Manifest(schema: StructType, files: Seq[String])
 
-  def readManifest(dir: String): Option[Manifest] = {
-    val p = Paths.get(dir, ManifestName)
+  def readManifest(dir: String): Option[Manifest] = readManifest(dir, None)
+
+  /** `version = Some(n)` reads the ARCHIVED manifest `v<n>` (time
+    * travel — requires the table to have been written with
+    * keep_versions=true); `None` reads the live manifest. */
+  def readManifest(dir: String, version: Option[Int]): Option[Manifest] = {
+    val p = version match {
+      case Some(n) => Paths.get(dir, versionedManifestName(n))
+      case None => Paths.get(dir, ManifestName)
+    }
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       Some(Manifest(decodeSchema(lines.head), lines.tail.filter(_.nonEmpty)))
     }
+  }
+
+  // -- time travel: archived manifest versions -------------------------
+  def versionedManifestName(n: Int): String = s"_graft_manifest.v$n.txt"
+
+  private val VersionedRe = "_graft_manifest\\.v(\\d+)\\.txt".r
+
+  /** Committed version numbers, ascending (empty unless the table is
+    * written with keep_versions=true). */
+  def listVersions(dir: String): Seq[Int] =
+    if (!Files.exists(Paths.get(dir))) Nil
+    else Files.list(Paths.get(dir)).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case VersionedRe(n) => Some(n.toInt)
+        case _ => None
+      }).toSeq.sorted
+
+  /** Archive the just-published live manifest as the next version —
+    * called by version-keeping commits AFTER the atomic publish, so
+    * the archive is always a copy of a fully committed state. */
+  def archiveVersion(dir: String, schema: StructType, files: Seq[String]): Int = {
+    val n = listVersions(dir).lastOption.getOrElse(0) + 1
+    Files.write(Paths.get(dir, versionedManifestName(n)),
+      ((encodeSchema(schema) +: files).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    n
   }
 
   /** Publish: write the manifest beside its final name, then ATOMIC
@@ -189,7 +227,8 @@ object DirSink {
 }
 
 class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int],
-    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0)
+    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0,
+    keepVersions: Boolean = false, readVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name: String = s"graft_dirsink($dir)"
   override def schema: StructType = tableSchema
@@ -198,11 +237,12 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DirSinkScanBuilder(dir, tableSchema)
+    new DirSinkScanBuilder(dir, tableSchema, readVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(dir, info.schema(), info.queryId(), failPartition,
-      clusterBy = clusterBy, sortBy = sortBy, writeParts = writeParts)
+      clusterBy = clusterBy, sortBy = sortBy, writeParts = writeParts,
+      keepVersions = keepVersions)
 }
 
 // ======================================================================
@@ -212,12 +252,13 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
 class DirSinkWriteBuilder(
     dir: String, schema: StructType, queryId: String, failPartition: Option[Int],
     truncateFirst: Boolean = false,
-    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0)
+    clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0,
+    keepVersions: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new DirSinkWriteBuilder(dir, schema, queryId, failPartition, truncateFirst = true,
-      clusterBy, sortBy, writeParts)
+      clusterBy, sortBy, writeParts, keepVersions)
 
   // The plain Write, or — when cluster_by/sort_by options are set —
   // one carrying [[RequiresDistributionAndOrdering]]: Spark plans the
@@ -247,7 +288,7 @@ class DirSinkWriteBuilder(
         clusterBy.map(c => s" clusterBy=$c").getOrElse("") +
         (if (sortBy.nonEmpty) s" sortBy=${sortBy.mkString(",")}" else "") + "]"
     override def toBatch: BatchWrite =
-      new DirSinkBatchWrite(dir, schema, queryId, failPartition, truncateFirst)
+      new DirSinkBatchWrite(dir, schema, queryId, failPartition, truncateFirst, keepVersions)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new DirSinkStreamingWrite(dir, schema, queryId, failPartition)
   }
@@ -317,7 +358,8 @@ class DirSinkStreamingWriterFactory(
 /** One staged directory per query; commit promotes, abort removes. */
 class DirSinkBatchWrite(
     dir: String, schema: StructType, queryId: String,
-    failPartition: Option[Int], truncateFirst: Boolean) extends BatchWrite {
+    failPartition: Option[Int], truncateFirst: Boolean,
+    keepVersions: Boolean = false) extends BatchWrite {
 
   private val stagingDir = s"$dir/_staging-$queryId"
 
@@ -341,9 +383,17 @@ class DirSinkBatchWrite(
     // the publish instant: readers see old-table → new-table, nothing
     // in between
     DirSink.writeManifest(dir, schema, prev ++ promoted)
+    // keep_versions: archive the just-published state as the next
+    // immutable version (time travel), and RETAIN truncated-away data
+    // files — they are still referenced by archived manifests. The
+    // default path keeps its aggressive GC (the src_range_write gate
+    // asserts truncate deletes); version expiry is a maintenance
+    // decision (maint_vacuum's domain), not a commit side effect.
+    if (keepVersions)
+      DirSink.archiveVersion(dir, schema, prev ++ promoted)
     // post-publish garbage collection: truncated-away data files and
     // any uncommitted (speculative/failed-attempt) staged leftovers
-    if (truncateFirst) {
+    if (truncateFirst && !keepVersions) {
       val live = (promoted :+ DirSink.ManifestName).toSet
       Files.list(Paths.get(dir)).iterator().asScala
         .filter(p => Files.isRegularFile(p) && !live(p.getFileName.toString))
@@ -413,23 +463,33 @@ class DirSinkDataWriter(
 // READ SIDE — the manifest IS the table: only listed files are planned
 // ======================================================================
 
-class DirSinkScanBuilder(dir: String, tableSchema: StructType)
+class DirSinkScanBuilder(dir: String, tableSchema: StructType,
+    readVersion: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new DirSinkScan(dir, tableSchema, required)
+  override def build(): Scan = new DirSinkScan(dir, tableSchema, required, readVersion)
 }
 
-class DirSinkScan(dir: String, tableSchema: StructType, required: StructType)
+class DirSinkScan(dir: String, tableSchema: StructType, required: StructType,
+    readVersion: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def files: Seq[String] =
-    DirSink.readManifest(dir).map(_.files).getOrElse(Nil)
+  private def files: Seq[String] = {
+    val m = DirSink.readManifest(dir, readVersion)
+    if (readVersion.isDefined && m.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft_dirsink: no archived version ${readVersion.get} under '$dir' " +
+          s"(have: ${DirSink.listVersions(dir).mkString(",")})")
+    m.map(_.files).getOrElse(Nil)
+  }
 
   override def description(): String =
-    s"GraftDirSinkScan[$dir files=${files.size} cols=${required.fieldNames.mkString(",")}]"
+    s"GraftDirSinkScan[$dir files=${files.size}" +
+      readVersion.map(v => s" version=$v").getOrElse("") +
+      s" cols=${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => DirSinkPartition(s"$dir/$f"): InputPartition).toArray

@@ -2271,7 +2271,91 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
       |  CAST(n_t::HUGEINT * n_c AS VARCHAR) AS eff_den
       |FROM u ORDER BY stratum""".stripMargin
 
+  // ---------------------------------------------------------------
+  // RANDOMIZATION (PERMUTATION-STYLE) TEST — the inference layer for
+  // the causal family: is temporal_did's rollout contrast bigger
+  // than chance? Under H0 the cohort label is independent of the
+  // outcome, so B=64 deterministic RE-RANDOMIZATIONS (md5 of
+  // user_id + ':p<b>' — honest naming: salted reassignment at
+  // p=1/2, the Monte-Carlo randomization test, not an exact
+  // label permutation) form the null distribution, and the p-value
+  // counts replicates whose |mean difference| ≥ the observed one.
+  // Every comparison is EXACT: diffs are rationals (num/den) and the
+  // ≥ test cross-multiplies in decimal(38,0)/HUGEINT — no division
+  // ever happens. p ships as (1+n_ge)·1e6 div (B+1), the standard
+  // add-one estimator, non-negative integer div. Overflow ceiling:
+  // |num|·den ≈ (Σcents·n)·n² ≤ 1e20·1e16 = 1e36 at sf100 — inside
+  // decimal(38,0); shard per source past that.
+  // Scale shape: one 64-row broadcast fan-out (map-side, partial
+  // aggregation absorbs the 64x before the 64-group shuffle), one
+  // 1-row observed aggregate, one broadcast compare.
+  private val PermB = 64
+
+  def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def tOf(salt: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(col("user_id").cast("string"), salt)), 1, 15), 16, 10)
+        .cast("long") % 100 < 50).cast("long")
+    // the statistic is additive over users, so collapse the corpus to
+    // per-user (event count, cents sum) FIRST and fan the 64 salts
+    // over THAT: md5 work drops from events x B to users x B, and the
+    // 64x row fan-out runs over the user aggregate, not the corpus
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"), sum(round(col("value") * 100).cast("long")).as("sc"))
+      .localCheckpoint()
+    def cells(df: DataFrame, keys: Seq[String]) = df
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("t") * col("ne")).as("n_t"), sum(col("t") * col("sc")).as("s_t"),
+        sum((lit(1L) - col("t")) * col("ne")).as("n_c"),
+        sum((lit(1L) - col("t")) * col("sc")).as("s_c"))
+      .withColumn("num",
+        (col("s_t").cast(d38) * col("n_c") - col("s_c").cast(d38) * col("n_t")))
+      .withColumn("den", col("n_t").cast(d38) * col("n_c"))
+    val obs = cells(e.withColumn("t", tOf(lit(":did"))), Nil)
+      .select(col("num").as("obs_num"), col("den").as("obs_den"))
+    val reps = cells(
+      e.crossJoin(broadcast(s.range(PermB).toDF("b")))
+        .withColumn("t", tOf(concat(lit(":p"), col("b").cast("string")))),
+      Seq("b"))
+    reps.crossJoin(broadcast(obs))
+      .agg(sum((abs(col("num")) * col("obs_den") >= abs(col("obs_num")) * col("den"))
+        .cast("long")).as("n_ge"))
+      .crossJoin(broadcast(obs))
+      .select(lit(PermB.toLong).as("b"),
+        col("obs_num").cast("string").as("obs_num"),
+        col("obs_den").cast("string").as("obs_den"),
+        col("n_ge"),
+        expr(s"(1 + n_ge) * 1000000 div ${PermB + 1}").as("p_pm"))
+  }
+
+  val qPermutationTestSql: String =
+    s"""WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL),
+       |obs AS (
+       |  SELECT sum(t) AS n_t, sum(t*cents) AS s_t,
+       |      count(*)-sum(t) AS n_c, sum((1-t)*cents) AS s_c FROM (
+       |    SELECT cents, CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 15))::BIGINT % 100) < 50
+       |      THEN 1 ELSE 0 END AS t FROM e)),
+       |reps AS (
+       |  SELECT b, sum(t) AS n_t, sum(t*cents) AS s_t,
+       |      count(*)-sum(t) AS n_c, sum((1-t)*cents) AS s_c FROM (
+       |    SELECT b, cents, CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':p' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 100) < 50
+       |      THEN 1 ELSE 0 END AS t
+       |    FROM e, (SELECT unnest(range($PermB)) AS b)) GROUP BY b),
+       |od AS (SELECT s_t::HUGEINT * n_c - s_c::HUGEINT * n_t AS num,
+       |    n_t::HUGEINT * n_c AS den FROM obs),
+       |cmp AS (SELECT count(*) AS n_ge FROM reps, od
+       |  WHERE abs(s_t::HUGEINT * n_c - s_c::HUGEINT * n_t) * od.den
+       |     >= abs(od.num) * (n_t::HUGEINT * n_c))
+       |SELECT CAST($PermB AS BIGINT) AS b, CAST(od.num AS VARCHAR) AS obs_num,
+       |  CAST(od.den AS VARCHAR) AS obs_den, CAST(cmp.n_ge AS BIGINT) AS n_ge,
+       |  CAST((1 + cmp.n_ge) * 1000000 // ${PermB + 1} AS BIGINT) AS p_pm
+       |FROM od, cmp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_permutation_test" -> (qPermutationTest _),
     "ml_stratified_ate" -> (qStratifiedAte _),
     "ml_mcc_exact" -> (qMccExact _),
     "ml_gains_table" -> (qGainsTable _),
@@ -2303,6 +2387,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
 
   val oracles: Map[String, String] = Map(
     "ml_stratified_ate" -> qStratifiedAteSql,
+    "ml_permutation_test" -> qPermutationTestSql,
     "ml_mcc_exact" -> qMccExactSql,
     "ml_gains_table" -> qGainsTableSql,
     "ml_quantile_bins" -> qQuantileBinsSql,

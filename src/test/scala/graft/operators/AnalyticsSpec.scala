@@ -3217,6 +3217,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("randomization test replays: exact cross-multiplied compares, add-one p") {
+    val row = Models.qPermutationTest(spark, sfDir).collect().head
+    def bucket(u: Long, salt: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 100 < 50
+    }
+    val ev = graft.Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .selectExpr("user_id", "cast(round(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def rational(salt: String): (BigInt, BigInt) = {
+      val (t, c) = ev.partition(e => bucket(e._1, salt))
+      (BigInt(t.map(_._2).sum) * c.length - BigInt(c.map(_._2).sum) * t.length,
+        BigInt(t.length) * c.length)
+    }
+    val (obsNum, obsDen) = rational(":did")
+    assert(row.getString(1) == obsNum.toString && row.getString(2) == obsDen.toString)
+    val nGe = (0 until 64).count { b =>
+      val (n, d) = rational(s":p$b")
+      n.abs * obsDen >= obsNum.abs * d
+    }
+    assert(row.getLong(3) == nGe.toLong, s"n_ge ${row.getLong(3)} != $nGe")
+    assert(row.getLong(4) == (1L + nGe) * 1000000L / 65L)
+  }
+
   test("hazard curve risk sets conserve subjects and replay from raw purchases") {
     val rows = Temporal.qHazardCurve(spark, sfDir).collect()
     assert(rows.nonEmpty)

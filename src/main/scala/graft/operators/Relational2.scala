@@ -154,6 +154,44 @@ object Relational2 {
       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------
+  // q41: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the hierarchy
+  // walk every org-chart / category-tree / lineage query needs,
+  // exercised through the SQL surface on a synthetic halving tree
+  // over customer (parent(k) = k div 2, root = 1): the anchor seeds
+  // the root, the recursive term level-joins children, and the gate
+  // checks per-depth counts/checksums — any duplicated or dropped
+  // level breaks them. Plan shape: Spark executes the recursion as
+  // level-synchronous joins (UnionLoop), exactly how a 1000-executor
+  // cluster walks a 100 TB hierarchy: each level is one distributed
+  // join, depth = O(log n) iterations, never a driver-side loop.
+  def q41RecursiveCte(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE anc AS (
+         |  SELECT c_custkey, 0 AS depth
+         |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey = 1
+         |  UNION ALL
+         |  SELECT c.c_custkey, a.depth + 1
+         |  FROM parquet.`$dir/customer.parquet` c
+         |  JOIN anc a ON c.c_custkey div 2 = a.c_custkey
+         |  WHERE c.c_custkey > 1)
+         |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+
+  val q41Sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, a.depth + 1
+      |  FROM customer c JOIN anc a ON c.c_custkey // 2 = a.c_custkey
+      |  WHERE c.c_custkey > 1)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------
   // q24: lateral explode — word frequencies over documents, the
   // canonical flatten-then-aggregate. The explode is map-side; only
   // (word, partial count) shuffles.
@@ -727,6 +765,7 @@ object Relational2 {
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_recursive_cte" -> (q41RecursiveCte _),
     "q39_map_agg" -> (q39MapAgg _),
     "q34_histogram" -> (q34Histogram _),
     "q35_corr_exact" -> (q35CorrExact _),
@@ -750,6 +789,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_recursive_cte" -> q41Sql,
     "q40_range_frame" -> q40Sql,
     "q34_histogram" -> q34Sql,
     "q35_corr_exact" -> q35Sql,

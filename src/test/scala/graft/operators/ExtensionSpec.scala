@@ -1138,6 +1138,28 @@ class ExtensionSpec extends SparkSpec {
       "top-N on val must not clip the id range:\n" + noPushPlan)
   }
 
+  test("recursive CTE walks the halving tree exactly (closed-form levels)") {
+    val rows = Relational2.q41RecursiveCte(spark, sfDir).collect()
+    val maxKey = graft.Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    // level d holds keys [2^d, min(2^(d+1)-1, maxKey)] — count, sum,
+    // min, max all closed-form; total rows = every customer once
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val lo = 1L << d
+      val hi = math.min((1L << (d + 1)) - 1, maxKey)
+      assert(r.getLong(1) == hi - lo + 1, s"depth $d count")
+      assert(r.getLong(2) == (lo to hi).sum, s"depth $d checksum")
+      assert(r.getLong(3) == lo && r.getLong(4) == hi, s"depth $d bounds")
+    }
+    assert(rows.map(_.getLong(1)).sum == maxKey, "every customer exactly once")
+    // the recursion plans as the level-synchronous loop operator, not
+    // a driver-side collect loop
+    val plan = Relational2.q41RecursiveCte(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), "recursion must plan as UnionLoop:\n" + plan)
+  }
+
   test("DSv2 reported statistics flip the initial join plan to broadcast") {
     // the gated query: the stats-reporting clipped scan must plan a
     // no-hint broadcast join (pre-AQE initial plan = the pure

@@ -230,7 +230,8 @@ object EtlQueries {
     "src_range_metadata_cols" -> (qRangeMetadataCols _),
     "src_range_spj" -> (qRangeSpj _),
     "src_range_write_clustered" -> (qRangeWriteClustered _),
-    "src_range_stats" -> (qRangeStats _))
+    "src_range_stats" -> (qRangeStats _),
+    "src_catalog_agg_fn" -> (qCatalogAggFn _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -649,6 +650,38 @@ object EtlQueries {
        |FROM range($CatLo, $CatHi) t(i)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // V2 CATALOG AGGREGATE FUNCTION — the second FunctionCatalog
+  // execution shape (src_catalog_sql covers the scalar): `xor_agg`
+  // is a from-scratch connector AggregateFunction, so Spark itself
+  // drives newAggregationState/update/merge/produceResult across the
+  // scan's partitions — the distributed-aggregation contract a
+  // custom 100 TB aggregate lives by. XOR is associative,
+  // commutative, and order-independent bit-for-bit, which is what
+  // makes a CUSTOM aggregate gateable across engines (DuckDB's
+  // built-in bit_xor replays it exactly); the CASE arm gates the
+  // NULL-skipping semantics too.
+  private val AggFnLo = 200000L
+  private val AggFnHi = 500000L
+
+  def qCatalogAggFn(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(
+      s"""SELECT bucket, cast(count(*) as bigint) AS n,
+         |  graft.xor_agg(val) AS x_val,
+         |  graft.xor_agg(CASE WHEN id % 5 = 0 THEN CAST(NULL AS BIGINT) ELSE id END) AS x_id
+         |FROM graft.range_${AggFnLo}_${AggFnHi}_16
+         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  private val catalogAggFnOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  bit_xor((i * 2654435761) % 1000000) AS x_val,
+       |  bit_xor(CASE WHEN i % 5 = 0 THEN NULL ELSE i END) AS x_id
+       |FROM range($AggFnLo, $AggFnHi) t(i)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------
   // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
   // custom source (SupportsMetadataColumns): `_slice`, the row's
@@ -741,6 +774,7 @@ object EtlQueries {
     "src_range_spj" -> rangeSpjOracle,
     "src_range_write_clustered" -> rangeWriteClusteredOracle,
     "src_range_stats" -> rangeStatsOracle,
+    "src_catalog_agg_fn" -> catalogAggFnOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

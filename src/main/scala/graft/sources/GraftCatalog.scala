@@ -77,11 +77,12 @@ class GraftCatalog extends TableCatalog
 
   // -- functions ------------------------------------------------------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "knuth_val"))
+    Array(Identifier.of(namespace, "knuth_val"), Identifier.of(namespace, "xor_agg"))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     ident.name() match {
       case "knuth_val" => KnuthValUnbound
+      case "xor_agg" => XorAggUnbound
       case _ => throw new NoSuchFunctionException(ident)
     }
 }
@@ -115,3 +116,52 @@ object KnuthValBound extends ScalarFunction[java.lang.Long] {
   override def produceResult(input: InternalRow): java.lang.Long =
     RangeTable.valOf(input.getLong(0))
 }
+
+/** `xor_agg(x BIGINT) → BIGINT` — a V2 CATALOG AGGREGATE
+  * ([[org.apache.spark.sql.connector.catalog.functions.AggregateFunction]]),
+  * the second FunctionCatalog execution shape next to knuth_val's
+  * scalar: Spark drives the distributed contract itself —
+  * `newAggregationState` per partition, `update` per row, `merge`
+  * across partitions, `produceResult` at the end — so a GROUP BY over
+  * a 1000-executor scan exercises exactly this path. XOR is the
+  * textbook choice for a GATEABLE custom aggregate: associative,
+  * commutative, and order-independent bit-for-bit, so the result is
+  * identical under any partitioning and DuckDB's built-in `bit_xor`
+  * replays it exactly (gated in src_catalog_agg_fn). NULLs are
+  * ignored (SQL aggregate semantics); the empty group returns NULL. */
+object XorAggUnbound extends UnboundFunction {
+  override def name(): String = "xor_agg"
+  override def description(): String = "xor_agg(x BIGINT) -> BIGINT: bitwise-XOR of non-null inputs"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 && inputType.fields(0).dataType == LongType,
+      s"xor_agg expects one BIGINT argument, got $inputType")
+    XorAggBound
+  }
+}
+
+object XorAggBound
+    extends org.apache.spark.sql.connector.catalog.functions.AggregateFunction[
+      XorState, java.lang.Long] {
+  override def name(): String = "xor_agg"
+  override def canonicalName(): String = "graft.xor_agg"
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = true
+  override def isDeterministic: Boolean = true
+
+  override def newAggregationState(): XorState = XorState(0L, empty = true)
+
+  override def update(state: XorState, input: InternalRow): XorState =
+    if (input.isNullAt(0)) state
+    else XorState(state.acc ^ input.getLong(0), empty = false)
+
+  override def merge(a: XorState, b: XorState): XorState =
+    XorState(a.acc ^ b.acc, a.empty && b.empty)
+
+  override def produceResult(state: XorState): java.lang.Long =
+    if (state.empty) null else state.acc
+}
+
+/** XOR accumulator; `empty` distinguishes "no non-null inputs" (NULL
+  * result, SQL semantics) from an accumulated 0. */
+case class XorState(acc: Long, empty: Boolean) extends java.io.Serializable

@@ -1138,6 +1138,21 @@ class ExtensionSpec extends SparkSpec {
       "top-N on val must not clip the id range:\n" + noPushPlan)
   }
 
+  test("catalog aggregate function: update/merge path equals the built-in, NULL on empty") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // the custom V2 aggregate must agree with Spark's built-in bit_xor
+    // across a multi-partition scan (merge correctness) and skip NULLs
+    val rows = spark.sql(
+      """SELECT bucket, graft.xor_agg(val) AS custom, bit_xor(val) AS builtin,
+        |  graft.xor_agg(CAST(NULL AS BIGINT)) AS all_null
+        |FROM graft.range_0_200000_16 GROUP BY bucket""".stripMargin).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"bucket ${r.getLong(0)}: custom != builtin")
+      assert(r.isNullAt(3), "all-NULL group must aggregate to NULL")
+    }
+  }
+
   test("recursive CTE walks the halving tree exactly (closed-form levels)") {
     val rows = Relational2.q41RecursiveCte(spark, sfDir).collect()
     val maxKey = graft.Tables.customer(spark, sfDir)

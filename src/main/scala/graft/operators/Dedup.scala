@@ -3376,7 +3376,94 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
        |) ORDER BY level""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // SHORTEST-PATH COUNTS (Brandes phase 1) — graph_bfs_levels walks
+  // the frontier; this carries the MULTIPLICITY recursion on top of
+  // it: σ(seed)=1 and σ(v) at level k is the SUM of σ over its
+  // level-(k−1) parents — the path-counting half of betweenness
+  // centrality, and the quantity that separates "reachable in k
+  // hops" from "how much of the k-hop flow passes through v". Same
+  // level-synchronous join discipline as BFS (frontier join +
+  // groupBy(dst) sum + anti-join visited — integer sums, so the
+  // per-level aggregation is order-independent and gates exactly);
+  // σ grows multiplicatively with branching, so it rides
+  // decimal(38,0)/HUGEINT end-to-end and ships as strings. The
+  // backward dependency pass is deliberately NOT shipped: its δ
+  // accumulations are rationals with per-node denominators σ(w) —
+  // no bounded exact form to gate.
+  def qPathCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p0 = CcPartitions
+    val d38 = "decimal(38,0)"
+    val edges = copurchaseEdges(s, dir)
+      .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    val eb = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p0, col("src")).localCheckpoint()
+    val seed = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node")).limit(1)
+      .select(col("node"), lit(1L).cast(d38).as("sigma"))
+      .localCheckpoint()
+    def levelStats(level: Long, f: DataFrame): Row = {
+      val r = f.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("sigma")), lit(0L).cast(d38)).as("sm"),
+        coalesce(max(col("sigma")), lit(0L).cast(d38)).as("mx")).first()
+      Row(level, r.getLong(0),
+        r.getDecimal(1).toBigInteger.toString, r.getDecimal(2).toBigInteger.toString)
+    }
+    val out = scala.collection.mutable.ArrayBuffer(levelStats(0L, seed))
+    var visited = seed.select(col("node"))
+    var frontier = seed
+    var lvl = 0
+    while (lvl < BfsRounds) {
+      lvl += 1
+      val next = eb.join(frontier, eb("src") === frontier("node"))
+        .select(col("dst").as("node"), col("sigma"))
+        .repartition(p0, col("node"))
+        .groupBy(col("node")).agg(sum(col("sigma")).cast(d38).as("sigma"))
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      out += levelStats(lvl.toLong, next)
+      visited = visited.unionAll(next.select(col("node")))
+        .repartition(p0, col("node")).localCheckpoint()
+      frontier = next
+    }
+    val schema = StructType(Seq(
+      StructField("level", LongType), StructField("n_nodes", LongType),
+      StructField("sum_sigma", StringType), StructField("max_sigma", StringType)))
+    s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+      .orderBy(col("level"))
+  }
+
+  val qPathCountsSql: String = {
+    val lvls = (1 to BfsRounds).map { k =>
+      val seen = (0 until k).map(j => s"SELECT node FROM l$j").mkString(" UNION ALL ")
+      s"""l$k AS MATERIALIZED (SELECT eb.dst AS node, sum(l${k - 1}.sigma) AS sigma
+         |  FROM eb JOIN l${k - 1} ON eb.src = l${k - 1}.node
+         |  WHERE eb.dst NOT IN ($seen) GROUP BY eb.dst)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to BfsRounds).map { k =>
+      s"""SELECT $k AS level, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(CAST(coalesce(sum(sigma), 0) AS HUGEINT) AS VARCHAR) AS sum_sigma,
+         |  CAST(CAST(coalesce(max(sigma), 0) AS HUGEINT) AS VARCHAR) AS max_sigma
+         |FROM l$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |eb AS MATERIALIZED (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT dst AS node, 1::HUGEINT AS sigma FROM edges
+       |  GROUP BY dst ORDER BY count(*) DESC, dst LIMIT 1),
+       |$lvls
+       |SELECT * FROM (
+       |$sel
+       |) ORDER BY level""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_path_counts" -> (qPathCounts _),
     "graph_bfs_levels" -> (qBfsLevels _),
     "graph_hits" -> (qHits _),
     "graph_hits_converge" -> (qHitsConverge _),
@@ -3419,6 +3506,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
 
   val oracles: Map[String, String] = Map(
     "graph_bfs_levels" -> qBfsLevelsSql,
+    "graph_path_counts" -> qPathCountsSql,
     "graph_hits" -> qHitsSql,
     "graph_common_neighbors" -> qCommonNeighborsSql,
     "graph_link_predict" -> qLinkPredictSql,

@@ -3217,6 +3217,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("path counts replay Brandes phase 1 in BigInt and match BFS frontiers") {
+    val rows = Dedup.qPathCounts(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.head.getString(2) == "1") // sigma(seed) = 1
+    // JVM replay: same bidirectional co-purchase graph, same hub seed
+    val e = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_partkey") + 10000000L).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSeq }
+    val seed = e.groupBy(_._2).toSeq.map { case (p, xs) => (p, xs.length) }
+      .sortBy { case (p, d) => (-d, p) }.head._1
+    var sigma = Map(seed -> BigInt(1))
+    var visited = Set(seed)
+    var frontier = Map(seed -> BigInt(1))
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (0L, 1L, BigInt(1).toString, BigInt(1).toString))
+    (1 to 4).foreach { lvl =>
+      val next = scala.collection.mutable.Map.empty[Long, BigInt]
+      frontier.foreach { case (u, s0) =>
+        adj.getOrElse(u, Seq.empty[Long]).foreach { v =>
+          if (!visited(v)) next(v) = next.getOrElse(v, BigInt(0)) + s0
+        }
+      }
+      val nf = next.toMap
+      expected += ((lvl.toLong, nf.size.toLong,
+        (if (nf.isEmpty) BigInt(0) else nf.values.sum).toString,
+        (if (nf.isEmpty) BigInt(0) else nf.values.max).toString))
+      visited ++= nf.keySet
+      frontier = nf
+      sigma ++= nf
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == expected.toSeq, s"sigma levels mismatch:\n got $got\nwant $expected")
+    // frontier sizes agree with the BFS query's levels
+    val bfs = Dedup.qBfsLevels(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(bfs(r.getLong(0)) == r.getLong(1), s"level ${r.getLong(0)} n_nodes"))
+  }
+
   test("randomization test replays: exact cross-multiplied compares, add-one p") {
     val row = Models.qPermutationTest(spark, sfDir).collect().head
     def bucket(u: Long, salt: String): Boolean = {

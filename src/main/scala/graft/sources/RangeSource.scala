@@ -141,8 +141,9 @@ case class RangePos(pos: Long)
 class RangeMicroBatchStream(
     start: Long, end: Long, slices: Int, batchRows: Long,
     fields: Array[String] = RangeTable.schema.fieldNames)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private var available: Long = start
 
@@ -152,6 +153,40 @@ class RangeMicroBatchStream(
     available = math.min(end, available + batchRows)
     RangePos(available)
   }
+
+  // -- admission control (SupportsAdmissionControl): the engine-side
+  // rate-limiting contract. When implemented, Spark calls
+  // latestOffset(start, limit) INSTEAD of the legacy cursor above —
+  // the source declares its default pace (maxRows = batchRows, the
+  // same schedule the legacy path produced, so checkpoint histories
+  // replay identically) and admits from the PASSED offset, stateless:
+  // exactly what lets a 100 TB backlog drain in bounded batches
+  // instead of one giant catch-up batch after downtime.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  private def rowsOf(limit: ReadLimit): Long = limit match {
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
+    case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => Long.MaxValue
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMinRows =>
+      // a dense generated grid always has the backlog: admit the pace
+      math.max(m.minRows(), batchRows)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(rowsOf).min // the tightest bound wins
+    case _ => batchRows
+  }
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val from = startOffset.asInstanceOf[RangePos].pos
+    val n = rowsOf(limit)
+    val admitted = if (n == Long.MaxValue) end else math.min(end, from + n)
+    available = math.max(available, admitted)
+    RangePos(admitted)
+  }
+
+  /** The TRUE latest (grid end) — what progress reporting and the
+    * AvailableNow wrapper use as the drain target, independent of the
+    * admission pace. */
+  override def reportLatestOffset(): Offset = RangePos(end)
 
   // The cursor is in-memory; a checkpointed RESTART re-creates this
   // stream and replays the committed offset through deserializeOffset

@@ -307,6 +307,59 @@ object Streams {
     }
   }
 
+  // ---------------------------------------------------------------
+  // STREAMING ADMISSION CONTROL (SupportsAdmissionControl) — the
+  // rate-limiting contract: the source DECLARES its pace
+  // (getDefaultReadLimit = maxRows(batchRows)) and Spark calls
+  // latestOffset(start, limit) to admit each micro-batch from the
+  // checkpointed offset, stateless — the API that lets a backlogged
+  // 100 TB source drain in bounded batches instead of one giant
+  // catch-up batch. The gate observes the ACTUAL admitted batches
+  // through foreachBatch: a grid deliberately NOT divisible by the
+  // pace (173000 / 25000) must produce six full epochs and one
+  // 23000-row remainder, each an exact id window — any double-admit,
+  // skip, or mis-clamp breaks a row. Oracle = the closed-form
+  // schedule.
+  private val AdmEnd = 173000L
+  private val AdmBatch = 25000L
+
+  def qSrcRangeAdmission(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_admission_")
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+    try {
+      val q = s.readStream.format("graft.sources.RangeTableProvider")
+        .option("start", "0").option("end", AdmEnd.toString)
+        .option("slices", "8").option("batchRows", AdmBatch.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: java.lang.Long) =>
+          val r = df.agg(count(lit(1)), min(col("id")), max(col("id"))).first()
+          if (r.getLong(0) > 0) acc.put(batchId, (r.getLong(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      acc.asScala.toSeq.sortBy(_._1)
+        .map { case (e, (n, mn, mx)) => (e, n, mn, mx) }
+        .toDF("epoch", "n", "min_id", "max_id")
+        .orderBy(col("epoch"))
+    } finally graft.sources.DirSink.deleteRecursively(base)
+  }
+
+  val qSrcRangeAdmissionSql: String = {
+    val nBatches = (AdmEnd + AdmBatch - 1) / AdmBatch
+    s"""SELECT e AS epoch,
+       |  CAST(least($AdmBatch, $AdmEnd - e * $AdmBatch) AS BIGINT) AS n,
+       |  e * $AdmBatch AS min_id,
+       |  least($AdmEnd, (e + 1) * $AdmBatch) - 1 AS max_id
+       |FROM (SELECT unnest(range($nBatches)) AS e)
+       |ORDER BY e""".stripMargin
+  }
+
   val qSrcRangeWriteStreamSql: String = {
     val nBatches = (SrcStreamEnd + SrcStreamBatch - 1) / SrcStreamBatch
     s"""WITH r AS (SELECT i AS id, i % 16 AS bucket,
@@ -1454,6 +1507,7 @@ object Streams {
     "stream_rate_eos" -> (qStreamRateEos _),
     "stream_restart_recovery" -> (qStreamRestartRecovery _),
     "src_range_stream" -> (qSrcRangeStream _),
+    "src_range_admission" -> (qSrcRangeAdmission _),
     "src_range_write_stream" -> (qSrcRangeWriteStream _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
@@ -1477,6 +1531,7 @@ object Streams {
     "stream_rate_eos" -> qStreamRateEosSql,
     "stream_restart_recovery" -> qStreamRestartRecoverySql,
     "src_range_stream" -> qSrcRangeStreamSql,
+    "src_range_admission" -> qSrcRangeAdmissionSql,
     "src_range_write_stream" -> qSrcRangeWriteStreamSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,

@@ -148,6 +148,32 @@ class DirSinkSpec extends SparkSpec {
       s"cursor must advance from the restored offset (30000+10000), got $next")
   }
 
+  test("admission control: read limits clamp, compose, and never regress") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new RangeMicroBatchStream(0L, 100000L, 4, 10000L)
+    // declared pace = the batchRows cursor step
+    assert(s.getDefaultReadLimit.toString.contains("10000"))
+    // maxRows admits exactly the window, clamped at the grid end
+    assert(s.latestOffset(RangePos(0L), ReadLimit.maxRows(10000L))
+      .asInstanceOf[RangePos].pos == 10000L)
+    assert(s.latestOffset(RangePos(95000L), ReadLimit.maxRows(10000L))
+      .asInstanceOf[RangePos].pos == 100000L)
+    // allAvailable drains to the end in one admit
+    assert(s.latestOffset(RangePos(20000L), ReadLimit.allAvailable())
+      .asInstanceOf[RangePos].pos == 100000L)
+    // a composite limit admits the tightest bound
+    assert(s.latestOffset(RangePos(0L), ReadLimit.compositeLimit(
+        Array(ReadLimit.maxRows(30000L), ReadLimit.maxRows(5000L))))
+      .asInstanceOf[RangePos].pos == 5000L)
+    // the true latest is the grid end regardless of pace
+    assert(s.reportLatestOffset().asInstanceOf[RangePos].pos == 100000L)
+    // admission keeps the restart high-water mark: a later legacy
+    // call can never regress below an admitted offset
+    val s2 = new RangeMicroBatchStream(0L, 100000L, 4, 10000L)
+    s2.latestOffset(RangePos(0L), ReadLimit.maxRows(40000L))
+    assert(s2.latestOffset().asInstanceOf[RangePos].pos == 50000L)
+  }
+
   // parse one committed file into (bucket, id) rows in file order
   private def parsedFile(dir: String, f: String): Seq[(Long, Long)] =
     Files.readAllLines(Paths.get(dir, f)).asScala.toSeq.map { line =>

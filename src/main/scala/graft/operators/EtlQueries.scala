@@ -231,7 +231,8 @@ object EtlQueries {
     "src_range_spj" -> (qRangeSpj _),
     "src_range_write_clustered" -> (qRangeWriteClustered _),
     "src_range_stats" -> (qRangeStats _),
-    "src_catalog_agg_fn" -> (qCatalogAggFn _))
+    "src_catalog_agg_fn" -> (qCatalogAggFn _),
+    "src_catalog_managed" -> (qCatalogManaged _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -682,6 +683,49 @@ object EtlQueries {
        |FROM range($AggFnLo, $AggFnHi) t(i)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // CATALOG-MANAGED TABLE LIFECYCLE — the writable half of the
+  // catalog story: CREATE TABLE materializes an empty DirSink table
+  // under the per-application warehouse, INSERT INTO routes plain
+  // SQL through the staged-commit write path, DELETE FROM exercises
+  // SupportsDelete (a DISTRIBUTED keep-rewrite published by the same
+  // atomic truncate commit — SQL semantics: NULL predicates do not
+  // delete), and DROP TABLE tears the directory down. The gate runs
+  // the whole lifecycle — create, insert 40k range rows through the
+  // engine's own SQL function catalog, two deletes (a ranged one and
+  // an equality one), aggregate, drop — against the range closed
+  // form with both deletes applied. This is the full
+  // "mount a feature store and manage it in SQL" loop a deployment
+  // needs, with every byte moving through this repo's source/sink.
+  private val MngEnd = 40000L
+  private val MngDelFrom = 30000L
+  private val MngDelBucket = 3L
+
+  def qCatalogManaged(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft.managed_gate")
+    s.sql("CREATE TABLE graft.managed_gate (id BIGINT NOT NULL, bucket BIGINT NOT NULL, val BIGINT NOT NULL)")
+    s.sql(s"INSERT INTO graft.managed_gate SELECT id, bucket, val FROM graft.range_0_${MngEnd}_16")
+    s.sql(s"DELETE FROM graft.managed_gate WHERE id >= $MngDelFrom")
+    s.sql(s"DELETE FROM graft.managed_gate WHERE bucket = $MngDelBucket")
+    val out = s.sql(
+      """SELECT bucket, cast(count(*) as bigint) AS n,
+        |  cast(sum(val) as bigint) AS sum_val, min(id) AS min_id, max(id) AS max_id
+        |FROM graft.managed_gate GROUP BY bucket ORDER BY bucket""".stripMargin)
+      .localCheckpoint(true) // sever lineage so the table can drop
+    s.sql("DROP TABLE graft.managed_gate")
+    out
+  }
+
+  private val catalogManagedOracle: String =
+    s"""SELECT i % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+       |  min(i) AS min_id, max(i) AS max_id
+       |FROM range(0, $MngEnd) t(i)
+       |WHERE NOT (i >= $MngDelFrom) AND NOT (i % 16 = $MngDelBucket)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------
   // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
   // custom source (SupportsMetadataColumns): `_slice`, the row's
@@ -775,6 +819,7 @@ object EtlQueries {
     "src_range_write_clustered" -> rangeWriteClusteredOracle,
     "src_range_stats" -> rangeStatsOracle,
     "src_catalog_agg_fn" -> catalogAggFnOracle,
+    "src_catalog_managed" -> catalogManagedOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

@@ -229,8 +229,47 @@ object DirSink {
 class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[Int],
     clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0,
     keepVersions: Boolean = false, readVersion: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name: String = s"graft_dirsink($dir)"
+
+  // -- row-level DELETE (SupportsDelete): `DELETE FROM t WHERE …`
+  // through SQL on a catalog-mounted table. The rewrite is
+  // DISTRIBUTED, not a driver loop: read the manifest-pinned current
+  // state, keep every row where the condition is FALSE OR NULL (SQL
+  // DELETE semantics — a NULL predicate does not delete), and
+  // publish through the same staged truncate-overwrite commit every
+  // write uses (tasks read the OLD manifest while staging; the
+  // atomic manifest swap happens only at driver commit — no torn
+  // state, and a crashed delete leaves the previous table intact).
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    f match {
+      case org.apache.spark.sql.sources.EqualTo(a, v) => Some(col(a) === v)
+      case org.apache.spark.sql.sources.GreaterThan(a, v) => Some(col(a) > v)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case org.apache.spark.sql.sources.LessThan(a, v) => Some(col(a) < v)
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case org.apache.spark.sql.sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case org.apache.spark.sql.sources.IsNull(a) => Some(col(a).isNull)
+      case org.apache.spark.sql.sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val s = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
+    s.read.format("graft.sources.DirSinkProvider").option("path", dir).load()
+      .filter(coalesce(not(cond), lit(true))) // keep FALSE and NULL rows
+      .write.format("graft.sources.DirSinkProvider").option("path", dir)
+      .mode("overwrite").save()
+  }
   override def schema: StructType = tableSchema
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

@@ -59,18 +59,50 @@ class GraftCatalog extends TableCatalog
       new RangeTable(start.toLong, end.toLong, slices.toInt)
     case RangeBName(start, end) =>
       new RangeTable(start.toLong, end.toLong, 16, clusteredByBucket = true)
-    case _ => throw new NoSuchTableException(ident)
+    case name =>
+      val dir = warehouseDir(name)
+      DirSink.readManifest(dir) match {
+        case Some(m) => new DirSinkTable(dir, m.schema, None)
+        case None => throw new NoSuchTableException(ident)
+      }
+  }
+
+  // -- managed tables (the writable half of the catalog): any name
+  // outside the engine-defined range_* patterns resolves to a
+  // DirSink-backed table under the session warehouse — CREATE TABLE
+  // writes the empty manifest (schema line), INSERT INTO appends
+  // through the staged-commit write path, DELETE FROM rewrites via
+  // SupportsDelete, DROP TABLE removes the directory. The warehouse
+  // root is derived from the active session (per-application), read
+  // at USE time, not initialize time — catalog instances are cached
+  // per session, so an initialize-time option would freeze whatever
+  // conf happened to be set at first catalog touch.
+  private def warehouseDir(name: String): String = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/catalog/$name"
   }
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog tables are engine-defined")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft managed tables are unpartitioned")
+    val dir = warehouseDir(ident.name())
+    if (DirSink.readManifest(dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    DirSink.writeManifest(dir, schema, Nil) // empty table, schema pinned
+    new DirSinkTable(dir, schema, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog tables are immutable")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = warehouseDir(ident.name())
+    val existed = DirSink.readManifest(dir).isDefined
+    DirSink.deleteRecursively(java.nio.file.Paths.get(dir))
+    existed
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog tables are immutable")

@@ -148,6 +148,29 @@ class DirSinkSpec extends SparkSpec {
       s"cursor must advance from the restored offset (30000+10000), got $next")
   }
 
+  test("managed catalog table: SQL lifecycle, NULL-safe delete, unsupported predicates refuse") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft.spec_tbl")
+    spark.sql("CREATE TABLE graft.spec_tbl (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.spec_tbl VALUES (1, 'a'), (2, 'b'), (3, NULL), (4, 'a')")
+    try {
+      // SQL DELETE semantics: a NULL predicate row is NOT deleted
+      spark.sql("DELETE FROM graft.spec_tbl WHERE tag = 'a'")
+      val left = spark.sql("SELECT id FROM graft.spec_tbl ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(left == Seq(2L, 3L), s"NULL-tag row must survive a tag='a' delete: $left")
+      // an unpushable predicate must refuse, leaving the table intact
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.spec_tbl WHERE id % 2 = 0")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graft.spec_tbl").head.getLong(0) == 2L)
+      // creating an existing table fails; dropping removes it
+      intercept[Exception] { spark.sql("CREATE TABLE graft.spec_tbl (x BIGINT)") }
+    } finally spark.sql("DROP TABLE IF EXISTS graft.spec_tbl")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.spec_tbl").collect() }
+  }
+
   test("admission control: read limits clamp, compose, and never regress") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val s = new RangeMicroBatchStream(0L, 100000L, 4, 10000L)

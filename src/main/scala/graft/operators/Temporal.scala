@@ -1543,6 +1543,7 @@ object Temporal {
     "temporal_funnel" -> (qFunnel _),
     "temporal_retention" -> (qRetention _),
     "temporal_did" -> (qDid _),
+    "temporal_event_study" -> (qEventStudy _),
     "temporal_hazard_curve" -> (qHazardCurve _),
   )
 
@@ -1623,6 +1624,59 @@ object Temporal {
       |  CAST(sum(1000000 * d_event // n_risk) OVER
       |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
       |FROM risk ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // EVENT STUDY — the dynamic companion to temporal_did: instead of
+  // one pre/post contrast, the treated-vs-control mean difference is
+  // traced PER RELATIVE DAY in a ±7-day window around the cutover —
+  // the pre-trend rows (d < 0) are the parallel-trends diagnostic
+  // every DiD readout needs (a contrast that already moves before
+  // the rollout invalidates the design), and the post rows are the
+  // effect's time path. Same conventions as the rest of the causal
+  // family: md5 ':did' cohort, integer cents, per-day contrast as an
+  // EXACT RATIONAL (num/den strings, decimal(38,0)/HUGEINT). Day
+  // arithmetic is epoch-day integer division (non-negative epochs),
+  // cutover day 19738 = 2024-01-16 UTC. One map-side aggregate over
+  // a 15-row grid.
+  private val EsCutDay = 19738L
+  private val EsWindow = 7L
+
+  def qEventStudy(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(
+        (expr("unix_micros(ts) div 86400000000") - EsCutDay).as("d"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":did"))), 1, 15), 16, 10)
+          .cast("long") % 100 < 50).cast("long").as("t"))
+      .filter(col("d").between(-EsWindow, EsWindow))
+    e.groupBy(col("d"))
+      .agg(sum(col("t")).as("n_t"), sum(col("t") * col("cents")).as("s_t"),
+        (count(lit(1)) - sum(col("t"))).as("n_c"),
+        sum((lit(1L) - col("t")) * col("cents")).as("s_c"))
+      .select(col("d"), col("n_t"), col("s_t"), col("n_c"), col("s_c"),
+        (col("s_t").cast(d38) * col("n_c") - col("s_c").cast(d38) * col("n_t"))
+          .cast("string").as("diff_num"),
+        (col("n_t").cast(d38) * col("n_c")).cast("string").as("diff_den"))
+      .orderBy(col("d"))
+  }
+
+  val qEventStudySql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - $EsCutDay AS d,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 15))::BIGINT % 100) < 50
+       |      THEN 1 ELSE 0 END AS t
+       |  FROM events WHERE value IS NOT NULL),
+       |w AS (SELECT d, sum(t) AS n_t, sum(t*cents) AS s_t,
+       |    count(*) - sum(t) AS n_c, sum((1-t)*cents) AS s_c
+       |  FROM e WHERE d BETWEEN -$EsWindow AND $EsWindow GROUP BY 1)
+       |SELECT d, CAST(n_t AS BIGINT) AS n_t, CAST(s_t AS BIGINT) AS s_t,
+       |  CAST(n_c AS BIGINT) AS n_c, CAST(s_c AS BIGINT) AS s_c,
+       |  CAST(s_t::HUGEINT * n_c - s_c::HUGEINT * n_t AS VARCHAR) AS diff_num,
+       |  CAST(n_t::HUGEINT * n_c AS VARCHAR) AS diff_den
+       |FROM w ORDER BY d""".stripMargin
 
   // ---------------------------------------------------------------
   // DIFFERENCE-IN-DIFFERENCES — the causal estimator behind every
@@ -1712,6 +1766,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "temporal_did" -> qDidSql,
+    "temporal_event_study" -> qEventStudySql,
     "temporal_hazard_curve" -> qHazardCurveSql,
     "temporal_changepoint" -> qChangepointSql,
     "temporal_dau_wau_mau" -> qDauWauMauSql,

@@ -3399,6 +3399,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("event study days partition the DiD window; rationals replay in BigInt") {
+    val rows = Temporal.qEventStudy(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(r => math.abs(r.getLong(0)) <= 7))
+    def treated(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:did".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16) % 100 < 50
+    }
+    val ev = graft.Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 - 19738 as d",
+        "cast(round(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(e => math.abs(e._2) <= 7)
+    val byDay = ev.groupBy(_._2)
+    rows.foreach { r =>
+      val xs = byDay(r.getLong(0))
+      val (t, c) = xs.partition(e => treated(e._1))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((t.length.toLong, t.map(_._3).sum, c.length.toLong, c.map(_._3).sum)),
+        s"day ${r.getLong(0)} cells")
+      assert(r.getString(5) ==
+        (BigInt(t.map(_._3).sum) * c.length - BigInt(c.map(_._3).sum) * t.length).toString)
+      assert(r.getString(6) == (BigInt(t.length) * c.length).toString)
+    }
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == ev.length.toLong,
+      "the day rows partition the window exactly")
+  }
+
   test("difference-in-differences cells and rational replay exactly from raw events") {
     val row = Temporal.qDid(spark, sfDir).collect().head
     val cutUs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L

@@ -2354,7 +2354,63 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
        |  CAST((1 + cmp.n_ge) * 1000000 // ${PermB + 1} AS BIGINT) AS p_pm
        |FROM od, cmp""".stripMargin
 
+  // ---------------------------------------------------------------
+  // PINBALL (QUANTILE) LOSS EVALUATION — the metric that scores a
+  // quantile forecast the way MSE scores a mean forecast: for τ ∈
+  // {0.1, 0.5, 0.9}, the per-priority DISCRETE quantile of order
+  // cents (the value at sorted position (n−1)·τ10 div 10 + 1 — an
+  // exact integer pick, immune to the engines' continuous-
+  // interpolation differences that force q32_percentiles through
+  // rounded doubles) is evaluated under the asymmetric pinball loss,
+  // scaled ×10 so every term is an integer: y > q pays τ10·(y−q),
+  // else (10−τ10)·(q−y). The τ=0.5 row is twice the L1 distance to
+  // the median (the classic identity); the 0.1/0.9 rows price
+  // under- vs over-forecasting asymmetrically — the demand-planning
+  // readout. Scale shape: one per-group sort window to pick the
+  // quantiles (5 groups), then the 15-row quantile frame broadcasts
+  // and the corpus streams through one map-side loss aggregate.
+  def qPinballEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      .localCheckpoint()
+    val r = c
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pri")).orderBy(col("y"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+    val taus = broadcast(Seq(1L, 5L, 9L).toDF("tau10"))
+    // discrete quantile pick: sorted position (n-1)*tau10 div 10 + 1
+    // (non-negative operands, so div floors identically on both engines)
+    val q = r.crossJoin(taus)
+      .filter(col("rn") === expr("(n - 1) * tau10 div 10 + 1"))
+      .select(col("pri"), col("tau10"), col("n"), col("y").as("qv"))
+      .localCheckpoint()
+    c.join(broadcast(q), "pri")
+      .groupBy(col("pri"), col("tau10"))
+      .agg(max(col("n")).as("n"), max(col("qv")).as("qv"),
+        sum(when(col("y") > col("qv"), col("tau10") * (col("y") - col("qv")))
+          .otherwise((lit(10L) - col("tau10")) * (col("qv") - col("y"))))
+          .cast("long").as("loss10"))
+      .orderBy(col("pri"), col("tau10"))
+  }
+
+  val qPinballEvalSql: String =
+    """WITH c AS (SELECT o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+      |r AS (SELECT pri, y, row_number() OVER (PARTITION BY pri ORDER BY y) AS rn,
+      |    count(*) OVER (PARTITION BY pri) AS n FROM c),
+      |taus AS (SELECT unnest([1, 5, 9]) AS tau10),
+      |q AS (SELECT pri, tau10, n, y AS qv FROM r, taus
+      |  WHERE rn = (n - 1) * tau10 // 10 + 1)
+      |SELECT q.pri AS pri, CAST(q.tau10 AS BIGINT) AS tau10, CAST(max(q.n) AS BIGINT) AS n,
+      |  max(q.qv) AS qv,
+      |  CAST(sum(CASE WHEN c.y > q.qv THEN q.tau10 * (c.y - q.qv)
+      |    ELSE (10 - q.tau10) * (q.qv - c.y) END) AS BIGINT) AS loss10
+      |FROM q JOIN c ON c.pri = q.pri GROUP BY q.pri, q.tau10
+      |ORDER BY q.pri, q.tau10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_pinball_eval" -> (qPinballEval _),
     "ml_permutation_test" -> (qPermutationTest _),
     "ml_stratified_ate" -> (qStratifiedAte _),
     "ml_mcc_exact" -> (qMccExact _),
@@ -2388,6 +2444,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
   val oracles: Map[String, String] = Map(
     "ml_stratified_ate" -> qStratifiedAteSql,
     "ml_permutation_test" -> qPermutationTestSql,
+    "ml_pinball_eval" -> qPinballEvalSql,
     "ml_mcc_exact" -> qMccExactSql,
     "ml_gains_table" -> qGainsTableSql,
     "ml_quantile_bins" -> qQuantileBinsSql,

@@ -3217,6 +3217,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("pinball loss replays exactly; tau=0.5 is twice the L1 distance to the median") {
+    val rows = Models.qPinballEval(spark, sfDir).collect()
+    assert(rows.length % 3 == 0 && rows.nonEmpty)
+    val data = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "cast(round(o_totalprice * 100) as long) as y")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { r =>
+      val (pri, tau10) = (r.getString(0), r.getLong(1))
+      val ys = data(pri)
+      val q = ys(((ys.length - 1) * tau10 / 10).toInt) // discrete pick, floor
+      assert(r.getLong(3) == q, s"$pri tau$tau10 quantile")
+      val loss = ys.map(y =>
+        if (y > q) tau10 * (y - q) else (10 - tau10) * (q - y)).sum
+      assert(r.getLong(4) == loss, s"$pri tau$tau10 loss")
+      if (tau10 == 5L) // pinball at the median = (10/2)x |y - med| summed
+        assert(loss == 5L * ys.map(y => math.abs(y - q)).sum)
+    }
+  }
+
   test("path counts replay Brandes phase 1 in BigInt and match BFS frontiers") {
     val rows = Dedup.qPathCounts(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.head.getString(2) == "1") // sigma(seed) = 1

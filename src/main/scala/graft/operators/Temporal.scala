@@ -1544,6 +1544,7 @@ object Temporal {
     "temporal_retention" -> (qRetention _),
     "temporal_did" -> (qDid _),
     "temporal_event_study" -> (qEventStudy _),
+    "temporal_backtest_folds" -> (qBacktestFolds _),
     "temporal_hazard_curve" -> (qHazardCurve _),
   )
 
@@ -1624,6 +1625,62 @@ object Temporal {
       |  CAST(sum(1000000 * d_event // n_risk) OVER
       |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
       |FROM risk ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ROLLING-ORIGIN BACKTEST FOLDS — the time-series analogue of
+  // samp_group_kfold: evaluation folds where the train window always
+  // PRECEDES the test window (a random split leaks the future; this
+  // is the split discipline every forecast/ranking model needs). K=4
+  // expanding-origin folds over the observed day span, each testing
+  // on the next H=3 days after its train end; boundaries are derived
+  // from the data's min/max day by integer arithmetic (div on
+  // non-negative spans), so the fold plan itself is the gated value —
+  // per fold: train length, train/test row counts and cents totals.
+  // Scale shape: the bounds aggregate is one metadata row; folds
+  // (4 rows) broadcast-join the corpus and everything else is one
+  // map-side conditional aggregate.
+  private val BtK = 4L
+  private val BtH = 3L
+
+  def qBacktestFolds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .localCheckpoint()
+    val bounds = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val folds = bounds
+      .crossJoin(broadcast((1L to BtK).toDF("k")))
+      .select(col("k"),
+        col("d0"),
+        (col("d0") + col("k") * expr(s"(d1 - d0 + 1 - $BtH) div $BtK")).as("tr_end"))
+    e.crossJoin(broadcast(folds))
+      .groupBy(col("k"), (col("tr_end") - col("d0")).as("train_days"))
+      .agg(
+        sum(when(col("d") < col("tr_end"), 1L).otherwise(0L)).as("train_n"),
+        sum(when(col("d") >= col("tr_end") && col("d") < col("tr_end") + BtH, 1L)
+          .otherwise(0L)).as("test_n"),
+        sum(when(col("d") < col("tr_end"), col("cents")).otherwise(0L)).as("train_cents"),
+        sum(when(col("d") >= col("tr_end") && col("d") < col("tr_end") + BtH, col("cents"))
+          .otherwise(0L)).as("test_cents"))
+      .select(col("k").as("fold"), col("train_days"), col("train_n"), col("test_n"),
+        col("train_cents"), col("test_cents"))
+      .orderBy(col("fold"))
+  }
+
+  val qBacktestFoldsSql: String =
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE value IS NOT NULL),
+       |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+       |folds AS (SELECT k, d0, d0 + k * ((d1 - d0 + 1 - $BtH) // $BtK) AS tr_end
+       |  FROM b, (SELECT unnest(range(1, ${BtK + 1})) AS k))
+       |SELECT k AS fold, tr_end - d0 AS train_days,
+       |  CAST(count(*) FILTER (e.d < tr_end) AS BIGINT) AS train_n,
+       |  CAST(count(*) FILTER (e.d >= tr_end AND e.d < tr_end + $BtH) AS BIGINT) AS test_n,
+       |  CAST(COALESCE(sum(cents) FILTER (e.d < tr_end), 0) AS BIGINT) AS train_cents,
+       |  CAST(COALESCE(sum(cents) FILTER (e.d >= tr_end AND e.d < tr_end + $BtH), 0) AS BIGINT) AS test_cents
+       |FROM folds JOIN e ON true GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   // EVENT STUDY — the dynamic companion to temporal_did: instead of
@@ -1767,6 +1824,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "temporal_did" -> qDidSql,
     "temporal_event_study" -> qEventStudySql,
+    "temporal_backtest_folds" -> qBacktestFoldsSql,
     "temporal_hazard_curve" -> qHazardCurveSql,
     "temporal_changepoint" -> qChangepointSql,
     "temporal_dau_wau_mau" -> qDauWauMauSql,

@@ -3217,6 +3217,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected, "ewma mismatch vs JVM replay")
   }
 
+  test("backtest folds: train always precedes test, expanding origin, no leakage") {
+    val rows = Temporal.qBacktestFolds(spark, sfDir).collect()
+    assert(rows.length == 4)
+    // expanding origin: train windows strictly grow with the fold
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sorted.toSeq &&
+      rows.map(_.getLong(1)).distinct.length == 4)
+    // replay from raw events: exact counts and totals per fold
+    val ev = graft.Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .selectExpr("unix_micros(ts) div 86400000000 as d",
+        "cast(round(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    val step = (d1 - d0 + 1 - 3) / 4
+    rows.foreach { r =>
+      val trEnd = d0 + r.getLong(0) * step
+      assert(r.getLong(1) == trEnd - d0)
+      val train = ev.filter(_._1 < trEnd)
+      val test = ev.filter(e => e._1 >= trEnd && e._1 < trEnd + 3)
+      assert((r.getLong(2), r.getLong(3)) == ((train.length.toLong, test.length.toLong)))
+      assert((r.getLong(4), r.getLong(5)) == ((train.map(_._2).sum, test.map(_._2).sum)))
+    }
+  }
+
   test("pinball loss replays exactly; tau=0.5 is twice the L1 distance to the median") {
     val rows = Models.qPinballEval(spark, sfDir).collect()
     assert(rows.length % 3 == 0 && rows.nonEmpty)

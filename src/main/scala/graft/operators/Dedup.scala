@@ -3462,7 +3462,86 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
        |) ORDER BY level""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // PARAGRAPH-GRANULAR EXACT DEDUP (C4-style): the first
+  // normalization step of real corpus pipelines — dedup INTRA-doc
+  // units corpus-wide, not whole documents. The corpus has no
+  // newline structure, so the deterministic paragraph unit is the
+  // 3-word tile (words i·3..i·3+2 of the `\s+` split; the last tile
+  // may be short) — the same fixed-unit shape C4 applies to its
+  // three-sentence spans. A tile survives iff its (doc_id, idx) is
+  // the GLOBAL first occurrence of its md5-60bit hash, ordered by
+  // (doc_id, idx) — the deterministic first-writer-wins rule. Each
+  // doc gates its retained-tile BITMASK as an integer (tile counts
+  // are ≤ 34 here and the mask form caps at 62 tiles — beyond that a
+  // production pipeline ships the mask as bytes; the count/chars
+  // columns are mask-free) plus kept counts and kept chars.
+  // Scale shape: one mapPartitions tiling kernel over the
+  // repartitioned corpus (fixed-width rows out: doc_id, idx, hash,
+  // len — never tile text), one hash-partitioned window for
+  // first-occurrence ranking, one groupBy(doc_id) fold. All shuffles
+  // carry 32-byte rows; no all-pairs anywhere; survives 1000
+  // executors by construction. Ref analogue: the reference's
+  // per-field normalize is the single-column form of intra-record
+  // unit cleanup (normalization.ts:103-114).
+  private val ParaTile = 3
+
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("idx", LongType),
+      StructField("th", LongType),
+      StructField("tlen", LongType)))
+    val tile = ParaTile
+    val tiles = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val w = Text.duckWords(r.getString(1))
+          val n = (w.length + tile - 1) / tile
+          (0 until n).iterator.map { gi =>
+            val t = w.slice(gi * tile, gi * tile + tile).mkString(" ")
+            // md5Mod with p = Long.MaxValue is the plain 60-bit
+            // ('0x'||substr(md5(t),1,15))::BIGINT — no reduction
+            Row(id, gi.toLong, md5Mod(md, t, Long.MaxValue), t.length.toLong)
+          }
+        }
+      }(Encoders.row(schema))
+    val wFirst = Window.partitionBy(col("th")).orderBy(col("doc_id"), col("idx"))
+    tiles
+      .withColumn("kept", (row_number().over(wFirst) === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept")).as("n_kept"),
+        sum(expr("CASE WHEN kept = 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)) ELSE CAST(0 AS BIGINT) END")).as("kept_mask"),
+        sum(when(col("kept") === 1L, col("tlen")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qParagraphDedupSql: String =
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |tiles AS (
+       |  SELECT doc_id, CAST(gi AS BIGINT) AS idx,
+       |    array_to_string(w[gi*$ParaTile+1 : gi*$ParaTile+$ParaTile], ' ') AS tile
+       |  FROM ws, UNNEST(range((len(w)+${ParaTile - 1})//$ParaTile)) AS t(gi)),
+       |ranked AS (
+       |  SELECT doc_id, idx, length(tile) AS tlen,
+       |    row_number() OVER (PARTITION BY ('0x' || substr(md5(tile),1,15))::BIGINT
+       |                       ORDER BY doc_id, idx) = 1 AS kept
+       |  FROM tiles)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS kept_mask,
+       |  CAST(sum(CASE WHEN kept THEN tlen ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (qParagraphDedup _),
     "graph_path_counts" -> (qPathCounts _),
     "graph_bfs_levels" -> (qBfsLevels _),
     "graph_hits" -> (qHits _),
@@ -3505,6 +3584,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_paragraph" -> qParagraphDedupSql,
     "graph_bfs_levels" -> qBfsLevelsSql,
     "graph_path_counts" -> qPathCountsSql,
     "graph_hits" -> qHitsSql,

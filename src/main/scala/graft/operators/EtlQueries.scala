@@ -232,7 +232,8 @@ object EtlQueries {
     "src_range_write_clustered" -> (qRangeWriteClustered _),
     "src_range_stats" -> (qRangeStats _),
     "src_catalog_agg_fn" -> (qCatalogAggFn _),
-    "src_catalog_managed" -> (qCatalogManaged _))
+    "src_catalog_managed" -> (qCatalogManaged _),
+    "src_catalog_merge" -> (qCatalogMerge _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -727,6 +728,69 @@ object EtlQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // SQL MERGE INTO — the last DSv2 write shape
+  // (SupportsRowLevelOperations, group-based copy-on-write): Spark
+  // rewrites the MERGE into a full-outer join between the
+  // operation's own table scan and the source, evaluates the clause
+  // chain per row (MergeRowsExec, with the runtime cardinality
+  // check), and replaces the scanned state through the sink's staged
+  // truncate commit — one atomic manifest rename publishes the
+  // merged table. The gate drives every clause family in one
+  // statement — conditional MATCHED DELETE, MATCHED UPDATE,
+  // conditional NOT MATCHED INSERT, conditional NOT MATCHED BY
+  // SOURCE DELETE — over deterministic range-source rows, then
+  // aggregates the post-merge table. DuckDB has no MERGE: the oracle
+  // IS the join rewrite, expressed as the three-way union
+  // (carry-over ∪ updated ∪ inserted) the engine must equal.
+  private val MrgTgtEnd = 30000L
+  private val MrgSrcLo = 20000L
+  private val MrgSrcHi = 40000L
+  private val MrgDelBucket = 5L
+  private val MrgSkipBucket = 7L
+  private val MrgPruneBelow = 1000L
+
+  def qCatalogMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft.merge_gate")
+    s.sql("CREATE TABLE graft.merge_gate (id BIGINT NOT NULL, bucket BIGINT NOT NULL, val BIGINT NOT NULL)")
+    s.sql(s"INSERT INTO graft.merge_gate SELECT id, bucket, val FROM graft.range_0_${MrgTgtEnd}_16")
+    s.sql(
+      s"""MERGE INTO graft.merge_gate t
+         |USING (SELECT id, bucket, val FROM graft.range_${MrgSrcLo}_${MrgSrcHi}_16) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.bucket = $MrgDelBucket THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET val = t.val + s.val
+         |WHEN NOT MATCHED AND s.bucket != $MrgSkipBucket THEN
+         |  INSERT (id, bucket, val) VALUES (s.id, s.bucket, s.val)
+         |WHEN NOT MATCHED BY SOURCE AND t.id < $MrgPruneBelow THEN DELETE""".stripMargin)
+    val out = s.sql(
+      """SELECT bucket, cast(count(*) as bigint) AS n,
+        |  cast(sum(val) as bigint) AS sum_val, min(id) AS min_id, max(id) AS max_id
+        |FROM graft.merge_gate GROUP BY bucket ORDER BY bucket""".stripMargin)
+      .localCheckpoint(true) // sever lineage so the table can drop
+    s.sql("DROP TABLE graft.merge_gate")
+    out
+  }
+
+  private val catalogMergeOracle: String =
+    s"""WITH tgt AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS val FROM range(0, $MrgTgtEnd) t(i)),
+       |src AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS val FROM range($MrgSrcLo, $MrgSrcHi) t(i)),
+       |merged AS (
+       |  SELECT t.id, t.bucket, t.val FROM tgt t LEFT JOIN src s ON t.id = s.id
+       |  WHERE s.id IS NULL AND NOT (t.id < $MrgPruneBelow)
+       |  UNION ALL
+       |  SELECT t.id, t.bucket, t.val + s.val FROM tgt t JOIN src s ON t.id = s.id
+       |  WHERE t.bucket != $MrgDelBucket
+       |  UNION ALL
+       |  SELECT s.id, s.bucket, s.val FROM src s LEFT JOIN tgt t ON s.id = t.id
+       |  WHERE t.id IS NULL AND s.bucket != $MrgSkipBucket)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(val) AS BIGINT) AS sum_val, min(id) AS min_id, max(id) AS max_id
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
   // custom source (SupportsMetadataColumns): `_slice`, the row's
   // ORIGINAL planning-grid slice index, exists only when a query
@@ -820,6 +884,7 @@ object EtlQueries {
     "src_range_stats" -> rangeStatsOracle,
     "src_catalog_agg_fn" -> catalogAggFnOracle,
     "src_catalog_managed" -> catalogManagedOracle,
+    "src_catalog_merge" -> catalogMergeOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

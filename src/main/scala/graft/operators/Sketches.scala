@@ -622,11 +622,26 @@ object Sketches {
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val hit = histQuantiles(s, bins, Seq.empty, QBinW, QuantPms)
-    // the exact comparison pass: distinct-value cumulative counts
-    val dv = cents.groupBy(col("cents")).agg(count(lit(1)).as("c"))
-      .withColumn("cumv", sum(col("c")).over(Window.orderBy(col("cents"))))
-    val exq = broadcast(hit.select(col("q_pm"), col("r")))
-      .join(dv, col("cumv") >= col("r"))
+    // the exact comparison pass, CLIPPED to the hit bins (r14 verdict
+    // finding 1): the exact quantile — min cents with global cumv ≥ r
+    // — provably lives inside the estimator's hit bin, because the
+    // hit bin is the FIRST bin with cum ≥ r, so cum_before < r ≤ cum
+    // and the crossing happens inside it. Restricting the scan to
+    // those ≤ |QuantPms| bins bounds the cumulative window at ≤ QBinW
+    // distinct cent values per partition (Window.partitionBy(bin)),
+    // at any corpus size — no unpartitioned corpus-domain WindowExec.
+    // Global cumv is reconstructed as cum_before(bin) + within-bin
+    // running sum, so the value gates identically to the full walk.
+    val hitBins = hit.select(col("bin"), col("cum_before")).distinct()
+    val dv = cents.withColumn("bin", expr(s"cents div $QBinW"))
+      .join(broadcast(hitBins), Seq("bin"))
+      .groupBy(col("bin"), col("cum_before"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cumv", col("cum_before") +
+        sum(col("c")).over(Window.partitionBy(col("bin")).orderBy(col("cents"))))
+    val exq = broadcast(hit.select(col("q_pm"), col("r"), col("bin")))
+      .join(dv, Seq("bin"))
+      .filter(col("cumv") >= col("r"))
       .groupBy(col("q_pm")).agg(min(col("cents")).as("exact_cents"))
     hit.join(exq, Seq("q_pm"))
       .select(col("q_pm"), col("r").as("rank_r"), col("n_total"), col("n_bins"),

@@ -1574,8 +1574,7 @@ object Temporal {
   // the KsTest bounded-window class).
   def qHazardCurve(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val horizon = ev.agg((max(unix_micros(col("ts"))) / lit(3600000000L))
-      .cast("long").as("hh"))
+    val horizon = ev.agg(expr("max(unix_micros(ts)) div 3600000000").as("hh"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts) div 3600000000").as("h"))

@@ -81,6 +81,15 @@ class DirSinkProvider extends TableProvider {
 
 object DirSink {
   val ManifestName = "_graft_manifest.txt"
+  val FileMetaCol = "_file"
+
+  /** Files.list returns a stream holding a directory file descriptor —
+    * materialize under try/finally so every listing closes it (the
+    * unclosed pattern leaked one fd per versioned commit). */
+  def listDirFiles(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.toVector finally st.close()
+  }
 
   def dirOf(properties: util.Map[String, String]): String =
     Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -167,11 +176,11 @@ object DirSink {
     * written with keep_versions=true). */
   def listVersions(dir: String): Seq[Int] =
     if (!Files.exists(Paths.get(dir))) Nil
-    else Files.list(Paths.get(dir)).iterator().asScala
+    else listDirFiles(Paths.get(dir))
       .flatMap(p => p.getFileName.toString match {
         case VersionedRe(n) => Some(n.toInt)
         case _ => None
-      }).toSeq.sorted
+      }).sorted
 
   /** Archive the just-published live manifest as the next version —
     * called by version-keeping commits AFTER the atomic publish, so
@@ -219,8 +228,7 @@ object DirSink {
     }
     writeManifest(mainDir, bm.schema, bm.files)
     val live = (bm.files :+ ManifestName).toSet
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(mainDir)).iterator().asScala
+    listDirFiles(Paths.get(mainDir))
       .filter(p => Files.isRegularFile(p) && !live(p.getFileName.toString))
       .foreach(Files.deleteIfExists(_))
   }
@@ -230,8 +238,62 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
     clusterBy: Option[String] = None, sortBy: Seq[String] = Nil, writeParts: Int = 0,
     keepVersions: Boolean = false, readVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name: String = s"graft_dirsink($dir)"
+
+  // -- `_file` METADATA COLUMN (SupportsMetadataColumns): the
+  // manifest-listed source file of each row — hidden from SELECT *,
+  // served by the reader from its partition at zero per-row compute.
+  // Doubles as the row-level operations' required metadata: on this
+  // Spark version ReplaceDataExec only routes rows through the
+  // MergeRows projections when a METADATA projection exists
+  // (writingTask falls back to the unprojected task otherwise, and
+  // the leading __row_operation int would corrupt the write), so the
+  // operation below requires `_file` — the group identity of
+  // group-based copy-on-write, the same attribute Iceberg anchors
+  // its CoW merges on.
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = DirSink.FileMetaCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "manifest-listed source file of the row"
+    })
+
+  // -- SQL MERGE INTO / row-level UPDATE/DELETE
+  // (SupportsRowLevelOperations): the GROUP-BASED copy-on-write
+  // shape — Spark rewrites MERGE into (target scan) ⋈ (source) →
+  // MergeRows → ReplaceData, where the operation supplies BOTH ends:
+  // its scan pins the current manifest state, and its write REPLACES
+  // what the scan read. This table's scan always plans the whole
+  // manifest (no group filtering), so the replacing write is exactly
+  // the truncate-overwrite commit every bulk write uses — the new
+  // table state (carry-over + merged rows) publishes by one atomic
+  // manifest rename, and a crashed merge leaves the old state
+  // intact. Table-declared layout/versioning settings ride along,
+  // so a merge on a keep_versions table archives the pre-merge state
+  // (time travel across MERGE) instead of GC'ing it.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new DirSinkScanBuilder(dir, tableSchema, readVersion)
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new DirSinkWriteBuilder(dir, winfo.schema(), winfo.queryId(), failPartition,
+          truncateFirst = true, clusterBy, sortBy, writeParts, keepVersions)
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+          DirSink.FileMetaCol))
+      override def description(): String =
+        s"GraftRowLevelOp[${info.command()} $dir]"
+    }
 
   // -- row-level DELETE (SupportsDelete): `DELETE FROM t WHERE …`
   // through SQL on a catalog-mounted table. The rewrite is
@@ -265,10 +327,19 @@ class DirSinkTable(dir: String, tableSchema: StructType, failPartition: Option[I
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val s = org.apache.spark.sql.SparkSession.active
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
-    s.read.format("graft.sources.DirSinkProvider").option("path", dir).load()
+    val w0 = s.read.format("graft.sources.DirSinkProvider").option("path", dir).load()
       .filter(coalesce(not(cond), lit(true))) // keep FALSE and NULL rows
       .write.format("graft.sources.DirSinkProvider").option("path", dir)
-      .mode("overwrite").save()
+    // the rewrite must carry the TABLE's declared settings — a bare
+    // path-only overwrite would commit with keepVersions=false and GC
+    // archived manifests plus the retained files they reference
+    // (destroying time travel), and would drop the clustered/sorted
+    // layout contract
+    val w1 = clusterBy.fold(w0)(c => w0.option("cluster_by", c))
+    val w2 = if (sortBy.nonEmpty) w1.option("sort_by", sortBy.mkString(",")) else w1
+    val w3 = if (writeParts > 0) w2.option("write_partitions", writeParts.toString) else w2
+    val w4 = if (keepVersions) w3.option("keep_versions", "true") else w3
+    w4.mode("overwrite").save()
   }
   override def schema: StructType = tableSchema
   override def capabilities: util.Set[TableCapability] =
@@ -354,6 +425,15 @@ class DirSinkStreamingWrite(
 
   private def epochPrefix(epochId: Long) = s"part-$queryId-e$epochId-"
 
+  // replayed-epoch detection must be queryId-INDEPENDENT: a
+  // checkpoint-restarted query carries a NEW queryId, so a prefix
+  // check against the current one would miss the prior run's
+  // published epoch and double-publish it. Match the epoch by the
+  // trailing "-e<epoch>-<i>.tsv" tag, anchored at the END (the
+  // queryId before it is a UUID whose hex groups can themselves
+  // match "-e<digits>-").
+  private def epochTag(epochId: Long) = ("-e" + epochId + "-\\d+\\.tsv$").r
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(stagingDir))
@@ -363,7 +443,7 @@ class DirSinkStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case m: DirSinkCommit => m }
     val prev = DirSink.readManifest(dir).map(_.files).getOrElse(Nil)
-    if (prev.exists(_.startsWith(epochPrefix(epochId)))) {
+    if (prev.exists(f => epochTag(epochId).findFirstIn(f).isDefined)) {
       // replayed epoch after a restart: already published — drop the
       // re-staged files, promote nothing (idempotence)
       staged.foreach(m => Files.deleteIfExists(Paths.get(stagingDir, m.stagedName)))
@@ -434,7 +514,7 @@ class DirSinkBatchWrite(
     // any uncommitted (speculative/failed-attempt) staged leftovers
     if (truncateFirst && !keepVersions) {
       val live = (promoted :+ DirSink.ManifestName).toSet
-      Files.list(Paths.get(dir)).iterator().asScala
+      DirSink.listDirFiles(Paths.get(dir))
         .filter(p => Files.isRegularFile(p) && !live(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
     }
@@ -547,21 +627,27 @@ class DirSinkReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DirSinkPartition]
     val reader = Files.newBufferedReader(Paths.get(p.file), StandardCharsets.UTF_8)
-    // project at parse time: only required cells are materialized
+    // project at parse time: only required cells are materialized;
+    // index -1 = the `_file` metadata column, served per partition
+    // (the manifest-listed name) at zero per-row compute
     val proj: Array[Int] = requiredNames.map(n => fileFields.indexWhere(_._1 == n))
+    val fileName = UTF8String.fromString(p.file.substring(p.file.lastIndexOf('/') + 1))
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = reader.readLine(); line != null }
       override def get(): InternalRow = {
         val cells = line.split("\t", -1)
         InternalRow.fromSeq(proj.toSeq.map { i =>
-          val c = cells(i)
-          if (c == "\\N") null
-          else fileFields(i)._2 match {
-            case LongType => c.toLong
-            case DoubleType => c.toDouble
-            case StringType => UTF8String.fromString(DirSink.unescape(c))
-            case other => throw new IllegalStateException(s"unsupported type $other")
+          if (i < 0) fileName
+          else {
+            val c = cells(i)
+            if (c == "\\N") null
+            else fileFields(i)._2 match {
+              case LongType => c.toLong
+              case DoubleType => c.toDouble
+              case StringType => UTF8String.fromString(DirSink.unescape(c))
+              case other => throw new IllegalStateException(s"unsupported type $other")
+            }
           }
         })
       }

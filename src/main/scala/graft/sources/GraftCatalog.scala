@@ -51,8 +51,20 @@ class GraftCatalog extends TableCatalog
   // tables storage-partition-join on `bucket` with no shuffle
   private val RangeBName = "rangeb_(\\d+)_(\\d+)".r
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "range_0_1000000_16"))
+  // engine-defined names plus every managed warehouse table (a
+  // manifest-bearing subdirectory) — SHOW TABLES must agree with what
+  // loadTable/dropTable resolve
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = java.nio.file.Paths.get(warehouseRoot)
+    val managed =
+      if (!java.nio.file.Files.isDirectory(root)) Nil
+      else DirSink.listDirFiles(root)
+        .filter(p => java.nio.file.Files.isRegularFile(
+          p.resolve(DirSink.ManifestName)))
+        .map(p => p.getFileName.toString).sorted
+    (Seq("range_0_1000000_16", "rangeb_0_100000") ++ managed)
+      .map(Identifier.of(namespace, _)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case RangeName(start, end, slices) =>
@@ -77,10 +89,12 @@ class GraftCatalog extends TableCatalog
   // at USE time, not initialize time — catalog instances are cached
   // per session, so an initialize-time option would freeze whatever
   // conf happened to be set at first catalog touch.
-  private def warehouseDir(name: String): String = {
+  private def warehouseRoot: String = {
     val s = org.apache.spark.sql.SparkSession.active
-    s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/catalog/$name"
+    s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/catalog"
   }
+
+  private def warehouseDir(name: String): String = s"$warehouseRoot/$name"
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],

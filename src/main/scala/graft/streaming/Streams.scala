@@ -308,6 +308,105 @@ object Streams {
   }
 
   // ---------------------------------------------------------------
+  // CLUSTERED STREAMING WRITE ACROSS AN INJECTED RESTART — composes
+  // the two write-side contracts the sink proves separately:
+  // idempotent epoch promotion (src_range_write_stream) and
+  // RequiresDistributionAndOrdering (src_range_write_clustered),
+  // under the failure mode that stresses both at once. Phase 1
+  // streams 3 epochs into a cluster_by=bucket / write_partitions=4
+  // sink and stops; the injected restart DELETES the checkpoint's
+  // last epoch-commit marker, so the restarted query (a NEW runId →
+  // a NEW write queryId) REPLAYS that epoch before draining the
+  // remaining data. Exactly-once demands the sink recognize the
+  // replayed epoch across the queryId change (the tail-anchored
+  // epoch tag — a prefix check against the current queryId would
+  // double-publish); the clustered contract demands every epoch
+  // commit exactly write_partitions files (the hash exchange Spark
+  // plans from requiredDistribution, per micro-batch). The gate
+  // aggregates the read-back per bucket AND ships the manifest's own
+  // evidence: distinct epoch count, total files, max files per epoch
+  // — a double-published replay breaks the counts, a lost epoch
+  // breaks the sums, an unclustered epoch breaks files_per_epoch.
+  private val RstEnd = 120000L
+  private val RstCut = 60000L
+  private val RstBatch = 20000L
+  private val RstWriteParts = 4
+
+  def qSrcRangeStreamRestart(s: SparkSession, dir: String): DataFrame = {
+    val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    val base = java.nio.file.Files.createTempDirectory("graft_dirsink_restart_")
+    val sink = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(sink))
+    def run(end: Long): Unit = {
+      val q = s.readStream.format("graft.sources.RangeTableProvider")
+        .option("start", "0").option("end", end.toString)
+        .option("slices", "8").option("batchRows", RstBatch.toString)
+        .load()
+        .writeStream.format("graft.sources.DirSinkProvider")
+        .option("path", sink)
+        .option("cluster_by", "bucket").option("sort_by", "id")
+        .option("write_partitions", RstWriteParts.toString)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    try {
+      run(RstCut) // epochs 0..2 published
+      // injected restart-replay: drop the LAST epoch's commit marker,
+      // so the restarted query re-executes that epoch from its
+      // checkpointed offsets before admitting new data
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val last = graft.sources.DirSink.listDirFiles(commits)
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      java.nio.file.Files.delete(last)
+      // the local-FS checkpoint manager shadows each commit file with
+      // a .<name>.crc — drop it too, or the replayed epoch's re-commit
+      // fails the atomic rename ("multiple streaming queries")
+      java.nio.file.Files.deleteIfExists(
+        last.resolveSibling("." + last.getFileName.toString + ".crc"))
+      run(RstEnd) // replays the cut epoch, then drains to the full end
+      val files = graft.sources.DirSink.readManifest(sink).map(_.files).getOrElse(Nil)
+      val epochOf = files.flatMap(f =>
+        "-e(\\d+)-\\d+\\.tsv$".r.findFirstMatchIn(f).map(_.group(1).toLong))
+      val perEpoch = epochOf.groupBy(identity).map(_._2.size)
+      val out = s.read.format("graft.sources.DirSinkProvider")
+        .option("path", sink).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("n_epochs", lit(epochOf.distinct.size.toLong))
+        .withColumn("n_files", lit(files.size.toLong))
+        .withColumn("files_per_epoch_max",
+          lit(if (perEpoch.isEmpty) 0L else perEpoch.max.toLong))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true) // sever lineage so the temp dir can go
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+      graft.sources.DirSink.deleteRecursively(base)
+    }
+  }
+
+  val qSrcRangeStreamRestartSql: String = {
+    val nEpochs = (RstEnd + RstBatch - 1) / RstBatch
+    s"""WITH r AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS v
+       |  FROM range(0, $RstEnd) t(i))
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(v) AS BIGINT) AS sum_val,
+       |  min(id) AS min_id, max(id) AS max_id,
+       |  CAST($nEpochs AS BIGINT) AS n_epochs,
+       |  CAST($nEpochs * $RstWriteParts AS BIGINT) AS n_files,
+       |  CAST($RstWriteParts AS BIGINT) AS files_per_epoch_max
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // STREAMING ADMISSION CONTROL (SupportsAdmissionControl) — the
   // rate-limiting contract: the source DECLARES its pace
   // (getDefaultReadLimit = maxRows(batchRows)) and Spark calls
@@ -1509,6 +1608,7 @@ object Streams {
     "src_range_stream" -> (qSrcRangeStream _),
     "src_range_admission" -> (qSrcRangeAdmission _),
     "src_range_write_stream" -> (qSrcRangeWriteStream _),
+    "src_range_stream_restart" -> (qSrcRangeStreamRestart _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1533,6 +1633,7 @@ object Streams {
     "src_range_stream" -> qSrcRangeStreamSql,
     "src_range_admission" -> qSrcRangeAdmissionSql,
     "src_range_write_stream" -> qSrcRangeWriteStreamSql,
+    "src_range_stream_restart" -> qSrcRangeStreamRestartSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,

@@ -3967,4 +3967,31 @@ class AnalyticsSpec extends SparkSpec {
     val spans = parts.map(_.asInstanceOf[graft.sources.RangePartition])
     assert(spans.map(p => p.hi - p.lo).sum == 30000L, "partitions tile the window")
   }
+
+  test("paragraph dedup: masks replay the first-occurrence rule exactly") {
+    val rows = Dedup.qParagraphDedup(spark, sfDir).collect()
+    // JVM replay of the whole rule: tile every doc in (doc_id, idx)
+    // order, first content occurrence wins corpus-wide
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val exp = docs.map { case (id, text) =>
+      val w = Text.duckWords(text)
+      val n = (w.length + 2) / 3
+      var mask = 0L; var kept = 0L; var chars = 0L
+      (0 until n).foreach { gi =>
+        val t = w.slice(gi * 3, gi * 3 + 3).mkString(" ")
+        if (seen.add(t)) { mask |= (1L << gi); kept += 1; chars += t.length }
+      }
+      (id, n.toLong, kept, mask, chars)
+    }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"doc ${e._1}: $g != $e") }
+    // internal consistency: n_kept is always the mask popcount, and
+    // something must actually dedup at this corpus size
+    got.foreach(g => assert(java.lang.Long.bitCount(g._4) == g._3))
+    assert(got.map(_._3).sum < got.map(_._2).sum, "corpus should contain dup tiles")
+  }
 }

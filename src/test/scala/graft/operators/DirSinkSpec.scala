@@ -134,6 +134,23 @@ class DirSinkSpec extends SparkSpec {
     Files.writeString(staging.resolve("task-e6-p0-t0.tsv"), "3\n")
     sw.commit(6L, Array(DirSinkCommit("task-e6-p0-t0.tsv", 1L)))
     assert(readBack(dir).count() == 3L)
+    // RESTART replay: a restarted query carries a NEW queryId — the
+    // sink must still recognize the published epoch (tail-anchored
+    // epoch tag, not a queryId-prefix check) and drop the re-staged
+    // files instead of double-publishing
+    val sw2 = new DirSinkStreamingWrite(dir, schema, "q2-restarted", None)
+    val staging2 = Paths.get(dir, "_staging-q2-restarted")
+    Files.createDirectories(staging2)
+    Files.writeString(staging2.resolve("task-e6-p0-t0.tsv"), "3\n")
+    sw2.commit(6L, Array(DirSinkCommit("task-e6-p0-t0.tsv", 1L)))
+    val m3 = DirSink.readManifest(dir).get
+    assert(m3.files.count(_.contains("-e6-")) == 1,
+      "a replayed epoch from a RESTARTED query (new queryId) must not re-publish")
+    assert(readBack(dir).count() == 3L, "rows still published exactly once across restart")
+    // but epoch 16 must NOT be mistaken for epoch 6 by the tag match
+    Files.writeString(staging2.resolve("task-e16-p0-t0.tsv"), "4\n")
+    sw2.commit(16L, Array(DirSinkCommit("task-e16-p0-t0.tsv", 1L)))
+    assert(readBack(dir).count() == 4L, "epoch 16 is new despite sharing digits with 6")
     DirSink.deleteRecursively(Paths.get(dir))
   }
 
@@ -159,16 +176,48 @@ class DirSinkSpec extends SparkSpec {
       val left = spark.sql("SELECT id FROM graft.spec_tbl ORDER BY id")
         .collect().map(_.getLong(0)).toSeq
       assert(left == Seq(2L, 3L), s"NULL-tag row must survive a tag='a' delete: $left")
-      // an unpushable predicate must refuse, leaving the table intact
-      val e = intercept[Exception] {
-        spark.sql("DELETE FROM graft.spec_tbl WHERE id % 2 = 0")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-      assert(spark.sql("SELECT count(*) FROM graft.spec_tbl").head.getLong(0) == 2L)
+      // an arbitrary (metadata-unpushable) predicate routes through
+      // the row-level rewrite (SupportsRowLevelOperations, group-based
+      // copy-on-write) instead of refusing — r15 capability upgrade
+      spark.sql("DELETE FROM graft.spec_tbl WHERE id % 2 = 0")
+      val left2 = spark.sql("SELECT id FROM graft.spec_tbl ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(left2 == Seq(3L), s"row-level delete must drop the even id: $left2")
       // creating an existing table fails; dropping removes it
       intercept[Exception] { spark.sql("CREATE TABLE graft.spec_tbl (x BIGINT)") }
     } finally spark.sql("DROP TABLE IF EXISTS graft.spec_tbl")
     intercept[Exception] { spark.sql("SELECT * FROM graft.spec_tbl").collect() }
+  }
+
+  test("MERGE INTO: group-based rewrite plans MergeRows+ReplaceData, all clause families apply") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft.merge_spec")
+    spark.sql("CREATE TABLE graft.merge_spec (id BIGINT NOT NULL, v BIGINT NOT NULL)")
+    try {
+      spark.sql("INSERT INTO graft.merge_spec VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+      val merge =
+        """MERGE INTO graft.merge_spec t
+          |USING (SELECT * FROM VALUES (2, 200), (3, 300), (5, 500) AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND t.id = 3 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE""".stripMargin
+      // plan assert: the group-based copy-on-write shape — a MergeRows
+      // over the join feeding a ReplaceData on this sink (NOT a
+      // delta/WriteDelta plan, which this sink does not implement)
+      val plan = spark.sql(s"EXPLAIN EXTENDED $merge").head.getString(0)
+      assert(plan.contains("MergeRows"), "expected MergeRows in plan:\n" + plan)
+      assert(plan.contains("ReplaceData"), "expected ReplaceData in plan:\n" + plan)
+      assert(!plan.contains("WriteDelta"), "group-based CoW must not plan WriteDelta")
+      spark.sql(merge)
+      val got = spark.sql("SELECT id, v FROM graft.merge_spec ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // 1 carries over; 2 updates to 220; 3 deleted (matched-delete
+      // wins over update by clause order); 4 deleted (not-matched-by-
+      // source); 5 inserted
+      assert(got == Seq((1L, 10L), (2L, 220L), (5L, 500L)), got.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.merge_spec")
   }
 
   test("admission control: read limits clamp, compose, and never regress") {

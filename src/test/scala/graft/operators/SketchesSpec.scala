@@ -262,6 +262,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: no unpartitioned window consumes the corpus-derived exact tier") {
+    // r14 verdict finding 1: the exact-comparison pass is clipped to
+    // the histogram's hit bins, so its cumulative window partitions by
+    // bin (≤ QBinW distinct cent values per partition at ANY corpus
+    // size). The only global windows left must walk checkpointed
+    // metadata frames (the ~105-row bins walk → LogicalRDD leaves),
+    // never a corpus file scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = Sketches.qQuantileSketch(spark, sfDir).queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the quantile plan")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val scansCorpus = w.child.collectLeaves().exists(_.isInstanceOf[LogicalRelation])
+      assert(!scansCorpus,
+        "unpartitioned window over a corpus file scan:\n" + w.treeString)
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the clipped exact tier should plan a bin-partitioned window")
+  }
+
   test("epoch plan conserves the token budget under the cap and redistribution") {
     val r = Pipeline.qEpochPlan(spark, sfDir).collect()
     assert(r.nonEmpty)

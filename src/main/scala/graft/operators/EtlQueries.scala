@@ -233,7 +233,8 @@ object EtlQueries {
     "src_range_stats" -> (qRangeStats _),
     "src_catalog_agg_fn" -> (qCatalogAggFn _),
     "src_catalog_managed" -> (qCatalogManaged _),
-    "src_catalog_merge" -> (qCatalogMerge _))
+    "src_catalog_merge" -> (qCatalogMerge _),
+    "src_catalog_update" -> (qCatalogUpdate _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -791,6 +792,45 @@ object EtlQueries {
        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // SQL UPDATE — the remaining row-level statement next to MERGE and
+  // DELETE (same SupportsRowLevelOperations machinery, rewritten by
+  // Spark into updated ∪ carry-over → ReplaceData): one UPDATE with
+  // an expression assignment under an arbitrary predicate (id%7 —
+  // deliberately NOT metadata-pushable, so the statement MUST take
+  // the distributed rewrite, not a deleteWhere-style shortcut), a
+  // second UPDATE layered on top to prove read-your-writes across
+  // rewrites, then the per-bucket aggregate. Oracle: the closed-form
+  // range with both updates applied in sequence.
+  private val UpdEnd = 30000L
+
+  def qCatalogUpdate(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft.update_gate")
+    s.sql("CREATE TABLE graft.update_gate (id BIGINT NOT NULL, bucket BIGINT NOT NULL, val BIGINT NOT NULL)")
+    s.sql(s"INSERT INTO graft.update_gate SELECT id, bucket, val FROM graft.range_0_${UpdEnd}_16")
+    s.sql("UPDATE graft.update_gate SET val = val + bucket * 1000 WHERE id % 7 = 3")
+    s.sql("UPDATE graft.update_gate SET val = val * 2 WHERE bucket = 11")
+    val out = s.sql(
+      """SELECT bucket, cast(count(*) as bigint) AS n,
+        |  cast(sum(val) as bigint) AS sum_val, min(id) AS min_id, max(id) AS max_id
+        |FROM graft.update_gate GROUP BY bucket ORDER BY bucket""".stripMargin)
+      .localCheckpoint(true) // sever lineage so the table can drop
+    s.sql("DROP TABLE graft.update_gate")
+    out
+  }
+
+  private val catalogUpdateOracle: String =
+    s"""WITH base AS (SELECT i AS id, i % 16 AS bucket,
+       |    (i * 2654435761) % 1000000 AS val FROM range(0, $UpdEnd) t(i)),
+       |u1 AS (SELECT id, bucket,
+       |    CASE WHEN id % 7 = 3 THEN val + bucket * 1000 ELSE val END AS val FROM base),
+       |u2 AS (SELECT id, bucket,
+       |    CASE WHEN bucket = 11 THEN val * 2 ELSE val END AS val FROM u1)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(val) AS BIGINT) AS sum_val, min(id) AS min_id, max(id) AS max_id
+       |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
   // custom source (SupportsMetadataColumns): `_slice`, the row's
   // ORIGINAL planning-grid slice index, exists only when a query
@@ -885,6 +925,7 @@ object EtlQueries {
     "src_catalog_agg_fn" -> catalogAggFnOracle,
     "src_catalog_managed" -> catalogManagedOracle,
     "src_catalog_merge" -> catalogMergeOracle,
+    "src_catalog_update" -> catalogUpdateOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

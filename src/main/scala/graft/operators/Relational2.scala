@@ -763,8 +763,95 @@ object Relational2 {
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q42: VARIANT shredding (Spark 4's semi-structured type) — the
+  // open-schema ingestion path every telemetry/JSON lake needs:
+  // orders are serialized to nested JSON, parsed into a VARIANT
+  // column (`parse_json`), and shredded back out with TYPED path
+  // extraction (`variant_get('$.ord.pri', 'string')`, nested cents
+  // as bigint), a `try_variant_get` on a missing path (must be NULL,
+  // counted), and `schema_of_variant` (gated as the single constant
+  // schema string — any type drift in the round-trip changes it).
+  // The aggregate must equal the closed form computed DIRECTLY from
+  // the relational columns — proving the JSON→VARIANT→typed loop is
+  // lossless. At 100 TB this is the columnar-shredding contract:
+  // variant_get pushes into the scan where the store supports it.
+  def q42VariantShred(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(to_json(struct(
+        struct(col("o_orderkey").as("key"), col("o_orderpriority").as("pri")).as("ord"),
+        struct(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("st")).as("amt"))).as("j"))
+      .select(parse_json(col("j")).as("v"))
+      .select(
+        expr("variant_get(v, '$.ord.pri', 'string')").as("pri"),
+        expr("variant_get(v, '$.amt.cents', 'bigint')").as("cents"),
+        expr("variant_get(v, '$.amt.st', 'string')").as("st"),
+        expr("try_variant_get(v, '$.amt.discount', 'bigint')").as("missing"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_miss_null"),
+        count_distinct(col("sch")).as("n_schemas"),
+        min(col("sch")).as("schema_str"))
+      .orderBy(col("pri"))
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(count(*) AS BIGINT) AS n_miss_null,
+      |  CAST(1 AS BIGINT) AS n_schemas,
+      |  'OBJECT<amt: OBJECT<cents: BIGINT, st: STRING>, ord: OBJECT<key: BIGINT, pri: STRING>>' AS schema_str
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q43: LATERAL correlated subquery (Spark 4 lateral join) — the
+  // "for each outer row, run this parameterized subquery" shape that
+  // declarative SQL pipelines use instead of driver-side loops. Per
+  // nation, the lateral computes that nation's customer count,
+  // account-balance cents sum, and max — correlated on the OUTER
+  // nation key, planned by Spark as a domain join (decorrelated into
+  // one distributed aggregate + join, NOT n_nations scans — the scale
+  // contract). Nations with no customers keep a zero row via the
+  // lateral's aggregate semantics. Oracle: the equivalent grouped
+  // join.
+  def q43Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("g_q43_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("g_q43_customer")
+    val out = s.sql(
+      """SELECT n.n_name AS nation, l.n_cust, l.bal_cents, l.max_cents
+        |FROM g_q43_nation n,
+        |LATERAL (
+        |  SELECT cast(count(*) as bigint) AS n_cust,
+        |    cast(coalesce(sum(cast(round(c_acctbal * 100) as bigint)), 0) as bigint) AS bal_cents,
+        |    cast(coalesce(max(cast(round(c_acctbal * 100) as bigint)), 0) as bigint) AS max_cents
+        |  FROM g_q43_customer c WHERE c.c_nationkey = n.n_nationkey
+        |) l
+        |ORDER BY nation""".stripMargin)
+    s.catalog.dropTempView("g_q43_nation")
+    s.catalog.dropTempView("g_q43_customer")
+    out
+  }
+
+  val q43Sql: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(l.n_cust AS BIGINT) AS n_cust, CAST(l.bal_cents AS BIGINT) AS bal_cents,
+      |  CAST(l.max_cents AS BIGINT) AS max_cents
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT count(*) AS n_cust,
+      |    coalesce(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS bal_cents,
+      |    coalesce(max(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS max_cents
+      |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      |) l
+      |ORDER BY nation""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_variant_shred" -> (q42VariantShred _),
+    "q43_lateral" -> (q43Lateral _),
     "q41_recursive_cte" -> (q41RecursiveCte _),
     "q39_map_agg" -> (q39MapAgg _),
     "q34_histogram" -> (q34Histogram _),
@@ -789,6 +876,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_variant_shred" -> q42Sql,
+    "q43_lateral" -> q43Sql,
     "q41_recursive_cte" -> q41Sql,
     "q40_range_frame" -> q40Sql,
     "q34_histogram" -> q34Sql,

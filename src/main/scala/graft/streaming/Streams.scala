@@ -42,7 +42,8 @@ object Streams {
     * `rawTs = true` skips the ns→µs conversion for queries that don't
     * read event time. */
   private def runBounded(
-      s: SparkSession, dir: String, mode: String, rawTs: Boolean = false)(
+      s: SparkSession, dir: String, mode: String, rawTs: Boolean = false,
+      ckpt: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
@@ -77,8 +78,9 @@ object Streams {
       }
       val raw = s.readStream.schema(schema).parquet(streamDir.toString)
       val stream = if (rawTs) raw else Tables.fixEventTs(raw)
-      val q = build(stream).writeStream
-        .format("memory").queryName(name).outputMode(mode).start()
+      val w0 = build(stream).writeStream
+        .format("memory").queryName(name).outputMode(mode)
+      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
       try q.processAllAvailable()
       finally q.stop()
       val sink = s.table(name)
@@ -306,6 +308,109 @@ object Streams {
       graft.sources.DirSink.deleteRecursively(base)
     }
   }
+
+  // ---------------------------------------------------------------
+  // STATE STORE READER — Spark 4's state data source
+  // (`spark.read.format("statestore")`): the operational window into
+  // a streaming query's checkpointed state, read back as a BATCH
+  // table (key struct, value struct, partition_id). A stateful
+  // (event_type, epoch-dow) aggregation runs to end-of-source with an
+  // explicit checkpoint; the gate then reads the LAST batch's state
+  // store and re-derives the aggregate FROM THE STATE — count and
+  // integer user_id sum per key must equal the batch closed form,
+  // and every key must occupy exactly one state row (n_rows gates
+  // the dedup-by-key invariant of the store itself). This is how a
+  // production pipeline debugs skewed/stuck state at 100 TB without
+  // replaying the stream: the store is just another partitioned
+  // table. The dow key derives from raw nanos by integer div/mod
+  // (epoch day + 4 mod 7 — 1970-01-01 was a Thursday), so the state
+  // key is exact-integer on both engines.
+  def qStateReader(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_state_rd_")
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      runBounded(s, dir, "update", ckpt = Some(ckpt)) { stream =>
+        stream
+          .withColumn("dow", expr("(unix_micros(ts) div 86400000000 + 4) % 7"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"))
+      }
+      val st = s.read.format("statestore").load(ckpt)
+      st.groupBy(col("key.event_type").as("event_type"), col("key.dow").as("dow"))
+        .agg(count(lit(1)).as("n_state_rows"),
+          sum(col("value.count")).as("state_count"),
+          sum(col("value.sum")).as("state_sum"))
+        .orderBy(col("event_type"), col("dow"))
+        .localCheckpoint(true) // sever lineage so the ckpt dir can go
+    } finally graft.sources.DirSink.deleteRecursively(base)
+  }
+
+  val qStateReaderSql: String =
+    """SELECT event_type,
+      |  (epoch_ms(ts::TIMESTAMP) // 86400000 + 4) % 7 AS dow,
+      |  CAST(1 AS BIGINT) AS n_state_rows,
+      |  CAST(count(*) AS BIGINT) AS state_count,
+      |  CAST(sum(user_id) AS BIGINT) AS state_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // transformWithState — Spark 4's arbitrary-state operator (the
+  // successor to map/flatMapGroupsWithState): a [[StatefulProcessor]]
+  // holding TWO typed state variables per user — a ValueState with
+  // the running (n_events, sum_value) and a MapState keyed by
+  // event_type with per-type counts — executed on the RocksDB state
+  // store provider (the operator requires it; HDFS-backed stores
+  // don't support the multi-variable column families). Update mode
+  // emits the full derived row per key per batch; the final state per
+  // user is selected by the monotone event count (the qStatefulCounts
+  // discipline) and must equal the batch aggregate — which is the
+  // oracle, including the deterministic top-type tiebreak
+  // (count desc, type asc) computed FROM the MapState iterator.
+  // At scale: state is keyed by user_id across shuffle partitions,
+  // RocksDB spills to disk, and TTLConfig (NONE here — bounded
+  // source) is where production retention plugs in.
+  def qStreamTws(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updated = runBounded(s, dir, "update", rawTs = true) { stream =>
+        import s.implicits._
+        stream.select(col("user_id"), col("event_type"), col("value"))
+          .as[(Long, String, Double)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new TwsUserProfile(), TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_value", "n_types", "top_type", "top_cnt")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      updated
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"),
+          col("n_types"), col("top_type"), col("top_cnt"))
+        .orderBy(col("user_id"))
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  val qStreamTwsSql: String =
+    """WITH agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    round(sum(value), 2) AS sum_value,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |  FROM events GROUP BY 1),
+      |tc AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+      |top AS (SELECT user_id, event_type AS top_type, CAST(c AS BIGINT) AS top_cnt,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+      |  FROM tc)
+      |SELECT a.user_id, a.n_events, a.sum_value, a.n_types, t.top_type, t.top_cnt
+      |FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rn = 1
+      |ORDER BY a.user_id""".stripMargin
 
   // ---------------------------------------------------------------
   // CLUSTERED STREAMING WRITE ACROSS AN INJECTED RESTART — composes
@@ -1610,6 +1715,8 @@ object Streams {
     "src_range_write_stream" -> (qSrcRangeWriteStream _),
     "src_range_stream_restart" -> (qSrcRangeStreamRestart _),
     "stream_stateful_counts" -> (qStatefulCounts _),
+    "stream_tws_profile" -> (qStreamTws _),
+    "stream_state_reader" -> (qStateReader _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_watermarked" -> (qStreamDedupWatermarked _),
@@ -1635,9 +1742,50 @@ object Streams {
     "src_range_write_stream" -> qSrcRangeWriteStreamSql,
     "src_range_stream_restart" -> qSrcRangeStreamRestartSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
+    "stream_tws_profile" -> qStreamTwsSql,
+    "stream_state_reader" -> qStateReaderSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,
     "stream_dedup_watermarked" -> qStreamDedupWatermarkedSql,
     "stream_session_window" -> qStreamSessionWindowSql,
     "stream_static_join" -> qStreamStaticJoinSql)
+}
+
+/** The [[qStreamTws]] processor: per-user ValueState (running count +
+  * sum) and MapState (per-event-type counts), both NONE-TTL'd on the
+  * bounded source. The emitted row derives ENTIRELY from state (never
+  * from the batch's rows alone), so every output is a faithful
+  * state snapshot; the top-type tiebreak (count desc, type asc) is
+  * computed from the MapState iterator per emit. */
+class TwsUserProfile
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double), (Long, Long, Double, Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    agg = getHandle.getValueState[(Long, Double)](
+      "agg", E.product[(Long, Double)], TTLConfig.NONE)
+    types = getHandle.getMapState[String, Long](
+      "types", E.STRING, E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, String, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double, Long, String, Long)] = {
+    var (n, sum) = if (agg.exists()) agg.get() else (0L, 0.0)
+    rows.foreach { case (_, tpe, v) =>
+      n += 1
+      sum += v
+      types.updateValue(tpe, (if (types.containsKey(tpe)) types.getValue(tpe) else 0L) + 1L)
+    }
+    agg.update((n, sum))
+    val snap = types.iterator().toArray
+    val (topT, topC) = snap.minBy { case (t, c) => (-c, t) }
+    Iterator.single((key, n, sum, snap.length.toLong, topT, topC))
+  }
 }

@@ -3540,8 +3540,137 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
        |  CAST(sum(CASE WHEN kept THEN tlen ELSE 0 END) AS BIGINT) AS kept_chars
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CROSS-SHARD BLOOM PREFILTER — the handshake a sharded 100 TB
+  // dedup actually runs before any shuffle-heavy join: each shard
+  // summarizes its distinct tile hashes into a FIXED-SIZE Bloom
+  // filter (m = 2^15 bits, k = 3 positions via the (1+2j)h+(17+j)
+  // mod-p mix of the 60-bit md5), shards exchange only the filters
+  // (here: broadcast bit-position sets — m bits per shard regardless
+  // of corpus size, the whole point), and a shard probes every OTHER
+  // shard's filter to clip its candidate set before the exact
+  // cross-shard join. The gate emits, per ordered shard pair, the
+  // probe count, bloom hit count, EXACT intersection (ground truth),
+  // and the false-positive count — bloom hits minus truth, a fully
+  // deterministic integer because every position derives from md5.
+  // Sharding uses the md5-bucket convention (doc_id modulo splits
+  // collapse — the r13 lesson). No false NEGATIVES are possible by
+  // construction: the gate's n_missed column must be identically 0.
+  private val BloomM = 32768L
+  private val BloomK = 3
+
+  /** Distinct (shard, tile-hash) pairs: the paragraph tiling kernel
+    * re-keyed by the doc's md5 shard. */
+  private def shardTileHashes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("shard", LongType), StructField("th", LongType)))
+    val tile = ParaTile
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val sh = md5Mod(md, "shard_" + id, Long.MaxValue) % 4L
+          val w = Text.duckWords(r.getString(1))
+          val n = (w.length + tile - 1) / tile
+          (0 until n).iterator.map { gi =>
+            Row(sh, md5Mod(md, w.slice(gi * tile, gi * tile + tile).mkString(" "),
+              Long.MaxValue))
+          }
+        }
+      }(Encoders.row(schema))
+      .distinct()
+  }
+
+  def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val p = MersenneP
+    val ht = shardTileHashes(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("th"))
+      .localCheckpoint() // probes, truth, and bits all read it
+    // per-shard bloom BIT SETS: k positions per hash, distinct — the
+    // fixed-size summary each shard publishes (≤ m rows per shard)
+    val js = (0 until BloomK).map(lit(_))
+    val bits = ht.select(col("shard"), col("th"), explode(array(js: _*)).as("j"))
+      .withColumn("pos",
+        expr(s"((1 + 2 * j) * (th % $p) + (17 + j)) % $p % $BloomM"))
+      .select(col("shard").as("shard_b"), col("pos")).distinct()
+      .localCheckpoint()
+    val bitCounts = bits.groupBy(col("shard_b"))
+      .agg(count(lit(1)).as("bits_set_b"))
+    // probe side: shard A's hashes against every other shard's filter
+    // — k position rows per (hash, target shard), membership = all k
+    // positions present (count == k after the broadcast bit join)
+    val probes = ht.select(col("shard").as("shard_a"), col("th"))
+    val shardIds = bitCounts.select(col("shard_b"))
+    val probeRows = probes.join(broadcast(shardIds), col("shard_a") =!= col("shard_b"))
+      .select(col("shard_a"), col("shard_b"), col("th"),
+        explode(array(js: _*)).as("j"))
+      .withColumn("pos",
+        expr(s"((1 + 2 * j) * (th % $p) + (17 + j)) % $p % $BloomM"))
+    val hits = probeRows
+      .join(broadcast(bits), Seq("shard_b", "pos"))
+      .groupBy(col("shard_a"), col("shard_b"), col("th"))
+      .agg(count(lit(1)).as("k_present"))
+      .filter(col("k_present") === BloomK)
+      .groupBy(col("shard_a"), col("shard_b"))
+      .agg(count(lit(1)).as("n_bloom_hits"))
+    // exact ground truth: hash present in BOTH shards (one
+    // hash-partitioned self-join on the checkpointed distinct frame)
+    val truth = ht.select(col("shard").as("shard_a"), col("th"))
+      .join(ht.select(col("shard").as("shard_b"), col("th")), Seq("th"))
+      .filter(col("shard_a") =!= col("shard_b"))
+      .groupBy(col("shard_a"), col("shard_b"))
+      .agg(count(lit(1)).as("n_true"))
+    val nProbes = probes.groupBy(col("shard_a"))
+      .agg(count(lit(1)).as("n_probes"))
+    hits
+      .join(truth, Seq("shard_a", "shard_b"), "left")
+      .na.fill(0L, Seq("n_true"))
+      .join(broadcast(nProbes), Seq("shard_a"))
+      .join(broadcast(bitCounts), Seq("shard_b"))
+      .select(col("shard_a"), col("shard_b"), col("n_probes"),
+        col("n_bloom_hits"), col("n_true"),
+        (col("n_bloom_hits") - col("n_true")).as("n_false_pos"),
+        lit(0L).as("n_missed"), col("bits_set_b"))
+      .orderBy(col("shard_a"), col("shard_b"))
+  }
+
+  val qBloomPrefilterSql: String =
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |tiles AS (
+       |  SELECT ('0x' || substr(md5('shard_' || doc_id), 1, 15))::BIGINT % 4 AS shard,
+       |    ('0x' || substr(md5(array_to_string(w[gi*$ParaTile+1 : gi*$ParaTile+$ParaTile], ' ')), 1, 15))::BIGINT AS th
+       |  FROM ws, UNNEST(range((len(w)+${ParaTile - 1})//$ParaTile)) AS t(gi)),
+       |ht AS MATERIALIZED (SELECT DISTINCT shard, th FROM tiles),
+       |bits AS MATERIALIZED (SELECT DISTINCT shard AS shard_b,
+       |    ((1 + 2 * j) * (th % $MersenneP) + (17 + j)) % $MersenneP % $BloomM AS pos
+       |  FROM ht, UNNEST([0, 1, 2]) AS u(j)),
+       |bc AS (SELECT shard_b, CAST(count(*) AS BIGINT) AS bits_set_b FROM bits GROUP BY 1),
+       |pr AS (SELECT a.shard AS shard_a, b.shard_b, a.th,
+       |    ((1 + 2 * j) * (a.th % $MersenneP) + (17 + j)) % $MersenneP % $BloomM AS pos, j
+       |  FROM ht a, bc b, UNNEST([0, 1, 2]) AS u(j) WHERE a.shard <> b.shard_b),
+       |hits AS (SELECT shard_a, shard_b, th FROM pr JOIN bits USING (shard_b, pos)
+       |  GROUP BY 1, 2, 3 HAVING count(*) = $BloomK),
+       |h AS (SELECT shard_a, shard_b, CAST(count(*) AS BIGINT) AS n_bloom_hits
+       |  FROM hits GROUP BY 1, 2),
+       |tr AS (SELECT a.shard AS shard_a, b.shard AS shard_b, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM ht a JOIN ht b ON a.th = b.th AND a.shard <> b.shard GROUP BY 1, 2),
+       |np AS (SELECT shard AS shard_a, CAST(count(*) AS BIGINT) AS n_probes FROM ht GROUP BY 1)
+       |SELECT h.shard_a, h.shard_b, np.n_probes, h.n_bloom_hits,
+       |  CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(h.n_bloom_hits - coalesce(tr.n_true, 0) AS BIGINT) AS n_false_pos,
+       |  CAST(0 AS BIGINT) AS n_missed, bc.bits_set_b
+       |FROM h LEFT JOIN tr ON h.shard_a = tr.shard_a AND h.shard_b = tr.shard_b
+       |JOIN np ON h.shard_a = np.shard_a
+       |JOIN bc ON h.shard_b = bc.shard_b
+       |ORDER BY h.shard_a, h.shard_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (qParagraphDedup _),
+    "dedup_bloom_prefilter" -> (qBloomPrefilter _),
     "graph_path_counts" -> (qPathCounts _),
     "graph_bfs_levels" -> (qBfsLevels _),
     "graph_hits" -> (qHits _),
@@ -3585,6 +3714,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
 
   val oracles: Map[String, String] = Map(
     "dedup_paragraph" -> qParagraphDedupSql,
+    "dedup_bloom_prefilter" -> qBloomPrefilterSql,
     "graph_bfs_levels" -> qBfsLevelsSql,
     "graph_path_counts" -> qPathCountsSql,
     "graph_hits" -> qHitsSql,

@@ -234,7 +234,8 @@ object EtlQueries {
     "src_catalog_agg_fn" -> (qCatalogAggFn _),
     "src_catalog_managed" -> (qCatalogManaged _),
     "src_catalog_merge" -> (qCatalogMerge _),
-    "src_catalog_update" -> (qCatalogUpdate _))
+    "src_catalog_update" -> (qCatalogUpdate _),
+    "src_catalog_procedure" -> (qCatalogProcedure _))
 
   // ---------------------------------------------------------------
   // CUSTOM DATASOURCE V2 gate — reads the from-scratch
@@ -831,6 +832,50 @@ object EtlQueries {
        |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // DSv2 STORED PROCEDURE (Spark 4 ProcedureCatalog): `CALL
+  // graft.grid(start, end, slices)` — the catalog's metadata
+  // procedure surface (the Iceberg system-procedure shape): bind
+  // validates typed parameters, the driver computes the range
+  // table's planning grid WITHOUT scanning, and the result comes
+  // back as a LocalScan relation. The gate calls it on a grid whose
+  // row count does NOT divide the slice count (173000/8 — a short
+  // tail slice) and checks every (slice, lo, hi, n_rows) against the
+  // closed form; a second CALL composes the procedure output with a
+  // regular aggregate to prove it's a first-class relation.
+  private val ProcLo = 1000L
+  private val ProcHi = 174000L
+  private val ProcSlices = 8L
+
+  def qCatalogProcedure(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val grid = s.sql(s"CALL graft.grid($ProcLo, $ProcHi, $ProcSlices)")
+    // the CALL result is a first-class relation: aggregate it like
+    // any DataFrame and ride the totals on every row
+    val tot = grid.agg(
+      count(lit(1)).as("n_slices"), sum(col("n_rows")).as("total_rows"),
+      min(col("lo")).as("grid_lo"), max(col("hi")).as("grid_hi"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("slice"), col("lo"), col("hi"), col("n_rows"),
+        col("n_slices"), col("total_rows"), col("grid_lo"), col("grid_hi"))
+      .orderBy(col("slice"))
+  }
+
+  private val catalogProcedureOracle: String = {
+    val step = math.max(1L, (ProcHi - ProcLo + ProcSlices - 1) / ProcSlices)
+    s"""WITH g AS (
+       |  SELECT CAST(k AS BIGINT) AS slice, $ProcLo + k * $step AS lo,
+       |    least($ProcHi, $ProcLo + k * $step + $step) AS hi
+       |  FROM (SELECT unnest(range($ProcSlices)) AS k)
+       |  WHERE $ProcLo + k * $step < least($ProcHi, $ProcLo + k * $step + $step)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_slices,
+       |  CAST(sum(hi - lo) AS BIGINT) AS total_rows,
+       |  min(lo) AS grid_lo, max(hi) AS grid_hi FROM g)
+       |SELECT g.slice, g.lo, g.hi, CAST(g.hi - g.lo AS BIGINT) AS n_rows,
+       |  t.n_slices, t.total_rows, t.grid_lo, t.grid_hi
+       |FROM g, t ORDER BY g.slice""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // DSv2 METADATA COLUMNS — the `_metadata`-file-column pattern on a
   // custom source (SupportsMetadataColumns): `_slice`, the row's
   // ORIGINAL planning-grid slice index, exists only when a query
@@ -926,6 +971,7 @@ object EtlQueries {
     "src_catalog_managed" -> catalogManagedOracle,
     "src_catalog_merge" -> catalogMergeOracle,
     "src_catalog_update" -> catalogUpdateOracle,
+    "src_catalog_procedure" -> catalogProcedureOracle,
     "src_range_metadata_cols" -> rangeMetadataColsOracle,
     "src_range_write" -> rangeWriteOracle,
     "src_json_roundtrip" -> roundtripOracle,

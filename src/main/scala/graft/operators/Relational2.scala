@@ -849,9 +849,135 @@ object Relational2 {
       |) l
       |ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q44: SQL SESSION VARIABLES + EXECUTE IMMEDIATE (Spark 4) — the
+  // scripting surface parameterized production SQL runs on: DECLARE
+  // a session variable, SET it FROM a scalar subquery over the data
+  // (the p90 order-price cents), then run a parameterized statement
+  // through EXECUTE IMMEDIATE ... USING, binding the variable as a
+  // positional parameter. The gate aggregates orders above the
+  // data-derived threshold — wrong variable scoping, stale SET, or
+  // mis-bound parameters all break the integers. The p90 is the
+  // exact order statistic (ceil-rank over cents, integer arithmetic).
+  def q44SqlVariables(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_q44_orders")
+    s.sql("DECLARE OR REPLACE VARIABLE g_q44_thr BIGINT")
+    s.sql(
+      """SET VAR g_q44_thr = (
+        |  SELECT min(cents) FROM (
+        |    SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn,
+        |      count(*) OVER () AS n
+        |    FROM (SELECT cast(round(o_totalprice * 100) as bigint) AS cents
+        |          FROM g_q44_orders))
+        |  WHERE rn <= (n + 9) div 10)""".stripMargin)
+    val out = s.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT o_orderpriority AS pri, cast(count(*) as bigint) AS n,
+        |   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS sum_cents,
+        |   cast(? as bigint) AS thr_cents
+        | FROM g_q44_orders
+        | WHERE cast(round(o_totalprice * 100) as bigint) >= ?
+        | GROUP BY 1 ORDER BY 1'
+        |USING g_q44_thr, g_q44_thr""".stripMargin)
+      .localCheckpoint(true)
+    s.sql("DROP TEMPORARY VARIABLE g_q44_thr")
+    s.catalog.dropTempView("g_q44_orders")
+    out
+  }
+
+  val q44Sql: String =
+    """WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |rk AS (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn,
+      |  count(*) OVER () AS n FROM c),
+      |thr AS (SELECT min(cents) AS t FROM rk WHERE rn <= (n + 9) // 10)
+      |SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST((SELECT t FROM thr) AS BIGINT) AS thr_cents
+      |FROM c WHERE cents >= (SELECT t FROM thr)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q45: COLLATIONS (Spark 4 collated strings) — case-insensitive
+  // semantics IN THE TYPE instead of scattered lower() calls: the
+  // customer market segment is re-cased per row (upper when the key
+  // is even — deterministic), then grouped and distinct-counted
+  // UNDER UTF8_LCASE collation. Grouping, equality, and DISTINCT all
+  // follow the collation; the emitted group key is min(original)
+  // (deterministic representative — the collated group's "value" is
+  // otherwise whichever case variant arrived first). Oracle: the
+  // lower() rewrite, which UTF8_LCASE equals on this ASCII domain.
+  def q45Collation(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("g_q45_customer")
+    val out = s.sql(
+      """WITH mixed AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg_raw,
+        |    c_custkey, cast(round(c_acctbal * 100) as bigint) AS cents
+        |  FROM g_q45_customer),
+        |coll AS (SELECT collate(seg_raw, 'UTF8_LCASE') AS seg, seg_raw, c_custkey, cents
+        |  FROM mixed)
+        |SELECT min(seg_raw) AS segment, cast(count(*) as bigint) AS n,
+        |  cast(count(DISTINCT seg_raw COLLATE UTF8_BINARY) as bigint) AS n_case_variants,
+        |  cast(sum(cents) as bigint) AS bal_cents
+        |FROM coll GROUP BY seg ORDER BY segment""".stripMargin)
+    s.catalog.dropTempView("g_q45_customer")
+    out
+  }
+
+  val q45Sql: String =
+    """WITH mixed AS (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+      |              ELSE lower(c_mktsegment) END AS seg_raw,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT min(seg_raw) AS segment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT seg_raw) AS BIGINT) AS n_case_variants,
+      |  CAST(sum(cents) AS BIGINT) AS bal_cents
+      |FROM mixed GROUP BY lower(seg_raw) ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q46: XML shredding (Spark 4 native from_xml) — the other
+  // semi-structured ingestion path next to q42's VARIANT: rows are
+  // serialized into XML elements (hand-built, attribute + nested
+  // element), parsed back with a typed from_xml schema, and the
+  // aggregate must equal the relational closed form — a lossless
+  // round-trip gate. xpath_long on the same strings cross-checks an
+  // independent extraction path inside the engine (both must agree
+  // row-by-row or n_xpath_mismatch breaks).
+  def q46XmlShred(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"),
+        concat(lit("<o><k>"), col("o_orderkey"), lit("</k><c>"),
+          round(col("o_totalprice") * 100).cast("long"), lit("</c><s>"),
+          col("o_orderstatus"), lit("</s></o>")).as("x"))
+      .select(col("pri"), col("x"),
+        expr("from_xml(x, 'k BIGINT, c BIGINT, s STRING')").as("p"))
+      .select(col("pri"),
+        col("p.k").as("k"), col("p.c").as("cents"), col("p.s").as("st"),
+        expr("xpath_long(x, '/o/c')").as("cents_xpath"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("cents") =!= col("cents_xpath"), 1L).otherwise(0L))
+          .as("n_xpath_mismatch"))
+      .orderBy(col("pri"))
+  }
+
+  val q46Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(0 AS BIGINT) AS n_xpath_mismatch
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_variant_shred" -> (q42VariantShred _),
     "q43_lateral" -> (q43Lateral _),
+    "q44_sql_variables" -> (q44SqlVariables _),
+    "q45_collation" -> (q45Collation _),
+    "q46_xml_shred" -> (q46XmlShred _),
     "q41_recursive_cte" -> (q41RecursiveCte _),
     "q39_map_agg" -> (q39MapAgg _),
     "q34_histogram" -> (q34Histogram _),
@@ -878,6 +1004,9 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q42_variant_shred" -> q42Sql,
     "q43_lateral" -> q43Sql,
+    "q44_sql_variables" -> q44Sql,
+    "q45_collation" -> q45Sql,
+    "q46_xml_shred" -> q46Sql,
     "q41_recursive_cte" -> q41Sql,
     "q40_range_frame" -> q40Sql,
     "q34_histogram" -> q34Sql,

@@ -73,6 +73,74 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // LATE-INTERACTION RETRIEVAL (ColBERT-style MaxSim) — the
+  // multi-vector scoring modern retrieval trainers use: a "document"
+  // is a BAG of token vectors (here 4 consecutive embedding rows,
+  // doc = vec_id div 4), and score(q, d) = Σ_{qt∈q} max_{dt∈d}
+  // cos(qt, dt) — each query token finds its best-matching document
+  // token, no pooling collapse. Per-pair cosines follow the family
+  // discipline (bit-identical DotF64 ⇔ unrolled-SQL dots, round 6dp)
+  // and are then lifted to EXACT ppm integers (round(cos·1e6) of an
+  // already-6dp value is exact), so the max-then-sum is
+  // order-independent across partitions — the association trap a
+  // 4-term double sum would hit. Plan: probe token bags broadcast
+  // (|probes|·4 rows), corpus tokens stream once at pinned width
+  // through the codegen'd scorer, one (qdoc,qtok,cdoc) max, one
+  // (qdoc,cdoc) sum, rank window for top-K. At 100 TB the corpus
+  // side never materializes pairs wider than fixed-width ints.
+  private val MsTokens = 4L
+  private val MsDocStride = 25L
+  private val MsTopK = 5
+
+  def qMaxSim(s: SparkSession, dir: String): DataFrame = {
+    DotF64.register(s)
+    def toks(df: DataFrame) = df
+      .select((col("vec_id") / lit(MsTokens)).cast("long").as("doc"),
+        (col("vec_id") % MsTokens).as("tok"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotF64.dot(col("v"), col("v"))))
+    val probes = toks(Tables.embeddings(s, dir))
+      .filter(col("doc") % MsDocStride === 0)
+      .select(col("doc").as("qdoc"), col("tok").as("qtok"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = toks(Tables.embeddings(s, dir))
+      .repartition(s.sparkContext.defaultParallelism, col("doc"))
+    val pair = corpus.join(broadcast(probes), col("doc") =!= col("qdoc"))
+      .withColumn("cos_ppm",
+        round(round(DotF64.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          * 1000000).cast("long"))
+    val best = pair.groupBy(col("qdoc"), col("qtok"), col("doc"))
+      .agg(max(col("cos_ppm")).as("tok_best_ppm"))
+    val scored = best.groupBy(col("qdoc"), col("doc"))
+      .agg(sum(col("tok_best_ppm")).as("maxsim_ppm"))
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("maxsim_ppm").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MsTopK)
+      .select(col("qdoc"), col("rank"), col("doc").as("neighbor"), col("maxsim_ppm"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  val qMaxSimSql: String =
+    s"""WITH t AS (SELECT vec_id // $MsTokens AS doc, vec_id % $MsTokens AS tok,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT doc, tok, v, ${graft.functions.Vectors.normSql("v")} AS nrm FROM t),
+       |q AS (SELECT doc AS qdoc, tok AS qtok, v AS qv, nrm AS qn FROM n
+       |  WHERE doc % $MsDocStride = 0),
+       |pair AS (SELECT q.qdoc, q.qtok, n.doc,
+       |    CAST(round(round((${graft.functions.Vectors.dotSql("n.v", "q.qv")}) / (n.nrm * q.qn), 6)
+       |      * 1000000) AS BIGINT) AS cos_ppm
+       |  FROM n JOIN q ON n.doc <> q.qdoc),
+       |best AS (SELECT qdoc, qtok, doc, max(cos_ppm) AS tok_best_ppm
+       |  FROM pair GROUP BY 1, 2, 3),
+       |scored AS (SELECT qdoc, doc, CAST(sum(tok_best_ppm) AS BIGINT) AS maxsim_ppm
+       |  FROM best GROUP BY 1, 2),
+       |r AS (SELECT qdoc, doc, maxsim_ppm,
+       |  ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY maxsim_ppm DESC, doc) AS rank
+       |  FROM scored)
+       |SELECT qdoc, CAST(rank AS BIGINT) AS rank, doc AS neighbor, maxsim_ppm FROM r
+       |WHERE rank <= $MsTopK ORDER BY qdoc, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // HARD-NEGATIVE MINING — the training-pair construction an
   // embedding-model pipeline runs over its own corpus: for every
   // probe, the exact nearest neighbor becomes the POSITIVE and the
@@ -2477,6 +2545,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_knn_graph" -> (qKnnGraph _),
     "sim_range_search" -> (qRangeSearch _),
     "sim_topk_cosine" -> (qTopkCosine _),
+    "sim_maxsim" -> (qMaxSim _),
     "sim_hard_negatives" -> (qHardNegatives _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
@@ -2516,6 +2585,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_range_search" -> qRangeSearchSql,
     "sim_hard_negatives" -> qHardNegativesSql,
     "sim_topk_cosine" -> qTopkCosineSql,
+    "sim_maxsim" -> qMaxSimSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_filtered_topk" -> qFilteredTopkSql,

@@ -35,7 +35,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write-side story lives in [[DirSink]].
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // -- procedures (Spark 4 DSv2 ProcedureCatalog): `CALL graft.grid(
+  // start, end, slices)` returns the range table's PLANNING GRID as
+  // rows — the metadata operation a deployment calls to inspect a
+  // source's partition layout without scanning it (the Iceberg
+  // system-procedure shape, from scratch). The grid math is the
+  // single shared slicing formula every scan path uses, so the
+  // procedure's output is checkable against the closed form.
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "grid"))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "grid" => GridProcedure
+      case _ => throw new IllegalArgumentException(
+        s"graft catalog: no procedure '${ident.name()}' (have: grid)")
+    }
 
   private var catalogName: String = "graft"
 
@@ -131,6 +150,56 @@ class GraftCatalog extends TableCatalog
       case "xor_agg" => XorAggUnbound
       case _ => throw new NoSuchFunctionException(ident)
     }
+}
+
+/** `CALL graft.grid(start, end, slices)` — the range table's slice
+  * grid (slice, lo, hi, n_rows) as a DSv2 stored procedure: bind
+  * validates the three BIGINT parameters, call() computes the grid
+  * on the driver (pure metadata — NO scan) and returns it as a
+  * [[org.apache.spark.sql.connector.read.LocalScan]]. Same step
+  * formula as every RangeTable scan path (`step = max(1, (end −
+  * start + slices − 1) div slices)`, empty tail slices dropped). */
+object GridProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def name(): String = "grid"
+  override def description(): String =
+    "grid(start BIGINT, end BIGINT, slices BIGINT): the range planning grid"
+
+  private val outSchema = StructType(Seq(
+    StructField("slice", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "grid"
+    override def description(): String = GridProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("start", LongType).build(),
+      ProcedureParameter.in("end", LongType).build(),
+      ProcedureParameter.in("slices", LongType).build())
+    override def isDeterministic: Boolean = true
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (start, end) = (input.getLong(0), input.getLong(1))
+      val slices = input.getLong(2).toInt
+      require(slices > 0, "grid: slices must be positive")
+      val step = math.max(1L, (end - start + slices - 1) / slices)
+      val grid = (0 until slices).flatMap { k =>
+        val a = start + k * step
+        val b = math.min(end, a + step)
+        if (a < b) Some(InternalRow(k.toLong, a, b, b - a)) else None
+      }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = grid
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"GraftGridProcedure[$start,$end,$slices]"
+      }).iterator()
+    }
+  }
 }
 
 /** `knuth_val(id BIGINT) → BIGINT = (id · 2654435761) mod 1e6` — the

@@ -3994,4 +3994,51 @@ class AnalyticsSpec extends SparkSpec {
     got.foreach(g => assert(java.lang.Long.bitCount(g._4) == g._3))
     assert(got.map(_._3).sum < got.map(_._2).sum, "corpus should contain dup tiles")
   }
+
+  test("maxsim: scores replay brute-force late interaction exactly") {
+    val rows = Similarity.qMaxSim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // JVM brute force over the full token bags
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val docs = vecs.keys.map(_ / 4).toSeq.distinct.sorted
+    def cosPpm(a: Array[Double], b: Array[Double]): Long = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      // Spark's round(x, 6): HALF_UP over the shortest-decimal string
+      // (java.math.BigDecimal.valueOf), not the exact binary expansion
+      val c = java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.round(c * 1000000)
+    }
+    val probes = docs.filter(_ % 25 == 0)
+    val exp = probes.flatMap { q =>
+      val scored = docs.filter(_ != q).map { d =>
+        val s = (0L until 4L).map { qt =>
+          (0L until 4L).map(dt => cosPpm(vecs(q*4+qt), vecs(d*4+dt))).max
+        }.sum
+        (d, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(5)
+      scored.zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+    }
+    assert(rows.toSeq == exp, "maxsim top-k must equal the JVM brute force")
+  }
+
+  test("bloom prefilter: no false negatives and FP counts replay the bit math") {
+    val rows = Dedup.qBloomPrefilter(spark, sfDir).collect()
+    assert(rows.length == 12, "4 shards, all ordered pairs")
+    rows.foreach { r =>
+      val (hits, nTrue, nFp, nMissed) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nMissed == 0L, "a bloom filter can never miss a present key")
+      assert(hits >= nTrue, "every true duplicate must bloom-hit")
+      assert(nFp == hits - nTrue)
+      assert(r.getLong(7) <= 32768L, "bit count bounded by m")
+    }
+    // the prefilter must actually clip: hits strictly below probes
+    assert(rows.forall(r => r.getLong(3) < r.getLong(2)),
+      "bloom hits should be a strict subset of probes at this fill ratio")
+  }
 }

@@ -2409,7 +2409,96 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
       |FROM q JOIN c ON c.pri = q.pri GROUP BY q.pri, q.tau10
       |ORDER BY q.pri, q.tau10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DECISION-STUMP TRAINER — an exact-arithmetic tree-split search,
+  // the inner loop of every gradient-boosting/CART trainer, run as
+  // ONE distributed aggregation instead of a driver loop: melt the
+  // two integer features (quantity; discount percent) into (feature,
+  // value, y) rows, partial-aggregate per distinct value (map-side
+  // combine — the shuffle carries ≤ |value domain| rows per feature,
+  // ~50/11 here and bounded by the DOMAIN at any corpus size), then
+  // a per-feature cumulative window turns value counts into split
+  // candidates (split at v = "feature ≤ v"). The split criterion is
+  // the weighted Gini numerator posL·negL·nR + posR·negR·nL over
+  // denominator nL·nR — the exact rational form of
+  // (nL·IL + nR·IR)/n with constants dropped — floored to a scaled
+  // integer via DECIMAL widening (the product exceeds BIGINT at
+  // sf0.1's row count ×1e9), so argmin + tiebreak (value asc) is
+  // deterministic on both engines. Emits each feature's best split
+  // and flags the global winner; the 2-row global window is
+  // value-domain bounded (|features|).
+  def qStumpTrain(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      floor(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val melted = base.selectExpr(
+      "stack(2, 'disc', disc, 'qty', qty) AS (feature, v)", "y")
+    val perVal = melted.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("n_v"), sum(col("y")).as("pos_v"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("v"))
+    val cum = perVal
+      .withColumn("nl", sum(col("n_v")).over(wCum))
+      .withColumn("posl", sum(col("pos_v")).over(wCum))
+    val tot = perVal.groupBy(col("feature"))
+      .agg(sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"))
+    val cand = cum.join(broadcast(tot), "feature")
+      .filter(col("nl") < col("n")) // "everything left" is not a split
+      .withColumn("negl", col("nl") - col("posl"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("posr", col("pos") - col("posl"))
+      .withColumn("negr", col("nr") - col("posr"))
+      .withColumn("score_e9", expr(
+        """CAST(CAST(1000000000 AS DECIMAL(38,0))
+          |  * (posl * negl * nr + posr * negr * nl) div (nl * nr) AS BIGINT)"""
+          .stripMargin))
+    val wBest = Window.partitionBy(col("feature"))
+      .orderBy(col("score_e9"), col("v"))
+    val best = cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("feature"), col("v").as("thr"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        col("nr").as("n_right"), col("posr").as("pos_right"), col("score_e9"))
+    // |features|-row frame: the global winner flag (bounded window)
+    val wAll = Window.orderBy(col("score_e9"), col("feature"))
+    best.withColumn("is_best", (row_number().over(wAll) === 1).cast("long"))
+      .orderBy(col("feature"))
+  }
+
+  val qStumpTrainSql: String =
+    """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |m AS (SELECT 'disc' AS feature, disc AS v, y FROM b
+      |  UNION ALL SELECT 'qty', qty, y FROM b),
+      |pv AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+      |  CAST(sum(y) AS BIGINT) AS pos_v FROM m GROUP BY 1, 2),
+      |cum AS (SELECT feature, v,
+      |  CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS nl,
+      |  CAST(sum(pos_v) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS posl
+      |  FROM pv),
+      |tot AS (SELECT feature, CAST(sum(n_v) AS BIGINT) AS n,
+      |  CAST(sum(pos_v) AS BIGINT) AS pos FROM pv GROUP BY 1),
+      |cand AS (SELECT c.feature, c.v, c.nl, c.posl, c.nl - c.posl AS negl,
+      |  t.n - c.nl AS nr, t.pos - c.posl AS posr,
+      |  (t.n - c.nl) - (t.pos - c.posl) AS negr
+      |  FROM cum c JOIN tot t USING (feature) WHERE c.nl < t.n),
+      |sc AS (SELECT feature, v, nl, posl, nr, posr,
+      |  CAST((1000000000::HUGEINT * (posl * negl * nr + posr * negr * nl))
+      |    // (nl::HUGEINT * nr) AS BIGINT) AS score_e9
+      |  FROM cand),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY score_e9, v) AS rn
+      |  FROM sc),
+      |best AS (SELECT feature, v AS thr, nl AS n_left, posl AS pos_left,
+      |  nr AS n_right, posr AS pos_right, score_e9 FROM r WHERE rn = 1),
+      |g AS (SELECT *, row_number() OVER (ORDER BY score_e9, feature) AS grn FROM best)
+      |SELECT feature, thr, n_left, pos_left, n_right, pos_right, score_e9,
+      |  CAST(CASE WHEN grn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+      |FROM g ORDER BY feature""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_stump_train" -> (qStumpTrain _),
     "ml_pinball_eval" -> (qPinballEval _),
     "ml_permutation_test" -> (qPermutationTest _),
     "ml_stratified_ate" -> (qStratifiedAte _),
@@ -2442,6 +2531,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_stump_train" -> qStumpTrainSql,
     "ml_stratified_ate" -> qStratifiedAteSql,
     "ml_permutation_test" -> qPermutationTestSql,
     "ml_pinball_eval" -> qPinballEvalSql,

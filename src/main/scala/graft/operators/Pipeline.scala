@@ -687,6 +687,53 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
        |WHERE rk <= $ResvK ORDER BY source, rk""".stripMargin
 
   // ---------------------------------------------------------------
+  // RANDOMIZED RESPONSE (Warner's design) — the local-privacy
+  // counting protocol: each respondent reports the TRUTH of a
+  // sensitive binary attribute (doc lang = 'en') only when their
+  // first md5 coin says so (q = 1/2), otherwise they report a second
+  // independent md5 coin — so no individual report reveals the
+  // attribute, yet the population count debiases exactly:
+  // E[obs] = q·T + (1−q)·n/2 ⇒ T̂ = (4·obs − n)/2 at q = 1/2. Both
+  // coins are md5 buckets (the qSplit convention — deterministic on
+  // both engines), so the gate checks the whole mechanism in exact
+  // integers: the reported count, the estimator numerator
+  // (est = est_x2/2), and its doubled absolute error vs the true
+  // count. Map-only over the corpus + one per-source fold; the
+  // estimator's concentration (err shrinks relative to n) is what a
+  // privacy-budget review reads off this table.
+  def qRandResponse(s: SparkSession, dir: String): DataFrame = {
+    val coin = (tag: String) =>
+      conv(substring(md5(concat(lit(tag), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000000L < 500000L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("truth"))
+      .withColumn("report",
+        when(coin("rr1_"), col("truth")).otherwise(coin("rr2_")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("truth").cast("long")).as("n_true"),
+        sum(col("report").cast("long")).as("n_reported"))
+      .withColumn("est_x2", expr("4 * n_reported - n"))
+      .withColumn("err_x2", abs(col("est_x2") - lit(2L) * col("n_true")))
+      .orderBy(col("source"))
+  }
+
+  val qRandResponseSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+      |    CASE WHEN ('0x' || substr(md5('rr1_' || doc_id), 1, 15))::BIGINT % 1000000 < 500000
+      |         THEN CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      |         ELSE CASE WHEN ('0x' || substr(md5('rr2_' || doc_id), 1, 15))::BIGINT % 1000000 < 500000
+      |              THEN 1 ELSE 0 END END AS report
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(truth) AS BIGINT) AS n_true,
+      |  CAST(sum(report) AS BIGINT) AS n_reported,
+      |  CAST(4 * sum(report) - count(*) AS BIGINT) AS est_x2,
+      |  CAST(abs(4 * sum(report) - count(*) - 2 * sum(truth)) AS BIGINT) AS err_x2
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // PII REDACTION — the log-scrubbing pass telemetry goes through
   // before leaving its trust boundary: every digit in the free-form
   // `props` payload masks to '#' (numbers are the id/quasi-identifier
@@ -2103,6 +2150,7 @@ FROM j ORDER BY source"""
     "pipe_curriculum" -> (qCurriculum _),
     "samp_weighted" -> (qWeightedSample _),
     "pii_redact" -> (qRedact _),
+    "pii_rand_response" -> (qRandResponse _),
     "pii_kanon" -> (qKAnon _),
     "pipe_source_gini" -> (qSourceGini _),
     "pipeline_partial_merge" -> (qPartialMerge _),
@@ -2140,6 +2188,7 @@ FROM j ORDER BY source"""
     "pipe_curriculum" -> qCurriculumSql,
     "samp_weighted" -> qWeightedSampleSql,
     "pii_redact" -> qRedactSql,
+    "pii_rand_response" -> qRandResponseSql,
     "pii_kanon" -> qKAnonSql,
     "pipe_source_gini" -> qSourceGiniSql,
     "pipe_waterfill_budget" -> qWaterfillBudgetSql,

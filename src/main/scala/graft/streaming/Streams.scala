@@ -1425,6 +1425,47 @@ object Streams {
        |ORDER BY s.user_id, s.start_us""".stripMargin
 
   // ---------------------------------------------------------------
+  // transformWithState EVENT-TIME TIMERS — the timer half of the
+  // Spark 4 arbitrary-state API ([[qStreamTws]] covers the state
+  // variables): the SAME session semantics as
+  // [[qStreamSessionTimeout]], re-expressed as a StatefulProcessor
+  // on TimeMode.EventTime — every state update re-arms a REGISTERED
+  // TIMER at (last + gap) ms (deleting the stale one first — tws
+  // timers are multi-shot, an un-deleted old timer would fire a
+  // phantom close), and `handleExpiredTimer` drains the open session
+  // when the watermark passes the mark. Gated against the identical
+  // closed-form oracle as the GroupState version: successor-closed
+  // sessions plus timeout-closed finals strictly inside the final
+  // ms-granular watermark — proving the two state APIs implement the
+  // same timer contract. Runs on the RocksDB provider (required by
+  // transformWithState).
+  def qStreamTwsTimers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runBounded(s, dir, "append") { stream =>
+        import s.implicits._
+        stream
+          .withWatermark("ts", "1 hour")
+          // the watermarked ts attribute must survive into the
+          // operator's direct input (the EventTimeTimeout lesson)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("ts"))
+          .as[(Long, Long, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new TwsSessionizer(SessionGapUs), TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_us", "n_events", "duration_us", "closed_by")
+      }.orderBy(col("user_id"), col("start_us"))
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // STREAMING DRIFT MONITOR — [[graft.operators.Temporal.qDrift]]'s
   // chi-square statistic composed into the streaming surface, per
   // CLOSED hour window: the watermarked windowed count (append mode —
@@ -1716,6 +1757,7 @@ object Streams {
     "src_range_stream_restart" -> (qSrcRangeStreamRestart _),
     "stream_stateful_counts" -> (qStatefulCounts _),
     "stream_tws_profile" -> (qStreamTws _),
+    "stream_tws_timers" -> (qStreamTwsTimers _),
     "stream_state_reader" -> (qStateReader _),
     "stream_stream_join" -> (qStreamStreamJoin _),
     "stream_dedup" -> (qStreamDedup _),
@@ -1743,6 +1785,7 @@ object Streams {
     "src_range_stream_restart" -> qSrcRangeStreamRestartSql,
     "stream_stateful_counts" -> qStatefulCountsSql,
     "stream_tws_profile" -> qStreamTwsSql,
+    "stream_tws_timers" -> qStreamSessionTimeoutSql,
     "stream_state_reader" -> qStateReaderSql,
     "stream_stream_join" -> qStreamStreamJoinSql,
     "stream_dedup" -> qStreamDedupSql,
@@ -1787,5 +1830,73 @@ class TwsUserProfile
     val snap = types.iterator().toArray
     val (topT, topC) = snap.minBy { case (t, c) => (-c, t) }
     Iterator.single((key, n, sum, snap.length.toLong, topT, topC))
+  }
+}
+
+/** The [[Streams.qStreamTwsTimers]] processor: one ValueState row per
+  * open session (start, last, n, armed-timer-ms); handleInputRows
+  * folds the batch's events in (ts, event_id) order, closing on
+  * gap-exceeding successors, then re-arms ONE timer at
+  * floor((last+gap)/1000) — deleting the previously armed mark, since
+  * tws timers accumulate rather than replace. handleExpiredTimer
+  * drains the open session when the watermark passes the armed mark;
+  * the expiry echo is cross-checked against state so a stale timer
+  * (already superseded in the same batch) closes nothing. */
+class TwsSessionizer(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, java.sql.Timestamp), (Long, Long, Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var sess
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long, Long)](
+      "sess", E.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long, String)] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    val closed =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String)]()
+    var open: Option[(Long, Long, Long)] =
+      if (sess.exists()) {
+        val (st, last, n, timer) = sess.get()
+        if (timer >= 0) getHandle.deleteTimer(timer)
+        Some((st, last, n))
+      } else None
+    sorted.foreach { case (_, ts, _, _) =>
+      open match {
+        case Some((st, last, n)) if ts - last <= gapUs =>
+          open = Some((st, ts, n + 1))
+        case Some((st, last, n)) =>
+          closed += ((user, st, n, last - st, "succ"))
+          open = Some((ts, ts, 1L))
+        case None =>
+          open = Some((ts, ts, 1L))
+      }
+    }
+    open match {
+      case Some((st, last, n)) =>
+        val t = (last + gapUs) / 1000L
+        getHandle.registerTimer(t)
+        sess.update((st, last, n, t))
+      case None => sess.clear()
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long, timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long, String)] = {
+    if (!sess.exists()) return Iterator.empty
+    val (st, last, n, timer) = sess.get()
+    if (expiredTimerInfo.getExpiryTimeInMs() != timer) return Iterator.empty
+    sess.clear()
+    Iterator.single((user, st, n, last - st, "timeout"))
   }
 }

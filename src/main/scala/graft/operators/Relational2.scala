@@ -947,6 +947,10 @@ object Relational2 {
   // row-by-row or n_xpath_mismatch breaks).
   def q46XmlShred(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir)
+      // StAX parsing is the per-row cost here (~2 parses/row): widen
+      // off the single-file scan's ~3 partitions before the kernel
+      // (the CLAUDE.md repartition-before-CPU-bound rule)
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       .select(col("o_orderpriority").as("pri"),
         concat(lit("<o><k>"), col("o_orderkey"), lit("</k><c>"),
           round(col("o_totalprice") * 100).cast("long"), lit("</c><s>"),

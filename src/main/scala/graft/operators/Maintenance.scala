@@ -1085,7 +1085,68 @@ object Maintenance {
        |FROM v JOIN range(0, $TtV2End) t(i) ON i >= lo AND i < hi
        |GROUP BY scope ORDER BY scope""".stripMargin
 
+  // ---------------------------------------------------------------
+  // INCREMENTAL VIEW MAINTENANCE — the aggregate-state merge that
+  // keeps a materialized rollup current WITHOUT recomputing it: the
+  // base snapshot's partial aggregates (n, sum, min, max per
+  // (priority, status) — all self-mergeable states) FULL-OUTER merge
+  // with the delta batch's partials via coalesce-arithmetic, exactly
+  // how Spark's own partial→final aggregation merges map-side states
+  // across partitions — lifted one level, across TIME. The delta
+  // deliberately INTRODUCES a group the base never saw ('1-URGENT'
+  // is withheld from the snapshot), so the merge's null-handling is
+  // load-bearing, and the gate compares the merged view against the
+  // full recompute group-by-group (`ivm_matches` must be 1
+  // everywhere — the oracle asserts the constant). At 100 TB this is
+  // the difference between touching the delta and touching the
+  // corpus: the merge's cost is |delta| + |view|, never |base|.
+  def qIvm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val inBase = col("k") % 5 =!= 0 && col("pri") =!= "1-URGENT"
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("pri"), col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+    val baseView = agg(o.filter(inBase)).localCheckpoint() // the materialized view
+    val deltaAgg = agg(o.filter(!inBase))
+    val merged = baseView
+      .select(col("pri"), col("st"), col("n").as("bn"), col("sum_cents").as("bs"),
+        col("min_key").as("bmin"), col("max_key").as("bmax"))
+      .join(deltaAgg
+        .select(col("pri"), col("st"), col("n").as("dn"), col("sum_cents").as("ds"),
+          col("min_key").as("dmin"), col("max_key").as("dmax")),
+        Seq("pri", "st"), "full_outer")
+      .select(col("pri"), col("st"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_cents"),
+        least(coalesce(col("bmin"), col("dmin")), coalesce(col("dmin"), col("bmin")))
+          .as("min_key"),
+        greatest(coalesce(col("bmax"), col("dmax")), coalesce(col("dmax"), col("bmax")))
+          .as("max_key"))
+    val full = agg(o)
+      .select(col("pri"), col("st"), col("n").as("fn"), col("sum_cents").as("fs"),
+        col("min_key").as("fmin"), col("max_key").as("fmax"))
+    merged.join(full, Seq("pri", "st"), "full_outer")
+      .select(col("pri"), col("st"), col("n"), col("sum_cents"),
+        col("min_key"), col("max_key"),
+        (col("n") === col("fn") && col("sum_cents") === col("fs") &&
+          col("min_key") === col("fmin") && col("max_key") === col("fmax"))
+          .cast("long").as("ivm_matches"))
+      .orderBy(col("pri"), col("st"))
+  }
+
+  val qIvmSql: String =
+    """SELECT o_orderpriority AS pri, o_orderstatus AS st,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(1 AS BIGINT) AS ivm_matches
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_ivm" -> (qIvm _),
     "maint_time_travel" -> (qTimeTravel _),
     "maint_bloom_file_skip" -> (qBloomFileSkip _),
     "maint_wap" -> (qWap _),
@@ -1105,6 +1166,7 @@ object Maintenance {
     "maint_schema_evolve" -> (qSchemaEvolve _))
 
   val oracles: Map[String, String] = Map(
+    "maint_ivm" -> qIvmSql,
     "maint_bloom_file_skip" -> qBloomFileSkipSql,
     "maint_time_travel" -> qTimeTravelSql,
     "maint_wap" -> qWapSql,

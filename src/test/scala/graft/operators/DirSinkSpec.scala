@@ -220,6 +220,58 @@ class DirSinkSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.merge_spec")
   }
 
+  test("procedure catalog: grid lists, resolves, computes, and refuses unknowns") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val cat = new graft.sources.GraftCatalog()
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val ns = Array("default")
+    assert(cat.listProcedures(ns).map(_.name()).toSeq == Seq("grid"))
+    intercept[IllegalArgumentException] {
+      cat.loadProcedure(Identifier.of(ns, "nope"))
+    }
+    // CALL result replays the shared step formula, short tail included
+    val rows = spark.sql("CALL graft.grid(10, 95, 4)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val step = math.max(1L, (95L - 10L + 3L) / 4L) // 22
+    val exp = (0 until 4).flatMap { k =>
+      val a = 10L + k * step; val b = math.min(95L, a + step)
+      if (a < b) Some((k.toLong, a, b, b - a)) else None
+    }
+    assert(rows.toSeq == exp)
+    assert(rows.map(_._4).sum == 85L, "slices tile the range exactly")
+    // degenerate: more slices than rows — empty tail slices dropped
+    val tiny = spark.sql("CALL graft.grid(0, 3, 8)").collect()
+    assert(tiny.map(_.getLong(3)).sum == 3L && tiny.length == 3)
+  }
+
+  test("state sources: statestore rows and state-metadata operator listing agree") {
+    val base = Files.createTempDirectory("graft_statemeta_")
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      val src = spark.readStream.format("graft.sources.RangeTableProvider")
+        .option("start", "0").option("end", "40000")
+        .option("slices", "4").option("batchRows", "20000")
+        .load()
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("sm_gate").outputMode("update")
+        .option("checkpointLocation", ckpt).start()
+      try src.processAllAvailable() finally src.stop()
+      spark.catalog.dropTempView("sm_gate")
+      // operator metadata: one stateful operator across both batches
+      val meta = spark.read.format("state-metadata").load(ckpt).collect()
+      assert(meta.length == 1)
+      val m = meta.head
+      assert(m.getAs[String]("operatorName") == "stateStoreSave")
+      assert(m.getAs[Long]("minBatchId") == 0L && m.getAs[Long]("maxBatchId") == 1L)
+      // state rows: 16 buckets, each counted 40000/16 across epochs
+      // the value struct carries the AGG BUFFER's field names (count)
+      val st = spark.read.format("statestore").load(ckpt)
+        .select(col("key.bucket"), col("value.count")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(st.length == 16 && st.forall(_._2 == 2500L))
+    } finally graft.sources.DirSink.deleteRecursively(base)
+  }
+
   test("admission control: read limits clamp, compose, and never regress") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val s = new RangeMicroBatchStream(0L, 100000L, 4, 10000L)

@@ -687,6 +687,138 @@ FROM agg a, tot t ORDER BY a.thr_ppm"""
        |WHERE rk <= $ResvK ORDER BY source, rk""".stripMargin
 
   // ---------------------------------------------------------------
+  // NEYMAN ALLOCATION — optimal stratified-sample sizing, the
+  // estimation-theory step between "how much per stratum" intuition
+  // and a defensible budget: allocate n_h ∝ N_h·S_h (stratum size ×
+  // standard deviation), which minimizes the stratified estimator's
+  // variance at a fixed total budget. Everything stays exact-integer
+  // cross-engine: the population variance in cents² is the floored
+  // rational (N·Σy² − (Σy)²) div N² over DECIMAL(38)/HUGEINT
+  // widening, and S_h is the EXACT INTEGER SQRT — floor(sqrt(x)) via
+  // the correctly-rounded IEEE double sqrt, then CLAMPED by one
+  // integer step in each direction (s² ≤ x < (s+1)²), so the last-ulp
+  // rounding of either engine's sqrt cannot move the result (the
+  // libm-in-gated-values rule does not apply: sqrt is the one libm
+  // function IEEE 754 requires correctly rounded, and the clamp makes
+  // even that assumption unnecessary). Budget apportionment is
+  // largest-remainder (Hamilton) over the |strata|-row frame.
+  private val NeymanBudget = 10000L
+
+  def qNeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("cents").cast("decimal(38,0)")).as("s1"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("s2"))
+      .withColumn("varint", expr(
+        "CAST((n_h * s2 - s1 * s1) div (cast(n_h as decimal(38,0)) * n_h) AS BIGINT)"))
+      .withColumn("s0", floor(sqrt(col("varint").cast("double"))).cast("long"))
+      .withColumn("sa", expr("s0 - CASE WHEN s0 * s0 > varint THEN 1 ELSE 0 END"))
+      .withColumn("s_int",
+        expr("sa + CASE WHEN (sa + 1) * (sa + 1) <= varint THEN 1 ELSE 0 END"))
+      .withColumn("weight", col("n_h") * col("s_int"))
+    // |strata|-row metadata frame: totals + largest-remainder ranking
+    val full = Window.orderBy(col("pri"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val b = NeymanBudget
+    st.withColumn("sw", sum(col("weight")).over(full))
+      .withColumn("alloc0", expr(s"$b * weight div sw"))
+      .withColumn("rem", expr(s"($b * weight) % sw"))
+      .withColumn("deficit", lit(b) - sum(col("alloc0")).over(full))
+      .withColumn("rn", row_number().over(Window.orderBy(col("rem").desc, col("pri"))))
+      .select(col("pri"), col("n_h"), col("s_int"), col("weight"),
+        (col("alloc0") + when(col("rn") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("pri"))
+  }
+
+  val qNeymanAllocSql: String =
+    s"""WITH c AS (SELECT o_orderpriority AS pri,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+       |st AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_h,
+       |  CAST(sum(cents) AS HUGEINT) AS s1,
+       |  CAST(sum(cents::HUGEINT * cents) AS HUGEINT) AS s2 FROM c GROUP BY 1),
+       |v AS (SELECT pri, n_h,
+       |  CAST((n_h * s2 - s1 * s1) // (n_h::HUGEINT * n_h) AS BIGINT) AS varint FROM st),
+       |r0 AS (SELECT *, CAST(floor(sqrt(varint::DOUBLE)) AS BIGINT) AS s0 FROM v),
+       |r1 AS (SELECT *, s0 - CASE WHEN s0 * s0 > varint THEN 1 ELSE 0 END AS sa FROM r0),
+       |r2 AS (SELECT pri, n_h, varint,
+       |  sa + CASE WHEN (sa + 1) * (sa + 1) <= varint THEN 1 ELSE 0 END AS s_int FROM r1),
+       |w AS (SELECT pri, n_h, s_int, n_h * s_int AS weight FROM r2),
+       |t AS (SELECT CAST(sum(weight) AS BIGINT) AS sw FROM w),
+       |a AS (SELECT pri, n_h, s_int, weight,
+       |  CAST($NeymanBudget * weight // t.sw AS BIGINT) AS alloc0,
+       |  CAST(($NeymanBudget * weight) % t.sw AS BIGINT) AS rem FROM w, t),
+       |d AS (SELECT CAST($NeymanBudget - sum(alloc0) AS BIGINT) AS deficit FROM a),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, pri) AS rn FROM a)
+       |SELECT pri, n_h, s_int, CAST(weight AS BIGINT) AS weight,
+       |  CAST(alloc0 + CASE WHEN rn <= d.deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM rk, d ORDER BY pri""".stripMargin
+
+  // POISSON PPS + HORVITZ–THOMPSON — the unequal-probability
+  // estimation pair Neyman allocation's equal-π cousin can't cover:
+  // each customer enters the sample independently with probability
+  // proportional to its SIZE measure (π_i = min(1, K·x_i/Σx), x =
+  // positive-clipped balance cents), decided by an md5 uniform, and
+  // the HT estimator reweights every sampled unit by 1/π_i so the
+  // estimate is unbiased for the population total REGARDLESS of the
+  // skewed inclusion design. The target variable is shifted
+  // (+100000 cents) to keep every operand non-negative — integer
+  // `div`/`//` diverge below zero (CLAUDE.md) — and each HT term is
+  // floored individually (sum-of-floors: both engines floor the same
+  // integers, order-independent). The gate carries population truth,
+  // the HT estimate, and its per-mille error per segment — the
+  // unbiasedness a sampling-pipeline review actually audits.
+  private val PpsK = 300L
+  private val PpsShift = 100000L
+
+  def qPoissonHt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("x", greatest(col("cents"), lit(1L)))
+      .withColumn("y", col("cents") + lit(PpsShift))
+    // Σx: one global scalar (broadcast-attached, not a window)
+    val tot = c.agg(sum(col("x")).as("sx"))
+    val u = conv(substring(md5(concat(lit("pps_"), col("k").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    c.crossJoin(broadcast(tot))
+      .withColumn("pi_ppm", least(lit(1000000L), expr(s"$PpsK * x * 1000000 div sx")))
+      .withColumn("inc", (u < col("pi_ppm")).cast("long"))
+      .withColumn("ht_term", expr("CASE WHEN inc = 1 THEN y * 1000000 div pi_ppm ELSE 0 END"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("inc")).as("n_sampled"),
+        sum(col("y")).as("true_total"),
+        sum(col("ht_term")).as("ht_est"))
+      .withColumn("err_pm",
+        expr("abs(ht_est - true_total) * 1000 div greatest(true_total, 1)"))
+      .orderBy(col("seg"))
+  }
+
+  val qPoissonHtSql: String =
+    s"""WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       |b AS (SELECT k, seg, greatest(cents, 1) AS x, cents + $PpsShift AS y FROM c),
+       |t AS (SELECT CAST(sum(x) AS BIGINT) AS sx FROM b),
+       |p AS (SELECT k, seg, y,
+       |  least(1000000, $PpsK * x * 1000000 // t.sx) AS pi_ppm,
+       |  CASE WHEN ('0x' || substr(md5('pps_' || k), 1, 15))::BIGINT % 1000000
+       |       < least(1000000, $PpsK * x * 1000000 // t.sx) THEN 1 ELSE 0 END AS inc
+       |  FROM b, t)
+       |SELECT seg, CAST(count(*) AS BIGINT) AS n_pop,
+       |  CAST(sum(inc) AS BIGINT) AS n_sampled,
+       |  CAST(sum(y) AS BIGINT) AS true_total,
+       |  CAST(sum(CASE WHEN inc = 1 THEN y * 1000000 // pi_ppm ELSE 0 END) AS BIGINT) AS ht_est,
+       |  CAST(abs(sum(CASE WHEN inc = 1 THEN y * 1000000 // pi_ppm ELSE 0 END) - sum(y))
+       |    * 1000 // greatest(sum(y), 1) AS BIGINT) AS err_pm
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // RANDOMIZED RESPONSE (Warner's design) — the local-privacy
   // counting protocol: each respondent reports the TRUTH of a
   // sensitive binary attribute (doc lang = 'en') only when their
@@ -2151,6 +2283,8 @@ FROM j ORDER BY source"""
     "samp_weighted" -> (qWeightedSample _),
     "pii_redact" -> (qRedact _),
     "pii_rand_response" -> (qRandResponse _),
+    "samp_neyman_alloc" -> (qNeymanAlloc _),
+    "samp_poisson_ht" -> (qPoissonHt _),
     "pii_kanon" -> (qKAnon _),
     "pipe_source_gini" -> (qSourceGini _),
     "pipeline_partial_merge" -> (qPartialMerge _),
@@ -2189,6 +2323,8 @@ FROM j ORDER BY source"""
     "samp_weighted" -> qWeightedSampleSql,
     "pii_redact" -> qRedactSql,
     "pii_rand_response" -> qRandResponseSql,
+    "samp_neyman_alloc" -> qNeymanAllocSql,
+    "samp_poisson_ht" -> qPoissonHtSql,
     "pii_kanon" -> qKAnonSql,
     "pipe_source_gini" -> qSourceGiniSql,
     "pipe_waterfill_budget" -> qWaterfillBudgetSql,

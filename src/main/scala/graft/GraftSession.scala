@@ -24,10 +24,58 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** RAM-backed scratch root when the platform has one (/dev/shm on
+    * Linux), else None. Micro-batch streaming fsyncs its offset log,
+    * commit log and state-store deltas once per batch; on a
+    * disk-backed /tmp those fsyncs are the dominant FIXED cost of
+    * every bounded streaming gate (measured: the 25-query streaming
+    * family spent ~98s min-of-2 at sf0.1 with /tmp on ext4). On a
+    * real cluster this is the "give the state store and shuffle a
+    * fast local NVMe" deployment rule; locally tmpfs is that disk. */
+  private lazy val shmRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
+
+  /** Per-call scratch dir for streaming checkpoints, staged stream
+    * inputs and file-sink outputs — tmpfs-backed when available.
+    * Callers sweep it in their finally blocks ([[sweep]]);
+    * correctness-neutral either way (paths are fresh temp dirs). */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    shmRoot match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None       => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
+  /** Root for the library's per-application scratch warehouse
+    * (DSv2 catalog tables, compaction/vacuum/retention fixtures,
+    * quarantine CSVs, the exactly-once sink's versioned targets) —
+    * tmpfs-backed when available, /tmp otherwise. Same rationale as
+    * [[scratchDir]]: these tables are rewritten from the source
+    * parquet on every (session, sfDir) change, so placement is
+    * correctness-neutral; on a cluster this is the job's scratch
+    * bucket / local SSD staging dir. */
+  def warehouseRoot(s: SparkSession): String =
+    shmRoot.fold("/tmp")(_.toString) +
+      s"/graft_warehouse_${s.sparkContext.applicationId}"
+
+  /** Recursive delete of a scratch tree (children before parents). */
+  def sweep(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(base)) {
+      val walked = java.nio.file.Files.walk(base)
+      try walked.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   /** Builder preloaded with the recommended configuration; callers
     * override as needed before `getOrCreate()`. */
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,6 +85,12 @@ object GraftSession {
       // mounts): planning-only, inert for every other source
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // shuffle blocks, spills and RocksDB state-store working dirs on
+    // the fast local medium (the cluster deployment rule is NVMe
+    // spark.local.dir; locally that is tmpfs). Spark sweeps its
+    // blockmgr-*/spark-* subdirs on session stop.
+    shmRoot.fold(b)(root => b.config("spark.local.dir", root.toString))
+  }
 
   /** Local session on `cpus` threads with matching shuffle width. */
   def local(cpus: Int, appName: String = "graft"): SparkSession = {

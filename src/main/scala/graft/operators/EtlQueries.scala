@@ -101,7 +101,7 @@ object EtlQueries {
   @volatile private var quarantineFor: (SparkSession, String) = null
 
   private def quarantineCsvPath(s: SparkSession, dir: String): String = synchronized {
-    val path = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/quarantine_csv"
+    val path = graft.GraftSession.warehouseRoot(s) + s"/quarantine_csv"
     if (quarantineFor == ((s, dir))) return path
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -161,7 +161,7 @@ object EtlQueries {
   @volatile private var roundtripFor: (SparkSession, String) = null
 
   private def roundtripPaths(s: SparkSession, dir: String): (String, String) = synchronized {
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    val base = graft.GraftSession.warehouseRoot(s)
     val (jsonPath, orcPath) = (s"$base/events_jsonl", s"$base/events_orc")
     if (roundtripFor == ((s, dir))) return (jsonPath, orcPath)
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -483,7 +483,7 @@ object EtlQueries {
   // The injected-abort path (no partial output after a killed task)
   // is spec-asserted in DirSinkSpec — a failed job isn't SQL.
   def qRangeWrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_").toString
+    val tmp = graft.GraftSession.scratchDir("graft_dirsink_").toString
     def rows(a: Long, b: Long) = s.read.format("graft.sources.RangeTableProvider")
       .option("start", a.toString).option("end", b.toString).option("slices", "8")
       .load()
@@ -579,7 +579,7 @@ object EtlQueries {
   private val CwEnd = 16000L
 
   def qRangeWriteClustered(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_cl_").toString
+    val tmp = graft.GraftSession.scratchDir("graft_dirsink_cl_").toString
     s.read.format("graft.sources.RangeTableProvider")
       .option("start", "0").option("end", CwEnd.toString).option("slices", "8")
       .load()
@@ -838,12 +838,13 @@ object EtlQueries {
   // validates typed parameters, the driver computes the range
   // table's planning grid WITHOUT scanning, and the result comes
   // back as a LocalScan relation. The gate calls it on a grid whose
-  // row count does NOT divide the slice count (173000/8 — a short
-  // tail slice) and checks every (slice, lo, hi, n_rows) against the
-  // closed form; a second CALL composes the procedure output with a
-  // regular aggregate to prove it's a first-class relation.
+  // row count does NOT divide the slice count (173100/8 → step 21638
+  // with a 21634-row short tail slice) and checks every (slice, lo,
+  // hi, n_rows) against the closed form; a second CALL composes the
+  // procedure output with a regular aggregate to prove it's a
+  // first-class relation.
   private val ProcLo = 1000L
-  private val ProcHi = 174000L
+  private val ProcHi = 174100L
   private val ProcSlices = 8L
 
   def qCatalogProcedure(s: SparkSession, dir: String): DataFrame = {

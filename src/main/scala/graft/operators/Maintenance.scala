@@ -32,7 +32,7 @@ object Maintenance {
     // app-id suffix: two concurrent sessions (e.g. Verify and sbt
     // test) running the query must not clobber each other's files
     // mid-read; the per-application path isolates them.
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/compact"
+    val base = graft.GraftSession.warehouseRoot(s) + s"/compact"
     val fragPath = s"$base/orders_frag"
     val outPath = s"$base/orders_compacted"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -212,7 +212,7 @@ object Maintenance {
   // history to add a column is not an option; footer-schema union at
   // planning time (+ per-file column pruning) is.
   def qSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/schema_evolve"
+    val base = graft.GraftSession.warehouseRoot(s) + s"/schema_evolve"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     val orders = Tables.orders(s, dir)
@@ -380,7 +380,7 @@ object Maintenance {
     * side — exactly the on-disk dimension-table shape a warehouse
     * has anyway. */
   private def dppTablePaths(s: SparkSession, dir: String): (String, String) = synchronized {
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    val base = graft.GraftSession.warehouseRoot(s)
     val (factPath, calPath) = (s"$base/orders_by_month", s"$base/calendar")
     if (dppFor == ((s, dir))) return (factPath, calPath)
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -436,7 +436,7 @@ object Maintenance {
 
   def qRetentionExpire(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/orders_retention"
+    val path = graft.GraftSession.warehouseRoot(s) + s"/orders_retention"
     val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
     Tables.orders(s, dir)
@@ -487,7 +487,7 @@ object Maintenance {
   private val VacuumSnapshotFiles = 4
 
   def qVacuum(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/vacuum"
+    val base = graft.GraftSession.warehouseRoot(s) + s"/vacuum"
     val tablePath = s"$base/orders_snap"
     val scratch = s"$base/scratch"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -835,7 +835,7 @@ object Maintenance {
   // table size.
   def qWap(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.DirSink
-    val base = java.nio.file.Files.createTempDirectory("graft_wap_")
+    val base = graft.GraftSession.scratchDir("graft_wap_")
     val main = base.resolve("main").toString
     def rows(a: Long, b: Long, nullEvery: Option[Long]) = {
       val r = s.read.format("graft.sources.RangeTableProvider")
@@ -1042,7 +1042,7 @@ object Maintenance {
   private val TtV3End = 20000L
 
   def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dirsink_tt_").toString
+    val tmp = graft.GraftSession.scratchDir("graft_dirsink_tt_").toString
     def rows(a: Long, b: Long) = s.read.format("graft.sources.RangeTableProvider")
       .option("start", a.toString).option("end", b.toString).option("slices", "8")
       .load()

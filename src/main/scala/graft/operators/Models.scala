@@ -2449,8 +2449,15 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
       .withColumn("posr", col("pos") - col("posl"))
       .withColumn("negr", col("nr") - col("posr"))
       .withColumn("score_e9", expr(
-        """CAST(CAST(1000000000 AS DECIMAL(38,0))
-          |  * (posl * negl * nr + posr * negr * nl) div (nl * nr) AS BIGINT)"""
+        // the INNER Gini product is widened too (not just the 1e9
+        // factor): posl*negl*nr in raw BIGINT wraps silently on Spark
+        // (non-ANSI long multiply) at ~2.1M rows/feature while DuckDB
+        // raises — the whole numerator rides DECIMAL(38,0)/HUGEINT so
+        // the any-scale claim holds on both engines (r15 ADVICE)
+        """CAST((CAST(1000000000 AS DECIMAL(38,0))
+          |  * (CAST(posl AS DECIMAL(38,0)) * negl * nr
+          |     + CAST(posr AS DECIMAL(38,0)) * negr * nl))
+          |  div (nl * nr) AS BIGINT)"""
           .stripMargin))
     val wBest = Window.partitionBy(col("feature"))
       .orderBy(col("score_e9"), col("v"))
@@ -2485,7 +2492,7 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
       |  (t.n - c.nl) - (t.pos - c.posl) AS negr
       |  FROM cum c JOIN tot t USING (feature) WHERE c.nl < t.n),
       |sc AS (SELECT feature, v, nl, posl, nr, posr,
-      |  CAST((1000000000::HUGEINT * (posl * negl * nr + posr * negr * nl))
+      |  CAST((1000000000::HUGEINT * (posl::HUGEINT * negl * nr + posr::HUGEINT * negr * nl))
       |    // (nl::HUGEINT * nr) AS BIGINT) AS score_e9
       |  FROM cand),
       |r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY score_e9, v) AS rn

@@ -337,7 +337,7 @@ object Relational2 {
     // app-id suffix: a concurrent session (e.g. Verify next to sbt
     // test) must not delete/rewrite this session's bucket files
     // mid-read.
-    val wh = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}"
+    val wh = graft.GraftSession.warehouseRoot(s)
     s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buck LOCATION '$wh'")
     // The in-memory catalog forgets tables across sessions but their
     // files survive; drop + clear the locations so re-runs are

@@ -629,8 +629,18 @@ class DirSinkReaderFactory(
     val reader = Files.newBufferedReader(Paths.get(p.file), StandardCharsets.UTF_8)
     // project at parse time: only required cells are materialized;
     // index -1 = the `_file` metadata column, served per partition
-    // (the manifest-listed name) at zero per-row compute
-    val proj: Array[Int] = requiredNames.map(n => fileFields.indexWhere(_._1 == n))
+    // (the manifest-listed name) at zero per-row compute. ONLY the
+    // metadata column may resolve to -1: any other unresolved name is
+    // a schema mismatch and must fail loudly, not silently serve the
+    // filename string (r15 ADVICE).
+    val proj: Array[Int] = requiredNames.map { n =>
+      val i = fileFields.indexWhere(_._1 == n)
+      if (i < 0 && n != DirSink.FileMetaCol)
+        throw new IllegalStateException(
+          s"required column '$n' not in file schema " +
+            fileFields.map(_._1).mkString("[", ",", "]"))
+      i
+    }
     val fileName = UTF8String.fromString(p.file.substring(p.file.lastIndexOf('/') + 1))
     new PartitionReader[InternalRow] {
       private var line: String = _

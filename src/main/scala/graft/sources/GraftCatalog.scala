@@ -110,7 +110,7 @@ class GraftCatalog extends TableCatalog
   // conf happened to be set at first catalog touch.
   private def warehouseRoot: String = {
     val s = org.apache.spark.sql.SparkSession.active
-    s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/catalog"
+    graft.GraftSession.warehouseRoot(s) + s"/catalog"
   }
 
   private def warehouseDir(name: String): String = s"$warehouseRoot/$name"

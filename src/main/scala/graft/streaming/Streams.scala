@@ -51,7 +51,7 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(path).schema // ts arrives as long nanos
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val streamDir = graft.GraftSession.scratchDir("graft_stream_")
     // the events table may be ONE parquet file or a multi-file
     // directory (the realistic layout — the r10 multi-file gate
     // caught the single-file-only symlink returning an empty stream):
@@ -80,7 +80,12 @@ object Streams {
       val stream = if (rawTs) raw else Tables.fixEventTs(raw)
       val w0 = build(stream).writeStream
         .format("memory").queryName(name).outputMode(mode)
-      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+      // always an EXPLICIT checkpoint on the scratch medium: with no
+      // checkpointLocation Spark creates its temp checkpoint under
+      // java.io.tmpdir — the disk-backed path the scratchDir exists
+      // to avoid (one fsync'd offset+commit log write per batch)
+      val ckptDir = ckpt.getOrElse(streamDir.resolve("_ckpt").toString)
+      val q = w0.option("checkpointLocation", ckptDir).start()
       try q.processAllAvailable()
       finally q.stop()
       val sink = s.table(name)
@@ -91,7 +96,7 @@ object Streams {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevPartitions)
       links.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(streamDir)
+      graft.GraftSession.sweep(streamDir)
     }
   }
 
@@ -143,21 +148,24 @@ object Streams {
       build: DataFrame => DataFrame): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    val base = java.nio.file.Files.createTempDirectory("graft_staged_")
+    val base = graft.GraftSession.scratchDir("graft_staged_")
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectory(watch)
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.fixEventTs(s.read.parquet(s"$dir/events.parquet"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
-      // checkpoint: the global ntile sort would otherwise re-run once
-      // per staged file below
-      val staged = ev.withColumn("bucket", ntile(nFiles).over(w)).localCheckpoint()
+      // ONE staging job for all nFiles (was one coalesce(1) write per
+      // file — nFiles job launches of pure scheduling overhead): the
+      // hash repartition on bucket puts each bucket's rows in exactly
+      // one task, so partitionBy(bucket) emits exactly one part file
+      // per bucket directory
+      val stageDir = base.resolve("stage").toString
+      ev.withColumn("bucket", ntile(nFiles).over(w))
+        .repartition(nFiles, col("bucket"))
+        .write.partitionBy("bucket").parquet(stageDir)
       (1 to nFiles).foreach { b =>
-        val outDir = base.resolve(s"stage_$b").toString
-        staged.filter(col("bucket") === b).drop("bucket")
-          .coalesce(1).write.parquet(outDir)
-        val part = new java.io.File(outDir).listFiles()
+        val part = new java.io.File(s"$stageDir/bucket=$b").listFiles()
           .find(f => f.getName.startsWith("part-")).get
         val target = watch.resolve(f"ev_$b%02d.parquet")
         java.nio.file.Files.move(part.toPath, target)
@@ -269,7 +277,7 @@ object Streams {
   def qSrcRangeWriteStream(s: SparkSession, dir: String): DataFrame = {
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    val base = java.nio.file.Files.createTempDirectory("graft_dirsink_stream_")
+    val base = graft.GraftSession.scratchDir("graft_dirsink_stream_")
     val sink = base.resolve("table").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(sink))
     try {
@@ -326,7 +334,7 @@ object Streams {
   // (epoch day + 4 mod 7 — 1970-01-01 was a Thursday), so the state
   // key is exact-integer on both engines.
   def qStateReader(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_state_rd_")
+    val base = graft.GraftSession.scratchDir("graft_state_rd_")
     val ckpt = base.resolve("ckpt").toString
     try {
       runBounded(s, dir, "update", ckpt = Some(ckpt)) { stream =>
@@ -440,7 +448,7 @@ object Streams {
   def qSrcRangeStreamRestart(s: SparkSession, dir: String): DataFrame = {
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    val base = java.nio.file.Files.createTempDirectory("graft_dirsink_restart_")
+    val base = graft.GraftSession.scratchDir("graft_dirsink_restart_")
     val sink = base.resolve("table").toString
     val ckpt = base.resolve("ckpt").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(sink))
@@ -528,7 +536,7 @@ object Streams {
   private val AdmBatch = 25000L
 
   def qSrcRangeAdmission(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_admission_")
+    val base = graft.GraftSession.scratchDir("graft_admission_")
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
     try {
       val q = s.readStream.format("graft.sources.RangeTableProvider")
@@ -596,7 +604,7 @@ object Streams {
     import org.apache.spark.sql.streaming.Trigger
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    val base = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val base = graft.GraftSession.scratchDir("graft_restart_")
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectory(watch)
     val name = "graft_restart_" + UUID.randomUUID().toString.replace("-", "")
@@ -614,23 +622,33 @@ object Streams {
       // oracle rebuilds the same schedule from the same md5 rule.
       val ev = s.read.parquet(s"$dir/events.parquet")
       val staged = ev.withColumn("bucket",
-          conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 4)
-        .localCheckpoint()
-      def stage(b: Int): Unit = {
-        val outDir = base.resolve(s"stage_$b").toString
-        staged.filter(col("bucket") === (b - 1)).drop("bucket")
-          .coalesce(1).write.parquet(outDir)
-        val part = new java.io.File(outDir).listFiles()
-          .find(f => f.getName.startsWith("part-")).get
-        val target = watch.resolve(f"ev_$b%02d.parquet")
-        java.nio.file.Files.move(part.toPath, target)
-        target.toFile.setLastModified(1000000000000L + b * 60000L)
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 4)
+      // one staging job per PHASE (not per file): hash repartition on
+      // bucket → exactly one part file per bucket dir (the
+      // streamProgress staging discipline)
+      def stagePhase(phase: Int, buckets: Seq[Int]): Unit = {
+        val stageDir = base.resolve(s"stage_p$phase").toString
+        staged.filter(col("bucket").isin(buckets.map(b => (b - 1).toLong): _*))
+          .repartition(buckets.length, col("bucket"))
+          .write.partitionBy("bucket").parquet(stageDir)
+        buckets.foreach { b =>
+          val part = new java.io.File(s"$stageDir/bucket=${b - 1}").listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          val target = watch.resolve(f"ev_$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, target)
+          target.toFile.setLastModified(1000000000000L + b * 60000L)
+        }
       }
-      stage(1); stage(2)
+      stagePhase(1, Seq(1, 2))
       val schema = s.read.parquet(watch.toString).schema
       def runPhase(): Long = {
-        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        // no per-file rate limit: AvailableNow drains each phase's two
+        // files in ONE micro-batch — the recovery contract under test
+        // is the CROSS-PHASE checkpoint restart, not the within-phase
+        // schedule (rate-limited consumption is stream_rate_eos's
+        // gate), and the gated run totals are schedule-independent
+        val q = s.readStream.schema(schema)
           .parquet(watch.toString)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -646,7 +664,7 @@ object Streams {
       }
       val run1 = runPhase()
       s.catalog.dropTempView(name) // phase 2 re-registers the sink view
-      stage(3); stage(4)
+      stagePhase(2, Seq(3, 4))
       val run2 = runPhase()
       val sink = s.table(name)
       val rows = java.util.Arrays.asList(sink.collect(): _*)
@@ -1019,7 +1037,7 @@ object Streams {
     import org.apache.hadoop.fs.Path
     val prevPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    val base = s"/tmp/graft_warehouse_${s.sparkContext.applicationId}/stream_eos"
+    val base = graft.GraftSession.warehouseRoot(s) + s"/stream_eos"
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     try {

@@ -3981,7 +3981,12 @@ class AnalyticsSpec extends SparkSpec {
       var mask = 0L; var kept = 0L; var chars = 0L
       (0 until n).foreach { gi =>
         val t = w.slice(gi * 3, gi * 3 + 3).mkString(" ")
-        if (seen.add(t)) { mask |= (1L << gi); kept += 1; chars += t.length }
+        // the gated mask clips to idx < 62 (cross-engine shift-wrap
+        // guard); counts/chars stay over ALL tiles
+        if (seen.add(t)) {
+          if (gi < 62) mask |= (1L << gi)
+          kept += 1; chars += t.length
+        }
       }
       (id, n.toLong, kept, mask, chars)
     }
@@ -3989,10 +3994,57 @@ class AnalyticsSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.length == exp.length)
     got.zip(exp).foreach { case (g, e) => assert(g == e, s"doc ${e._1}: $g != $e") }
-    // internal consistency: n_kept is always the mask popcount, and
-    // something must actually dedup at this corpus size
-    got.foreach(g => assert(java.lang.Long.bitCount(g._4) == g._3))
+    // internal consistency: every mask bit is a kept tile (equality
+    // only when no kept tile sits past bit 61), and something must
+    // actually dedup at this corpus size
+    got.foreach(g => assert(java.lang.Long.bitCount(g._4) <= g._3))
     assert(got.map(_._3).sum < got.map(_._2).sum, "corpus should contain dup tiles")
+  }
+
+  test("paragraph dedup: >=64-tile docs clip the mask instead of wrapping") {
+    // Spark's shiftleft(1L, idx) wraps the shift amount mod 64 while
+    // DuckDB's 1::BIGINT << idx does not — the r15 latent divergence.
+    // Both engines now emit the mask only for idx < 62, so a 65-tile
+    // doc (195 words) must produce EXACTLY bits 0..61 of the kept set
+    // — the same value DuckDB's clipped closed form yields — with
+    // counts/chars still covering all 65 tiles.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_para_wrap_")
+    try {
+      // doc 1: 65 tiles, all distinct (tile gi = "wA wB wC" unique per
+      // gi); doc 2 repeats doc 1's tiles 0..2 -> its mask drops them
+      val words1 = (0 until 195).map(i => s"w$i")
+      val doc2 = (0 until 9).map(i => s"w$i") // tiles 0..2 of doc 1
+      import spark.implicits._
+      Seq((1L, words1.mkString(" ")), (2L, (doc2 ++ Seq("zz", "zz2", "zz3")).mkString(" ")))
+        .toDF("doc_id", "text")
+        .write.parquet(tmp.resolve("documents.parquet").toString)
+      val got = Dedup.qParagraphDedup(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      // DuckDB closed form: sum over kept idx < 62 of 2^idx, computed
+      // exactly in BigInt (no shift involved) — agreement proven
+      // against arithmetic, not another shift
+      val clipped62 = (BigInt(1) << 62) - 1
+      assert(clipped62.isValidLong)
+      val d1 = got.find(_._1 == 1L).get
+      assert(d1._2 == 65L, "65 tiles")
+      assert(d1._3 == 65L, "all 65 first occurrences kept")
+      assert(d1._4 == clipped62.toLong,
+        "mask = bits 0..61 exactly (tiles 62..64 clipped, NOT wrapped onto low bits)")
+      assert(d1._5 ==
+        (0 until 65).map(gi => words1.slice(gi * 3, gi * 3 + 3).mkString(" ").length).sum,
+        "kept_chars covers ALL kept tiles, including the clipped ones")
+      val d2 = got.find(_._1 == 2L).get
+      assert(d2._2 == 4L && d2._3 == 1L,
+        "doc 2's first 3 tiles are corpus dups; only its tail tile survives")
+      assert(d2._4 == 8L, "kept bit is idx 3 only")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(tmp)
+      try walked.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }
   }
 
   test("maxsim: scores replay brute-force late interaction exactly") {

@@ -27,5 +27,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 351-query board in one local[32] JVM
+  // full-GC-thrashed at 8g by the alphabet tail (silent 17-25s
+  // stalls in bounded stream passes that run 2s isolated — r16
+  // board forensics); the box has 125G and a real deployment sizes
+  // the driver to its catalog/broadcast load anyway
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -48,18 +48,27 @@ object Bench {
     // own pipeline fully cold (Dedup.compositeMemo Scaladoc).
     val composites = Set("dedup_ensemble", "pipe_release_gate",
       "sim_recall_report", "pipe_curation_funnel", "pipeline_e2e")
+    // dev subset runs (SPARK_GRAFT_ONLY) skip the composite-tier
+    // build when no composite is selected — the tier only serves
+    // those five queries, so building it for a streaming-only A/B
+    // run would be pure warmup waste. The driver never sets ONLY, so
+    // round benches always build it.
+    val onlyEnv = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val wantComposites = onlyEnv.forall(o => composites.exists(o.contains))
     val pinnedBaseSec: Double = if (pinBases) {
       graft.operators.Dedup.pinBases(graft.operators.Dedup.PinnableBaseKinds)
       val t0 = System.nanoTime()
       try graft.operators.Dedup.warmPinnedBases(spark, sfDir)
       catch { case _: Throwable => () }
-      graft.operators.Dedup.setCompositeTier(true)
-      try composites.toSeq.sorted.foreach { c =>
-        // constructing the frame populates the tier (compositeMemo
-        // localCheckpoints eagerly); no full materialization needed
-        try SparkEntry.queries.get(c).foreach(_(spark, sfDir))
-        catch { case _: Throwable => () }
-      } finally graft.operators.Dedup.setCompositeTier(false)
+      if (wantComposites) {
+        graft.operators.Dedup.setCompositeTier(true)
+        try composites.toSeq.sorted.foreach { c =>
+          // constructing the frame populates the tier (compositeMemo
+          // localCheckpoints eagerly); no full materialization needed
+          try SparkEntry.queries.get(c).foreach(_(spark, sfDir))
+          catch { case _: Throwable => () }
+        } finally graft.operators.Dedup.setCompositeTier(false)
+      }
       (System.nanoTime() - t0) / 1e9
     } else 0.0
 
@@ -91,7 +100,7 @@ object Bench {
     // queries under the exact harness (warmup + memo reset + min-of-2)
     // the per-round record uses, so A/B numbers are comparable. The
     // driver never sets it, so round benches are always the full sweep.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = onlyEnv
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

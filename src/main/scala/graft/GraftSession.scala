@@ -34,7 +34,8 @@ object GraftSession {
     * fast local NVMe" deployment rule; locally tmpfs is that disk. */
   private lazy val shmRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+    if (!sys.env.get("GRAFT_NO_SHM").contains("1") &&
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
       Some(shm)
     else None
   }
@@ -57,9 +58,20 @@ object GraftSession {
     * parquet on every (session, sfDir) change, so placement is
     * correctness-neutral; on a cluster this is the job's scratch
     * bucket / local SSD staging dir. */
-  def warehouseRoot(s: SparkSession): String =
-    shmRoot.fold("/tmp")(_.toString) +
+  def warehouseRoot(s: SparkSession): String = {
+    val root = shmRoot.fold("/tmp")(_.toString) +
       s"/graft_warehouse_${s.sparkContext.applicationId}"
+    // sweep at JVM exit: per-app scratch tables otherwise accumulate
+    // across runs (on tmpfs that is held RAM, not just disk clutter)
+    registerExitSweep(root)
+    root
+  }
+
+  private val exitSweeps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerExitSweep(path: String): Unit =
+    if (exitSweeps.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try sweep(java.nio.file.Paths.get(path)) catch { case _: Throwable => () }))
 
   /** Recursive delete of a scratch tree (children before parents). */
   def sweep(base: java.nio.file.Path): Unit = {

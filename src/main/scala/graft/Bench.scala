@@ -85,6 +85,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calBefore = calibrate()
+    var thirdPassBudget: Double = 30.0
 
     // noop sink: materializes every output column through the full
     // plan (count() would let Catalyst prune projections and drop
@@ -134,7 +135,19 @@ object Bench {
         dt
       }
       val two = Seq(pass(), pass())
-      val times = if (two.max / two.min > 3.0) two :+ pass() else two
+      // the disagreement-triggered third pass keeps the min honest
+      // when ONE pass ate a load spike — but under a sustained spike
+      // it fires for every query in the window and adds wall exactly
+      // when the driver's timeout is at risk (the r15 rc=124 failure
+      // mode). A shared 30s budget bounds that: after it drains,
+      // spiky queries report min-of-2 (possibly inflated — visible
+      // via the mean alongside) instead of growing the run.
+      val times =
+        if (two.max / two.min > 3.0 && thirdPassBudget > 0) {
+          val t = pass()
+          thirdPassBudget -= t
+          two :+ t
+        } else two
       (name, times.min, times.sum / times.size)
     }
     val calAfter = calibrate()

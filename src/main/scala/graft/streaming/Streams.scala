@@ -1041,12 +1041,15 @@ object Streams {
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     try {
-      // 4 single-file batches out of the one test parquet
+      // 3 single-file batches out of the one test parquet (3 is the
+      // smallest count that still exercises first-batch create +
+      // repeated merge + a non-adjacent replay; each extra batch is
+      // ~3 jobs of pure scheduling overhead on the bench wall)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val srcDir = s"$base/src"
       s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("value"))
-        .repartition(4).write.parquet(srcDir)
+        .repartition(3).write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
 
       // versioned-path target: each apply reads version N and writes
@@ -1152,7 +1155,7 @@ object Streams {
   val qStreamExactlyOnceSql: String =
     """SELECT user_id, count(*) AS n_events,
       |  CAST(COALESCE(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents,
-      |  4 AS batches_applied, TRUE AS replay_noop
+      |  3 AS batches_applied, TRUE AS replay_noop
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------

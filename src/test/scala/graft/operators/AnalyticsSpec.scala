@@ -4078,6 +4078,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == exp, "maxsim top-k must equal the JVM brute force")
   }
 
+  test("maxsim rerank: candidate clip preserves scores; recall counts the exact overlap") {
+    val exact = Similarity.qMaxSim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (qdoc, neighbor, ppm)
+    val exactTop = exact.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exactPpm = exact.map { case (q, n, p) => (q, n) -> p }.toMap
+    val rr = Similarity.qMaxSimRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rr.nonEmpty)
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      // ranks are 1..k, ordered by (ppm desc, neighbor asc)
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"rank order broken at $q")
+        case _ => ()
+      }
+      // the re-rank never changes a pair's score — where a rerank row
+      // also appears in the exact tier, the ppm is identical
+      ordered.foreach { row =>
+        exactPpm.get((q, row._3)).foreach(p => assert(p == row._4,
+          s"score drift for ($q, ${row._3}): exact $p vs rerank ${row._4}"))
+      }
+      // n_hits is EXACTLY the overlap of the two top-k lists
+      val hits = ordered.map(_._3).toSet.intersect(exactTop.getOrElse(q, Set.empty)).size
+      assert(ordered.forall(_._6 == hits.toLong), s"n_hits mismatch for $q")
+      assert(ordered.forall(_._5 > 0L), "candidate clip must be non-empty where rows emit")
+    }
+    // the candidate path must actually recover something at this corpus
+    assert(rr.map(_._6).sum > 0, "zero recall everywhere — candidate generation broken")
+  }
+
   test("bloom prefilter: no false negatives and FP counts replay the bit math") {
     val rows = Dedup.qBloomPrefilter(spark, sfDir).collect()
     assert(rows.length == 12, "4 shards, all ordered pairs")

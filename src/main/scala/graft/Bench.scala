@@ -3,11 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the configured SF
-  * and prints ONE JSON line (the driver's BENCH_r{N}.json input).
+  * and prints the cumulative JSON line every 25 queries plus a final
+  * complete one — overwriting semantics, last line wins, so a
+  * timeout-killed run still leaves every completed timing in the
+  * driver's recorded output tail (the driver's BENCH_r{N}.json
+  * input; r16 verdict item 2).
   *
   * A warmup pass (q1 + one document scan) absorbs JVM/codegen/
   * classloading cost so per-query numbers reflect steady state;
   * queries run in sorted name order for run-to-run comparability.
+  * Pass policy: min-of-2 with a budgeted spike-triggered third pass,
+  * except that a query whose pass 1 confirms its [[BenchPins]]
+  * stamped min skips pass 2 (see the conditional-second-pass block
+  * below — the r16 verdict's driver-timeout mandate).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,24 +95,81 @@ object Bench {
     val calBefore = calibrate()
     var thirdPassBudget: Double = 30.0
 
+    // CONDITIONAL SECOND PASS (r16 verdict item 1a): two rounds of
+    // rc=124 driver benches proved the full min-of-2 sweep (~385s of
+    // pass-2 wall at r16) does not fit the driver budget. For a
+    // query whose plan did NOT change this round, the steady-state
+    // min is already stamped in BenchPins (the r16 record); pass 1
+    // landing within the skip rule of that pin CONFIRMS stability,
+    // and pass 2 would spend timeout margin re-measuring a known
+    // number. Pass 2 (and the third-pass spike logic) still runs
+    // when: the query is new/restructured (no pin), pass 1 exceeds
+    // the rule (regression or load spike — min-of-2 keeps the min
+    // honest), the SF is not the pinned sf0.1, or the A/B escape
+    // SPARK_GRAFT_FULL_PASSES=1 is set. The rule, pin source, and
+    // per-query pass counts are stamped in-band so the JSON is
+    // self-describing (the r10 mode-stamp discipline).
+    //   skip rule: pass1 <= 1.5*pin + 0.3s — the 1.5x band is the
+    //   verdict's; the +0.3s absolute slack keeps sub-second queries
+    //   (where pass-1 codegen/JIT dominates and routinely doubles a
+    //   0.3s steady state) from pointlessly re-running pass 2.
+    val fullPasses = sys.env.get("SPARK_GRAFT_FULL_PASSES").contains("1")
+    val pinsActive = !fullPasses && sfDir.stripSuffix("/").endsWith("sf0.1")
+    def pinOf(name: String): Option[Double] =
+      if (pinsActive) BenchPins.Mins.get(name) else None
+
     // noop sink: materializes every output column through the full
     // plan (count() would let Catalyst prune projections and drop
     // final sorts, under-measuring expression-heavy queries) without
-    // shipping rows to the driver. Two passes per query, min
+    // shipping rows to the driver. Up to two passes per query, min
     // reported: the first pass pays one-time codegen/JIT (amortized
     // in any real deployment) and single-pass numbers on this shared
     // box swing 2-5x run to run; min-of-2 is the steady-state
-    // throughput the library actually delivers. If the two passes
-    // disagree >3x, a load spike likely hit one of them — a third
-    // pass keeps the min honest.
+    // throughput the library actually delivers, and the history pin
+    // (above) is what licenses skipping pass 2 when pass 1 already
+    // confirms the stamped steady state. If two passes disagree >3x,
+    // a load spike likely hit one of them — a third pass keeps the
+    // min honest.
     // Dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2): bench single
     // queries under the exact harness (warmup + memo reset + min-of-2)
     // the per-round record uses, so A/B numbers are comparable. The
     // driver never sets it, so round benches are always the full sweep.
     val only = onlyEnv
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    // results accumulate here so the cumulative JSON line can be
+    // emitted DURING the sweep (r16 verdict item 2): the driver
+    // records the process output tail, so when a timeout kills the
+    // run mid-board the last emitted line still carries every
+    // completed query's timing instead of zero data. Overwriting
+    // semantics — each line is the full cumulative record, last one
+    // wins; the final emission (partial=false, with the closing
+    // calibration) is the round stamp.
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Int)]()
+    def emit(partial: Boolean, calAfter: Double): Unit = {
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qsMean = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+        .mkString("{", ",", "}")
+      val qsPasses = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val totalMean = results.map(_._3).sum
+      val skipped = results.count(_._4 == 1)
+      // self-identifying mode stamp (r10 ADVICE): a warm-memo run is
+      // not comparable with the cold per-round record, so the JSON
+      // says which one it was instead of relying on the environment
+      val mode =
+        if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) "warm"
+        else if (pinBases) "cold+pinned-bases"
+        else "cold"
+      val skipRule =
+        if (pinsActive)
+          s""","skip_rule":"pass2 skipped when pass1 <= 1.5*pin + 0.3s","pin_source":"${BenchPins.Source}","pass2_skipped":$skipped,"pass2_run":${results.size - skipped}"""
+        else ""
+      println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","mode":"$mode","partial":$partial,"completed":${results.size},"of":${selected.size}$skipRule,"pinned_base_build_sec":$pinnedBaseSec,"mean":$totalMean,"calibration_sec":[$calBefore,$calAfter],"queries":$qs,"queries_mean":$qsMean,"queries_passes":$qsPasses,"sf":"$sfDir"}""")
+    }
+    selected.foreach { case (name, fn) =>
       def pass(): Double = {
         // drop object-level memos (LSH pair list, cluster labels) so
         // every pass pays the COLD pipeline: without this the second
@@ -134,40 +199,35 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      val two = Seq(pass(), pass())
-      // the disagreement-triggered third pass keeps the min honest
-      // when ONE pass ate a load spike — but under a sustained spike
-      // it fires for every query in the window and adds wall exactly
-      // when the driver's timeout is at risk (the r15 rc=124 failure
-      // mode). A shared 30s budget bounds that: after it drains,
-      // spiky queries report min-of-2 (possibly inflated — visible
-      // via the mean alongside) instead of growing the run.
+      val p1 = pass()
       val times =
-        if (two.max / two.min > 3.0 && thirdPassBudget > 0) {
-          val t = pass()
-          thirdPassBudget -= t
-          two :+ t
-        } else two
-      (name, times.min, times.sum / times.size)
+        if (pinOf(name).exists(p => p1 <= 1.5 * p + 0.3)) Seq(p1)
+        else {
+          val two = Seq(p1, pass())
+          // the disagreement-triggered third pass keeps the min honest
+          // when ONE pass ate a load spike — but under a sustained spike
+          // it fires for every query in the window and adds wall exactly
+          // when the driver's timeout is at risk (the r15 rc=124 failure
+          // mode). A shared 30s budget bounds that: after it drains,
+          // spiky queries report min-of-2 (possibly inflated — visible
+          // via the mean alongside) instead of growing the run.
+          if (two.max / two.min > 3.0 && thirdPassBudget > 0) {
+            val t = pass()
+            thirdPassBudget -= t
+            two :+ t
+          } else two
+        }
+      // headline stays the per-query min (steady-state throughput for
+      // multi-pass queries; the history-confirmed pass-1 reading for
+      // skipped ones); the mean is reported alongside so a noisy pass
+      // on this shared box is visible in the JSON instead of
+      // masquerading as a cross-round regression
+      results += ((name, times.min, times.sum / times.size, times.size))
+      if (results.size % 25 == 0 && results.size < selected.size)
+        emit(partial = true, calAfter = -1.0)
     }
     val calAfter = calibrate()
-    // headline stays min-of-2 (steady-state throughput); the mean is
-    // reported alongside so a noisy pass on this shared box is visible
-    // in the JSON instead of masquerading as a cross-round regression
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qsMean = results.map { case (k, _, m) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMean = results.map(_._3).sum
-    // self-identifying mode stamp (r10 ADVICE): a warm-memo run is
-    // not comparable with the cold per-round record, so the JSON says
-    // which one it was instead of relying on the environment
-    val mode =
-      if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) "warm"
-      else if (pinBases) "cold+pinned-bases"
-      else "cold"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","mode":"$mode","pinned_base_build_sec":$pinnedBaseSec,"mean":$totalMean,"calibration_sec":[$calBefore,$calAfter],"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
+    emit(partial = false, calAfter = calAfter)
     spark.stop()
   }
 }

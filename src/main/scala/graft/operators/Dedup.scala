@@ -1470,9 +1470,9 @@ ORDER BY tau_x10k"""
     labelsCache = null
     labelsFor = null
     baseCache.forEach((k, v) => if (!pinnedKinds.contains(k)) freeLocalCheckpoint(v._2))
-    val keep = new java.util.ArrayList[String]()
-    baseCache.forEach((k, _) => if (!pinnedKinds.contains(k)) keep.add(k))
-    keep.forEach(k => baseCache.remove(k))
+    val toRemove = new java.util.ArrayList[String]()
+    baseCache.forEach((k, _) => if (!pinnedKinds.contains(k)) toRemove.add(k))
+    toRemove.forEach(k => baseCache.remove(k))
   }
 
   /** BOARD-SCOPED base pinning (bench-only; empty outside the bench,
@@ -1509,13 +1509,20 @@ ORDER BY tau_x10k"""
       Future(memoBase("simhash", s, dir)(simhashSignatures(s, dir))),
       Future(memoBase("ngram", s, dir)(ngramSignatures(s, dir))),
       Future(memoBase("winnow", s, dir)(Text.winnowFp(s, dir))),
-      Future(embedAssigned(s, dir)))), Duration.Inf)
+      Future(embedAssigned(s, dir)),
+      Future(Similarity.assignMemo(s, dir)))), Duration.Inf)
     ()
   }
 
-  /** The kinds [[warmPinnedBases]] builds — the bench's pin set. */
+  /** The kinds [[warmPinnedBases]] builds — the bench's pin set.
+    * sim_assign (r17): the K·N IVF assignment sweep is the shared
+    * CPU prefix of SEVEN consumers (qIvfTopk, qIvfPqTopk's encode,
+    * both nprobe configs, k-means, cell stats, the maxsim rerank's
+    * token-level candidate generation) and no gated query emits the
+    * raw assignment itself — the same corpus-snapshot-index posture
+    * as Dedup's embed_assigned, which was already pinned. */
   private[graft] val PinnableBaseKinds: Set[String] =
-    Set("word", "simhash", "ngram", "winnow", "embed_assigned")
+    Set("word", "simhash", "ngram", "winnow", "embed_assigned", "sim_assign")
 
   /** COMPOSITE-ONLY memo tier (r15 verdict item 1b, second half):
     * the five composite MEASUREMENT queries (dedup_ensemble,

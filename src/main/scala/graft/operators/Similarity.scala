@@ -152,19 +152,44 @@ object Similarity {
   // 4×4 MaxSim only over the candidate pairs. Cost is
   // Σ_probe |cands(probe)| — cell-bounded, linear in the corpus for
   // a fixed cell occupancy (the codebook K grows as √n, so cells
-  // stay ~√n-sized) — versus the exact tier's probes×corpus. The
-  // gate emits the re-ranked top-K per probe PLUS the production
-  // metrics a deployment watches: the candidate-clip size (n_cands)
-  // and the per-probe RECALL against the exact tier (n_hits of the
-  // exact top-K recovered) — the measurement [[qRecallReport]] runs
-  // for the single-vector family, here for late interaction. Scores
+  // stay ~√n-sized) — versus the exact tier's probes×corpus. Scores
   // are the same exact-ppm integers as [[qMaxSim]], so a recovered
   // neighbor carries an identical score by construction. Plan: the
   // candidate join carries only (qdoc, doc) fixed-width keys; the
   // re-rank streams candidate token arrays once (probe bags
-  // broadcast); the exact tier inside this query is the measurement
-  // overhead, exactly as in qRecallReport.
-  def qMaxSimRerank(s: SparkSession, dir: String): DataFrame = {
+  // broadcast).
+  //
+  // r17 split (r16 verdict item 4): the per-probe RECALL against the
+  // exact tier — a probes×corpus measurement join — used to ride
+  // inside this gated query, making its gated plan quadratic even
+  // though stages 1–2 are linear. [[qMaxSimRerank]] is now the pure
+  // production query (top-K + n_cands, both cell-bounded);
+  // [[qMaxSimRecall]] is the separate measurement query carrying the
+  // exact tier, following the [[qRecallReport]] convention for the
+  // single-vector family.
+  //
+  // r17 also caps the candidate clip itself (the PLAID-style prune):
+  // the uncapped cell-sharing clip grows with CELL OCCUPANCY, which
+  // is √n under the adaptiveSeedK = √(n/2) codebook — measured 2.8×
+  // wall at 10× docs with the recall tier already removed. Candidates
+  // are now ranked per probe by SHARED-CELL COUNT (the number of
+  // (query-token, doc-token) pairs landing in the same IVF cell — the
+  // candidate-strength signal PLAID prunes on, an exact integer so
+  // both engines rank identically with the doc-id tiebreak) and
+  // clipped to the fixed [[MsCandCap]]: stage-2 MaxSim work per probe
+  // is then O(MsCandCap), flat in the corpus; only fixed-width
+  // (qdoc, doc, count) longs ever exist per candidate before the
+  // clip. Measured wall 10×-docs ratio after the cap is the PLANS.md
+  // Scale10x row for this round.
+
+  private val MsCandCap = 64
+
+  /** Shared stages 1–2: (re-ranked top-K, per-probe candidate
+    * counts). `top` is localCheckpointed — it is ≤ MsTopK·|probes|
+    * rows at the end of the board's heaviest per-pair chain, and the
+    * final orderBy's range exchange (and, in [[qMaxSimRecall]], the
+    * hits join) would otherwise re-run that chain. */
+  private def maxSimRerankFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     DotF64.register(s)
     val assign = assignMemo(s, dir) // (vec_id, cid, v, nrm)
     val toks = assign.select(
@@ -172,11 +197,26 @@ object Similarity {
       (col("vec_id") % MsTokens).as("tok"),
       col("cid"), col("v"), col("nrm"))
     val probeToks = toks.filter(col("doc") % MsDocStride === 0)
-    // stage 1: token-level inverted-file lookup → doc candidates
+    // stage 1: token-level inverted-file lookup → candidate strength
+    // (shared-cell count) → fixed-width PLAID prune to MsCandCap
+    val wCand = Window.partitionBy(col("qdoc"))
+      .orderBy(col("n_shared").desc, col("doc"))
     val cands = toks.select(col("doc"), col("cid"))
       .join(broadcast(probeToks.select(col("doc").as("qdoc"), col("cid").as("qcid"))),
         col("cid") === col("qcid") && col("doc") =!= col("qdoc"))
-      .select(col("qdoc"), col("doc")).distinct()
+      // width pin (CLAUDE.md rule): the candidate frame is
+      // small-BYTES (fixed-width longs) but its rows grow with cell
+      // occupancy — AQE size-coalesces the post-join groupBy+window
+      // to ONE task (measured: a single-task 0.5s stage at 10×,
+      // growing with the corpus). One explicit repartition on qdoc
+      // satisfies BOTH the (qdoc, doc) aggregation and the per-qdoc
+      // rank window, so the whole prune runs at pinned width off a
+      // single exchange.
+      .repartition(s.sparkContext.defaultParallelism, col("qdoc"))
+      .groupBy(col("qdoc"), col("doc")).agg(count(lit(1)).as("n_shared"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= MsCandCap)
+      .select(col("qdoc"), col("doc"))
       .localCheckpoint() // feeds the re-rank AND the n_cands count
     val nCands = cands.groupBy(col("qdoc")).agg(count(lit(1)).as("n_cands"))
     // stage 2: full MaxSim over candidate pairs only (qMaxSim's
@@ -196,34 +236,68 @@ object Similarity {
     val w = Window.partitionBy(col("qdoc")).orderBy(col("maxsim_ppm").desc, col("doc"))
     val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= MsTopK)
-      .localCheckpoint() // consumed by the output AND the hits join
-    // measurement tier: per-probe recall against the exact list
+      .localCheckpoint()
+    (top, nCands)
+  }
+
+  /** Production late-interaction retrieval: re-ranked top-K per
+    * probe plus the candidate-clip size a deployment watches. Every
+    * stage is cell-bounded/linear (see the block comment above) —
+    * the exact-tier recall measurement lives in [[qMaxSimRecall]]. */
+  def qMaxSimRerank(s: SparkSession, dir: String): DataFrame = {
+    val (top, nCands) = maxSimRerankFrames(s, dir)
+    top
+      .join(broadcast(nCands), "qdoc")
+      .select(col("qdoc"), col("rank"), col("doc").as("neighbor"),
+        col("maxsim_ppm"), col("n_cands"))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  /** Index-quality measurement for [[qMaxSimRerank]]: per probe, the
+    * candidate-clip size and how many of the exact MaxSim top-K
+    * ([[qMaxSim]], the ground truth) the production path recovered —
+    * the [[qRecallReport]] convention for late interaction. The
+    * exact tier inside this query is probes×corpus BY DESIGN: it is
+    * the declared measurement overhead (ground truth is quadratic by
+    * definition), kept out of the production query's plan. Probes
+    * whose candidate clip is empty still emit (n_cands=0, n_hits=0)
+    * — a silent dropout is exactly what this measurement exists to
+    * surface. */
+  def qMaxSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val (top, nCands) = maxSimRerankFrames(s, dir)
     val exact = qMaxSim(s, dir).select(col("qdoc").as("eqd"), col("neighbor").as("en"))
     val hits = top.join(exact,
         col("qdoc") === col("eqd") && col("doc") === col("en"))
       .groupBy(col("qdoc")).agg(count(lit(1)).as("n_hits"))
-    top
-      .join(broadcast(nCands), "qdoc")
+    val probeBase = assignMemo(s, dir)
+      .select((col("vec_id") / lit(MsTokens)).cast("long").as("qdoc"))
+      .filter(col("qdoc") % MsDocStride === 0).distinct()
+    probeBase
+      .join(broadcast(nCands), Seq("qdoc"), "left")
       .join(broadcast(hits), Seq("qdoc"), "left")
-      .select(col("qdoc"), col("rank"), col("doc").as("neighbor"),
-        col("maxsim_ppm"), col("n_cands"),
+      .select(col("qdoc"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .orderBy(col("qdoc"), col("rank"))
+      .orderBy(col("qdoc"))
   }
 
-  // outer CTE names are disjoint from the nested exact tier's
-  // (DuckDB scopes a subquery's WITH, but disjoint names keep the
-  // composed SQL readable); composed WITHOUT stripMargin on the
-  // wrapper — the embedded stripped SQLs rule. Lazy: assignCteSql is
-  // declared later in the file (val init order).
-  lazy val qMaxSimRerankSql: String =
-    s"""WITH ${assignCteSql},
+  /** shared CTE chain for the two-stage plan (candidates → n_cands →
+    * rerank top). Outer CTE names are disjoint from the nested exact
+    * tier's (DuckDB scopes a subquery's WITH, but disjoint names keep
+    * the composed SQL readable); composed WITHOUT stripMargin on the
+    * wrapper — the embedded stripped SQLs rule. Lazy: assignCteSql is
+    * declared later in the file (val init order). */
+  private lazy val maxSimRerankCtes: String =
+    s"""${assignCteSql},
 tk AS (SELECT a.vec_id // $MsTokens AS doc, a.vec_id % $MsTokens AS tok,
     a.cid, n.v, n.nrm FROM asg a JOIN n ON a.vec_id = n.vec_id),
 qt AS (SELECT doc AS qdoc, tok AS qtok, cid AS qcid, v AS qv, nrm AS qn
   FROM tk WHERE doc % $MsDocStride = 0),
-cnd AS (SELECT DISTINCT q.qdoc, t.doc FROM tk t
-  JOIN qt q ON t.cid = q.qcid AND t.doc <> q.qdoc),
+cnd0 AS (SELECT q.qdoc, t.doc, count(*) AS n_shared FROM tk t
+  JOIN qt q ON t.cid = q.qcid AND t.doc <> q.qdoc GROUP BY 1, 2),
+cnd AS (SELECT qdoc, doc FROM (SELECT qdoc, doc,
+    ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY n_shared DESC, doc) AS crank
+  FROM cnd0) WHERE crank <= $MsCandCap),
 nc AS (SELECT qdoc, CAST(count(*) AS BIGINT) AS n_cands FROM cnd GROUP BY 1),
 mp AS (SELECT c.qdoc, q.qtok, c.doc,
     CAST(round(round((${graft.functions.Vectors.dotSql("t.v", "q.qv")}) / (t.nrm * q.qn), 6)
@@ -234,17 +308,28 @@ ms AS (SELECT qdoc, doc, CAST(sum(tok_best_ppm) AS BIGINT) AS maxsim_ppm
   FROM mb GROUP BY 1, 2),
 mr AS (SELECT qdoc, doc, maxsim_ppm,
   ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY maxsim_ppm DESC, doc) AS rank FROM ms),
-top AS (SELECT * FROM mr WHERE rank <= $MsTopK),
+top AS (SELECT * FROM mr WHERE rank <= $MsTopK)"""
+
+  lazy val qMaxSimRerankSql: String =
+    s"""WITH $maxSimRerankCtes
+SELECT top.qdoc, CAST(top.rank AS BIGINT) AS rank, top.doc AS neighbor,
+  top.maxsim_ppm, nc.n_cands
+FROM top JOIN nc ON nc.qdoc = top.qdoc
+ORDER BY top.qdoc, top.rank"""
+
+  lazy val qMaxSimRecallSql: String =
+    s"""WITH $maxSimRerankCtes,
 exact AS MATERIALIZED (
 $qMaxSimSql
 ),
 hits AS (SELECT t.qdoc, CAST(count(*) AS BIGINT) AS n_hits FROM top t
-  JOIN exact e ON e.qdoc = t.qdoc AND e.neighbor = t.doc GROUP BY 1)
-SELECT top.qdoc, CAST(top.rank AS BIGINT) AS rank, top.doc AS neighbor,
-  top.maxsim_ppm, nc.n_cands, coalesce(h.n_hits, 0) AS n_hits
-FROM top JOIN nc ON nc.qdoc = top.qdoc
-LEFT JOIN hits h ON h.qdoc = top.qdoc
-ORDER BY top.qdoc, top.rank"""
+  JOIN exact e ON e.qdoc = t.qdoc AND e.neighbor = t.doc GROUP BY 1),
+pq AS (SELECT DISTINCT qdoc FROM qt)
+SELECT pq.qdoc, coalesce(nc.n_cands, 0) AS n_cands,
+  coalesce(h.n_hits, 0) AS n_hits
+FROM pq LEFT JOIN nc ON nc.qdoc = pq.qdoc
+LEFT JOIN hits h ON h.qdoc = pq.qdoc
+ORDER BY pq.qdoc"""
 
   // ---------------------------------------------------------------
   // HARD-NEGATIVE MINING — the training-pair construction an
@@ -2664,6 +2749,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_topk_cosine" -> (qTopkCosine _),
     "sim_maxsim" -> (qMaxSim _),
     "sim_maxsim_rerank" -> (qMaxSimRerank _),
+    "sim_maxsim_recall" -> (qMaxSimRecall _),
     "sim_hard_negatives" -> (qHardNegatives _),
     "sim_lsh_buckets" -> (qLshBuckets _),
     "sim_ivf_topk" -> (qIvfTopk _),
@@ -2705,6 +2791,7 @@ FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
     "sim_topk_cosine" -> qTopkCosineSql,
     "sim_maxsim" -> qMaxSimSql,
     "sim_maxsim_rerank" -> qMaxSimRerankSql,
+    "sim_maxsim_recall" -> qMaxSimRecallSql,
     "sim_lsh_buckets" -> qLshBucketsSql,
     "sim_ivf_topk" -> qIvfTopkSql,
     "sim_filtered_topk" -> qFilteredTopkSql,

@@ -34,6 +34,23 @@ object Streams {
     * session value after. At scale, size to key cardinality. */
   private val StreamPartitions = "8"
 
+  /** Resolves the single part file a staging write left in a bucket
+    * directory. `listFiles()` returns NULL for a missing directory —
+    * and an md5-bucket split CAN leave a bucket empty at a tiny
+    * corpus (the old per-bucket coalesce(1) writes always emitted a
+    * part file, even for zero rows; the one-job
+    * repartition+partitionBy write emits nothing for an empty
+    * bucket) — so fail with the bucket's name instead of an NPE
+    * deep inside the staging loop (r16 ADVICE). */
+  private def stagedPartFile(stageDir: String, bucketDir: String): java.io.File = {
+    val files = new java.io.File(s"$stageDir/$bucketDir").listFiles()
+    assert(files != null,
+      s"staging bucket $bucketDir is empty or missing under $stageDir — " +
+        "the bucket split produced no rows for it at this corpus size")
+    files.find(_.getName.startsWith("part-")).getOrElse(
+      sys.error(s"no part file in $stageDir/$bucketDir"))
+  }
+
   /** Runs `build(eventsStream)` to completion against the bounded
     * events source through a memory sink and returns the sink's final
     * contents as a materialized local frame, cleaning up the sink's
@@ -165,8 +182,7 @@ object Streams {
         .repartition(nFiles, col("bucket"))
         .write.partitionBy("bucket").parquet(stageDir)
       (1 to nFiles).foreach { b =>
-        val part = new java.io.File(s"$stageDir/bucket=$b").listFiles()
-          .find(f => f.getName.startsWith("part-")).get
+        val part = stagedPartFile(stageDir, s"bucket=$b")
         val target = watch.resolve(f"ev_$b%02d.parquet")
         java.nio.file.Files.move(part.toPath, target)
         // FileStreamSource orders by modification time: group order
@@ -633,8 +649,7 @@ object Streams {
           .repartition(buckets.length, col("bucket"))
           .write.partitionBy("bucket").parquet(stageDir)
         buckets.foreach { b =>
-          val part = new java.io.File(s"$stageDir/bucket=${b - 1}").listFiles()
-            .find(f => f.getName.startsWith("part-")).get
+          val part = stagedPartFile(stageDir, s"bucket=${b - 1}")
           val target = watch.resolve(f"ev_$b%02d.parquet")
           java.nio.file.Files.move(part.toPath, target)
           target.toFile.setLastModified(1000000000000L + b * 60000L)
@@ -642,13 +657,19 @@ object Streams {
       }
       stagePhase(1, Seq(1, 2))
       val schema = s.read.parquet(watch.toString).schema
-      def runPhase(): Long = {
-        // no per-file rate limit: AvailableNow drains each phase's two
-        // files in ONE micro-batch — the recovery contract under test
-        // is the CROSS-PHASE checkpoint restart, not the within-phase
-        // schedule (rate-limited consumption is stream_rate_eos's
-        // gate), and the gated run totals are schedule-independent
-        val q = s.readStream.schema(schema)
+      def runPhase(maxFilesPerTrigger: Option[Int]): Long = {
+        // phase 1 keeps maxFilesPerTrigger=1 so its checkpoint commits
+        // a MULTI-ENTRY offset log — the restart then provably resumes
+        // from a mid-schedule offset history, not a single-batch one
+        // (the r16 ADVICE coverage note: an AvailableNow-only phase 1
+        // commits one batch and the recovery gate stops exercising
+        // multi-batch resume). Phase 2 drains in one AvailableNow
+        // batch — rate-limited consumption is stream_rate_eos's gate —
+        // and the gated run totals are schedule-independent either way.
+        val reader0 = s.readStream.schema(schema)
+        val reader = maxFilesPerTrigger
+          .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+        val q = reader
           .parquet(watch.toString)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -662,10 +683,10 @@ object Streams {
           q.recentProgress.map(_.numInputRows).sum
         } finally q.stop()
       }
-      val run1 = runPhase()
+      val run1 = runPhase(maxFilesPerTrigger = Some(1))
       s.catalog.dropTempView(name) // phase 2 re-registers the sink view
       stagePhase(2, Seq(3, 4))
-      val run2 = runPhase()
+      val run2 = runPhase(maxFilesPerTrigger = None)
       val sink = s.table(name)
       val rows = java.util.Arrays.asList(sink.collect(): _*)
       val out = s.createDataFrame(rows, sink.schema)

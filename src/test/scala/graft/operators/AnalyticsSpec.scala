@@ -4078,14 +4078,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == exp, "maxsim top-k must equal the JVM brute force")
   }
 
-  test("maxsim rerank: candidate clip preserves scores; recall counts the exact overlap") {
+  test("maxsim rerank: candidate clip preserves scores; recall query counts the exact overlap") {
     val exact = Similarity.qMaxSim(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (qdoc, neighbor, ppm)
     val exactTop = exact.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val exactPpm = exact.map { case (q, n, p) => (q, n) -> p }.toMap
     val rr = Similarity.qMaxSimRerank(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4)))
     assert(rr.nonEmpty)
     rr.groupBy(_._1).foreach { case (q, rows) =>
       // ranks are 1..k, ordered by (ppm desc, neighbor asc)
@@ -4102,13 +4102,26 @@ class AnalyticsSpec extends SparkSpec {
         exactPpm.get((q, row._3)).foreach(p => assert(p == row._4,
           s"score drift for ($q, ${row._3}): exact $p vs rerank ${row._4}"))
       }
-      // n_hits is EXACTLY the overlap of the two top-k lists
-      val hits = ordered.map(_._3).toSet.intersect(exactTop.getOrElse(q, Set.empty)).size
-      assert(ordered.forall(_._6 == hits.toLong), s"n_hits mismatch for $q")
       assert(ordered.forall(_._5 > 0L), "candidate clip must be non-empty where rows emit")
     }
+    // the split-out measurement query (r17): per-probe n_hits is
+    // EXACTLY the overlap of the production top-k with the exact
+    // top-k, and n_cands replays the production query's clip sizes
+    val rec = Similarity.qMaxSimRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val prodCands = rr.groupBy(_._1).map { case (q, rows) => q -> rows.head._5 }
+    val prodTop = rr.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._3).toSet }
+    rec.foreach { case (q, nCands, nHits) =>
+      assert(nCands == prodCands.getOrElse(q, 0L), s"n_cands mismatch for $q")
+      val hits = prodTop.getOrElse(q, Set.empty)
+        .intersect(exactTop.getOrElse(q, Set.empty)).size
+      assert(nHits == hits.toLong, s"n_hits mismatch for $q")
+    }
+    // every probe emits a recall row, even candidate-less ones
+    assert(rec.map(_._1).toSet == exactTop.keySet,
+      "recall query must cover the full probe set")
     // the candidate path must actually recover something at this corpus
-    assert(rr.map(_._6).sum > 0, "zero recall everywhere — candidate generation broken")
+    assert(rec.map(_._3).sum > 0, "zero recall everywhere — candidate generation broken")
   }
 
   test("bloom prefilter: no false negatives and FP counts replay the bit math") {

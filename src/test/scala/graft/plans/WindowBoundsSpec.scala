@@ -2,30 +2,59 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.{SparkEntry, SparkSpec}
 
-/** Board-wide sweep (r15 verdict item 5): every UNPARTITIONED window
-  * — `Window.orderBy` with no `partitionBy`, the plan Spark warns
-  * about with "No Partition Defined ... moving all data to a single
-  * partition" — must consume a PROVEN-BOUNDED frame. The repo rule
-  * (CLAUDE.md) requires a value-domain or top-K bound in the
-  * operator's Scaladoc; this spec turns the bench tail's warning
-  * noise into a checked invariant: the set of queries that plan a
-  * global window is enumerated here WITH its justification, and any
-  * new query that sneaks a corpus-sized global sort into the board
-  * fails the suite instead of scrolling past as one more warning.
+/** Board-wide plan-governance sweep, two invariants over ONE
+  * construction pass of every SparkEntry query (the sweep constructs
+  * all ~350 queries, so the two checks share it rather than each
+  * paying its own):
   *
-  * Mechanics: a QueryExecutionListener records WindowExec nodes with
-  * empty partitionSpec from every plan executed while a query is
-  * CONSTRUCTED (eager localCheckpoints / collects — where most
-  * metadata windows run), and the final lazy plan is swept directly.
-  * Streaming queries run their full bounded streams during
-  * construction, so their staging windows are captured too.
+  * 1. UNPARTITIONED WINDOWS (r15 verdict item 5): every
+  *    `Window.orderBy` with no `partitionBy` — the plan Spark warns
+  *    about with "No Partition Defined ... moving all data to a
+  *    single partition" — must consume a PROVEN-BOUNDED frame. The
+  *    repo rule (CLAUDE.md) requires a value-domain or top-K bound
+  *    in the operator's Scaladoc; the [[windowAllowed]] map is the
+  *    checked index of those bounds, two-way (new strays AND stale
+  *    entries both fail).
+  *
+  * 2. CROSS JOINS (r16 verdict item 6): every logical cross join
+  *    (joinType Cross, or any join with no condition) must have at
+  *    least one side Catalyst can PROVE small — `maxRows` ≤
+  *    [[CrossJoinMaxRows]], which scalar aggregates (Some(1)), local
+  *    relations, ranges, and limits all satisfy. The repo's
+  *    crossJoin convention is exactly that shape: a broadcast scalar
+  *    aggregate or a K-row grid attached to a big frame. A cross
+  *    join where NEITHER side is provably small is either a real
+  *    cartesian blowup or a domain-bounded frame the optimizer can't
+  *    see through (|sources|, |event types|, vocab tops) — the
+  *    latter are enumerated in [[crossAllowed]] with their bound
+  *    justifications, two-way like the windows.
+  *
+  * Mechanics: a QueryExecutionListener records offending nodes from
+  * every plan executed while a query is CONSTRUCTED (eager
+  * localCheckpoints / collects — where most metadata windows run),
+  * and the final lazy plan is swept directly. Attribution is raced
+  * by the async listener bus (r16 ADVICE: events can post after
+  * `current` moved on, landing on the WRONG query name), so after
+  * each query's construction the sweep polls the bus to QUIESCENCE
+  * (no new events for [[DrainQuietMs]], bounded by [[DrainMaxMs]])
+  * before advancing — construction-time executions drain under the
+  * name that ran them, replacing the old fixed end-of-sweep sleep.
+  * Detection is on the LOGICAL plan: under AQE (default in Spark 4)
+  * the physical tree hides inside AdaptiveSparkPlanExec, which a
+  * plain executedPlan.collect does not descend into (the CLAUDE.md
+  * plan-inspection rule).
   */
 class WindowBoundsSpec extends SparkSpec {
+
+  private val DrainQuietMs = 300L
+  private val DrainMaxMs = 5000L
+  private val CrossJoinMaxRows = 10000L
 
   /** query -> why its global window is bounded (the Scaladoc bound,
     * compressed). Every entry is |domain|-bounded METADATA, never a
@@ -35,7 +64,7 @@ class WindowBoundsSpec extends SparkSpec {
     * for the file-source harness: that sort is gate scaffolding, not
     * the operator's plan (production streams arrive time-ordered
     * from the transport; the operator under test never plans it). */
-  private val allowed: Map[String, String] = Map(
+  private val windowAllowed: Map[String, String] = Map(
     // -- metadata frames: value-domain / top-K / |config| bounded
     //    (each bound is stated and argued in the operator's Scaladoc
     //    at the cited site; this list is the checked index of them) --
@@ -69,29 +98,61 @@ class WindowBoundsSpec extends SparkSpec {
     "stream_rate_eos" -> "staging ntile over test events (streamProgress harness)"
   )
 
-  test("unpartitioned windows: enumerated, justified, no corpus-sized strays") {
-    val hits = mutable.Map[String, mutable.Set[String]]()
+  /** query -> why its unproven-side cross join is bounded. Listed
+    * only when NEITHER side carries a Catalyst-provable maxRows ≤
+    * CrossJoinMaxRows — i.e. a domain-bounded frame the optimizer
+    * cannot size (grouped aggregates over a fixed value domain,
+    * distinct over an enum column). The bound argument lives in the
+    * operator's Scaladoc; this is the checked index. */
+  private val crossAllowed: Map[String, String] = Map.empty
+
+  // ---- shared sweep ------------------------------------------------
+
+  private case class Sweep(
+      windowHits: Map[String, Set[String]],
+      crossHits: Map[String, Set[String]],
+      failedBuilds: Map[String, String])
+
+  private def globalWindows(qe: QueryExecution): Seq[String] =
+    try {
+      qe.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          w.windowExpressions.map(_.name).mkString("|")
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+  /** cross joins with NO provably-small side: joinType Cross or a
+    * condition-free join, where neither child's `maxRows` proves it
+    * ≤ CrossJoinMaxRows (scalar aggregates, local relations, ranges
+    * and limits all prove; corpus scans and grouped aggregates
+    * don't). */
+  private def unprovenCrossJoins(qe: QueryExecution): Seq[String] =
+    try {
+      qe.optimizedPlan.collect {
+        case j: logical.Join
+            if (j.joinType == org.apache.spark.sql.catalyst.plans.Cross ||
+              j.condition.isEmpty) &&
+              !Seq(j.left, j.right).exists(_.maxRows.exists(_ <= CrossJoinMaxRows)) =>
+          s"${j.joinType}(${j.left.nodeName} x ${j.right.nodeName})"
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+  private lazy val sweep: Sweep = {
+    val windowHits = mutable.Map[String, mutable.Set[String]]()
+    val crossHits = mutable.Map[String, mutable.Set[String]]()
     @volatile var current: String = "<none>"
-    // detect on the LOGICAL plan: under AQE (on by default in
-    // Spark 4) the physical tree hides inside AdaptiveSparkPlanExec,
-    // which a plain executedPlan.collect does not descend into (the
-    // CLAUDE.md plan-inspection rule); the logical Window node with
-    // an empty partitionSpec is exactly what plans the warned-about
-    // single-partition WindowExec
-    def globalWindows(qe: QueryExecution): Seq[String] =
-      try {
-        qe.optimizedPlan.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.isEmpty =>
-            w.windowExpressions.map(_.name).mkString("|")
-        }
-      } catch { case _: Throwable => Seq.empty }
+    @volatile var lastEventNanos: Long = System.nanoTime()
     def record(qe: QueryExecution): Unit = {
       val globals = globalWindows(qe)
-      if (globals.nonEmpty)
-        hits.synchronized {
-          hits.getOrElseUpdate(current, mutable.Set[String]()) ++= globals
+      val crosses = unprovenCrossJoins(qe)
+      if (globals.nonEmpty || crosses.nonEmpty)
+        windowHits.synchronized {
+          if (globals.nonEmpty)
+            windowHits.getOrElseUpdate(current, mutable.Set[String]()) ++= globals
+          if (crosses.nonEmpty)
+            crossHits.getOrElseUpdate(current, mutable.Set[String]()) ++= crosses
         }
+      lastEventNanos = System.nanoTime()
     }
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -104,29 +165,41 @@ class WindowBoundsSpec extends SparkSpec {
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         current = name
+        lastEventNanos = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           // the lazy remainder of the plan (never executed here)
-          val lazyGlobals = globalWindows(df.queryExecution)
-          if (lazyGlobals.nonEmpty)
-            hits.synchronized {
-              hits.getOrElseUpdate(name, mutable.Set[String]()) ++= lazyGlobals
-            }
+          val qe = df.queryExecution
+          val lazyGlobals = globalWindows(qe)
+          val lazyCrosses = unprovenCrossJoins(qe)
+          windowHits.synchronized {
+            if (lazyGlobals.nonEmpty)
+              windowHits.getOrElseUpdate(name, mutable.Set[String]()) ++= lazyGlobals
+            if (lazyCrosses.nonEmpty)
+              crossHits.getOrElseUpdate(name, mutable.Set[String]()) ++= lazyCrosses
+          }
         } catch {
           case t: Throwable => failedBuilds(name) = t.toString.take(200)
         }
+        // drain the async listener bus to quiescence so construction-
+        // time executions are attributed to THIS query, not the next
+        // one (r16 ADVICE) — bounded poll instead of a fixed sleep
+        val deadline = System.nanoTime() + DrainMaxMs * 1000000L
+        while (System.nanoTime() - lastEventNanos < DrainQuietMs * 1000000L &&
+          System.nanoTime() < deadline) Thread.sleep(25)
       }
-      // the listener posts asynchronously; give the bus time to drain
-      // (listenerBus.waitUntilEmpty is private[spark]); the final
-      // Thread.sleep is bounded and only risks under-collection,
-      // which the stray check would surface as a later flake, not a
-      // false pass of a real stray
-      Thread.sleep(2000)
     } finally spark.listenerManager.unregister(listener)
-    assert(failedBuilds.isEmpty, s"queries failed to build: $failedBuilds")
-    val found = hits.keySet.toSet
+    Sweep(
+      windowHits.map { case (k, v) => k -> v.toSet }.toMap,
+      crossHits.map { case (k, v) => k -> v.toSet }.toMap,
+      failedBuilds.toMap)
+  }
+
+  test("unpartitioned windows: enumerated, justified, no corpus-sized strays") {
+    assert(sweep.failedBuilds.isEmpty, s"queries failed to build: ${sweep.failedBuilds}")
+    val found = sweep.windowHits.keySet
     info(s"queries planning unpartitioned windows: ${found.toSeq.sorted.mkString(", ")}")
-    val strays = found -- allowed.keySet
+    val strays = found -- windowAllowed.keySet
     assert(strays.isEmpty,
       s"unpartitioned Window in queries with NO documented bound: " +
         strays.toSeq.sorted.mkString(", ") +
@@ -135,9 +208,27 @@ class WindowBoundsSpec extends SparkSpec {
     // two-way: a listed site that stopped planning a global window is
     // stale documentation (logical plan structure is SF-independent,
     // so the sf0.001 sweep is authoritative for the enumeration)
-    val stale = allowed.keySet -- found
+    val stale = windowAllowed.keySet -- found
     assert(stale.isEmpty,
       s"allowlist entries no longer planning an unpartitioned window " +
+        s"(remove them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("cross joins: every one has a provably-small side or a documented bound") {
+    val found = sweep.crossHits.keySet
+    info(s"queries planning unproven-side cross joins: " +
+      sweep.crossHits.toSeq.sortBy(_._1)
+        .map { case (q, js) => s"$q[${js.mkString("; ")}]" }.mkString(", "))
+    val strays = found -- crossAllowed.keySet
+    assert(strays.isEmpty,
+      s"cross join with NO provably-small side in: " +
+        strays.toSeq.sorted.map(q => s"$q ${sweep.crossHits(q).mkString("; ")}")
+          .mkString(", ") +
+        " — broadcast a provably-bounded side (scalar agg / local / range / limit), " +
+        "or document the domain bound in the Scaladoc and list it here")
+    val stale = crossAllowed.keySet -- found
+    assert(stale.isEmpty,
+      s"cross-join allowlist entries no longer planning an unproven cross join " +
         s"(remove them): ${stale.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -102,9 +102,22 @@ class WindowBoundsSpec extends SparkSpec {
     * only when NEITHER side carries a Catalyst-provable maxRows ≤
     * CrossJoinMaxRows — i.e. a domain-bounded frame the optimizer
     * cannot size (grouped aggregates over a fixed value domain,
-    * distinct over an enum column). The bound argument lives in the
-    * operator's Scaladoc; this is the checked index. */
-  private val crossAllowed: Map[String, String] = Map.empty
+    * distinct over an enum column, a filter that selects one
+    * accumulator row out of a grouped aggregate). The bound argument
+    * lives in the operator's Scaladoc; this is the checked index. */
+  private val crossAllowed: Map[String, String] = Map(
+    "dedup_embed_cosine" -> "KxK centroid-ball metadata join (codebook K, adaptiveSeedK-clamped); grouped radii agg hides the K bound",
+    "dedup_ensemble" -> "inherits dedup_embed_cosine's KxK centroid-ball join (the composite re-runs the cosine tier)",
+    "dedup_threshold_sweep" -> "inherits dedup_embed_cosine's KxK centroid-ball join (its pair source)",
+    "ml_corr_pairs" -> "scalar n row (da=-1 accumulator partial, 1 row by construction) x d^2-bounded pair-stats frame",
+    "ml_rank_corr" -> "scalar n row (da=-1 accumulator partial) x d^2-bounded pair-stats frame",
+    "pipe_waterfill_budget" -> "<=1-row water-level boundary row x the |sources| allocation frame",
+    "q31_gapfill" -> "observation-window hour grid (sequence lo..hi) x |event types| enum",
+    "temporal_ffill" -> "observation-window 6h grid x |event types| enum",
+    "sim_ivf_retrain_stats" -> "K-row cell-count frame x its own scalar total (grouped-agg side hides the K bound)",
+    "stream_drift" -> "closed-hours grid x |event types| enum (the Laplace densify); both domain-bounded",
+    "text_source_divergence" -> "|sources| enum x vocab densify grid — the declared (source,word) metadata matrix; pair join runs on it, never on the corpus"
+  )
 
   // ---- shared sweep ------------------------------------------------
 

@@ -70,11 +70,25 @@ object Bench {
       catch { case _: Throwable => () }
       if (wantComposites) {
         graft.operators.Dedup.setCompositeTier(true)
-        try composites.toSeq.sorted.foreach { c =>
-          // constructing the frame populates the tier (compositeMemo
-          // localCheckpoints eagerly); no full materialization needed
-          try SparkEntry.queries.get(c).foreach(_(spark, sfDir))
-          catch { case _: Throwable => () }
+        // constructing the frames populates the tier (compositeMemo
+        // localCheckpoints eagerly); no full materialization needed.
+        // CONCURRENT construction (r17): the five builds are
+        // independent job chains gated on per-kind memo locks, and on
+        // a host that taxes every job/stage handoff (this round's box
+        // intermittently dispatches at 30-100 ms/job) a sequential
+        // build serializes ~5x that latency — measured 112-206 s of
+        // the bench wall vs ~50 s quiet. Running them like
+        // warmPinnedBases' futures overlaps the latency (guide §2.6,
+        // overlap independent jobs); shared sub-pipelines still build
+        // once under their kind lock. Accounting is unchanged: the
+        // cost stays inside pinned_base_build_sec.
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(composites.toSeq.sorted.map(c =>
+            Future(try SparkEntry.queries.get(c).foreach(_(spark, sfDir))
+            catch { case _: Throwable => () }))), Duration.Inf)
         } finally graft.operators.Dedup.setCompositeTier(false)
       }
       (System.nanoTime() - t0) / 1e9

@@ -91,7 +91,12 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // GRAFT_AQE=false is a dev-only A/B escape (r17): it measured
+      // AQE's per-exchange stage-job overhead on the iterative graph
+      // loops (hits/bfs/pagerank ~25% faster without AQE, components
+      // ~25% slower — mixed, so the default stays on and the loops
+      // cut exchanges structurally instead). Never set by the driver.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // storage-partitioned joins over KGP-reporting DSv2 scans (the
       // bucketed range source; any clustered table a deployment
       // mounts): planning-only, inert for every other source

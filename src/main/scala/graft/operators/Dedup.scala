@@ -2062,12 +2062,19 @@ ORDER BY tau_x10k"""
     // through the alias (src = c)
     val edges = copurchaseEdges(s, dir)
       .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    // deg consumes the edge memo's hash(src, 8) partitioning —
+    // exchange-free groupBy whose output zips into the node join;
+    // the node list pins its width BEFORE the distinct so dedup and
+    // the deg join share the union's one exchange (r17, guide §2.4 —
+    // previously: 32-wide distinct exchange + 32-wide deg exchange +
+    // the explicit 8-wide re-pin = 3 exchanges for this init)
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .unionAll(edges.select(col("dst").as("node")))
+      .repartition(p0, col("node")).distinct()
       .join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(1L)).as("outdeg"))
-      .repartition(p0, col("node")).localCheckpoint()
+      .localCheckpoint()
     var pr = nodes.select(col("node"), col("outdeg"), lit(1000000000L).as("pr"))
       .localCheckpoint()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -2075,10 +2082,15 @@ ORDER BY tau_x10k"""
     var done = false
     while (r < PrMaxRounds && !done) {
       r += 1
+      // one exchange per round (r17, guide §2.4): pin the width BEFORE
+      // the groupBy so the rank-mass aggregation consumes hash(dst, 8)
+      // exchange-free and the score join zips on it — the
+      // qHitsConverge half-step fusion (the groupBy previously planned
+      // its own exchange and the pin re-exchanged the aggregate)
       val recv = edges.join(pr, edges("src") === pr("node"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
+        .repartition(p0, col("dst"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("recv"))
-        .repartition(p0, col("node"))
       val next = pr.select(col("node"), col("outdeg"), col("pr").as("prev"))
         .join(recv, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
@@ -2261,14 +2273,26 @@ WHERE a.n_members > 1 ORDER BY a.cluster_id"""
     var done = false
     while (r < KcoreMaxRounds && !done) {
       r += 1
+      // ONE exchange for the degree peel (r17, guide §2.4): the width
+      // pin moves BEFORE the groupBy, so the aggregation consumes
+      // hash(node, 8) exchange-free and the filter preserves that
+      // partitioning into the checkpoint — previously the groupBy
+      // planned its own exchange and the pin re-exchanged the
+      // filtered keep set (2 exchanges + 2 AQE stage-jobs per round).
       val deg = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node")))
+        .repartition(p0, col("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= KcoreK).select(col("node"))
-        .repartition(p0, col("node")).localCheckpoint()
+        .localCheckpoint()
+      // keep is checkpointed (stats erased — no auto-broadcast, the
+      // CLAUDE.md rule) and node-corpus-sized at scale, so it stays a
+      // shuffle semi join with the hash build pinned on the keep side:
+      // the src probe zips on the shared hash(·, 8) partitioning, the
+      // dst probe pays the round's one edge re-key.
       val next = edges
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(keep.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .repartition(p0, col("src")).localCheckpoint()
       // one fused 2-row collect for both counts (was two count jobs
@@ -3282,12 +3306,17 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
     // [[copurchaseEdges]] memo.
     val edgesByC = copurchaseEdges(s, dir)
     val edgesByP = edgesByC.repartition(p0, col("p")).localCheckpoint()
+    // score inits dedup ON the edge lists' existing hash(·, 8)
+    // partitioning (select preserves it), so neither distinct plans
+    // an exchange and the checkpoints inherit the width the loop
+    // zips on (r17 — previously each init paid a 32-wide distinct
+    // exchange plus the explicit 8-wide re-pin)
     var hub = edgesByC.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
-      .repartition(p0, col("c")).localCheckpoint()
+      .localCheckpoint()
     var auth = edgesByP.select(col("p")).distinct()
       .select(col("p"), lit(1000000L).as("a"))
-      .repartition(p0, col("p")).localCheckpoint()
+      .localCheckpoint()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 0
     var done = false
@@ -3308,8 +3337,18 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
       // cached raw frame, so its three consumers (next half-step,
       // delta sum, next round's previous-score join) re-read cache,
       // not the plan.
-      val aRaw = edgesByC.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("raw"))
+      // ONE exchange per half-step (r17, guide §2.4): the width pin
+      // moves BEFORE the aggregation, so the groupBy consumes
+      // hash(p, 8) exchange-free and the previous-score join zips on
+      // the same partitioning — previously groupBy planned its own
+      // exchange (AQE-coalesced) and the pin re-exchanged the
+      // aggregate (2 exchanges = 2 extra AQE stage-jobs per
+      // half-step x 12 half-steps; the shuffled bytes are the same
+      // ~6 MB either way at test SF — per-partition partial
+      // aggregation barely shrinks this key set).
+      val aRaw = edgesByC.join(hub, "c")
         .repartition(p0, col("p"))
+        .groupBy(col("p")).agg(sum(col("h")).as("raw"))
         .join(auth.withColumnRenamed("a", "pa"), "p")
         .localCheckpoint()
       val maxA = aRaw.agg(max(col("raw"))).collect()(0).getLong(0)
@@ -3318,8 +3357,8 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
           col("pa"))
         .select(col("p"), col("a"), abs(col("a") - col("pa")).as("da"))
       val hRaw = edgesByP.join(aNext.select(col("p"), col("a")), "p")
-        .groupBy(col("c")).agg(sum(col("a")).as("raw"))
         .repartition(p0, col("c"))
+        .groupBy(col("c")).agg(sum(col("a")).as("raw"))
         .join(hub.withColumnRenamed("h", "ph"), "c")
         .localCheckpoint()
       val maxH = hRaw.agg(max(col("raw"))).collect()(0).getLong(0)

@@ -178,6 +178,7 @@ object Bench {
       if (pinsActive) BenchPins.Mins.get(name) else None
     var pass2Budget: Double = 240.0
     var pass2BudgetSkips = 0
+    var pass2LoadSkips = 0
 
     // noop sink: materializes every output column through the full
     // plan (count() would let Catalyst prune projections and drop
@@ -226,7 +227,7 @@ object Bench {
         else "cold"
       val skipRule =
         if (pinsActive)
-          s""","skip_rule":"pass2 skipped when pass1 <= (1.5*pin + 0.3s) * clamp(max(cal/$CalRef, lat/$LatRef), 1, 4)","pin_source":"${BenchPins.Source}","pass2_skipped":$skipped,"pass2_run":${results.size - skipped},"pass2_budget_skips":$pass2BudgetSkips"""
+          s""","skip_rule":"pass2 skipped when pass1 <= (1.5*pin + 0.3s) * clamp(max(cal/$CalRef, lat/$LatRef), 1, 4); band re-checked after a decision-time probe; forced skip when loadScale >= 2.5 (re-measuring under heavy load is window noise)","pin_source":"${BenchPins.Source}","pass2_skipped":$skipped,"pass2_run":${results.size - skipped},"pass2_budget_skips":$pass2BudgetSkips,"pass2_load_skips":$pass2LoadSkips"""
         else ""
       val cals = (calibrations.toSeq ++ (if (partial) Nil else Seq(calAfter)))
         .mkString("[", ",", "]")
@@ -265,9 +266,35 @@ object Bench {
       }
       val p1 = pass()
       val pin = pinOf(name)
+      def inBand(p: Double): Boolean = p1 <= (1.5 * p + 0.3) * loadScale
+      // DECISION-TIME recalibration (r17): the periodic probes sample
+      // every 50 queries, but the contention windows measured on this
+      // box start and end BETWEEN samples — run 2 of the r17 board
+      // watched the ml_* block read 5-20x its pins against a stale
+      // low loadScale, fail the band, and spend ~45 s re-measuring
+      // numbers that were pure window noise (both passes inflated
+      // together — the exact r15/r16 driver-kill mode). So a pass-1
+      // reading outside the band first re-probes the box NOW (~0.5 s)
+      // and re-evaluates; if the band still fails under a
+      // heavily-loaded reading (loadScale >= 2.5 after the clamp), a
+      // re-measure cannot produce a steady-state number either — the
+      // pin REMAINS the best-known steady state, pass 1 is reported
+      // as measured (visibly inflated, min == mean), and the forced
+      // skip is counted in pass2_load_skips. Pass 2 runs only when
+      // the box looks sane enough (< 2.5x) for min-of-2 to mean
+      // something — a real regression on a quiet box still gets its
+      // honest two passes, and all decision-time probe readings land
+      // in the stamped calibration arrays.
       val times =
-        if (pin.exists(p => p1 <= (1.5 * p + 0.3) * loadScale)) Seq(p1)
-        else if (pin.isDefined && pass2Budget <= 0) {
+        if (pin.exists(inBand)) Seq(p1)
+        else if (pin.isDefined && {
+          calibrations += calibrate(); latencies += latencyProbe()
+          pin.exists(inBand)
+        }) Seq(p1)
+        else if (pin.isDefined && loadScale >= 2.5) {
+          pass2LoadSkips += 1
+          Seq(p1)
+        } else if (pin.isDefined && pass2Budget <= 0) {
           // backstop: sustained contention drained the pass-2 wall
           // budget — report pass 1, count the forced skip in-band
           pass2BudgetSkips += 1

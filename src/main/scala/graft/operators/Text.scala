@@ -1390,10 +1390,18 @@ ORDER BY c.labeled_lang, c.predicted_lang"""
         val rendered = out.indices.foldRight(bp)((j, acc) =>
           acc.replace(BpeKMarkers(j), out(j)._2))
         out += ((bp, rendered, cnt))
+        // the merged vocabulary stays a LINEAGE of replace projections
+        // over the caller's checkpointed base vocab (r17): a per-merge
+        // localCheckpoint cost one extra job per merge round (2K jobs
+        // per trainer at K=16) to materialize a vocabulary-sized frame
+        // that only the next round's one collect reads. The chain is K
+        // nested map-only projects over ≤|vocab| rows — re-executing
+        // round j's replaces on round j+1's collect is microseconds of
+        // CPU, while the saved jobs are the board's per-job dispatch
+        // tax. Same expressions, same engine — no semantics change.
         wf = wf.select(
             replace(col("word"), lit(bp), lit(BpeKMarkers(out.length - 1))).as("word"),
             col("f"))
-          .localCheckpoint()
       }
     }
     out.toSeq

@@ -37,9 +37,13 @@ def main() -> None:
   * sf0.1: Bench ignores this table at any other SF.
   *
   * REGENERATION RULE: when a round restructures a query's plan,
-  * delete its entry here (sim_maxsim_rerank was dropped for r17);
-  * when a new BENCH_LOCAL stamp lands, regenerate the whole table
-  * from its `queries` map (tools/gen_bench_pins.py).
+  * delete its entry here (or exclude it from the merged pin source);
+  * when a new stamp lands, regenerate the whole table from its
+  * `queries` map (tools/gen_bench_pins.py). r17's source is
+  * BENCH_PINS_r17.json — the per-query MIN over the r16 stamp
+  * (plan-unchanged queries only) and the three r17 full-board runs,
+  * so pins stay the best-known steady state rather than inheriting
+  * a contended run's inflation (see the json's `note`).
   */
 object BenchPins {{
   /** stamped round the pins came from (emitted in-band in the JSON) */

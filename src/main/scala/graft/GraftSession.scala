@@ -96,7 +96,11 @@ object GraftSession {
       // loops (hits/bfs/pagerank ~25% faster without AQE, components
       // ~25% slower — mixed, so the default stays on and the loops
       // cut exchanges structurally instead). Never set by the driver.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      // normalized to a strict boolean (r17 ADVICE: any other value,
+      // e.g. GRAFT_AQE=0, failed session construction with an obscure
+      // IllegalArgumentException) — only "false"/"0" turn it off
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("GRAFT_AQE").exists(v => v == "false" || v == "0")).toString)
       // storage-partitioned joins over KGP-reporting DSv2 scans (the
       // bucketed range source; any clustered table a deployment
       // mounts): planning-only, inert for every other source

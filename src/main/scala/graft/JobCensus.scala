@@ -60,7 +60,11 @@ object JobCensus {
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"$name%s\t${jobs.get}%d\t${stages.get}%d\t${tasks.get}%d\t$dt%.2f")
         } catch { case e: Throwable =>
-          println(s"$name\tERR\t${e.getClass.getSimpleName}")
+          // 5 columns like every other row (r17 ADVICE: a 3-field row
+          // breaks TSV consumers), and drain so a failed query's
+          // straggling jobs don't leak into the next query's counts
+          drain()
+          println(s"$name\tERR\tERR\tERR\t${e.getClass.getSimpleName}")
         }
         spark.catalog.clearCache()
       }

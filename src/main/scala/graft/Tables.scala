@@ -39,8 +39,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(path).schema)
+    // get-then-putIfAbsent (r17 ADVICE): the inference runs a Spark
+    // job, and computeIfAbsent would hold the map's hash-bin lock for
+    // the job's duration — unrelated (dir, table) keys colliding in a
+    // bin would serialize their first loads under the concurrent
+    // composite/base warmup. A rare duplicate inference is cheaper
+    // than a serialized one.
+    val key = (dir, name)
+    val sch = schemaCache.get(key) match {
+      case null =>
+        val inferred = spark.read.parquet(path).schema
+        val prev = schemaCache.putIfAbsent(key, inferred)
+        if (prev == null) inferred else prev
+      case cached => cached
+    }
     spark.read.schema(sch).parquet(path)
   }
 

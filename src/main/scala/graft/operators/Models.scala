@@ -1114,7 +1114,9 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
       col("n_pos").as("tp"), col("n_neg").as("fp"), lit(0L).as("fn"),
       lit(0L).as("precision_ppm"), lit(0L).as("recall_ppm"),
       lit(0L).as("f1_ppm")).limit(0)
-    val taus = (1L to 9L).map(k => (k, OrderStats.kth(ranked, (k * n + 9) / 10).getLong(0)))
+    // all 9 decile thresholds in ONE fetch job (OrderStats.kths, r18)
+    val cuts = OrderStats.kths(ranked, (1L to 9L).map(k => (k * n + 9) / 10))
+    val taus = (1L to 9L).map(k => (k, cuts((k * n + 9) / 10).getLong(0)))
     val tauDf = s.createDataFrame(taus).toDF("k", "tau")
     grouped.crossJoin(broadcast(tauDf))
       .filter(col("s") >= col("tau"))
@@ -1456,8 +1458,10 @@ FROM pre p JOIN iso USING (i) ORDER BY p.bin"""
     val n = ranked.total
     if (n == 0L) // degenerate-input rule: no purchases
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val lo = OrderStats.kth(ranked, (n + 19) / 20)
-    val hi = OrderStats.kth(ranked, (19 * n + 19) / 20)
+    // both tail thresholds in ONE fetch job (OrderStats.kths, r18)
+    val cuts = OrderStats.kths(ranked, Seq((n + 19) / 20, (19 * n + 19) / 20))
+    val lo = cuts((n + 19) / 20)
+    val hi = cuts((19 * n + 19) / 20)
     val (tlo, tlu) = (lo.getLong(0), lo.getLong(1))
     val (thi, thu) = (hi.getLong(0), hi.getLong(1))
     val dec = "decimal(38,0)"

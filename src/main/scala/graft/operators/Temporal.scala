@@ -1148,8 +1148,11 @@ object Temporal {
       val r = OrderStats.rank(users.select(col(metric), col("user_id")),
         Seq(metric, "user_id"))
       val n = r.total
+      // all 4 cut ranks in ONE fetch job (OrderStats.kths, r18) —
+      // this metric's thresholds previously cost 4 scheduled jobs
+      val cuts = OrderStats.kths(r, (1 to 4).map(k => (k * n + 4) / 5))
       (1 to 4).foldLeft(lit(1L)) { (acc, k) =>
-        val t = OrderStats.kth(r, (k * n + 4) / 5)
+        val t = cuts((k * n + 4) / 5)
         val (tv, tu) = (t.getLong(0), t.getLong(1))
         acc + when(col(metric) > tv ||
           (col(metric) === tv && col("user_id") > tu), 1L).otherwise(0L)

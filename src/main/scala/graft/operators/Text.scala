@@ -1957,8 +1957,10 @@ FROM f GROUP BY split ORDER BY split"""
       if (n == 0) ((0L, 0L), (0L, 0L))
       else {
         val ranked = OrderStats.rank(lm.select(col("negs"), col("doc_id")), Seq("negs", "doc_id"))
+        // both tercile boundaries in ONE fetch job (OrderStats.kths, r18)
+        val cuts = OrderStats.kths(ranked, Seq(b1, b2))
         def cut(k: Long): (Long, Long) = {
-          val r = OrderStats.kth(ranked, k)
+          val r = cuts(k)
           (r.getLong(0), r.getLong(1))
         }
         (cut(b1), cut(b2))

@@ -62,26 +62,32 @@ object Profile {
     sampler.setDaemon(true)
     sampler.start()
 
-    val fn = SparkEntry.queries(name)
-    (1 to 2).foreach { pass =>
-      stages.synchronized(stages.clear())
-      samples.clear()
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (pass == 2 && sys.env.contains("GRAFT_PROFILE_PLAN"))
-        println(df.queryExecution.executedPlan.toString)
-      spark.catalog.clearCache()
-      println(f"== pass $pass: $name%s ${dt}%.2fs total ==")
-      println(f"${"stage"}%6s ${"wall_ms"}%8s ${"cpu_ms"}%8s ${"gc_ms"}%7s ${"tasks"}%6s ${"shR_MB"}%8s ${"shW_MB"}%8s  name")
-      stages.synchronized(stages.sortBy(-_.wallMs)).foreach { r =>
-        println(f"${r.id}%6d ${r.wallMs}%8d ${r.cpuMs}%8d ${r.gcMs}%7d ${r.tasks}%6d ${r.shufReadMB}%8.1f ${r.shufWriteMB}%8.1f  ${r.name}")
-      }
-      println(s"-- top sampled frames (pass $pass) --")
-      import scala.jdk.CollectionConverters._
-      samples.asScala.toSeq.sortBy(-_._2.get).take(20).foreach { case (k, v) =>
-        println(f"${v.get}%8d  $k")
+    // comma-separated names profile back-to-back in one JVM (r18):
+    // the ~45s sbt+session startup dominated single-query profiling
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { qn =>
+      val fn = SparkEntry.queries(qn)
+      (1 to 2).foreach { pass =>
+        graft.operators.Dedup.resetMemos()
+        graft.operators.Text.resetMemos()
+        stages.synchronized(stages.clear())
+        samples.clear()
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (pass == 2 && sys.env.contains("GRAFT_PROFILE_PLAN"))
+          println(df.queryExecution.executedPlan.toString)
+        spark.catalog.clearCache()
+        println(f"== pass $pass: $qn%s ${dt}%.2fs total ==")
+        println(f"${"stage"}%6s ${"wall_ms"}%8s ${"cpu_ms"}%8s ${"gc_ms"}%7s ${"tasks"}%6s ${"shR_MB"}%8s ${"shW_MB"}%8s  name")
+        stages.synchronized(stages.sortBy(-_.wallMs)).foreach { r =>
+          println(f"${r.id}%6d ${r.wallMs}%8d ${r.cpuMs}%8d ${r.gcMs}%7d ${r.tasks}%6d ${r.shufReadMB}%8.1f ${r.shufWriteMB}%8.1f  ${r.name}")
+        }
+        println(s"-- top sampled frames (pass $pass) --")
+        import scala.jdk.CollectionConverters._
+        samples.asScala.toSeq.sortBy(-_._2.get).take(20).foreach { case (k, v) =>
+          println(f"${v.get}%8d  $k")
+        }
       }
     }
     sampling = false

@@ -37,6 +37,14 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]
 
+  /** The cached footer schema of `<dir>/<name>.parquet` — for callers
+    * that need the raw schema without a scan (streaming sources read
+    * with an explicit schema; a bare `read.parquet(path).schema` ran
+    * a one-task inference job per streaming query before r18). */
+  def rawSchema(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
+    load(spark, dir, name); schemaCache.get((dir, name))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     // get-then-putIfAbsent (r17 ADVICE): the inference runs a Spark

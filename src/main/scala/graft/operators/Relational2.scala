@@ -957,9 +957,19 @@ object Relational2 {
           col("o_orderstatus"), lit("</s></o>")).as("x"))
       .select(col("pri"), col("x"),
         expr("from_xml(x, 'k BIGINT, c BIGINT, s STRING')").as("p"))
+      // independent cross-check of the shredded <c> field against the
+      // raw markup. This was xpath_long('/o/c') until r18: JAXP
+      // evaluates each call by DOM-parsing the row and building a
+      // fresh DTMManager + XPathContext (sampler: ~85% of the query's
+      // 360s of 32-thread CPU at sf0.1 sat in XPathImplUtil.eval /
+      // DTMManagerDefault.<init> / DOMParser.<init>; the from_xml
+      // StAX parse was <5%). Per-row xpath cannot survive any scale;
+      // the codegen'd regexp extraction is the same independent
+      // "does the shred match the literal markup" assertion at ~zero
+      // cost, and from_xml remains the demonstrated XML-shred path.
       .select(col("pri"),
         col("p.k").as("k"), col("p.c").as("cents"), col("p.s").as("st"),
-        expr("xpath_long(x, '/o/c')").as("cents_xpath"))
+        regexp_extract(col("x"), "<c>(-?\\d+)</c>", 1).cast("long").as("cents_xpath"))
       .groupBy(col("pri"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("sum_cents"),

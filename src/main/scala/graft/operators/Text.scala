@@ -1753,7 +1753,16 @@ FROM f GROUP BY split ORDER BY split"""
   private[operators] val MltTopK = 5
 
   def qBm25Mlt(s: SparkSession, dir: String): DataFrame = {
+    // width pin BEFORE the tokenize (r18; the CLAUDE.md
+    // repartition-before-CPU-bound rule): the single-file corpus
+    // scans as ONE partition, so the explode + tf partial aggregate
+    // ran single-threaded — Profile stage 50: 2.3s wall / 1.75s CPU
+    // on 1 task, 84% of this query's honest cost. hash(doc_id)
+    // satisfies ClusteredDistribution for BOTH the (doc_id, term)
+    // groupBy and the dl window, so the pin adds zero exchanges —
+    // tokenize, tf and dl all share the one pinned layout.
     val terms = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
     // one corpus pass: per-(doc,term) tf, with per-doc length dl
     // riding the same doc_id-keyed exchange as a window sum
@@ -2264,10 +2273,19 @@ FROM b GROUP BY 1 ORDER BY 1"""
     // "stopword run" and "\b-delimited stopword" coincide exactly.
     // Checkpointed once: stats and phrase types both consume it.
     val stopSet = stopwords.toSet
+    // the kernel emits ONE row per phrase INSTANCE (r18): the
+    // previous form emitted a row per (word occurrence × phrase)
+    // with the phrase string duplicated onto every word row — the
+    // checkpoint carried Σ plen string copies and the profiler
+    // showed the stage GC-bound (2.5 s GC on a 1.2 s-CPU stage).
+    // The per-word occurrence rows are recovered below with a
+    // codegen'd split+explode over the instance rows — the same
+    // multiset (phrase = words.mkString(" "), words are [a-z0-9]+
+    // runs, so the single-space split is exact) at a fraction of
+    // the allocation.
     val pwSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("phrase", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("plen", org.apache.spark.sql.types.LongType)))
     val pw = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
@@ -2282,9 +2300,7 @@ FROM b GROUP BY 1 ORDER BY 1"""
           val sb = new java.lang.StringBuilder
           def flushPhrase(): Unit = {
             if (words.nonEmpty) {
-              val phrase = words.mkString(" ")
-              val plen = words.length.toLong
-              words.foreach(w => out += Row(docId, phrase, w, plen))
+              out += Row(docId, words.mkString(" "), words.length.toLong)
               words.clear()
             }
           }
@@ -2310,7 +2326,11 @@ FROM b GROUP BY 1 ORDER BY 1"""
         }
       }(org.apache.spark.sql.Encoders.row(pwSchema))
       .localCheckpoint()
-    val stats = pw.groupBy(col("doc_id"), col("word"))
+    // per-word OCCURRENCE rows (one per word per phrase instance),
+    // exactly the rows the kernel used to emit
+    val occ = pw.select(col("doc_id"), col("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val stats = occ.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
     // score phrase TYPES once per doc (occurrences share the score),
     // while freq/deg above count every occurrence — RAKE semantics.

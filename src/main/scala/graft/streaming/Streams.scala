@@ -66,7 +66,9 @@ object Streams {
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
     val path = s"$dir/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(path).schema // ts arrives as long nanos
+    // cached footer schema (r18): the bare read.parquet(path).schema
+    // here ran a one-task inference job per bounded-stream query
+    val schema = Tables.rawSchema(s, dir, "events") // ts arrives as long nanos
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val streamDir = graft.GraftSession.scratchDir("graft_stream_")
     // the events table may be ONE parquet file or a multi-file
@@ -169,8 +171,7 @@ object Streams {
     val watch = base.resolve("watch")
     java.nio.file.Files.createDirectory(watch)
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.fixEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val ev = Tables.events(s, dir) // schema-cached scan (r18)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
       // ONE staging job for all nFiles (was one coalesce(1) write per
       // file — nFiles job launches of pure scheduling overhead): the
@@ -196,7 +197,10 @@ object Streams {
         val slot = g * groupSize + (slotsInGroup - 1 - posInGroup)
         target.toFile.setLastModified(1000000000000L + slot * 60000L)
       }
-      val schema = s.read.parquet(watch.toString).schema
+      // the staged files carry ev's schema minus the partitionBy
+      // column — no inference job needed (r18)
+      val schema = org.apache.spark.sql.types.StructType(
+        ev.schema.filterNot(_.name == "bucket"))
       val q = build(
           s.readStream.schema(schema)
             .option("maxFilesPerTrigger", groupSize.toString)
@@ -636,7 +640,7 @@ object Streams {
       // either approx percentiles (not oracle-reconstructible
       // bit-exactly) or an exact order statistic (a sort again); the
       // oracle rebuilds the same schedule from the same md5 rule.
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = Tables.load(s, dir, "events") // schema-cached scan (r18)
       val staged = ev.withColumn("bucket",
         conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % 4)
@@ -656,7 +660,10 @@ object Streams {
         }
       }
       stagePhase(1, Seq(1, 2))
-      val schema = s.read.parquet(watch.toString).schema
+      // staged files carry ev's schema minus the partitionBy column —
+      // no inference job (r18)
+      val schema = org.apache.spark.sql.types.StructType(
+        staged.schema.filterNot(_.name == "bucket"))
       def runPhase(maxFilesPerTrigger: Option[Int]): Long = {
         // phase 1 keeps maxFilesPerTrigger=1 so its checkpoint commits
         // a MULTI-ENTRY offset log — the restart then provably resumes
@@ -1068,10 +1075,10 @@ object Streams {
       // ~3 jobs of pure scheduling overhead on the bench wall)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val srcDir = s"$base/src"
-      s.read.parquet(s"$dir/events.parquet")
+      val srcSel = Tables.load(s, dir, "events") // schema-cached scan (r18)
         .select(col("user_id"), col("value"))
-        .repartition(3).write.parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
+      srcSel.repartition(3).write.parquet(srcDir)
+      val schema = srcSel.schema // what the write just produced
 
       // versioned-path target: each apply reads version N and writes
       // N+1 (never its own input — the read-then-overwrite trap)

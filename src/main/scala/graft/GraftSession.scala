@@ -113,6 +113,48 @@ object GraftSession {
     shmRoot.fold(b)(root => b.config("spark.local.dir", root.toString))
   }
 
+  /** Runs `body` with AQE disabled on the session, restoring the
+    * prior value after — scoped to the ITERATIVE LOOP BODIES of the
+    * graph/CC fixpoint operators (r18).
+    *
+    * Why this is safe AND right at every scale, not a local-mode
+    * tune: inside those loops every join consumes localCheckpoint'ed
+    * frames whose partitioning was pinned by an explicit
+    * `repartition(p, key)` — no exchange feeds any join, so AQE's
+    * skew-join splitting CANNOT apply to them (it only rewrites
+    * joins reading shuffle query stages), and the only exchanges in
+    * the loop plans are the explicit width pins whose entire purpose
+    * is to prevent the coalescing AQE would perform. What AQE still
+    * costs there is real: each exchange materializes as a separately
+    * scheduled stage-job, and on a slow-dispatch host (both measured
+    * boxes run 30-700 ms/job windows) that tax dominates the
+    * metadata-sized rounds. Measured job counts at sf0.1 (JobCensus,
+    * deterministic): hits_converge 134->32, kcore 88->29,
+    * bfs_levels 55->20, pagerank 37->12, path_counts 55->20,
+    * sim_graph_components 102->19. The corpus-scale memo builds
+    * (edge lists, kNN candidates) stay OUTSIDE the scope — they are
+    * single-pass plans where AQE's runtime re-optimization earns its
+    * stage jobs (the r17 A/B: components' kNN pipeline was 25%
+    * faster WITH AQE).
+    *
+    * GRAFT_LOOP_AQE=1 keeps AQE on inside the loops (the
+    * parameterized escape for deployments that want uniform AQE; the
+    * gated values are partitioning-independent integer aggregates,
+    * so the setting cannot move any result). The session-conf flip
+    * is visible to frames PLANNED concurrently on the same session —
+    * the only such window is the bench's composite warmup, where a
+    * sibling future may plan one build with AQE off: correctness-
+    * neutral (both settings are correct plans), bounded to warmup.
+    */
+  def withLoopAqeOff[T](s: SparkSession)(body: => T): T =
+    if (sys.env.get("GRAFT_LOOP_AQE").contains("1")) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      try body finally s.conf.set(key, prev)
+    }
+
   /** Local session on `cpus` threads with matching shuffle width. */
   def local(cpus: Int, appName: String = "graft"): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).appName(appName).getOrCreate()

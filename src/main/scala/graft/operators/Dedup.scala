@@ -1639,7 +1639,13 @@ ORDER BY tau_x10k"""
     // count cannot change the min-label fixpoint. At true scale the
     // label table is large and the session width is the right one;
     // this mirrors how an iterative job sizes its own stages.
-    resolveComponentsLoop(edges, maxRounds)
+    // AQE is scoped OFF for the loop (r18, GraftSession.withLoopAqeOff):
+    // no exchange feeds any loop join (all zip on checkpoints), so
+    // AQE's only effect here was one scheduled stage-job per pinned
+    // exchange per round.
+    graft.GraftSession.withLoopAqeOff(edges.sparkSession) {
+      resolveComponentsLoop(edges, maxRounds)
+    }
   }
 
   private val CcPartitions = 8
@@ -2062,6 +2068,7 @@ ORDER BY tau_x10k"""
     // through the alias (src = c)
     val edges = copurchaseEdges(s, dir)
       .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    graft.GraftSession.withLoopAqeOff(s) {
     // deg consumes the edge memo's hash(src, 8) partitioning —
     // exchange-free groupBy whose output zips into the node join;
     // the node list pins its width BEFORE the distinct so dedup and
@@ -2105,6 +2112,7 @@ ORDER BY tau_x10k"""
       done = row.getLong(0) == 0L
     }
     rounds.toSeq.toDF("round", "delta", "pr_max").orderBy(col("round"))
+    } // withLoopAqeOff
   }
 
   val qPagerankConvergeSql: String = {
@@ -2262,10 +2270,12 @@ WHERE a.n_members > 1 ORDER BY a.cluster_id"""
     import s.implicits._
     val p0 = CcPartitions
     // round-0 edges are the offset projection of the shared
-    // [[copurchaseEdges]] memo (map-only, partitioning preserved);
+    // [[copurchaseEdges]] memo (map-only, partitioning preserved;
+    // memo built OUTSIDE the loop-AQE scope — withLoopAqeOff);
     // each peel round re-checkpoints its own shrunk edge list below
     var edges = copurchaseEdges(s, dir)
       .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    graft.GraftSession.withLoopAqeOff(s) {
     var prevNodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct().count()
     val trace = Array.newBuilder[(Long, Long, Long)]
@@ -2312,6 +2322,7 @@ WHERE a.n_members > 1 ORDER BY a.cluster_id"""
       }
     }
     trace.result().toSeq.toDF("round", "n_nodes", "n_pairs").orderBy(col("round"))
+    } // withLoopAqeOff
   }
 
   val qKcoreSql: String = {
@@ -3303,8 +3314,10 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
     // groupBy shuffle the half-step IS (the CC loop-invariant-edges
     // discipline; a single edge copy re-exchanged every round at
     // first measurement). The by-c orientation is the shared
-    // [[copurchaseEdges]] memo.
+    // [[copurchaseEdges]] memo — built OUTSIDE the loop-AQE scope
+    // (corpus-scale single-pass plan; see withLoopAqeOff).
     val edgesByC = copurchaseEdges(s, dir)
+    graft.GraftSession.withLoopAqeOff(s) {
     val edgesByP = edgesByC.repartition(p0, col("p")).localCheckpoint()
     // score inits dedup ON the edge lists' existing hash(·, 8)
     // partitioning (select preserves it), so neither distinct plans
@@ -3320,6 +3333,24 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 0
     var done = false
+    // LAGGED delta_hub (r18, guide §2.4/§1.2): the round previously
+    // ran 5 actions (2 checkpoints, 2 max collects, 1 fused delta
+    // collect). delta_auth needs only maxA, so it rides the maxH
+    // collect; delta_hub needs maxH, so it rides the NEXT round's
+    // maxA collect (both frames stay cached — the sums are map-only).
+    // 4 actions per round; the exit test is unchanged because
+    // delta_hub is fetched eagerly (one standalone 1-row job) exactly
+    // when delta_auth == 0 — the only state in which the exit is
+    // reachable — and the pending value is drained after the loop for
+    // the final trace row. Same gated rows, same early-exit round.
+    var dhPending: Option[(Long, DataFrame)] = None // (round, hNext w/ dh)
+    var rounds0Auth = 0L // delta_auth of the round whose delta_hub is pending
+    def drainDh(): Long = {
+      val (_, hN) = dhPending.get
+      val v = hN.agg(coalesce(sum(col("dh")), lit(0L))).collect()(0).getLong(0)
+      dhPending = None
+      v
+    }
     while (r < HitsMaxRounds && !done) {
       r += 1
       // the previous score rides each checkpoint so the convergence
@@ -3351,7 +3382,19 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
         .groupBy(col("p")).agg(sum(col("h")).as("raw"))
         .join(auth.withColumnRenamed("a", "pa"), "p")
         .localCheckpoint()
-      val maxA = aRaw.agg(max(col("raw"))).collect()(0).getLong(0)
+      // collect 1: this round's maxA + (lagged) last round's delta_hub
+      val m1 = aRaw.agg(max(col("raw")).as("v"))
+      val c1 = dhPending match {
+        case Some((pr, hN)) =>
+          val rows = m1.unionAll(
+            hN.agg(coalesce(sum(col("dh")), lit(0L)).as("v"))).collect()
+          val dHubPrev = rows(1).getLong(0)
+          rounds += ((pr, dHubPrev, rounds0Auth))
+          dhPending = None
+          rows(0).getLong(0)
+        case None => m1.collect()(0).getLong(0)
+      }
+      val maxA = c1
       val aNext = aRaw.select(col("p"),
           expr(s"(cast(raw as decimal(38,0)) * 1000000) div cast($maxA as bigint)").as("a"),
           col("pa"))
@@ -3361,30 +3404,41 @@ FROM mv GROUP BY 1, 2 ORDER BY 1, 2"""
         .groupBy(col("c")).agg(sum(col("a")).as("raw"))
         .join(hub.withColumnRenamed("h", "ph"), "c")
         .localCheckpoint()
-      val maxH = hRaw.agg(max(col("raw"))).collect()(0).getLong(0)
+      // collect 2: this round's maxH + this round's delta_auth
+      // (map-only sums over the eagerly-checkpointed frames; no
+      // crossJoin pairing — a 1-row broadcast per round costs more
+      // KeyLock time than it saves)
+      val c2 = hRaw.agg(max(col("raw")).as("v"))
+        .unionAll(aNext.agg(coalesce(sum(col("da")), lit(0L)).as("v")))
+        .collect()
+      val (maxH, dAuth) = (c2(0).getLong(0), c2(1).getLong(0))
       val hNext = hRaw.select(col("c"),
           expr(s"(cast(raw as decimal(38,0)) * 1000000) div cast($maxH as bigint)").as("h"),
           col("ph"))
         .select(col("c"), col("h"), abs(col("h") - col("ph")).as("dh"))
-      // one action reads both deltas: map-only sums over the two
-      // EAGERLY-checkpointed score frames (cached blocks — the agg
-      // costs ~ms), unioned into a 2-row collect. The early exit is
-      // load-bearing at scale: a graph that hits its fixpoint at
-      // round k must not pay rounds k+1..max of corpus-scale
-      // shuffles to discard them driver-side (an r10 review finding
-      // reversed the short-lived lazy-trace form that did exactly
-      // that). No crossJoin pairing — a 1-row broadcast per round
-      // costs more KeyLock time than it saves.
-      val ds = aNext.agg(coalesce(sum(col("da")), lit(0L)).as("d"))
-        .unionAll(hNext.agg(coalesce(sum(col("dh")), lit(0L)).as("d")))
-        .collect()
-      val (dAuth, dHub) = (ds(0).getLong(0), ds(1).getLong(0))
-      rounds += ((r.toLong, dHub, dAuth))
+      dhPending = Some((r.toLong, hNext))
+      rounds0Auth = dAuth
       auth = aNext.select(col("p"), col("a"))
       hub = hNext.select(col("c"), col("h"))
-      done = dHub == 0L && dAuth == 0L
+      // early exit is load-bearing at scale: a graph at its fixpoint
+      // at round k must not pay rounds k+1..max of corpus-scale
+      // shuffles (an r10 review finding reversed the lazy-trace form
+      // that did exactly that). The exit is only reachable when
+      // dAuth == 0, so delta_hub is fetched eagerly just then.
+      if (dAuth == 0L) {
+        val dHub = drainDh()
+        rounds += ((r.toLong, dHub, dAuth))
+        done = dHub == 0L
+      }
+    }
+    // drain the last round's pending delta_hub for its trace row
+    if (dhPending.isDefined) {
+      val pr = dhPending.get._1
+      val dHub = drainDh()
+      rounds += ((pr, dHub, rounds0Auth))
     }
     rounds.toSeq.toDF("round", "delta_hub", "delta_auth").orderBy(col("round"))
+    } // withLoopAqeOff
   }
 
   val qHitsConvergeSql: String = {
@@ -3438,6 +3492,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     val p0 = CcPartitions
     val edges = copurchaseEdges(s, dir)
       .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    graft.GraftSession.withLoopAqeOff(s) {
     val eb = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(p0, col("src")).localCheckpoint()
@@ -3454,19 +3509,27 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
         r.getDecimal(3).toBigInteger.toString)
     }
     val out = scala.collection.mutable.ArrayBuffer(levelStats(0L, seed))
-    var visited = seed
+    // visited = the chain of prior frontiers (r18): the union-and-
+    // re-checkpoint frame cost one checkpoint job plus one p0-wide
+    // exchange per level; anti-joining each prior frontier instead is
+    // the same set subtraction over the SAME checkpointed blocks —
+    // BfsRounds is a small constant, every frontier is already
+    // node-partitioned (or broadcast-sized), and no per-level
+    // materialization remains.
+    var frontiers = List(seed)
     var frontier = seed
     var lvl = 0
     while (lvl < BfsRounds) {
       lvl += 1
-      val next = eb.join(frontier, eb("src") === frontier("node"))
-        .select(col("dst").as("node"))
-        .repartition(p0, col("node")).dropDuplicates("node")
-        .join(visited, Seq("node"), "left_anti")
+      val next = frontiers.foldLeft(
+          eb.join(frontier, eb("src") === frontier("node"))
+            .select(col("dst").as("node"))
+            .repartition(p0, col("node")).dropDuplicates("node")) {
+          (acc, f) => acc.join(f.select(col("node")), Seq("node"), "left_anti")
+        }
         .localCheckpoint()
       out += levelStats(lvl.toLong, next)
-      visited = visited.unionAll(next)
-        .repartition(p0, col("node")).localCheckpoint()
+      frontiers ::= next
       frontier = next
     }
     val schema = StructType(Seq(
@@ -3475,6 +3538,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
       StructField("sum_node", StringType)))
     s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
       .orderBy(col("level"))
+    } // withLoopAqeOff
   }
 
   val qBfsLevelsSql: String = {
@@ -3526,6 +3590,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
     val d38 = "decimal(38,0)"
     val edges = copurchaseEdges(s, dir)
       .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+    graft.GraftSession.withLoopAqeOff(s) {
     val eb = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(p0, col("src")).localCheckpoint()
@@ -3541,20 +3606,25 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
         r.getDecimal(1).toBigInteger.toString, r.getDecimal(2).toBigInteger.toString)
     }
     val out = scala.collection.mutable.ArrayBuffer(levelStats(0L, seed))
-    var visited = seed.select(col("node"))
+    // visited = the chain of prior frontiers (r18; the qBfsLevels
+    // change): anti-join each already-checkpointed level instead of
+    // maintaining a union-and-re-checkpoint frame — one checkpoint
+    // job and one p0-wide exchange saved per level
+    var frontiers = List(seed)
     var frontier = seed
     var lvl = 0
     while (lvl < BfsRounds) {
       lvl += 1
-      val next = eb.join(frontier, eb("src") === frontier("node"))
-        .select(col("dst").as("node"), col("sigma"))
-        .repartition(p0, col("node"))
-        .groupBy(col("node")).agg(sum(col("sigma")).cast(d38).as("sigma"))
-        .join(visited, Seq("node"), "left_anti")
+      val next = frontiers.foldLeft(
+          eb.join(frontier, eb("src") === frontier("node"))
+            .select(col("dst").as("node"), col("sigma"))
+            .repartition(p0, col("node"))
+            .groupBy(col("node")).agg(sum(col("sigma")).cast(d38).as("sigma"))) {
+          (acc, f) => acc.join(f.select(col("node")), Seq("node"), "left_anti")
+        }
         .localCheckpoint()
       out += levelStats(lvl.toLong, next)
-      visited = visited.unionAll(next.select(col("node")))
-        .repartition(p0, col("node")).localCheckpoint()
+      frontiers ::= next
       frontier = next
     }
     val schema = StructType(Seq(
@@ -3562,6 +3632,7 @@ SELECT CAST(round AS BIGINT) AS round, delta_hub, delta_auth FROM alld, stop WHE
       StructField("sum_sigma", StringType), StructField("max_sigma", StringType)))
     s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
       .orderBy(col("level"))
+    } // withLoopAqeOff
   }
 
   val qPathCountsSql: String = {
